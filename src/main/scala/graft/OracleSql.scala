@@ -1,0 +1,116 @@
+package graft
+
+/**
+ * Programmatic builders for the DuckDB oracle SQL. Constants (hash
+ * coefficients, thresholds, prime moduli) live HERE and are referenced
+ * by both the Spark operators and the generated SQL, so the two sides
+ * can never drift apart.
+ *
+ * Oracle-parity design rule: query outputs are integer-typed wherever
+ * possible (ids, ranks, counts, checksums). Doubles appear only when
+ * both engines derive them from the same integers or from identical
+ * sequential array folds — then the IEEE bits agree and rounding is
+ * stable across engines.
+ */
+object OracleSql {
+
+  /** DuckDB fragment: cosine similarity between two FLOAT[] columns,
+    * computed exactly like graft_cosine (sequential fold, f64 accum). */
+  def cosine(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))""".stripMargin.replace("\n", " ")
+
+  /** DuckDB fragment: euclidean distance between two FLOAT[] columns. */
+  def euclidean(a: String, b: String): String =
+    s"""sqrt(list_sum(list_transform(range(1, len($a)+1),
+       | i -> (CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE)))))""".stripMargin.replace("\n", " ")
+
+  // ---- shared dedup/text constants (single source of truth) ----
+
+  /** Prime modulus for MinHash permutations (< 2^31). */
+  val MinHashP: Long = 2038074743L
+
+  /** 16 (a, b) pairs for MinHash h_i(x) = (a_i * x + b_i) mod P. */
+  val MinHashA: Seq[Long] = Seq(
+    887659L, 725861L, 331817L, 976369L, 245621L, 654979L, 410567L, 563117L,
+    104729L, 899809L, 318211L, 772669L, 203653L, 611953L, 471871L, 928979L)
+  val MinHashB: Seq[Long] = Seq(
+    15485863L, 32452843L, 49979687L, 67867967L, 86028121L, 104395301L,
+    122949823L, 141650939L, 160481183L, 179424673L, 198491317L, 217645177L,
+    236887691L, 256203161L, 275604541L, 295075147L)
+
+  /** MinHash signature length and LSH banding (4 bands x 4 rows). */
+  val MinHashK = 16
+  val LshBands = 4
+  val LshRows = 4
+
+  /** Word-bigram Jaccard threshold for "near duplicate". */
+  val JaccardThreshold = 0.7
+
+  /** SimHash bit width (bits 0..30 of the 31-bit hash) and the (a, b)
+    * of its base hash. */
+  val SimHashBits = 31
+  val SimHashA: Long = 784727L
+  val SimHashB: Long = 179426549L
+  /** Max hamming distance for simhash near-dup pairs. */
+  val SimHashMaxHamming = 6
+
+  /** Rolling-hash fingerprint: fp = fold(acc*131 + charcode) mod this prime. */
+  val FingerprintP: Long = 2147483629L
+
+  /** Embedding near-dup cosine threshold (data has no planted embedding
+    * dups; 0.45 captures only the extreme tail). */
+  val EmbDupThreshold = 0.45
+
+  /** Number of random hyperplanes for the sign-LSH ANN index. */
+  val LshPlanes = 8
+
+  /** word code: first 4 chars packed base-128 (ASCII-safe; text fixtures
+    * are lowercase ASCII). Emits DuckDB SQL for a word expression. */
+  def wcode(w: String): String =
+    s"CAST(ascii(substr(rpad($w,4,' '),1,1))*2097152 + ascii(substr(rpad($w,4,' '),2,1))*16384" +
+      s" + ascii(substr(rpad($w,4,' '),3,1))*128 + ascii(substr(rpad($w,4,' '),4,1)) AS BIGINT)"
+
+  /** DuckDB CTE producing (doc_id, code) word-bigram shingles from
+    * `documents` — mirror of Dedup.shingles. */
+  def shingleCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+       |), shing AS (
+       |  SELECT DISTINCT doc_id, ${wcode("ws[i]")}*268435456 + ${wcode("ws[i+1]")} AS code
+       |  FROM tok, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2
+       |)""".stripMargin
+
+  /** DuckDB CTE list producing the MinHash signature table `mh`
+    * (doc_id, m0..m15) on top of `shing`. */
+  def minhashCte: String = {
+    val mins = (0 until MinHashK).map { i =>
+      s"min((${MinHashA(i)}*(code % $MinHashP) + ${MinHashB(i)}) % $MinHashP) AS m$i"
+    }.mkString(", ")
+    s"mh AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id)"
+  }
+
+  /** DuckDB fragment: LSH candidate pairs (d1 < d2) from `mh` — union of
+    * per-band equijoins, deduplicated. */
+  def lshCandidatesCte: String = {
+    val bands = (0 until LshBands).map { b =>
+      val conds = (0 until LshRows).map(r => s"a.m${b * LshRows + r} = b.m${b * LshRows + r}").mkString(" AND ")
+      s"SELECT a.doc_id d1, b.doc_id d2 FROM mh a JOIN mh b ON $conds AND a.doc_id < b.doc_id"
+    }.mkString(" UNION ")
+    s"cand AS ($bands)"
+  }
+
+  /** DuckDB CTEs for exact word-bigram jaccard between doc pairs
+    * restricted to `cand` (needs shing + cand). */
+  def jaccardCte: String =
+    s"""sz AS (SELECT doc_id, count(*) sz FROM shing GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) i
+       |  FROM cand c JOIN shing s1 ON s1.doc_id = c.d1 JOIN shing s2 ON s2.doc_id = c.d2 AND s1.code = s2.code
+       |  GROUP BY c.d1, c.d2
+       |), jac AS (
+       |  SELECT d1, d2, i*1.0/(z1.sz + z2.sz - i) AS j
+       |  FROM inter JOIN sz z1 ON z1.doc_id = d1 JOIN sz z2 ON z2.doc_id = d2
+       |)""".stripMargin
+}

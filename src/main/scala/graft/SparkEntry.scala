@@ -1,13 +1,242 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator gets a `queries` entry; entries with a
+  * deterministic ANSI-SQL equivalent also get an `oracleSql` entry the
+  * driver runs in DuckDB over the same parquet tables. Column names and
+  * types match on both sides; outputs are integer-typed wherever
+  * possible (see OracleSql doc for the parity rules).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def registered(s: SparkSession): SparkSession = {
+    GraftFunctions.register(s); s
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference query surface in one plan: tag-filtered top-k
+    * cosine search over the canonical vector table, content included
+    * (reference src/db.rs:217-283). */
+  def entry(spark: SparkSession): DataFrame = {
+    registered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val vt = Tables.vectorTable(spark, dir)
+    val q = Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    vt.join(broadcast(q))
+      .where(array_contains(col("tags"), "en"))
+      .withColumn("similarity", cosine(col("vector"), col("qv")))
+      .where(!isnan(col("similarity")))
+      .select(col("similarity"), col("id"), col("content"), col("tags"))
+      .orderBy(desc("similarity"), asc("id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------
+  // helpers shared by several queries
+  // ---------------------------------------------------------------
+
+  /** Scored candidates against the embedding of `qid`, excluding it. */
+  private def scoredAgainst(s: SparkSession, dir: String, qid: Long): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === qid).select(col("embedding").as("qv"))
+    emb.where(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("embedding"), col("qv")))
+  }
+
+  private def rankTop(scored: DataFrame, k: Int, simCol: String = "sim"): DataFrame = {
+    val w = Window.orderBy(desc(simCol), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // the operator inventory (SURVEY.md §2 + extension scope)
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 #16 top-k nearest-neighbor search (cosine), the core query
+    "knn_topk" -> ((s, dir) => {
+      registered(s)
+      rankTop(scoredAgainst(s, dir, 0L), 10)
+    }),
+
+    // #16 with similarity values surfaced (numeric-parity check)
+    "knn_scores" -> ((s, dir) => {
+      registered(s)
+      val w = Window.orderBy(desc("sim"), asc("vec_id"))
+      scoredAgainst(s, dir, 0L)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim_r"))
+    }),
+
+    // §2 #12 tag-superset filtering + #16: search restricted to tag 'de'
+    "knn_tag_filtered" -> ((s, dir) => {
+      registered(s)
+      val vt = Tables.vectorTable(s, dir)
+      val q = Tables.load(s, dir, "embeddings")
+        .where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val scored = vt.join(broadcast(q))
+        .where(array_contains(col("tags"), "de") && col("id") =!= 0)
+        .withColumn("sim", cosine(col("vector"), col("qv")))
+      val w = Window.orderBy(desc("sim"), asc("id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("id"))
+    }),
+
+    // §2 #12: unknown tag ⇒ empty result (reference src/tests.rs:62-127)
+    "knn_tag_unknown" -> ((s, dir) => {
+      registered(s)
+      val vt = Tables.vectorTable(s, dir)
+      val q = Tables.load(s, dir, "embeddings")
+        .where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      vt.join(broadcast(q))
+        .where(array_contains(col("tags"), "no_such_tag"))
+        .withColumn("sim", cosine(col("vector"), col("qv")))
+        .select(col("id"))
+    }),
+
+    // §2 #15 euclidean metric (ordering fixed: nearest first)
+    "knn_euclidean" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val scored = emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("dist", euclidean(col("embedding"), col("qv")))
+      val w = Window.orderBy(asc("dist"), asc("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("vec_id"))
+    }),
+
+    // §2 #3 canonical table assembly (insert path transform)
+    "vec_table" -> ((s, dir) => {
+      registered(s)
+      Tables.vectorTable(s, dir)
+        .select(col("id"), col("content"), col("tags"),
+          size(col("vector")).as("dim"))
+        .orderBy("id")
+    }),
+
+    // §2 #18-20 scalar quantization codec: integer byte-sum checksum +
+    // reconstruction-error bound scaled to int
+    "vq_checksum" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val packed = emb.withColumn("p", pack(col("embedding")))
+      packed
+        .withColumn("u", unpack(col("p")))
+        .select(
+          col("vec_id"),
+          packedByteSum(col("p")).as("byte_sum"),
+          floor(
+            aggregate(
+              zip_with(col("embedding"), col("u"), (a, b) => abs(a.cast("double") - b.cast("double"))),
+              lit(0.0), (acc, x) => greatest(acc, x)) * 1e7).cast("long").as("max_err_1e7"))
+        .orderBy("vec_id")
+    }),
+
+    // extension: relational aggregation (TPC-H Q1 style)
+    "q1_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val cosQ = OracleSql.cosine("e.embedding", "q.qv")
+    Map(
+      "knn_topk" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |s AS (SELECT e.vec_id, $cosQ AS sim FROM embeddings e, q WHERE e.vec_id <> 0)
+           |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+           |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      "knn_scores" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |s AS (SELECT e.vec_id, $cosQ AS sim FROM embeddings e, q WHERE e.vec_id <> 0)
+           |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id,
+           |       round(sim, 4) AS sim_r
+           |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      "knn_tag_filtered" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |vt AS (
+           |  SELECT e.vec_id AS id, e.embedding, list_sort(list_distinct([d.lang, d.source])) AS tags
+           |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           |),
+           |s AS (SELECT vt.id, ${OracleSql.cosine("vt.embedding", "q.qv")} AS sim
+           |      FROM vt, q WHERE list_contains(vt.tags, 'de') AND vt.id <> 0)
+           |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank, id
+           |FROM s ORDER BY sim DESC, id LIMIT 10""".stripMargin,
+
+      "knn_tag_unknown" ->
+        s"""SELECT e.vec_id AS id
+           |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           |WHERE list_contains(list_sort(list_distinct([d.lang, d.source])), 'no_such_tag')""".stripMargin,
+
+      "knn_euclidean" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |s AS (SELECT e.vec_id, ${OracleSql.euclidean("e.embedding", "q.qv")} AS dist
+           |      FROM embeddings e, q WHERE e.vec_id <> 0)
+           |SELECT CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS BIGINT) AS rank, vec_id
+           |FROM s ORDER BY dist ASC, vec_id LIMIT 10""".stripMargin,
+
+      "vec_table" ->
+        s"""SELECT e.vec_id AS id, d.text AS content,
+           |       list_sort(list_distinct([d.lang, d.source])) AS tags,
+           |       CAST(len(e.embedding) AS INT) AS dim
+           |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           |ORDER BY id""".stripMargin,
+
+      "vq_checksum" ->
+        s"""WITH mm AS (
+           |  SELECT vec_id, embedding,
+           |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+           |         CAST(list_max(embedding) AS DOUBLE) AS mx
+           |  FROM embeddings
+           |), qb AS (
+           |  SELECT vec_id, mn, mx,
+           |    list_transform(embedding, v ->
+           |      CASE WHEN mx = mn THEN 0
+           |           ELSE least(greatest(CAST(round((CAST(v AS DOUBLE)-mn)/(mx-mn)*255) AS BIGINT), 0), 255) END) AS q,
+           |    embedding
+           |  FROM mm
+           |)
+           |SELECT vec_id,
+           |  CAST(list_sum(q) AS BIGINT) AS byte_sum,
+           |  CAST(floor(list_max(list_transform(range(1, len(q)+1),
+           |    i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(CAST(mn + CAST(q[i] AS DOUBLE)/255.0*(mx-mn) AS FLOAT) AS DOUBLE)))) * 1e7) AS BIGINT) AS max_err_1e7
+           |FROM qb ORDER BY vec_id""".stripMargin,
+
+      "q1_agg" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |  round(avg(l_quantity), 4) AS avg_qty,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  }
 }

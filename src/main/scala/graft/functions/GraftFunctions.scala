@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Registration + typed Column facade for the graft vector kernels.
+ *
+ * The expressions are registered in the session FunctionRegistry so they
+ * are usable both from SQL (`SELECT graft_cosine(a, b)`) and from the
+ * Column API via `call_function` — avoiding any private Column(expr)
+ * constructors. Registration is idempotent.
+ */
+object GraftFunctions {
+
+  private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] =
+    Seq(
+      "graft_cosine" -> (e => CosineSimilarity(e(0), e(1))),
+      "graft_euclidean" -> (e => EuclideanDistance(e(0), e(1))),
+      "graft_dot" -> (e => DotProduct(e(0), e(1))),
+      "graft_pack" -> (e => PackVector(e(0))),
+      "graft_unpack" -> (e => UnpackVector(e(0))),
+      "graft_packed_byte_sum" -> (e => PackedByteSum(e(0)))
+    )
+
+  /** Register all graft functions on the session (idempotent). */
+  def register(spark: SparkSession): Unit = synchronized {
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  // ---- Column API (requires register(spark) once per session) ----
+
+  /** Cast helper: accept array<float>/array<double>/array<int> columns. */
+  def asVec(c: Column): Column = c.cast("array<float>")
+
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", asVec(a), asVec(b))
+
+  def euclidean(a: Column, b: Column): Column =
+    call_function("graft_euclidean", asVec(a), asVec(b))
+
+  def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", asVec(a), asVec(b))
+
+  def pack(a: Column): Column = call_function("graft_pack", asVec(a))
+
+  def unpack(a: Column): Column = call_function("graft_unpack", a)
+
+  def packedByteSum(a: Column): Column = call_function("graft_packed_byte_sum", a)
+
+  /** A float-array literal column for a query vector. */
+  def vecLit(v: Seq[Float]): Column =
+    array(v.map(x => lit(x)): _*).cast("array<float>")
+}
+
+/**
+ * SparkSessionExtensions entry point: enables
+ * `--conf spark.sql.extensions=graft.functions.GraftExtensions` so the
+ * kernels are present in every session on a cluster without any driver
+ * code calling register().
+ */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def info(name: String): ExpressionInfo =
+      new ExpressionInfo("graft.functions", name)
+    val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "graft_cosine" -> (e => CosineSimilarity(e(0), e(1))),
+      "graft_euclidean" -> (e => EuclideanDistance(e(0), e(1))),
+      "graft_dot" -> (e => DotProduct(e(0), e(1))),
+      "graft_pack" -> (e => PackVector(e(0))),
+      "graft_unpack" -> (e => UnpackVector(e(0))),
+      "graft_packed_byte_sum" -> (e => PackedByteSum(e(0)))
+    )
+    fns.foreach { case (n, b) =>
+      ext.injectFunction((FunctionIdentifier(n), info(n), b))
+    }
+  }
+}
