@@ -101,16 +101,61 @@ object OracleSql {
     s"cand AS ($bands)"
   }
 
-  /** DuckDB CTEs for exact word-bigram jaccard between doc pairs
-    * restricted to `cand` (needs shing + cand). */
+  /** DuckDB CTEs for exact word-bigram jaccard over all doc pairs that
+    * share >= 1 shingle (mirror of Dedup.jaccard: intersect from the
+    * shingle self-join, then sizes). Needs `shing`. */
   def jaccardCte: String =
     s"""sz AS (SELECT doc_id, count(*) sz FROM shing GROUP BY doc_id),
        |inter AS (
-       |  SELECT c.d1, c.d2, count(*) i
-       |  FROM cand c JOIN shing s1 ON s1.doc_id = c.d1 JOIN shing s2 ON s2.doc_id = c.d2 AND s1.code = s2.code
-       |  GROUP BY c.d1, c.d2
+       |  SELECT s1.doc_id d1, s2.doc_id d2, count(*) i
+       |  FROM shing s1 JOIN shing s2 ON s1.code = s2.code AND s1.doc_id < s2.doc_id
+       |  GROUP BY 1, 2
        |), jac AS (
-       |  SELECT d1, d2, i*1.0/(z1.sz + z2.sz - i) AS j
+       |  SELECT d1, d2, CAST(i AS DOUBLE)/(z1.sz + z2.sz - i) AS j
        |  FROM inter JOIN sz z1 ON z1.doc_id = d1 JOIN sz z2 ON z2.doc_id = d2
        |)""".stripMargin
+
+  /** DuckDB CTE: simhash signature per doc (needs shing). Mirrors
+    * Dedup.simhash bit for bit. */
+  def simhashCte: String = {
+    val sums = (0 until SimHashBits)
+      .map(j => s"CAST(sum(((h >> $j) & 1)*2 - 1) AS BIGINT) AS s$j").mkString(", ")
+    val sig = (0 until SimHashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""hh AS (SELECT doc_id, ($SimHashA*(code % $MinHashP) + $SimHashB) % $MinHashP AS h FROM shing),
+       |bits AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  /** Deterministic LSH hyperplanes (shared with SimilaritySearch). */
+  def lshPlanes(d: Int): Seq[Seq[Double]] =
+    (0 until LshPlanes).map { m =>
+      (0 until d).map { i =>
+        (((m * d + i + 1).toLong * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+      }
+    }
+
+  /** DuckDB fragment: the sign-LSH bucket id of a FLOAT[] vector column
+    * (bit m set iff dot with plane m > 0). Double literals round-trip
+    * exactly via shortest-repr strings. */
+  def lshBucketSql(vec: String, d: Int): String = {
+    lshPlanes(d).zipWithIndex.map { case (p, m) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"""CASE WHEN list_sum(list_transform(range(1, ${d + 1}),
+         | i -> CAST($vec[i] AS DOUBLE) * ($lits)[i])) > 0.0 THEN ${1L << m} ELSE 0 END""".stripMargin.replace("\n", " ")
+    }.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB fragment: the marker-count language-ID CASE over a token
+    * list column `ws` (mirrors TextAnalysis.langId). */
+  def langIdSql(markers: Seq[(String, Seq[String])]): String = {
+    val scores = markers.map { case (lang, ms) =>
+      lang -> s"len(list_filter(ws, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+    }
+    val conds = scores.zipWithIndex.map { case ((lang, sc), i) =>
+      val geAll = scores.map(_._2).map(o => s"$sc >= $o").mkString(" AND ")
+      s"WHEN $geAll AND $sc > 0 THEN '$lang'"
+    }
+    s"CASE ${conds.mkString(" ")} ELSE 'und' END"
+  }
 }

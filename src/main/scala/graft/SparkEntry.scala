@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
+import graft.operators.{Dedup, Multimodal, Pca, SimilaritySearch, TextAnalysis, TopK}
+import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +163,198 @@ object SparkEntry {
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- batched / approximate similarity search ----
+
+    // similarity join: 8 queries x top-5 over the rest (window top-k)
+    "knn_multiquery" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.where(col("vec_id") >= 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      TopK.perQueryTopKWindow(TopK.scoreAllPairs(queries, corpus), 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"))
+        .orderBy("qid", "rank")
+    }),
+
+    // same result via the bounded-heap Aggregator (map-side combine)
+    "knn_multiquery_heap" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.where(col("vec_id") >= 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      TopK.perQueryTopKHeap(s, TopK.scoreAllPairs(queries, corpus), 5)
+        .select(col("qid"), col("rank"), col("cid"))
+        .orderBy("qid", "rank")
+    }),
+
+    // sign-LSH bucketed ANN
+    "ann_lsh" -> ((s, dir) => {
+      registered(s)
+      SimilaritySearch.lshSearch(Tables.load(s, dir, "embeddings"), qid = 0L, k = 5, d = 64)
+    }),
+
+    // IVF coarse-quantized ANN (fixed codebook, nprobe=2)
+    "ann_ivf" -> ((s, dir) => {
+      registered(s)
+      SimilaritySearch.ivfSearch(Tables.load(s, dir, "embeddings"),
+        qid = 42L, nCentroids = 16, nprobe = 2, k = 5)
+    }),
+
+    // PCA fit + projection (no SQL oracle: eigenbasis sign ambiguity)
+    "pca_project" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = Pca.fit(emb, "embedding", 8)
+      val proj = Pca.projector(s, model)
+      emb.select(col("vec_id"), proj(col("embedding")).as("projected"))
+        .select(col("vec_id"), size(col("projected")).as("k"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- dedup suite (documents) ----
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents")).select("keeper", "group_size").orderBy("keeper")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.load(s, dir, "documents"))
+        .select(col("d1"), col("d2"), round(col("j"), 4).as("jac_r"))
+        .orderBy("d1", "d2")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.exactNearDups(Tables.load(s, dir, "documents"))
+        .select(col("d1"), col("d2"), round(col("j"), 4).as("jac_r"))
+        .orderBy("d1", "d2")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Dedup.shingles(Tables.load(s, dir, "documents")))
+        .orderBy("doc_id")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash(Dedup.shingles(Tables.load(s, dir, "documents"))))
+        .orderBy("d1", "d2")),
+
+    "dedup_embedding" -> ((s, dir) => {
+      registered(s)
+      Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings")).orderBy("v1", "v2")
+    }),
+
+    // ---- text analysis suite (documents) ----
+
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.load(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "n_types", "n_chars", "n_punct", "n_stop", "n_bpeish")
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.load(s, dir, "documents"))
+        .select("doc_id", "quality").orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.load(s, dir, "documents"))
+        .select("doc_id", "pred_lang").orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.load(s, dir, "documents"))
+        .select("doc_id", "fp").orderBy("doc_id")),
+
+    // ---- multimodal plumbing (stubbed decode; real distribution) ----
+
+    "mm_features" -> ((s, dir) => {
+      val media = Multimodal.attachPayload(Tables.load(s, dir, "documents"))
+      Multimodal.extractFeatures(s, media).toDF()
+        .select("doc_id", "n_bytes", "byte_sum", "n_frames", "feat_mean_x100")
+        .orderBy("doc_id")
+    }),
+
+    // ---- event stream (batch form of the streaming ops) ----
+
+    "ev_hourly" -> ((s, dir) =>
+      EventOps.hourlyRollup(Tables.events(s, dir))),
+
+    "ev_sessions" -> ((s, dir) =>
+      EventOps.sessionize(Tables.events(s, dir))),
+
+    // ---- relational coverage (Catalyst-native operators) ----
+
+    "q3_top_revenue" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q_window_rank" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      o.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_semi" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_anti" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without_orders"))
+    }),
+
+    "q_setops" -> ((s, dir) => {
+      val hi = Tables.load(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_partkey").as("pk")).distinct()
+      val big = Tables.load(s, dir, "part").where(col("p_size") > 25)
+        .select(col("p_partkey").as("pk")).distinct()
+      val u = hi.union(big).distinct().agg(count(lit(1)).as("n_union"))
+      val i = hi.intersect(big).agg(count(lit(1)).as("n_intersect"))
+      val e = hi.except(big).agg(count(lit(1)).as("n_except"))
+      u.crossJoin(i).crossJoin(e)
+    }),
+
+    "q_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy("flag", "status")),
+
+    "q_topn_parts" -> ((s, dir) =>
+      Tables.load(s, dir, "part")
+        .select("p_partkey", "p_retailprice")
+        .orderBy(desc("p_retailprice"), asc("p_partkey"))
+        .limit(20)),
+
+    "q_multi_join" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))
+        .orderBy("r_name")
     })
   )
 
@@ -236,7 +430,198 @@ object SparkEntry {
            |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            |  round(avg(l_quantity), 4) AS avg_qty,
            |  count(*) AS n
-           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "knn_multiquery" -> multiQuerySql,
+      "knn_multiquery_heap" -> multiQuerySql,
+
+      "ann_lsh" -> {
+        val bucket = OracleSql.lshBucketSql("embedding", 64)
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+           |s AS (SELECT b.vec_id, ${OracleSql.cosine("b.embedding", "q.qv")} AS sim
+           |      FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0)
+           |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+           |FROM s ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+      },
+
+      "ann_ivf" ->
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id, c.cid, ${OracleSql.euclidean("e.embedding", "c.cv")} AS dist, e.embedding
+           |       FROM embeddings e, cent c),
+           |asg AS (SELECT vec_id, cid, embedding FROM
+           |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn FROM ad) WHERE rn = 1),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+           |pc AS (SELECT cid FROM
+           |       (SELECT c.cid, row_number() OVER (ORDER BY ${OracleSql.euclidean("c.cv", "q.qv")}, c.cid) prn
+           |        FROM cent c, q) WHERE prn <= 2),
+           |s AS (SELECT a.vec_id, ${OracleSql.cosine("a.embedding", "q.qv")} AS sim
+           |      FROM asg a JOIN pc ON a.cid = pc.cid, q WHERE a.vec_id <> 42)
+           |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+           |FROM s ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+      "dedup_exact" ->
+        s"""SELECT min(doc_id) AS keeper, count(*) AS group_size
+           |FROM documents GROUP BY md5(lower(text)) ORDER BY keeper""".stripMargin,
+
+      "dedup_minhash" ->
+        s"""WITH ${OracleSql.shingleCte},
+           |${OracleSql.minhashCte},
+           |${OracleSql.lshCandidatesCte},
+           |${OracleSql.jaccardCte}
+           |SELECT j.d1, j.d2, round(j.j, 4) AS jac_r
+           |FROM jac j JOIN (SELECT DISTINCT d1, d2 FROM cand) c ON j.d1 = c.d1 AND j.d2 = c.d2
+           |WHERE j.j >= ${OracleSql.JaccardThreshold}
+           |ORDER BY j.d1, j.d2""".stripMargin,
+
+      "dedup_jaccard" ->
+        s"""WITH ${OracleSql.shingleCte},
+           |${OracleSql.jaccardCte}
+           |SELECT d1, d2, round(j, 4) AS jac_r FROM jac
+           |WHERE j >= ${OracleSql.JaccardThreshold} ORDER BY d1, d2""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""WITH ${OracleSql.shingleCte},
+           |${OracleSql.simhashCte}
+           |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+
+      "dedup_simhash_pairs" ->
+        s"""WITH ${OracleSql.shingleCte},
+           |${OracleSql.simhashCte}
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${OracleSql.SimHashMaxHamming}
+           |ORDER BY d1, d2""".stripMargin,
+
+      "dedup_embedding" ->
+        s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |       round(${OracleSql.cosine("a.embedding", "b.embedding")}, 4) AS sim_r
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${OracleSql.cosine("a.embedding", "b.embedding")} >= ${OracleSql.EmbDupThreshold}
+           |ORDER BY v1, v2""".stripMargin,
+
+      "text_stats" ->
+        s"""WITH t AS (SELECT doc_id, text, lower(text) AS lt,
+           |             regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(ws) AS INT) AS n_tokens,
+           |  CAST(len(list_distinct(ws)) AS INT) AS n_types,
+           |  CAST(len(text) AS INT) AS n_chars,
+           |  CAST(len(lt) - len(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+           |  CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','in','to'))) AS INT) AS n_stop,
+           |  CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpeish
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "text_quality" ->
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+           |c AS (SELECT doc_id,
+           |        CAST(len(ws) AS DOUBLE) AS n_tok,
+           |        CAST(len(list_distinct(ws)) AS DOUBLE) AS n_typ,
+           |        CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','in','to'))) AS DOUBLE) AS n_stop
+           |      FROM t)
+           |SELECT doc_id,
+           |  round(least(1.0, n_tok/100.0) * 0.4
+           |      + (CASE WHEN n_tok > 0 THEN n_typ/n_tok ELSE 0.0 END) * 0.4
+           |      + least(1.0, n_stop/5.0) * 0.2, 4) AS quality
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      "text_langid" ->
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+           |SELECT doc_id, ${OracleSql.langIdSql(TextAnalysis.langMarkers)} AS pred_lang
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "text_fingerprint" ->
+        s"""SELECT doc_id,
+           |  list_reduce(
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(1, len(lower(text))+1),
+           |        i -> CAST(ascii(substr(lower(text), i, 1)) AS BIGINT))),
+           |    (acc, c) -> (acc*131 + c) % ${OracleSql.FingerprintP}) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "mm_features" ->
+        s"""WITH t AS (SELECT doc_id, text,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           |  CAST(list_sum(list_transform(range(1, len(text)+1),
+           |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS BIGINT) AS byte_sum
+           |  FROM documents)
+           |SELECT doc_id, n_bytes, byte_sum,
+           |  CAST((n_bytes + ${Multimodal.FrameStride - 1}) // ${Multimodal.FrameStride} AS BIGINT) AS n_frames,
+           |  CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE (byte_sum * 100) // n_bytes END AS BIGINT) AS feat_mean_x100
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "ev_hourly" ->
+        s"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
+           |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "ev_sessions" ->
+        s"""WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+           |l AS (SELECT user_id, event_id, sec,
+           |        lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e),
+           |b AS (SELECT user_id, sec, event_id,
+           |        CASE WHEN prev IS NULL OR sec - prev > ${EventOps.SessionGapSeconds} THEN 1 ELSE 0 END AS bd FROM l),
+           |s AS (SELECT user_id, sec,
+           |        CAST(sum(bd) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           |      FROM b)
+           |SELECT user_id, session_idx, count(*) AS n_events, max(sec) - min(sec) AS dur_s
+           |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q3_top_revenue" ->
+        s"""SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+      "q_window_rank" ->
+        s"""SELECT o_custkey, o_orderkey, rn FROM (
+           |  SELECT o_custkey, o_orderkey,
+           |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+           |  FROM orders)
+           |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+      "q_semi" ->
+        s"""SELECT c_mktsegment, count(*) AS n FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_anti" ->
+        s"""SELECT count(*) AS n_without_orders FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+      "q_setops" ->
+        s"""SELECT
+           |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_quantity > 45
+           |                         UNION SELECT DISTINCT p_partkey FROM part WHERE p_size > 25)) AS n_union,
+           |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_quantity > 45
+           |                         INTERSECT SELECT DISTINCT p_partkey FROM part WHERE p_size > 25)) AS n_intersect,
+           |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_quantity > 45
+           |                         EXCEPT SELECT DISTINCT p_partkey FROM part WHERE p_size > 25)) AS n_except""".stripMargin,
+
+      "q_rollup" ->
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+           |       count(*) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
+
+      "q_topn_parts" ->
+        s"""SELECT p_partkey, p_retailprice FROM part
+           |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin,
+
+      "q_multi_join" ->
+        s"""SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+           |JOIN region r ON n2.n_regionkey = r.r_regionkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
+
+  private def multiQuerySql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+       |s AS (SELECT q.qid, c.cid, ${OracleSql.cosine("c.cv", "q.qv")} AS sim FROM c, q),
+       |r AS (SELECT qid, cid,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT qid, rank, cid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 }

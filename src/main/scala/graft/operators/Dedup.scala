@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.OracleSql._
+
+/**
+ * Deduplication operators for LLM training-data pipelines: exact
+ * (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — all as
+ * shuffle-conscious DataFrame transforms.
+ *
+ * Shingling scheme (shared with the DuckDB oracle via graft.OracleSql —
+ * the constants live there): word-level bigrams, each word encoded as
+ * its first 4 chars packed base-128 (ASCII), bigram = wc1 * 2^28 + wc2.
+ * Everything downstream is int64 arithmetic, so results hash-match the
+ * oracle exactly.
+ *
+ * Scale notes (100 TB): shingling + minhash is a single map + one
+ * groupBy(doc_id) with map-side partial min() — one shuffle of 16 longs
+ * per doc. LSH banding turns the O(n^2) pair space into equi-joins on
+ * band keys (shuffle on band signature; skew-safe because a band bucket
+ * of near-dups is tiny relative to partitions). The exact all-pairs
+ * variants exist for oracle cross-checks at test scale only.
+ */
+object Dedup {
+
+  /** Lowercased alnum tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Word code: first 4 chars (space-padded) packed base-128. */
+  def wcode(w: Column): Column = {
+    val p = rpad(w, 4, " ")
+    ascii(substring(p, 1, 1)).cast("long") * 2097152L +
+      ascii(substring(p, 2, 1)).cast("long") * 16384L +
+      ascii(substring(p, 3, 1)).cast("long") * 128L +
+      ascii(substring(p, 4, 1)).cast("long")
+  }
+
+  /** (doc_id, code) distinct word-bigram shingles. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => wcode(element_at(col("ws"), i)) * 268435456L +
+            wcode(element_at(col("ws"), i + 1)))).as("code"))
+      .distinct()
+  }
+
+  /** Exact dedup: group by content hash, keep min id.
+    * Reference-scope analogue: content.bin upsert dedup (SURVEY §1.3);
+    * at scale: one hash-partitioned groupBy, no skew (hashes uniform). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(lower(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
+
+  /** MinHash signatures (doc_id, m0..m15): one groupBy with 16 partial
+    * min aggregates — map-side combined, 16 longs per doc shuffled. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = (0 until MinHashK).map { i =>
+      min((lit(MinHashA(i)) * (col("code") % MinHashP) + lit(MinHashB(i))) % MinHashP).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: union of per-band self equi-joins (d1 < d2). */
+  def lshCandidates(mh: DataFrame): DataFrame = {
+    val a = mh.alias("a")
+    val b = mh.alias("b")
+    (0 until LshBands).map { bd =>
+      val cond = (0 until LshRows)
+        .map(r => col(s"a.m${bd * LshRows + r}") === col(s"b.m${bd * LshRows + r}"))
+        .reduce(_ && _) && (col("a.doc_id") < col("b.doc_id"))
+      a.join(b, cond).select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    }.reduce(_ union _).distinct()
+  }
+
+  /**
+   * Exact word-bigram Jaccard for every doc pair sharing >= 1 shingle.
+   * Plan shape matters at scale: intersect counts come from the shingle
+   * self-equi-join on `code` (sum of f_c^2 rows — bounded by shingle
+   * frequency, never |docs|^2), NOT from a pairs x shingles join.
+   * Pairs with no shared shingle have j = 0 and are never materialized.
+   * `restrictTo`: optional (d1, d2) candidate set (e.g. LSH bands) to
+   * semi-join before the expensive grouping.
+   */
+  def jaccard(sh: DataFrame, restrictTo: Option[DataFrame] = None): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // With a candidate set, cut the shingle table down to candidate docs
+    // BEFORE the self-join: the join cost then scales with the (tiny)
+    // near-dup population, not the corpus.
+    val shR = restrictTo match {
+      case Some(pairs) =>
+        val ids = pairs.select(col("d1").as("doc_id"))
+          .union(pairs.select(col("d2").as("doc_id"))).distinct()
+        sh.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      case None => sh
+    }
+    val s1 = shR.select(col("doc_id").as("d1"), col("code"))
+    val s2 = shR.select(col("doc_id").as("d2"), col("code"))
+    val joined = s1.join(s2, Seq("code")).where(col("d1") < col("d2"))
+    val restricted = restrictTo match {
+      case Some(pairs) => joined.join(pairs, Seq("d1", "d2"), "left_semi")
+      case None => joined
+    }
+    val inter = restricted.groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "z1"), "d1")
+      .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "z2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("z1") + col("z2") - col("i"))).as("j"))
+  }
+
+  /** MinHash-LSH near-dup pipeline: candidates from banding, verified
+    * with exact Jaccard >= threshold. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    // the shingle table feeds signatures AND verification; Catalyst
+    // recomputes it per use, which profiles FASTER here than caching
+    // (an InMemoryRelation blocks scan-level pushdown). At 100 TB the
+    // shingle table would be a checkpointed/bucketed table instead.
+    val sh = shingles(docs)
+    val cand = lshCandidates(minhashSignatures(sh))
+    jaccard(sh, Some(cand)).where(col("j") >= threshold)
+  }
+
+  /** All shared-shingle-pairs exact Jaccard near-dups (cross-check for
+    * LSH recall; the shingle join bounds the pair space, but at 100 TB
+    * you still band first). */
+  def exactNearDups(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val sh = shingles(docs)
+    jaccard(sh, None).where(col("j") >= threshold)
+  }
+
+  /** 31-bit SimHash per doc over shingle codes: hash each shingle,
+    * signed-sum each bit, sign -> bit. One explode + one groupBy with 31
+    * map-side-combined sums. */
+  def simhash(sh: DataFrame): DataFrame = {
+    val h = (lit(SimHashA) * (col("code") % MinHashP) + lit(SimHashB)) % MinHashP
+    val withH = sh.select(col("doc_id"), h.as("h"))
+    val sums = (0 until SimHashBits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"s$j")
+    }
+    val agg = withH.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val sig = (0 until SimHashBits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce((x, y) => x + y)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= maxHamming.
+    * (All-pairs at test scale; at 100 TB, block on bit-bands like LSH.) */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = SimHashMaxHamming): DataFrame = {
+    val a = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+  }
+
+  /** Embedding near-dup: pairs with cosine >= threshold. Test-scale
+    * all-pairs; the scale path is the LSH-bucketed ANN join in
+    * SimilaritySearch. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = EmbDupThreshold): DataFrame = {
+    import graft.functions.GraftFunctions.cosine
+    val a = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .where(col("sim") >= threshold)
+      .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim_r"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.OracleSql
+
+/**
+ * Text-analysis operators for training-data pipelines: token/type
+ * counting, punctuation & stopword stats, quality scoring, n-gram
+ * language ID, and rolling-hash document fingerprinting.
+ *
+ * All column builders are pure `functions._` compositions (codegen'd or
+ * JVM-native higher-order functions) — no UDFs, so plans stay inside
+ * Tungsten and scale linearly with a plain projection at 100 TB.
+ */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def typeCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Characters that are neither lowercase alnum nor space (after
+    * lowercasing) — punctuation-ish. */
+  def punctCount(text: Column): Column =
+    length(lower(text)) - length(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+
+  private val stopwords = Seq("the", "a", "and", "of", "in", "to")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(stopwords: _*)))
+
+  /** BPE-ish sub-token count: alpha runs, digit runs, and isolated
+    * non-alnum-non-space marks each count as one token. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Deterministic quality score in [0,1]: length saturation, type/token
+    * ratio, and stopword presence — integer-derived, so cross-engine
+    * bit-stable. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nTyp = typeCount(text).cast("double")
+    val nStop = stopwordCount(text).cast("double")
+    val lenScore = least(lit(1.0), nTok / 100.0)
+    val diversity = when(nTok > 0, nTyp / nTok).otherwise(0.0)
+    val stopScore = least(lit(1.0), nStop / 5.0)
+    round(lenScore * 0.4 + diversity * 0.4 + stopScore * 0.2, 4)
+  }
+
+  /** Language markers per language (checked in this priority order). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "una"))
+
+  /** Marker-count language ID: argmax of marker hits, ties resolved by
+    * the priority order above; no hits -> 'und'. */
+  def langId(text: Column): Column = {
+    val ws = tokens(text)
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(ws, w => w.isin(ms: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+      when(sc === best && sc > 0 && acc === "und", lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Rolling-hash fingerprint over the lowercased text: fold of
+    * (acc*131 + charcode) mod P — pure int64, matches the oracle's
+    * list_reduce exactly. */
+  def fingerprint(textColName: String): Column =
+    expr(
+      s"""aggregate(
+         |  transform(sequence(1, length(lower($textColName))), i -> ascii(substr(lower($textColName), i, 1))),
+         |  0L,
+         |  (acc, c) -> (acc * 131 + c) % ${OracleSql.FingerprintP}L)""".stripMargin)
+
+  /** Full stats projection over a documents table. */
+  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      typeCount(col(textCol)).as("n_types"),
+      length(col(textCol)).as("n_chars"),
+      punctCount(col(textCol)).as("n_punct"),
+      stopwordCount(col(textCol)).as("n_stop"),
+      bpeishTokenCount(col(textCol)).as("n_bpeish"),
+      qualityScore(col(textCol)).as("quality"),
+      langId(col(textCol)).as("pred_lang"),
+      fingerprint(textCol).as("fp"))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+
+/** Kernel golden values ported from the reference's own unit tests
+  * (similarity: src/similarity.rs:45-85; codec: src/packed_vector.rs:57-169). */
+class KernelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vec(xs: Float*) = vecLit(xs)
+
+  private def evalD(c: org.apache.spark.sql.Column): Double =
+    spark.range(1).select(c.as("v")).head().getDouble(0)
+
+  test("cosine golden values (reference src/similarity.rs:45-85)") {
+    assert(math.abs(evalD(cosine(vec(1, 2, 3), vec(3, 2, 1))) - 0.7142857) < 1e-3)
+    assert(math.abs(evalD(cosine(vec(1, 2, 3), vec(1, 2, 3))) - 1.0) < 1e-6)
+    assert(math.abs(evalD(cosine(vec(1, 2, 3), vec(-1, -2, -3))) + 1.0) < 1e-6)
+  }
+
+  test("euclidean basic") {
+    assert(math.abs(evalD(euclidean(vec(0, 0), vec(3, 4))) - 5.0) < 1e-9)
+    assert(evalD(euclidean(vec(1, 2, 3), vec(1, 2, 3))) == 0.0)
+  }
+
+  test("dimension mismatch raises") {
+    val ex = intercept[Exception] {
+      spark.range(1).select(cosine(vec(1, 2), vec(1, 2, 3))).head()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("cosine of zero vector is NaN (caller filters; reference panics)") {
+    assert(evalD(cosine(vec(0, 0, 0), vec(1, 2, 3))).isNaN)
+  }
+
+  test("pack/unpack exact round-trip for constant + alternating vectors (src/packed_vector.rs:80-103)") {
+    val cases = Seq(
+      Array.fill(1024)(0f),
+      Array.fill(1024)(1f),
+      Array.tabulate(1024)(i => if (i % 2 == 0) 0f else 1f))
+    for (v <- cases) {
+      val df = Seq(Tuple1(v)).toDF("v")
+      val out = df.select(unpack(pack(col("v"))).as("u")).head().getSeq[Float](0)
+      assert(out.toArray.sameElements(v), s"round-trip failed for ${v.take(4).mkString(",")}...")
+    }
+  }
+
+  test("quantization error bounds on seeded unit vector (src/packed_vector.rs:105-149)") {
+    val rng = new scala.util.Random(42)
+    val raw = Array.fill(1024)((rng.nextDouble() * 2000 - 1000).toFloat)
+    val norm = math.sqrt(raw.map(x => x.toDouble * x).sum)
+    val unit = raw.map(x => (x / norm).toFloat)
+    val df = Seq(Tuple1(unit)).toDF("v")
+    val u = df.select(unpack(pack(col("v"))).as("u")).head().getSeq[Float](0)
+    val errs = unit.zip(u).map { case (a, b) => math.abs(a.toDouble - b.toDouble) }
+    assert(errs.max < 5e-4, s"max err ${errs.max}")
+    assert(errs.sum / errs.length < 2e-4, s"avg err ${errs.sum / errs.length}")
+    // pack∘unpack idempotent
+    val u2 = df.select(unpack(pack(unpack(pack(col("v"))))).as("u")).head().getSeq[Float](0)
+    assert(u2 == u)
+  }
+
+  test("packed byte layout: 4x smaller than raw floats") {
+    val df = Seq(Tuple1(Array.fill(1024)(0.5f))).toDF("v")
+    val row = df.select(pack(col("v")).as("p")).select("p.data").head()
+    assert(row.getAs[Array[Byte]](0).length == 1024) // vs 4096 raw
+  }
+}

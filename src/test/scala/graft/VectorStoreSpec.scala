@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorStore
+
+/** Integration tests mirroring the reference's own end-to-end suite
+  * (src/tests.rs:3-143): store/retrieve, opposite vectors, tag
+  * semantics, dimension-mismatch rejection, clear. */
+class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshStore(): VectorStore =
+    new VectorStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  private def df(rows: Seq[(String, Array[Float], String, Seq[String])]) =
+    rows.toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>"))
+
+  test("store one and retrieve it (src/tests.rs:3-22)") {
+    val store = freshStore()
+    store.insert(df(Seq(("a", Array(1f, 2f, 3f), "hello", Nil))))
+    val hits = store.search(Seq(1f, 2f, 3f), k = 1).collect()
+    assert(hits.length == 1 && hits(0).getAs[String]("content") == "hello")
+    store.clear()
+  }
+
+  test("opposite vectors: each query returns its own row (src/tests.rs:24-60)") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 2f, 3f), "hello", Nil),
+      ("b", Array(-1f, -2f, -3f), "goodbye", Nil))))
+    assert(store.search(Seq(1f, 2f, 3f), k = 1).head().getAs[String]("content") == "hello")
+    assert(store.search(Seq(-1f, -2f, -3f), k = 1).head().getAs[String]("content") == "goodbye")
+    store.clear()
+  }
+
+  test("tag semantics (src/tests.rs:62-127)") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f, 0f), "hi", Seq("greetings")),
+      ("b", Array(0.9f, 0.1f, 0f), "bye", Seq("goodbyes")))))
+    // untagged query sees all partitions
+    assert(store.search(Seq(1f, 0f, 0f), k = 2).count() == 2)
+    // tag filter overrides similarity: query nearest to 'a' but tagged goodbyes
+    val hit = store.search(Seq(1f, 0f, 0f), tags = Seq("goodbyes"), k = 1).head()
+    assert(hit.getAs[String]("content") == "bye")
+    // unknown tag: empty
+    assert(store.search(Seq(1f, 0f, 0f), tags = Seq("nope"), k = 1).count() == 0)
+    store.clear()
+  }
+
+  test("dimension mismatch rejected (src/tests.rs:129-143)") {
+    val store = freshStore()
+    store.insert(df(Seq(("a", Array(1f, 2f, 3f), "x", Nil))))
+    val ex = intercept[IllegalArgumentException] {
+      store.insert(df(Seq(("b", Array(1f, 2f, 3f, 4f), "y", Nil))))
+    }
+    assert(ex.getMessage.contains("dimension"))
+    store.clear()
+  }
+
+  test("quantized storage path searches on dequantized vectors") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 2f, 3f), "hello", Nil),
+      ("b", Array(3f, 2f, 1f), "world", Nil))), quantize = true)
+    val hit = store.search(Seq(1f, 2f, 3f), k = 1, quantized = true).head()
+    assert(hit.getAs[String]("content") == "hello")
+    // quantization error is bounded: top similarity still ~1
+    assert(hit.getAs[Double]("similarity") > 0.999)
+    store.clear()
+  }
+
+  test("tag-set partitioning materializes on disk (src/db.rs:645-650 analogue)") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new VectorStore(spark, root)
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f), "x", Seq("t1")),
+      ("b", Array(0f, 1f), "y", Seq("t2")))))
+    val parts = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.startsWith("tag_key=")).map(_.getName)
+    assert(parts.length == 2, s"expected 2 tag partitions, got ${parts.mkString(",")}")
+    store.clear()
+  }
+
+  test("clear removes everything (src/db.rs:608-625)") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new VectorStore(spark, root)
+    store.insert(df(Seq(("a", Array(1f, 2f), "x", Nil))))
+    assert(store.exists)
+    store.clear()
+    assert(!store.exists)
+  }
+}
