@@ -146,6 +146,28 @@ object OracleSql {
     }.mkString("(", " + ", ")")
   }
 
+  /** DuckDB CTE chain for the feature-hashing embedder (mirrors
+    * HashingEmbedder): codes -> counts -> l2-normalized FLOAT[] `e`
+    * in CTE `ev` keyed by doc_id. */
+  def hashEmbedCtes(d: Int): String =
+    s"""codes AS (
+       |  SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |                                w -> ${wcode("w")} % $d) AS cs
+       |  FROM documents
+       |), cnt AS (
+       |  SELECT doc_id, list_transform(range(0, $d),
+       |                                j -> CAST(len(list_filter(cs, c -> c = j)) AS BIGINT)) AS cnts
+       |  FROM codes
+       |), nrm AS (
+       |  SELECT doc_id, cnts,
+       |         sqrt(list_sum(list_transform(cnts, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+       |  FROM cnt
+       |), ev AS (
+       |  SELECT doc_id,
+       |         CAST(list_transform(cnts, x -> CASE WHEN nn > 0.0 THEN CAST(x AS DOUBLE)/nn ELSE 0.0 END) AS FLOAT[]) AS e
+       |  FROM nrm
+       |)""".stripMargin
+
   /** DuckDB fragment: the marker-count language-ID CASE over a token
     * list column `ws` (mirrors TextAnalysis.langId). */
   def langIdSql(markers: Seq[(String, Seq[String])]): String = {

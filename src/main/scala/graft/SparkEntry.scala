@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{Dedup, Multimodal, Pca, SimilaritySearch, TextAnalysis, TopK}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Pca, SimilaritySearch, TextAnalysis, TopK}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -344,6 +344,55 @@ object SparkEntry {
         .orderBy(desc("p_retailprice"), asc("p_partkey"))
         .limit(20)),
 
+    // as-of join (Spark lacks the operator; composed union+window plan,
+    // one shuffle + one sort — see AsOfJoin scaladoc)
+    "ev_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("sec", expr("ts_ns div 1000000000"))
+      val err = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "sec")
+      val clk = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("sec").as("csec"))
+        .agg(max("event_id").as("click_id"))
+        .withColumn("click_sec", col("csec"))
+        .select("user_id", "csec", "click_id", "click_sec")
+      AsOfJoin.backward(err, clk, Seq("user_id"), "sec", "csec")
+        .select(col("event_id"), col("click_id"),
+          (col("sec") - col("click_sec")).as("gap_s"))
+        .orderBy("event_id")
+    }),
+
+    // embed-and-insert path (reference src/db.rs:101-114) with the
+    // deterministic hashing embedder standing in for the model
+    "embed_hash" -> ((s, dir) => {
+      val he = graft.functions.HashingEmbedder(64)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), he.counts(col("text")).as("cnts"))
+        .select(
+          col("doc_id"),
+          size(filter(col("cnts"), x => x > 0)).as("nnz"),
+          aggregate(
+            zip_with(col("cnts"), sequence(lit(1), lit(64)), (c, p) => c * p),
+            lit(0L), (acc, x) => acc + x).as("csum"))
+        .orderBy("doc_id")
+    }),
+
+    // search-by-text (reference src/db.rs:197-213): embed query doc,
+    // top-5 cosine over embedded corpus
+    "embed_knn" -> ((s, dir) => {
+      registered(s)
+      val he = graft.functions.HashingEmbedder(64)
+      val emb = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), he.embed(col("text")).as("e"))
+      val q = emb.where(col("doc_id") === 0).select(col("e").as("qv"))
+      val scored = emb.where(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", cosine(col("e"), col("qv")))
+      val w = Window.orderBy(desc("sim"), asc("doc_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("rank"), col("doc_id"))
+    }),
+
     "q_multi_join" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
@@ -606,6 +655,32 @@ object SparkEntry {
       "q_topn_parts" ->
         s"""SELECT p_partkey, p_retailprice FROM part
            |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin,
+
+      "ev_asof" ->
+        s"""WITH err AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           |             FROM events WHERE event_type = 'error'),
+           |clk AS (SELECT user_id, sec AS csec, max(event_id) AS click_id
+           |        FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+           |              FROM events WHERE event_type = 'click')
+           |        GROUP BY 1, 2)
+           |SELECT e.event_id, c.click_id, e.sec - c.csec AS gap_s
+           |FROM err e ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.sec >= c.csec
+           |ORDER BY e.event_id""".stripMargin,
+
+      "embed_hash" ->
+        s"""WITH ${OracleSql.hashEmbedCtes(64)}
+           |SELECT c.doc_id,
+           |  CAST(len(list_filter(c.cnts, x -> x > 0)) AS INT) AS nnz,
+           |  CAST(list_sum(list_transform(range(1, 65), j -> c.cnts[j] * j)) AS BIGINT) AS csum
+           |FROM cnt c ORDER BY c.doc_id""".stripMargin,
+
+      "embed_knn" ->
+        s"""WITH ${OracleSql.hashEmbedCtes(64)},
+           |q AS (SELECT e AS qv FROM ev WHERE doc_id = 0),
+           |s AS (SELECT ev.doc_id, ${OracleSql.cosine("ev.e", "q.qv")} AS sim
+           |      FROM ev, q WHERE ev.doc_id <> 0)
+           |SELECT CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank, doc_id
+           |FROM s ORDER BY sim DESC, doc_id LIMIT 5""".stripMargin,
 
       "q_multi_join" ->
         s"""SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n

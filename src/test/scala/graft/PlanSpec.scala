@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorStore
+
+/** Physical-plan quality gates: these are the properties that make the
+  * operators survive a 100x scale-up, asserted so regressions fail CI.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("single-query knn plans as TakeOrderedAndProject (bounded heap, no shuffle sort)") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), "global sort snuck in:\n" + p.take(2000))
+  }
+
+  test("rank<=k window is rewritten to WindowGroupLimit (no full per-group sort retention)") {
+    val p = plan(SparkEntry.queries("q_window_rank")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val p = plan(SparkEntry.queries("q_topn_parts")(spark, dir))
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_retailprice:double>"), p.take(2000))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val p = plan(emb.where(col("vec_id") === 7).select("vec_id"))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,7)]"), p.take(2000))
+  }
+
+  test("tag-partitioned store search prunes partitions statically") {
+    val root = Files.createTempDirectory("graft-planspec").toString
+    val store = new VectorStore(spark, root)
+    import spark.implicits._
+    store.insert(Seq(
+      ("a", Array(1f, 0f), "x", Seq("t1")),
+      ("b", Array(0f, 1f), "y", Seq("t2")))
+      .toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>")))
+    val p = plan(store.search(Seq(1f, 0f), tags = Seq("t1"), k = 1))
+    // static partition pruning: the scan's partition filters carry tag_key
+    assert(p.contains("tag_key"), p.take(3000))
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("tag_key"), s"no partition filter on tag_key:\n$scanLine")
+    store.clear()
+  }
+
+  test("aggregations are partially aggregated map-side (two HashAggregate stages)") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("broadcast joins picked for small dimension tables") {
+    val p = plan(SparkEntry.queries("q_multi_join")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("kernels run inside whole-stage codegen") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .select(graft.functions.GraftFunctions.cosine(col("embedding"), col("qv")).as("sim"))
+    scored.collect() // finalize THIS query execution's adaptive plan
+    val p = plan(scored)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact
+    // rendering; the projection with graft_cosine must carry one
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("graft_cosine")),
+      p.take(3000))
+  }
+}
