@@ -23,10 +23,15 @@ object GraftFunctions {
       "graft_packed_byte_sum" -> (e => PackedByteSum(e(0)))
     )
 
-  /** Register all graft functions on the session (idempotent). */
+  /** Register all graft functions + optimizer rules on the session
+    * (idempotent). */
   def register(spark: SparkSession): Unit = synchronized {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+    if (!spark.experimental.extraOptimizations.contains(FuseQuantizedKernels)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseQuantizedKernels
     }
   }
 
@@ -56,6 +61,23 @@ object GraftFunctions {
 }
 
 /**
+ * Optimizer rule: fuse cosine(unpack(packed), q) into the single-pass
+ * [[CosineOnPacked]] kernel — the quantized-search hot path then scores
+ * straight off the packed bytes with no intermediate array. Bit-identical
+ * results (each element passes the same FLOAT rounding).
+ */
+object FuseQuantizedKernels
+    extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(UnpackVector(p), q) => CosineOnPacked(p, q)
+      case CosineSimilarity(q, UnpackVector(p)) => CosineOnPacked(p, q)
+    }
+}
+
+/**
  * SparkSessionExtensions entry point: enables
  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` so the
  * kernels are present in every session on a cluster without any driver
@@ -79,5 +101,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     fns.foreach { case (n, b) =>
       ext.injectFunction((FunctionIdentifier(n), info(n), b))
     }
+    ext.injectOptimizerRule(_ => FuseQuantizedKernels)
   }
 }

@@ -55,11 +55,23 @@ class VectorStore(spark: SparkSession, root: String) {
       min("d").as("mn"), max("d").as("mx")).head()
     require(dims.getInt(0) == dims.getInt(1),
       s"graft: mixed embedding dimensions in batch (${dims.getInt(0)} vs ${dims.getInt(1)})")
-    storedDim().foreach { d =>
-      require(d == dims.getInt(0),
-        s"graft: embedding dimension ${dims.getInt(0)} does not match store dimension $d")
+    // projected store: incoming raw vectors are projected through the
+    // stored basis before writing (reference write-path transform,
+    // src/db.rs:480-499)
+    val transformed = if (isProjected) {
+      val model = loadModel()
+      require(dims.getInt(0) == model.d,
+        s"graft: embedding dimension ${dims.getInt(0)} does not match projection input dim ${model.d}")
+      withId.withColumn("vector",
+        Pca.projector(spark, model, "graft_store_project")(col("vector")))
+    } else {
+      storedDim().foreach { d =>
+        require(d == dims.getInt(0),
+          s"graft: embedding dimension ${dims.getInt(0)} does not match store dimension $d")
+      }
+      withId
     }
-    val out0 = withId
+    val out0 = transformed
       .withColumn("tags", normTags(col("tags")))
       .withColumn("tag_key", tagKey(col("tags")))
     val out = if (quantize) out0.withColumn("packed", pack(col("vector"))) else out0
@@ -134,5 +146,82 @@ class VectorStore(spark: SparkSession, root: String) {
   def clear(): Unit = {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     ()
+  }
+
+  // ---- projected (PCA) mode: reference src/db.rs:233-241, 287-367 ----
+
+  private val eigenPath = s"$root/eigen.parquet" // analog of eigen.bin
+
+  /** Projected-mode flag = existence of the stored basis (reference
+    * probes eigen.bin, src/db.rs:233-237). */
+  def isProjected: Boolean = fs.exists(new org.apache.hadoop.fs.Path(eigenPath))
+
+  private def saveModel(m: Pca.Model): Unit = {
+    import spark.implicits._
+    Seq((m.means, m.basis.map(_.toSeq).toSeq))
+      .toDF("means", "basis")
+      .write.mode(SaveMode.Overwrite).parquet(eigenPath)
+  }
+
+  /** Load the stored projection (basis d x k + global means). */
+  def loadModel(): Pca.Model = {
+    val row = spark.read.parquet(eigenPath).head()
+    // rows materialize nested arrays as mutable ArraySeq — use the
+    // collection root type to stay cast-safe
+    Pca.Model(
+      row.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toArray,
+      row.getSeq[Double](0).toArray)
+  }
+
+  /**
+   * One-shot PCA compaction: fit k-dim basis over the whole store,
+   * rewrite every partition with projected vectors (repacking the
+   * quantized codec if present), persist the basis. Uses GLOBAL means
+   * for the rewrite — fixes the reference's per-file re-centering quirk
+   * (src/db.rs:320; divergence documented in SURVEY §2 #27).
+   */
+  def projectAll(k: Int): Unit = {
+    require(!isProjected, "graft: store is already projected")
+    val model = Pca.fit(table(), "vector", k)
+    val proj = Pca.projector(spark, model, "graft_store_project")
+    val projected0 = table().withColumn("vector", proj(col("vector")))
+    val projected =
+      if (projected0.columns.contains("packed"))
+        projected0.withColumn("packed", pack(col("vector")))
+      else projected0
+    // rewrite via temp dir + rename: never read and overwrite in place
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/data_tmp")
+    projected.write.mode(SaveMode.Overwrite).partitionBy("tag_key").parquet(tmp.toString)
+    val dataP = new org.apache.hadoop.fs.Path(dataPath)
+    fs.delete(dataP, true)
+    fs.rename(tmp, dataP)
+    saveModel(model)
+  }
+
+  /** Size-threshold projection trigger (reference: file > 1,000,000 B on
+    * insert triggers PCA to 500 dims, src/db.rs:551-553 — surfaced here
+    * as an explicit compaction call, not an insert side effect). */
+  def maybeProject(thresholdBytes: Long, k: Int): Boolean = {
+    if (isProjected || !exists) return false
+    val sz = fs.getContentSummary(new org.apache.hadoop.fs.Path(dataPath)).getLength
+    if (sz > thresholdBytes) { projectAll(k); true } else false
+  }
+
+  /**
+   * Mode-aware search (reference src/db.rs:233-255): in projected mode
+   * the query vector is projected through the stored basis driver-side
+   * and scored with (negated) Euclidean distance; otherwise cosine.
+   */
+  def searchAuto(
+      queryVec: Seq[Float],
+      tags: Seq[String] = Nil,
+      k: Int = 10,
+      quantized: Boolean = false): DataFrame = {
+    if (isProjected) {
+      val q = Pca.projectOne(loadModel(), queryVec)
+      search(q.toSeq, tags, k, metric = "euclidean", quantized = quantized)
+    } else {
+      search(queryVec, tags, k, metric = "cosine", quantized = quantized)
+    }
   }
 }

@@ -48,6 +48,61 @@ object EventOps {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** One event for the stateful sessionizer. */
+  case class Ev(user_id: Long, sec: Long, event_id: Long)
+
+  /** Sessionizer state per user. */
+  case class SessState(sessionIdx: Long, startSec: Long, lastSec: Long, count: Long)
+
+  /** A closed session emitted by the stateful sessionizer. */
+  case class ClosedSession(user_id: Long, session_idx: Long, n_events: Long, dur_s: Long)
+
+  /**
+   * Stateful streaming sessionization via flatMapGroupsWithState:
+   * per-user state carries the open session; a gap > 30 min closes and
+   * emits it. The state store holds one small record per user — the
+   * shape that scales to arbitrarily long streams. (The last open
+   * session per user stays in state, so on a finite input the emitted
+   * set equals the batch result minus each user's final session.)
+   */
+  def sessionizeStream(spark: SparkSession, dir: String, queryName: String = "graft_sessions"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .selectExpr("user_id", "ts div 1000000000 AS sec", "event_id")
+      .as[Ev]
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+        val sorted = evs.toSeq.sortBy(e => (e.sec, e.event_id))
+        var st = state.getOption.orNull
+        val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+        for (e <- sorted) {
+          if (st == null) st = SessState(1L, e.sec, e.sec, 1L)
+          else if (e.sec - st.lastSec > SessionGapSeconds) {
+            closed += ClosedSession(uid, st.sessionIdx, st.count, st.lastSec - st.startSec)
+            st = SessState(st.sessionIdx + 1, e.sec, e.sec, 1L)
+          } else st = SessState(st.sessionIdx, st.startSec, e.sec, st.count + 1)
+        }
+        if (st != null) state.update(st)
+        closed.iterator
+      }
+    val q = sessions.toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Parquet schema for the streaming source (ts as raw nanos long). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

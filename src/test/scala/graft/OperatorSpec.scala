@@ -73,6 +73,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stateful streaming sessionizer emits batch sessions minus each user's open tail") {
+    import spark.implicits._
+    val batch = EventOps.sessionize(Tables.events(spark, dir))
+      .select("user_id", "session_idx", "n_events", "dur_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filterNot { case (u, s, _, _) => lastPerUser(u) == s }
+    val streamed = EventOps.sessionizeStream(spark, dir, "graft_sessions_test")
+      .select("user_id", "session_idx", "n_events", "dur_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == expected)
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -89,6 +89,61 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("projected mode: fit, rewrite, mode-aware search, write-path projection (src/db.rs:233-367)") {
+    val store = freshStore()
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      val base = Array.fill(8)(rng.nextGaussian().toFloat)
+      (s"v$i", base, s"c$i", Seq("t"))
+    }
+    store.insert(df(rows))
+    assert(!store.isProjected)
+    store.projectAll(3)
+    assert(store.isProjected)
+    // stored vectors now have dim k=3
+    assert(store.table().select(size(col("vector"))).head().getInt(0) == 3)
+    // searchAuto projects the raw query and uses euclidean; nearest to a
+    // stored row's ORIGINAL vector should be that row (projection is
+    // distance-preserving enough on top components for self-match)
+    val hit = store.searchAuto(rows(5)._2.toSeq, k = 1).head()
+    assert(hit.getAs[String]("content") == "c5")
+    // write path projects raw d=8 input to k=3
+    store.insert(df(Seq(("z", Array.fill(8)(0.5f), "cz", Seq("t")))))
+    assert(store.table().where(col("id") === "z")
+      .select(size(col("vector"))).head().getInt(0) == 3)
+    // wrong raw dim still rejected
+    intercept[IllegalArgumentException] {
+      store.insert(df(Seq(("bad", Array.fill(5)(1f), "x", Seq("t")))))
+    }
+    store.clear()
+  }
+
+  test("maybeProject triggers on size threshold (src/db.rs:551-553)") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f, 0f, 0f), "x", Nil),
+      ("b", Array(0f, 1f, 0f, 0f), "y", Nil),
+      ("c", Array(0f, 0f, 1f, 0f), "z", Nil))))
+    assert(!store.maybeProject(thresholdBytes = Long.MaxValue, k = 2))
+    assert(store.maybeProject(thresholdBytes = 1L, k = 2))
+    assert(store.isProjected)
+    store.clear()
+  }
+
+  test("quantized search plan fuses cosine(unpack) into the packed kernel") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 2f, 3f), "hello", Nil),
+      ("b", Array(3f, 2f, 1f), "world", Nil))), quantize = true)
+    val q = store.search(Seq(1f, 2f, 3f), k = 1, quantized = true)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_cosine_packed"), plan.take(2000))
+    assert(!plan.contains("graft_unpack"), plan.take(2000))
+    // and the fused result is identical to the unfused semantics
+    assert(q.head().getAs[String]("content") == "hello")
+    store.clear()
+  }
+
   test("clear removes everything (src/db.rs:608-625)") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new VectorStore(spark, root)
