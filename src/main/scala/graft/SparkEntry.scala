@@ -393,6 +393,39 @@ object SparkEntry {
         .select(col("rank"), col("doc_id"))
     }),
 
+    "q_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy("flag", "status")),
+
+    "q_percentile" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    "q_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket", floor(col("value") / 50.0).cast("int"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // approximate distinct (HLL) — no cross-engine oracle by nature;
+    // rows-only check, exact answer alongside for the reader
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
+
     "q_multi_join" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
@@ -681,6 +714,22 @@ object SparkEntry {
            |      FROM ev, q WHERE ev.doc_id <> 0)
            |SELECT CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank, doc_id
            |FROM s ORDER BY sim DESC, doc_id LIMIT 5""".stripMargin,
+
+      "q_cube" ->
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+           |       count(*) AS n
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
+
+      "q_percentile" ->
+        s"""SELECT o_orderstatus,
+           |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           |  count(*) AS n
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_histogram" ->
+        s"""SELECT CAST(floor(value / 50.0) AS INT) AS bucket, count(*) AS n
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_multi_join" ->
         s"""SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n

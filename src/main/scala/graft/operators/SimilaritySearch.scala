@@ -68,12 +68,25 @@ object SimilaritySearch {
       .select(col("vec_id"), col("cid"), col("embedding"))
   }
 
-  /** IVF probe search: query's nprobe nearest centroids' lists, top-k
-    * cosine within them. Centroid list = embeddings of vec_id < nCentroids
-    * (fixed codebook stand-in for k-means). */
-  def ivfSearch(emb: DataFrame, qid: Long, nCentroids: Int, nprobe: Int, k: Int): DataFrame = {
-    val centroids = emb.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+  /** Real IVF codebook: k-means (seeded, deterministic per run config)
+    * over the embedding column. Returns (cid, cvec) centroids. Used by
+    * tests/production; the oracle query keeps a fixed codebook because
+    * k-means is not reproducible in SQL. */
+  def kmeansCentroids(emb: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val feat = emb.select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(feat)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cid", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+  }
+
+  /** IVF probe search over an explicit codebook. */
+  def ivfSearchWith(emb: DataFrame, centroids: DataFrame, qid: Long, nprobe: Int, k: Int): DataFrame = {
     val assigned = ivfAssign(emb, centroids)
     val q = emb.where(col("vec_id") === qid).select(col("embedding").as("qv"))
     val probeCents = centroids.crossJoin(broadcast(q))
@@ -89,5 +102,13 @@ object SimilaritySearch {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("rank"), col("vec_id"))
+  }
+
+  /** IVF with the fixed seed-row codebook (oracle-reproducible variant;
+    * see kmeansCentroids for the fitted codebook). */
+  def ivfSearch(emb: DataFrame, qid: Long, nCentroids: Int, nprobe: Int, k: Int): DataFrame = {
+    val centroids = emb.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    ivfSearchWith(emb, centroids, qid, nprobe, k)
   }
 }

@@ -73,6 +73,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("k-means IVF: nprobe=4 of 8 clusters recalls most of brute-force top-10") {
+    import graft.operators.SimilaritySearch
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = SimilaritySearch.kmeansCentroids(emb, k = 8)
+    val ivf = SimilaritySearch.ivfSearchWith(emb, centroids, qid = 3L, nprobe = 4, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = SparkEntry.queries("knn_topk")(spark, dir) // qid 0; redo for qid 3
+    val q = emb.where(col("vec_id") === 3).select(col("embedding").as("qv"))
+    val exact = emb.where(col("vec_id") =!= 3).crossJoin(broadcast(q))
+      .withColumn("sim", graft.functions.GraftFunctions.cosine(col("embedding"), col("qv")))
+      .orderBy(desc("sim"), asc("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall (ivf=$ivf, exact=$exact)")
+  }
+
   test("stateful streaming sessionizer emits batch sessions minus each user's open tail") {
     import spark.implicits._
     val batch = EventOps.sessionize(Tables.events(spark, dir))
