@@ -15,10 +15,12 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches, untimed
     try SparkEntry.queries.get("knn_topk").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
-    // dedup_jaccard is the O(n^2) exact-verification baseline for the
-    // MinHash path; it is correctness-gated in Verify, not a production
-    // operator, so it is excluded from throughput numbers.
-    val skip = Set("dedup_jaccard")
+    // dedup_jaccard / dedup_embedding are the O(n^2) exact-verification
+    // baselines for the MinHash / banded-LSH paths; they are
+    // correctness-gated in Verify, not production operators, so they are
+    // excluded from throughput numbers (the banded production paths
+    // dedup_minhash / dedup_embedding_lsh ARE benched).
+    val skip = Set("dedup_jaccard", "dedup_embedding")
     val results = SparkEntry.queries.filter(q => !skip(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

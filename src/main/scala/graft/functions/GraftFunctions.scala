@@ -20,7 +20,9 @@ object GraftFunctions {
       "graft_dot" -> (e => DotProduct(e(0), e(1))),
       "graft_pack" -> (e => PackVector(e(0))),
       "graft_unpack" -> (e => UnpackVector(e(0))),
-      "graft_packed_byte_sum" -> (e => PackedByteSum(e(0)))
+      "graft_packed_byte_sum" -> (e => PackedByteSum(e(0))),
+      "graft_hash_counts" -> (e => HashEmbedCounts(e(0), e(1))),
+      "graft_hash_embed" -> (e => HashEmbed(e(0), e(1)))
     )
 
   /** Register all graft functions + optimizer rules on the session
@@ -61,10 +63,12 @@ object GraftFunctions {
 }
 
 /**
- * Optimizer rule: fuse cosine(unpack(packed), q) into the single-pass
- * [[CosineOnPacked]] kernel — the quantized-search hot path then scores
- * straight off the packed bytes with no intermediate array. Bit-identical
- * results (each element passes the same FLOAT rounding).
+ * Optimizer rule: fuse cosine/euclidean(unpack(packed), q) into the
+ * single-pass [[CosineOnPacked]] / [[EuclideanOnPacked]] kernels — the
+ * quantized-search hot path (including the projected+quantized
+ * `searchAuto` euclidean path, reference src/db.rs:233-255) then scores
+ * straight off the packed bytes with no intermediate array.
+ * Bit-identical results (each element passes the same FLOAT rounding).
  */
 object FuseQuantizedKernels
     extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
@@ -74,6 +78,8 @@ object FuseQuantizedKernels
     plan.transformAllExpressions {
       case CosineSimilarity(UnpackVector(p), q) => CosineOnPacked(p, q)
       case CosineSimilarity(q, UnpackVector(p)) => CosineOnPacked(p, q)
+      case EuclideanDistance(UnpackVector(p), q) => EuclideanOnPacked(p, q)
+      case EuclideanDistance(q, UnpackVector(p)) => EuclideanOnPacked(p, q)
     }
 }
 
@@ -96,7 +102,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       "graft_dot" -> (e => DotProduct(e(0), e(1))),
       "graft_pack" -> (e => PackVector(e(0))),
       "graft_unpack" -> (e => UnpackVector(e(0))),
-      "graft_packed_byte_sum" -> (e => PackedByteSum(e(0)))
+      "graft_packed_byte_sum" -> (e => PackedByteSum(e(0))),
+      "graft_hash_counts" -> (e => HashEmbedCounts(e(0), e(1))),
+      "graft_hash_embed" -> (e => HashEmbed(e(0), e(1)))
     )
     fns.foreach { case (n, b) =>
       ext.injectFunction((FunctionIdentifier(n), info(n), b))

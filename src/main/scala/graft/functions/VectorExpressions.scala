@@ -363,6 +363,73 @@ case class CosineOnPacked(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fusion of euclidean(unpack(packed), query): dequantizes element-wise
+  * in registers — the projected+quantized `searchAuto` hot path
+  * (reference scores packed bytes after WASM auto-projection,
+  * src/db.rs:233-255 + src/packed_vector.rs:37-54). Same bits as the
+  * unfused pipeline. Installed by [[graft.functions.FuseQuantizedKernels]];
+  * never user-facing. */
+case class EuclideanOnPacked(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (s: StructType, ArrayType(FloatType, _)) if s.length == 3 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (packed struct, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_euclidean_packed"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val row = a.asInstanceOf[InternalRow]
+    val bytes = row.getBinary(0)
+    val mn = row.getFloat(1).toDouble
+    val range = row.getFloat(2).toDouble - mn
+    val y = b.asInstanceOf[ArrayData]
+    val n = bytes.length
+    require(y.numElements() == n, "graft: vector dimension mismatch")
+    var s = 0.0; var i = 0
+    while (i < n) {
+      // identical rounding to UnpackVector: double math -> FLOAT -> double
+      val xi = (mn + (bytes(i) & 0xff).toDouble / 255.0 * range).toFloat.toDouble
+      val d = xi - y.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    java.lang.Math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val bytes = ctx.freshName("bytes"); val mn = ctx.freshName("mn")
+      val range = ctx.freshName("range")
+      val s = ctx.freshName("s"); val xi = ctx.freshName("xi")
+      val d = ctx.freshName("d")
+      s"""
+         |final byte[] $bytes = $p.getBinary(0);
+         |final double $mn = (double) $p.getFloat(1);
+         |final double $range = (double) $p.getFloat(2) - $mn;
+         |final int $n = $bytes.length;
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException("graft: vector dimension mismatch");
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = (double) (float) ($mn + (double) ($bytes[$i] & 0xff) / 255.0 * $range);
+         |  final double $d = $xi - (double) $y.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** PCA projection: out_j = sum_i (v_i - means_i) * basis_i_j.
   * Basis/means are plan-time constants (small d x k driver-side matrix,
   * broadcast with the serialized expression — no join, no shuffle).

@@ -102,6 +102,72 @@ class OperatorSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("banded simhash pairs == all-pairs simhash (pigeonhole exactness)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val sig = Dedup.simhash(Dedup.shingles(docs))
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = toSet(Dedup.simhashPairs(sig))
+    val exact = toSet(Dedup.simhashPairsExact(sig))
+    assert(banded == exact, s"banded != exact: missing ${exact -- banded}, extra ${banded -- exact}")
+  }
+
+  test("banded embedding LSH near-dups: perfect precision, bounded recall vs exact") {
+    // sf0.01: the fixture's 14 exact pairs all sit at cosine 0.45-0.51
+    // (~60 deg) — the flat part of the sign-LSH s-curve, the worst case
+    // for blocking. Planes and data are deterministic, so recall is a
+    // fixed number; assert a floor under the measured 5/14. At a real
+    // dedup operating point (cosine >= 0.9) the 4x4 catch probability
+    // is 0.96.
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = pairs(Dedup.embeddingNearDupsLsh(emb))
+    val exact = pairs(Dedup.embeddingNearDups(emb))
+    assert(banded.subsetOf(exact), s"false positives: ${banded -- exact}")
+    assert(banded.nonEmpty && exact.nonEmpty)
+    assert(banded.size.toDouble / exact.size >= 0.3,
+      s"recall ${banded.size}/${exact.size} below floor")
+  }
+
+  test("multi-probe LSH search returns k rows with mean recall >= 0.5 vs brute force") {
+    import graft.operators.SimilaritySearch
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val qids = Seq(0L, 1L, 2L, 3L, 42L, 100L)
+    val recalls = qids.map { qid =>
+      val lsh = SimilaritySearch.lshSearch(emb, qid = qid, k = 5, d = 64)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(lsh.size == 5, s"qid=$qid: expected 5 rows, got ${lsh.size} (thin buckets?)")
+      val q = emb.where(col("vec_id") === qid).select(col("embedding").as("qv"))
+      val brute = emb.where(col("vec_id") =!= qid).crossJoin(broadcast(q))
+        .withColumn("sim", graft.functions.GraftFunctions.cosine(col("embedding"), col("qv")))
+        .orderBy(desc("sim"), asc("vec_id")).limit(5)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      lsh.intersect(brute).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean LSH recall too low: $mean (per-query $recalls)")
+  }
+
+  test("model embedder (mapPartitions singleton) matches the hashing expression bit-for-bit") {
+    import graft.functions.{HashingEmbedder, ModelEmbedder, ModelSession}
+    val docs = Tables.load(spark, dir, "documents").limit(50)
+    def collectEmb(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "e").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    val viaExpr = collectEmb(HashingEmbedder(64).embed(docs, "text", "e"))
+    val viaModel = collectEmb(ModelEmbedder(64, batchSize = 7)
+      .embed(docs.repartition(4), "text", "e"))
+    assert(viaExpr == viaModel)
+    // singleton: every partition (and the driver) sees the same instance
+    val driverId = ModelSession.get(64).instanceId
+    import spark.implicits._
+    val partIds = docs.repartition(4).mapPartitions { _ =>
+      Iterator.single(ModelSession.get(64).instanceId)
+    }.collect().toSet
+    assert(partIds == Set(driverId), s"expected one model instance, saw $partIds")
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -66,6 +66,51 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("no query ranks with a partition-less window over unbounded input") {
+    // The r1 anti-pattern (VERDICT What's-wrong #3): row_number() over
+    // an un-partitioned window moves the whole scored corpus to ONE
+    // partition. Legal only after a limit has bounded the input to k
+    // rows. Checked across the entire query inventory.
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, dir).queryExecution.sparkPlan
+      p.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          val bounded = w.child.find {
+            case _: TakeOrderedAndProjectExec | _: GlobalLimitExec | _: CollectLimitExec => true
+            case _ => false
+          }.isDefined
+          assert(bounded,
+            s"$name: global window over unbounded input:\n${w.treeString.take(2000)}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("ann_ivf plan has no Exchange (broadcast-codebook argmin, IN-list probe)") {
+    // r1 assigned centroids with Window.partitionBy(vec_id) — a full
+    // corpus shuffle (VERDICT What's-wrong #4). The expression argmin +
+    // driver-side probe list needs no Exchange anywhere.
+    val p = plan(SparkEntry.queries("ann_ivf")(spark, dir))
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
+
+  test("IVF index layout: probes prune partitions statically (cid partition column)") {
+    import graft.operators.SimilaritySearch
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val centroids = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val codebook = SimilaritySearch.collectCodebook(centroids)
+    val path = Files.createTempDirectory("graft-ivf").toString + "/idx"
+    SimilaritySearch.buildIvfIndex(emb, codebook, path)
+    val qv = emb.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+    val q = SimilaritySearch.searchIvfIndex(spark, path, codebook, qv, nprobe = 2, k = 5)
+    val scanLine = plan(q).linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cid"), s"no partition filter on cid:\n$scanLine")
+    assert(q.count() == 5)
+  }
+
   test("kernels run inside whole-stage codegen") {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))

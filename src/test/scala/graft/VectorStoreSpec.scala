@@ -144,6 +144,41 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("projected+quantized searchAuto fuses euclidean(unpack) into the packed kernel") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f, 0f, 2f, 0f, 1f, 0f, 3f), "pa", Nil),
+      ("b", Array(0f, 2f, 1f, 0f, 3f, 0f, 2f, 0f), "pb", Nil),
+      ("c", Array(1f, 1f, 0f, 1f, 0f, 1f, 1f, 1f), "pc", Nil))), quantize = true)
+    store.projectAll(2)
+    // reference's post-auto-projection path: packed + euclidean
+    // (src/db.rs:233-255); the rule must fuse it like the cosine path
+    val q = store.searchAuto(Seq(1f, 0f, 0f, 2f, 0f, 1f, 0f, 3f), k = 1, quantized = true)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_euclidean_packed"), plan.take(2000))
+    assert(!plan.contains("graft_unpack"), plan.take(2000))
+    assert(q.head().getAs[String]("content") == "pa")
+    store.clear()
+  }
+
+  test("model-embedder path: embed-and-insert + search-by-text (src/db.rs:101-114, 197-213)") {
+    import graft.functions.{ModelEmbedder, ModelSession}
+    val store = freshStore()
+    val docs = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "lorem ipsum dolor sit amet"),
+      (2L, "completely unrelated text about spark")).toDF("doc_id", "text")
+    val embedded = ModelEmbedder(16).embed(docs, "text", "vector")
+      .select(col("doc_id").cast("string").as("id"), col("vector"),
+        col("text").as("content"), array(lit("t")).as("tags"))
+    store.insert(embedded)
+    // search-by-text: query embedded through the same per-executor model
+    val qv = ModelSession.get(16).embedBatch(Array("quick brown fox"))(0)
+    val top = store.search(qv.toSeq, tags = Seq("t"), k = 1).head()
+    assert(top.getAs[String]("content") == "the quick brown fox")
+    store.clear()
+  }
+
   test("clear removes everything (src/db.rs:608-625)") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new VectorStore(spark, root)
