@@ -315,6 +315,11 @@ object SparkEntry {
     "ev_sessions" -> ((s, dir) =>
       EventOps.sessionize(Tables.events(s, dir))),
 
+    // stream-stream interval join, batch form (streaming twin tested in
+    // OperatorSpec): clicks within 10 min before an error, same user
+    "ev_err_click_join" -> ((s, dir) =>
+      EventOps.errorClickJoin(Tables.events(s, dir))),
+
     // ---- relational coverage (Catalyst-native operators) ----
 
     "q3_top_revenue" -> ((s, dir) => {
@@ -712,6 +717,18 @@ object SparkEntry {
            |      FROM b)
            |SELECT user_id, session_idx, count(*) AS n_events, max(sec) - min(sec) AS dur_s
            |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "ev_err_click_join" ->
+        s"""WITH err AS (SELECT event_id AS err_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS err_sec
+           |             FROM events WHERE event_type = 'error'),
+           |clk AS (SELECT event_id AS click_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_sec
+           |        FROM events WHERE event_type = 'click')
+           |SELECT e.err_id, c.click_id, e.err_sec - c.click_sec AS gap_s
+           |FROM err e JOIN clk c
+           |  ON e.user_id = c.user_id
+           | AND c.click_sec >= e.err_sec - ${EventOps.JoinWindowSeconds}
+           | AND c.click_sec <= e.err_sec
+           |ORDER BY err_id, click_id""".stripMargin,
 
       "q3_top_revenue" ->
         s"""SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -22,7 +22,9 @@ object GraftFunctions {
       "graft_unpack" -> (e => UnpackVector(e(0))),
       "graft_packed_byte_sum" -> (e => PackedByteSum(e(0))),
       "graft_hash_counts" -> (e => HashEmbedCounts(e(0), e(1))),
-      "graft_hash_embed" -> (e => HashEmbed(e(0), e(1)))
+      "graft_hash_embed" -> (e => HashEmbed(e(0), e(1))),
+      "graft_cosine_f32" -> (e => CosineSimilarityF32(e(0), e(1))),
+      "graft_euclidean_f32" -> (e => EuclideanDistanceF32(e(0), e(1)))
     )
 
   /** Register all graft functions + optimizer rules on the session
@@ -47,6 +49,15 @@ object GraftFunctions {
 
   def euclidean(a: Column, b: Column): Column =
     call_function("graft_euclidean", asVec(a), asVec(b))
+
+  /** f32-parity kernels: bit-compatible with the reference's f32
+    * arithmetic (src/similarity.rs:10-43); the default kernels
+    * accumulate in f64 (documented divergence). */
+  def cosineF32(a: Column, b: Column): Column =
+    call_function("graft_cosine_f32", asVec(a), asVec(b))
+
+  def euclideanF32(a: Column, b: Column): Column =
+    call_function("graft_euclidean_f32", asVec(a), asVec(b))
 
   def dot(a: Column, b: Column): Column =
     call_function("graft_dot", asVec(a), asVec(b))
@@ -104,7 +115,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       "graft_unpack" -> (e => UnpackVector(e(0))),
       "graft_packed_byte_sum" -> (e => PackedByteSum(e(0))),
       "graft_hash_counts" -> (e => HashEmbedCounts(e(0), e(1))),
-      "graft_hash_embed" -> (e => HashEmbed(e(0), e(1)))
+      "graft_hash_embed" -> (e => HashEmbed(e(0), e(1))),
+      "graft_cosine_f32" -> (e => CosineSimilarityF32(e(0), e(1))),
+      "graft_euclidean_f32" -> (e => EuclideanDistanceF32(e(0), e(1)))
     )
     fns.foreach { case (n, b) =>
       ext.injectFunction((FunctionIdentifier(n), info(n), b))

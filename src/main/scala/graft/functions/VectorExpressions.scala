@@ -186,6 +186,111 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** f32-parity cosine: accumulates in FLOAT exactly like the reference
+  * (src/similarity.rs:10-23 — f32 dot / (f32 norm * f32 norm)). The
+  * default kernels accumulate in f64 for cluster-scale stability
+  * (documented divergence, header above); this variant exists to close
+  * the last bit-compat gap when reproducing reference outputs. */
+case class CosineSimilarityF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "graft_cosine_f32"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = kernels.requireSameDim(x, y)
+    var dot = 0.0f; var nx = 0.0f; var ny = 0.0f; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i); val yi = y.getFloat(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    dot / (java.lang.Math.sqrt(nx.toDouble).toFloat * java.lang.Math.sqrt(ny.toDouble).toFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException("graft: vector dimension mismatch");
+         |}
+         |float $dot = 0.0f, $nx = 0.0f, $ny = 0.0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final float $xi = $x.getFloat($i);
+         |  final float $yi = $y.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / ((float) java.lang.Math.sqrt((double) $nx)
+         |  * (float) java.lang.Math.sqrt((double) $ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** f32-parity euclidean (reference src/similarity.rs:26-43). */
+case class EuclideanDistanceF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "graft_euclidean_f32"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = kernels.requireSameDim(x, y)
+    var s = 0.0f; var i = 0
+    while (i < n) {
+      val d = x.getFloat(i) - y.getFloat(i); s += d * d; i += 1
+    }
+    java.lang.Math.sqrt(s.toDouble).toFloat
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException("graft: vector dimension mismatch");
+         |}
+         |float $s = 0.0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final float $d = $x.getFloat($i) - $y.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = (float) java.lang.Math.sqrt((double) $s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object PackedVectorType {
   /** struct<data: binary, vmin: float, vmax: float> — the quantized codec
     * shape (reference: src/packed_vector.rs:4-8). */

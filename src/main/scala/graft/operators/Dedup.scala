@@ -68,16 +68,21 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: union of per-band self equi-joins (d1 < d2). */
+  /** LSH candidate pairs (d1 < d2): one (band, key) row per doc per
+    * band, then a SINGLE self-equi-join on (band, key) — equivalent to
+    * the union of per-band joins but with one shuffle of bands x n
+    * short rows instead of 2 x bands scans of the signature table. */
   def lshCandidates(mh: DataFrame): DataFrame = {
-    val a = mh.alias("a")
-    val b = mh.alias("b")
-    (0 until LshBands).map { bd =>
-      val cond = (0 until LshRows)
-        .map(r => col(s"a.m${bd * LshRows + r}") === col(s"b.m${bd * LshRows + r}"))
-        .reduce(_ && _) && (col("a.doc_id") < col("b.doc_id"))
-      a.join(b, cond).select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    }.reduce(_ union _).distinct()
+    val bandCol = explode(array((0 until LshBands).map { b =>
+      struct(lit(b).as("band"),
+        struct((0 until LshRows).map(r => col(s"m${b * LshRows + r}").as(s"r$r")): _*).as("key"))
+    }: _*))
+    val keyed = mh.select(col("doc_id"), bandCol.as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = keyed.select(col("doc_id").as("d1"), col("band"), col("key"))
+    val r = keyed.select(col("doc_id").as("d2"), col("band"), col("key"))
+    l.join(r, Seq("band", "key")).where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
   }
 
   /**

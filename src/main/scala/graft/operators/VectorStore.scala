@@ -133,6 +133,12 @@ class VectorStore(spark: SparkSession, root: String) {
         // negate so "higher = closer" uniformly (fixes reference quirk,
         // SURVEY.md §2 #15)
         tagFiltered.withColumn("similarity", -euclidean(v, q))
+      // f32-parity mode: bit-compatible with the reference's f32 kernels
+      // (src/similarity.rs:10-43)
+      case "cosine_f32" =>
+        tagFiltered.withColumn("similarity", cosineF32(v, q).cast("double"))
+      case "euclidean_f32" =>
+        tagFiltered.withColumn("similarity", (-euclideanF32(v, q)).cast("double"))
       case m => throw new IllegalArgumentException(s"graft: unknown metric $m")
     }
     scored

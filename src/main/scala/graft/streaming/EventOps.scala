@@ -103,6 +103,95 @@ object EventOps {
     spark.table(queryName)
   }
 
+  /** Interval-join window: clicks within this many seconds BEFORE an
+    * error are attributed to it. */
+  val JoinWindowSeconds = 600L
+
+  /**
+   * Batch interval join: every (error, click) pair of the same user
+   * with click_sec in [err_sec - JoinWindowSeconds, err_sec]. One
+   * equi-shuffle on user_id; the range predicate filters within the
+   * joined groups — matches only, never a range explosion. The
+   * streaming twin is [[errorClickJoinStream]].
+   */
+  def errorClickJoin(events: DataFrame): DataFrame = {
+    val sec = expr("ts_ns div 1000000000")
+    val err = events.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), sec.as("err_sec"))
+    val clk = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), sec.as("click_sec"))
+    err.join(clk, Seq("user_id"))
+      .where(col("click_sec") >= col("err_sec") - JoinWindowSeconds &&
+        col("click_sec") <= col("err_sec"))
+      .select(col("err_id"), col("click_id"),
+        (col("err_sec") - col("click_sec")).as("gap_s"))
+      .orderBy("err_id", "click_id")
+  }
+
+  /**
+   * Stream-stream time-interval join (watermarked on both sides so the
+   * join state store can evict: clicks older than the interval plus the
+   * watermark delay are dropped). Append mode — rows emit once both
+   * watermarks pass the match window.
+   */
+  def errorClickJoinStream(spark: SparkSession, dir: String,
+                           queryName: String = "graft_err_click"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(eventType: String, idAs: String, tsAs: String) =
+      spark.readStream
+        .schema(eventSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .where(col("event_type") === eventType)
+        .select(col("event_id").as(idAs), col("user_id").as(s"${idAs}_user"),
+          timestamp_micros(expr("ts div 1000")).as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val err = side("error", "err_id", "err_ts")
+    val clk = side("click", "click_id", "click_ts")
+    val joined = err.join(clk,
+      col("err_id_user") === col("click_id_user") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $JoinWindowSeconds SECONDS") &&
+        col("click_ts") <= col("err_ts"))
+      .select(col("err_id"), col("click_id"),
+        (unix_timestamp(col("err_ts")) - unix_timestamp(col("click_ts"))).as("gap_s"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /**
+   * Streaming dedup of an at-least-once event feed:
+   * dropDuplicatesWithinWatermark keeps one state entry per event_id
+   * inside the watermark horizon and evicts beyond it — bounded state,
+   * unlike dropDuplicates' forever-growing store. Reads `dir` (which may
+   * contain the same events delivered in multiple files) and returns the
+   * deduplicated stream drained to a memory sink.
+   */
+  def dedupStream(spark: SparkSession, dir: String,
+                  queryName: String = "graft_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Parquet schema for the streaming source (ts as raw nanos long). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

@@ -22,6 +22,32 @@ class KernelSpec extends AnyFunSuite {
     assert(math.abs(evalD(cosine(vec(1, 2, 3), vec(-1, -2, -3))) + 1.0) < 1e-6)
   }
 
+  test("f32-parity kernels reproduce reference f32 arithmetic bit-for-bit (src/similarity.rs:10-43)") {
+    def evalF(c: org.apache.spark.sql.Column): Float =
+      spark.range(1).select(c.as("v")).head().getFloat(0)
+    // reference cosine: f32 accumulation throughout
+    def refCos(a: Array[Float], b: Array[Float]): Float = {
+      var dot = 0f; var na = 0f; var nb = 0f
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na.toDouble).toFloat * math.sqrt(nb.toDouble).toFloat)
+    }
+    def refEuc(a: Array[Float], b: Array[Float]): Float = {
+      var s = 0f
+      for (i <- a.indices) { val d = a(i) - b(i); s += d * d }
+      math.sqrt(s.toDouble).toFloat
+    }
+    val rng = new scala.util.Random(7)
+    val a = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    val b = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    assert(evalF(cosineF32(vec(1, 2, 3), vec(3, 2, 1))) == refCos(Array(1, 2, 3), Array(3, 2, 1)))
+    assert(math.abs(evalF(cosineF32(vec(1, 2, 3), vec(3, 2, 1))) - 0.7142857f) < 1e-3)
+    assert(evalF(cosineF32(vecLit(a.toSeq), vecLit(b.toSeq))) == refCos(a, b))
+    assert(evalF(euclideanF32(vecLit(a.toSeq), vecLit(b.toSeq))) == refEuc(a, b))
+    // and the f64 default stays within float noise of the f32 mode
+    assert(math.abs(evalD(cosine(vecLit(a.toSeq), vecLit(b.toSeq)))
+      - evalF(cosineF32(vecLit(a.toSeq), vecLit(b.toSeq)))) < 1e-5)
+  }
+
   test("euclidean basic") {
     assert(math.abs(evalD(euclidean(vec(0, 0), vec(3, 4))) - 5.0) < 1e-9)
     assert(evalD(euclidean(vec(1, 2, 3), vec(1, 2, 3))) == 0.0)

@@ -102,6 +102,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("stream-stream interval join equals batch interval join") {
+    val batch = EventOps.errorClickJoin(Tables.events(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = EventOps.errorClickJoinStream(spark, dir, "graft_err_click_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty, "fixtures should contain error-after-click pairs")
+  }
+
+  test("streaming dedup (dropDuplicatesWithinWatermark) collapses redelivered files") {
+    // simulate at-least-once delivery: the same events file arrives twice
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    java.nio.file.Files.copy(src, tmp.resolve("delivery_a.parquet"))
+    java.nio.file.Files.copy(src, tmp.resolve("delivery_b.parquet"))
+    val deduped = EventOps.dedupStream(spark, tmp.toString, "graft_dedup_test")
+    val n = deduped.count()
+    val distinctIds = deduped.select("event_id").distinct().count()
+    val batchN = Tables.events(spark, dir).count()
+    assert(n == batchN, s"expected $batchN deduped events, got $n")
+    assert(distinctIds == batchN)
+  }
+
   test("banded simhash pairs == all-pairs simhash (pigeonhole exactness)") {
     val docs = Tables.load(spark, dir, "documents")
     val sig = Dedup.simhash(Dedup.shingles(docs))
