@@ -307,6 +307,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // frame sampling (every 2nd frame) + resize (keep every 4th byte)
+    // through the per-partition codec-session plumbing
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.attachPayload(Tables.load(s, dir, "documents"))
+      Multimodal.frameSampleStats(s, media).toDF()
+        .select("doc_id", "n_frames_sampled", "sampled_sum", "resized_len", "resized_sum")
+        .orderBy("doc_id")
+    }),
+
     // ---- event stream (batch form of the streaming ops) ----
 
     "ev_hourly" -> ((s, dir) =>
@@ -382,6 +391,29 @@ object SparkEntry {
         .select("p_partkey", "p_retailprice")
         .orderBy(desc("p_retailprice"), asc("p_partkey"))
         .limit(20)),
+
+    "q_outer_join" -> ((s, dir) => {
+      val hi = Tables.load(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_hi"))
+      val big = Tables.load(s, dir, "part").where(col("p_size") > 25)
+        .select(col("p_partkey"))
+      hi.join(big, col("l_partkey") === col("p_partkey"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("p_partkey").isNull, 1)).as("n_left_only"),
+          count(when(col("l_partkey").isNull, 1)).as("n_right_only"),
+          count(when(col("l_partkey").isNotNull && col("p_partkey").isNotNull, 1))
+            .as("n_both"))
+    }),
+
+    "q_lag_lead" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").where(col("o_custkey") < 100)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
 
     // as-of join (Spark lacks the operator; composed union+window plan,
     // one shuffle + one sort — see AsOfJoin scaladoc)
@@ -768,6 +800,36 @@ object SparkEntry {
       "q_topn_parts" ->
         s"""SELECT p_partkey, p_retailprice FROM part
            |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin,
+
+      "q_outer_join" ->
+        s"""WITH hi AS (SELECT l_partkey, count(*) AS n_hi FROM lineitem
+           |            WHERE l_quantity > 45 GROUP BY 1),
+           |big AS (SELECT p_partkey FROM part WHERE p_size > 25)
+           |SELECT count(*) AS n_rows,
+           |  count(CASE WHEN p_partkey IS NULL THEN 1 END) AS n_left_only,
+           |  count(CASE WHEN l_partkey IS NULL THEN 1 END) AS n_right_only,
+           |  count(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NOT NULL THEN 1 END) AS n_both
+           |FROM hi FULL OUTER JOIN big ON l_partkey = p_partkey""".stripMargin,
+
+      "q_lag_lead" ->
+        s"""SELECT o_custkey, o_orderkey,
+           |  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_ok,
+           |  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_ok
+           |FROM orders WHERE o_custkey < 100 ORDER BY 1, 2""".stripMargin,
+
+      "mm_frames" ->
+        s"""WITH t AS (SELECT doc_id, text,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents)
+           |SELECT doc_id,
+           |  CAST(((n + ${Multimodal.FrameStride - 1}) // ${Multimodal.FrameStride} + 1) // 2 AS BIGINT) AS n_frames_sampled,
+           |  CAST(coalesce(list_sum(list_transform(range(1, n+1),
+           |    i -> CASE WHEN (((i-1) // ${Multimodal.FrameStride}) % 2) = 0
+           |              THEN ascii(substr(text, i, 1)) ELSE 0 END)), 0) AS BIGINT) AS sampled_sum,
+           |  CAST((n + 3) // 4 AS BIGINT) AS resized_len,
+           |  CAST(coalesce(list_sum(list_transform(range(1, n+1),
+           |    i -> CASE WHEN ((i-1) % 4) = 0
+           |              THEN ascii(substr(text, i, 1)) ELSE 0 END)), 0) AS BIGINT) AS resized_sum
+           |FROM t ORDER BY doc_id""".stripMargin,
 
       "ev_asof" ->
         s"""WITH err AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec

@@ -170,23 +170,28 @@ object Dedup {
   def simhashPairs(sig: DataFrame, maxHamming: Int = SimHashMaxHamming): DataFrame = {
     val nb = maxHamming + 1
     val bounds = (0 to nb).map(i => i * SimHashBits / nb)
-    val verified = (0 until nb).map { b =>
+    // one (band, key) row per doc per band, then a SINGLE self-equi-join
+    // on (band, key) — same pair set as per-band joins, one shuffle of
+    // nb x n short rows, one signature computation
+    val bandCol = explode(array((0 until nb).map { b =>
       val lo = bounds(b)
       val width = bounds(b + 1) - lo
-      def key(c: Column): Column =
-        shiftright(c, lo).bitwiseAND(lit((1L << width) - 1L))
-      val l = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"),
-        key(col("simhash")).as("bk"))
-      val r = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"),
-        key(col("simhash")).as("bk"))
-      // verify INSIDE the band join (before the union's dedup shuffle):
-      // only true near-dup pairs — not raw band collisions — cross it
-      l.join(r, Seq("bk")).where(col("d1") < col("d2"))
-        .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int"))
-        .where(col("hamming") <= maxHamming)
-        .select("d1", "d2", "hamming")
-    }.reduce(_ union _)
-    verified.distinct()
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1L)).as("key"))
+    }: _*))
+    val keyed = sig.select(col("doc_id"), col("simhash"), bandCol.as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = keyed.select(col("doc_id").as("d1"), col("simhash").as("h1"),
+      col("band"), col("key"))
+    val r = keyed.select(col("doc_id").as("d2"), col("simhash").as("h2"),
+      col("band"), col("key"))
+    // verify INSIDE the band join (before the dedup shuffle): only true
+    // near-dup pairs — not raw band collisions — reach the distinct
+    l.join(r, Seq("band", "key")).where(col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+      .distinct()
   }
 
   /** All-pairs reference implementation of [[simhashPairs]] — the
@@ -227,25 +232,28 @@ object Dedup {
                            d: Int = 64): DataFrame = {
     import graft.functions.GraftFunctions.cosine
     val allPlanes = graft.OracleSql.lshPlanes(d, EmbLshBands * EmbLshRows)
-    val keyed = emb.select(
-      col("vec_id") +: col("embedding") +:
-        (0 until EmbLshBands).map { b =>
-          val ps = allPlanes.slice(b * EmbLshRows, (b + 1) * EmbLshRows)
-          SimilaritySearch.signBucketFromPlanes(col("embedding"), ps).as(s"k$b")
-        }: _*)
-    val verified = (0 until EmbLshBands).map { b =>
-      val l = keyed.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-        col(s"k$b").as("bk"))
-      val r = keyed.select(col("vec_id").as("v2"), col("embedding").as("e2"),
-        col(s"k$b").as("bk"))
-      // verify INSIDE the band join: each band shuffles only the keyed
-      // corpus (n rows), and only pairs passing the cosine threshold —
-      // not raw band collisions — reach the union's dedup shuffle
-      l.join(r, Seq("bk")).where(col("v1") < col("v2"))
-        .withColumn("sim", cosine(col("e1"), col("e2")))
-        .where(col("sim") >= threshold)
-        .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim_r"))
-    }.reduce(_ union _)
-    verified.distinct()
+    // one (band, key) row per vector per band; a single self-equi-join
+    // on (band, key) replaces per-band joins — one shuffle of
+    // bands x n rows, embeddings carried so verification needs no
+    // join-back against the corpus
+    val bandCol = explode(array((0 until EmbLshBands).map { b =>
+      val ps = allPlanes.slice(b * EmbLshRows, (b + 1) * EmbLshRows)
+      struct(lit(b).as("band"),
+        SimilaritySearch.signBucketFromPlanes(col("embedding"), ps).as("key"))
+    }: _*))
+    val keyed = emb.select(col("vec_id"), col("embedding"), bandCol.as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = keyed.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("band"), col("key"))
+    val r = keyed.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("band"), col("key"))
+    // verify INSIDE the band join: only pairs passing the cosine
+    // threshold — not raw band collisions — reach the dedup shuffle
+    l.join(r, Seq("band", "key")).where(col("v1") < col("v2"))
+      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .where(col("sim") >= threshold)
+      .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim_r"))
+      .distinct()
   }
 }
