@@ -56,6 +56,28 @@ class PlanSpec extends AnyFunSuite {
     store.clear()
   }
 
+  test("DPP store search prunes partitions at runtime (no driver manifest collect)") {
+    val root = Files.createTempDirectory("graft-dpp").toString
+    val store = new VectorStore(spark, root)
+    import spark.implicits._
+    // enough rows that the DPP benefit heuristic sees a real scan to prune
+    val rows = (0 until 300).map { i =>
+      (s"id$i", Array(i.toFloat, (300 - i).toFloat),
+        s"c$i", if (i % 3 == 0) Seq("t1") else Seq("t2"))
+    }
+    store.insert(rows.toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>")))
+    val q = store.searchDpp(Seq(1f, 0f), tags = Seq("t1"), k = 5)
+    val p = plan(q)
+    assert(p.contains("dynamicpruning"), s"no dynamic partition pruning:\n${p.take(3000)}")
+    // and it agrees with the driver-side manifest path
+    val viaDpp = q.select("id").collect().map(_.getString(0)).toSet
+    val viaManifest = store.search(Seq(1f, 0f), tags = Seq("t1"), k = 5)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(viaDpp == viaManifest && viaDpp.nonEmpty)
+    store.clear()
+  }
+
   test("aggregations are partially aggregated map-side (two HashAggregate stages)") {
     val p = plan(SparkEntry.queries("q1_agg")(spark, dir))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
