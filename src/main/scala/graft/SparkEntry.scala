@@ -258,6 +258,12 @@ object SparkEntry {
         .select(col("d1"), col("d2"), round(col("j"), 4).as("jac_r"))
         .orderBy("d1", "d2")),
 
+    // pairs -> dedup groups: connected components of the MinHash near-dup
+    // graph (hash-to-min label propagation; oracle = recursive CTE)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.components(Dedup.minhashNearDups(Tables.load(s, dir, "documents")))
+        .orderBy("doc_id")),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Dedup.shingles(Tables.load(s, dir, "documents")))
         .orderBy("doc_id")),
@@ -297,6 +303,14 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.stats(Tables.load(s, dir, "documents"))
         .select("doc_id", "fp").orderBy("doc_id")),
+
+    // corpus vocabulary: top-50 tokens (explode -> partial-agg count ->
+    // TakeOrderedAndProject)
+    "text_vocab" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok")).limit(50)),
 
     // ---- multimodal plumbing (stubbed decode; real distribution) ----
 
@@ -636,6 +650,31 @@ object SparkEntry {
            |${OracleSql.jaccardCte}
            |SELECT d1, d2, round(j, 4) AS jac_r FROM jac
            |WHERE j >= ${OracleSql.JaccardThreshold} ORDER BY d1, d2""".stripMargin,
+
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE ${OracleSql.shingleCte},
+           |${OracleSql.minhashCte},
+           |${OracleSql.lshCandidatesCte},
+           |${OracleSql.jaccardCte},
+           |p AS (SELECT j.d1, j.d2
+           |      FROM jac j JOIN (SELECT DISTINCT d1, d2 FROM cand) c
+           |        ON j.d1 = c.d1 AND j.d2 = c.d2
+           |      WHERE j.j >= ${OracleSql.JaccardThreshold}),
+           |e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p),
+           |n AS (SELECT DISTINCT u FROM e),
+           |lab(u, l) AS (
+           |  SELECT u, u FROM n
+           |  UNION
+           |  SELECT e.u, lab.l FROM e JOIN lab ON e.v = lab.u
+           |)
+           |SELECT u AS doc_id, CAST(min(l) AS BIGINT) AS component
+           |FROM lab GROUP BY u ORDER BY doc_id""".stripMargin,
+
+      "text_vocab" ->
+        s"""SELECT tok, count(*) AS n FROM (
+           |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           |  FROM documents)
+           |GROUP BY 1 ORDER BY n DESC, tok LIMIT 50""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH ${OracleSql.shingleCte},

@@ -220,6 +220,45 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair list — the step that turns
+   * pairwise matches into dedup GROUPS (keep min-id doc per component,
+   * drop the rest). Hash-to-min label propagation: every node repeatedly
+   * takes the min label among itself and its neighbors until fixpoint.
+   * Each round is one shuffle (edges joined to labels on the neighbor
+   * key, then a min-aggregate); rounds = component diameter, which for
+   * near-dup clusters is tiny. At 100 TB you would switch to the
+   * alternating large-star/small-star formulation (provably O(log n)
+   * rounds, same per-round plan shape). `localCheckpoint` cuts the
+   * iterative lineage so plans stay constant-size.
+   *
+   * Returns (doc_id, component) with component = min doc id reachable.
+   */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("d1").as("u"), col("d2").as("v"))
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("l", col("u")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val fromNbrs = edges.join(labels.select(col("u").as("v"), col("l")), Seq("v"))
+        .select(col("u"), col("l"))
+      val next = labels.union(fromNbrs)
+        .groupBy("u").agg(min(col("l")).as("l"))
+        .localCheckpoint()
+      val changed = next.select(col("u"), col("l").as("nl"))
+        .join(labels, Seq("u"))
+        .where(col("nl") =!= col("l"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels.select(col("u").as("doc_id"), col("l").as("component"))
+  }
+
+  /**
    * Banded sign-LSH embedding near-dup (the 100 TB path): bands x rows
    * hyperplane sign bits; candidate pairs match ALL row-bits of >= 1
    * band (OR-of-ANDs — per-band equi-join on a rows-bit key, never

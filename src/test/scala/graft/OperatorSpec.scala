@@ -125,6 +125,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(distinctIds == batchN)
   }
 
+  test("connected components turns pairs into dedup groups (hash-to-min fixpoint)") {
+    import spark.implicits._
+    // a 4-chain (diameter 3 — exercises the iteration) and a separate pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("banded simhash pairs == all-pairs simhash (pigeonhole exactness)") {
     val docs = Tables.load(spark, dir, "documents")
     val sig = Dedup.simhash(Dedup.shingles(docs))
