@@ -232,11 +232,52 @@ object Dedup {
    * iterative lineage so plans stay constant-size.
    *
    * Returns (doc_id, component) with component = min doc id reachable.
+   *
+   * Like Spark's broadcast-join threshold, a small pair list short-
+   * circuits to driver-side union-find ([[componentsLocal]]): near-dup
+   * graphs are usually minuscule next to the corpus, and a handful of
+   * distributed fixpoint rounds costs more in job scheduling than the
+   * whole graph costs in driver memory. Identical output either way.
    */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 20,
+                 broadcastThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    if (p.count() <= broadcastThreshold) return componentsLocal(spark, p)
+    componentsDistributed(p, maxIter)
+  }
+
+  /** Driver-side union-find for small pair lists. */
+  private def componentsLocal(spark: org.apache.spark.sql.SparkSession,
+                              pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- es) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted.map(k => (k, find(k)))
+      .toDF("doc_id", "component")
+  }
+
+  /** Distributed hash-to-min fixpoint (the 100 TB path). */
+  private[graft] def componentsDistributed(pairs: DataFrame, maxIter: Int): DataFrame = {
+    // near-dup pair lists are minuscule next to the corpus: pin the
+    // iteration to a few partitions so each round is one small job (at
+    // a bigger component graph, raise the partition count — the plan
+    // shape is unchanged)
     val fwd = pairs.select(col("d1").as("u"), col("d2").as("v"))
     val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().coalesce(4).localCheckpoint()
     var labels = edges.select(col("u")).distinct()
       .withColumn("l", col("u")).localCheckpoint()
     var converged = false
@@ -246,7 +287,7 @@ object Dedup {
         .select(col("u"), col("l"))
       val next = labels.union(fromNbrs)
         .groupBy("u").agg(min(col("l")).as("l"))
-        .localCheckpoint()
+        .coalesce(4).localCheckpoint()
       val changed = next.select(col("u"), col("l").as("nl"))
         .join(labels, Seq("u"))
         .where(col("nl") =!= col("l"))

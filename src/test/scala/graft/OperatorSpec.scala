@@ -129,9 +129,14 @@ class OperatorSpec extends AnyFunSuite {
     import spark.implicits._
     // a 4-chain (diameter 3 — exercises the iteration) and a separate pair
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
-    val comp = Dedup.components(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    val viaUnionFind = Dedup.components(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(viaUnionFind == expected)
+    // the distributed fixpoint (the 100 TB path) agrees
+    val viaFixpoint = Dedup.componentsDistributed(pairs, maxIter = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFixpoint == expected)
   }
 
   test("banded simhash pairs == all-pairs simhash (pigeonhole exactness)") {
