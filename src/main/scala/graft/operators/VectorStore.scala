@@ -117,6 +117,39 @@ class VectorStore(spark: SparkSession, root: String) {
     fs.rename(tmp, dst)
   }
 
+  /**
+   * Last-write-wins upsert by id (reference content.bin upsert
+   * semantics, SURVEY §2 #9). Partition-selective: only the tag_key
+   * partitions that hold an overwritten id are rewritten (anti-join on
+   * the incoming id set), everything else is untouched; the new rows
+   * then append through the normal insert path. At 100 TB this touches
+   * O(affected partitions), not the store.
+   */
+  def upsert(df: DataFrame, quantize: Boolean = false): Unit = {
+    if (!exists) { insert(df, quantize); return }
+    val ids = df.select(col("id")).distinct()
+    val affected = table().join(broadcast(ids), Seq("id"), "left_semi")
+      .select("tag_key").distinct().collect().map(_.getString(0))
+    if (affected.nonEmpty) {
+      // rewrite affected partitions minus the overwritten ids, then swap
+      // each partition directory atomically (tmp + per-key rename)
+      val kept = table()
+        .where(col("tag_key").isin(affected.toSeq: _*))
+        .join(broadcast(ids), Seq("id"), "left_anti")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/upsert_tmp")
+      kept.write.mode(SaveMode.Overwrite).partitionBy("tag_key").parquet(tmp.toString)
+      for (key <- affected) {
+        val dst = new org.apache.hadoop.fs.Path(s"$dataPath/tag_key=$key")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/tag_key=$key")
+        fs.delete(dst, true)
+        // a partition can vanish entirely if every row in it was overwritten
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(tmp, true)
+    }
+    insert(df, quantize)
+  }
+
   private def storedDim(): Option[Int] =
     if (!exists) None
     else table().select(size(col("vector"))).limit(1).collect()

@@ -179,6 +179,28 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("upsert: last-write-wins by id with partition-selective rewrite (content.bin semantics)") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f), "old-a", Seq("t1")),
+      ("b", Array(0f, 1f), "b", Seq("t2")),
+      ("c", Array(1f, 1f), "c", Seq("t3")))))
+    store.upsert(df(Seq(
+      ("a", Array(0.9f, 0.1f), "new-a", Seq("t1")), // overwrite in place
+      ("d", Array(0.5f, 0.5f), "d", Seq("t2"))))) // brand-new id
+    val rows = store.table().select("id", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("a" -> "new-a", "b" -> "b", "c" -> "c", "d" -> "d"))
+    assert(store.table().where(col("id") === "a").count() == 1)
+    // moving an id to a different tag set removes it from the old partition
+    store.upsert(df(Seq(("b", Array(0f, 1f), "b2", Seq("tX")))))
+    val b = store.table().where(col("id") === "b")
+      .select("content", "tags").collect()
+    assert(b.length == 1 && b(0).getString(0) == "b2"
+      && b(0).getSeq[String](1) == Seq("tX"))
+    store.clear()
+  }
+
   test("clear removes everything (src/db.rs:608-625)") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new VectorStore(spark, root)
