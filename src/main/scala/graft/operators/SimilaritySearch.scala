@@ -77,6 +77,8 @@ object SimilaritySearch {
   def lshSearch(emb: DataFrame, qid: Long, k: Int, d: Int,
                 nPlanes: Int = graft.OracleSql.LshPlanes,
                 probeHamming: Int = graft.OracleSql.LshProbeHamming): DataFrame = {
+    // driver-side single-row lookup of the query vector (the reference
+    // API takes the query by value; this is metadata, not the hot path)
     val qv = emb.where(col("vec_id") === qid)
       .select("embedding").head().getSeq[Float](0)
     val probes = probeBuckets(signBucketOf(qv, d, nPlanes), nPlanes, probeHamming)
@@ -165,6 +167,7 @@ object SimilaritySearch {
    */
   def ivfSearchWith(emb: DataFrame, centroids: DataFrame, qid: Long, nprobe: Int, k: Int): DataFrame = {
     val codebook = collectCodebook(centroids)
+    // driver-side single-row query-vector lookup (see lshSearch note)
     val qv = emb.where(col("vec_id") === qid)
       .select("embedding").head().getSeq[Float](0)
     val probes = probeCids(codebook, qv, nprobe)
