@@ -420,6 +420,29 @@ object SparkEntry {
             .as("n_both"))
     }),
 
+    // SQL entry point: grouping sets via spark.sql over a registered view
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |       coalesce(l_linestatus, 'ALL') AS status,
+          |       count(*) AS n
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // deterministic stratified sampling: a fixed per-language quota
+    // (training-mix construction); plans as WindowGroupLimit
+    "text_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select("lang", "rn", "doc_id")
+        .orderBy("lang", "rn")
+    }),
+
     "q_lag_lead" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders").where(col("o_custkey") < 100)
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
@@ -849,6 +872,21 @@ object SparkEntry {
            |  count(CASE WHEN l_partkey IS NULL THEN 1 END) AS n_right_only,
            |  count(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NOT NULL THEN 1 END) AS n_both
            |FROM hi FULL OUTER JOIN big ON l_partkey = p_partkey""".stripMargin,
+
+      "q_grouping_sets" ->
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           |       coalesce(l_linestatus, 'ALL') AS status,
+           |       count(*) AS n
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY 1, 2""".stripMargin,
+
+      "text_stratified" ->
+        s"""SELECT lang, rn, doc_id FROM (
+           |  SELECT lang, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+           |  FROM documents)
+           |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
 
       "q_lag_lead" ->
         s"""SELECT o_custkey, o_orderkey,
