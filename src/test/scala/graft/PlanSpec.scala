@@ -133,6 +133,28 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() == 5)
   }
 
+  test("bucketed co-located join plans with no Exchange (amortized shuffle)") {
+    import graft.operators.Bucketing
+    val o = graft.core.Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val l = graft.core.Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Bucketing.writeBucketed(o, "graft_orders_b", 8, "o_orderkey")
+    Bucketing.writeBucketed(l, "graft_lineitem_b", 8, "l_orderkey")
+    try {
+      val j = Bucketing.colocatedJoin(spark, "graft_orders_b", "graft_lineitem_b",
+        "o_orderkey", "l_orderkey")
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles:\n" + p.take(3000))
+      assert(j.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    }
+  }
+
   test("kernels run inside whole-stage codegen") {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
