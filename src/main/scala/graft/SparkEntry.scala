@@ -420,6 +420,23 @@ object SparkEntry {
             .as("n_both"))
     }),
 
+    // skew-proof aggregation: stage 1 aggregates on (key, salt) so a hot
+    // key spreads over 16 reducers, stage 2 merges the partials — the
+    // oracle (a plain GROUP BY) proves the salting changes the shuffle,
+    // not the answer. The 3-value l_returnflag is exactly the
+    // heavy-hitter shape that dies unsalted at 100 TB.
+    "q_salted_agg" -> ((s, dir) => {
+      val salts = 16
+      val stage1 = Tables.load(s, dir, "lineitem")
+        .withColumn("__salt", pmod(hash(col("l_orderkey")), lit(salts)))
+        .groupBy(col("l_returnflag"), col("__salt"))
+        .agg(count(lit(1)).as("pc"), sum(col("l_quantity")).as("ps"))
+      stage1.groupBy(col("l_returnflag"))
+        .agg(sum(col("pc")).cast("long").as("n"),
+          round(sum(col("ps")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // SQL entry point: grouping sets via spark.sql over a registered view
     "q_grouping_sets" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
@@ -872,6 +889,10 @@ object SparkEntry {
            |  count(CASE WHEN l_partkey IS NULL THEN 1 END) AS n_right_only,
            |  count(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NOT NULL THEN 1 END) AS n_both
            |FROM hi FULL OUTER JOIN big ON l_partkey = p_partkey""".stripMargin,
+
+      "q_salted_agg" ->
+        s"""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_grouping_sets" ->
         s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
