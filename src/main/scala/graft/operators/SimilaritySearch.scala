@@ -64,8 +64,11 @@ object SimilaritySearch {
 
   /** All bucket ids within `r` bit flips of `bucket` (multi-probe set);
     * |result| = sum_{i<=r} C(m, i) — 37 for m=8, r=2. */
-  def probeBuckets(bucket: Long, m: Int, r: Int): Seq[Long] =
+  def probeBuckets(bucket: Long, m: Int, r: Int): Seq[Long] = {
+    require(m <= 24, s"graft: probe enumeration is 2^m — $m planes is too many" +
+      " (use a smaller radius with banding instead)")
     (0L until (1L << m)).filter(java.lang.Long.bitCount(_) <= r).map(bucket ^ _)
+  }
 
   /**
    * Multi-probe bucketed ANN: top-k cosine among vectors whose bucket is

@@ -127,6 +127,9 @@ class VectorStore(spark: SparkSession, root: String) {
    */
   def upsert(df: DataFrame, quantize: Boolean = false): Unit = {
     if (!exists) { insert(df, quantize); return }
+    // a quantized store stays quantized regardless of the flag — appending
+    // rows without the packed column would null it for the new rows
+    val q = quantize || table().columns.contains("packed")
     val ids = df.select(col("id")).distinct()
     val affected = table().join(broadcast(ids), Seq("id"), "left_semi")
       .select("tag_key").distinct().collect().map(_.getString(0))
@@ -147,13 +150,19 @@ class VectorStore(spark: SparkSession, root: String) {
       }
       fs.delete(tmp, true)
     }
-    insert(df, quantize)
+    insert(df, q)
   }
 
   private def storedDim(): Option[Int] =
     if (!exists) None
-    else table().select(size(col("vector"))).limit(1).collect()
-      .headOption.map(_.getInt(0))
+    else try {
+      table().select(size(col("vector"))).limit(1).collect()
+        .headOption.map(_.getInt(0))
+    } catch {
+      // the data dir can exist yet hold no files (an upsert that
+      // overwrote every row of every affected partition)
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
 
   def exists: Boolean = fs.exists(new org.apache.hadoop.fs.Path(dataPath))
 

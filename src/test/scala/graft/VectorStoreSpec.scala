@@ -201,6 +201,18 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("upsert on a quantized store keeps the packed column populated (auto-detect)") {
+    val store = freshStore()
+    store.insert(df(Seq(("a", Array(1f, 2f, 3f), "a1", Nil))), quantize = true)
+    store.upsert(df(Seq(("a", Array(3f, 2f, 1f), "a2", Nil)))) // flag omitted
+    val t = store.table()
+    assert(t.count() == 1)
+    assert(t.where(col("packed").isNull).count() == 0)
+    assert(store.search(Seq(3f, 2f, 1f), k = 1, quantized = true)
+      .head().getAs[String]("content") == "a2")
+    store.clear()
+  }
+
   test("clear removes everything (src/db.rs:608-625)") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new VectorStore(spark, root)
