@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
  */
 object GraftFunctions {
 
-  private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] =
+  /** Single source of truth for the function registry — shared with
+    * [[GraftExtensions]] so the two registration paths cannot drift. */
+  private[functions] val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] =
     Seq(
       "graft_cosine" -> (e => CosineSimilarity(e(0), e(1))),
       "graft_euclidean" -> (e => EuclideanDistance(e(0), e(1))),
@@ -102,24 +104,13 @@ object FuseQuantizedKernels
  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     def info(name: String): ExpressionInfo =
       new ExpressionInfo("graft.functions", name)
-    val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-      "graft_cosine" -> (e => CosineSimilarity(e(0), e(1))),
-      "graft_euclidean" -> (e => EuclideanDistance(e(0), e(1))),
-      "graft_dot" -> (e => DotProduct(e(0), e(1))),
-      "graft_pack" -> (e => PackVector(e(0))),
-      "graft_unpack" -> (e => UnpackVector(e(0))),
-      "graft_packed_byte_sum" -> (e => PackedByteSum(e(0))),
-      "graft_hash_counts" -> (e => HashEmbedCounts(e(0), e(1))),
-      "graft_hash_embed" -> (e => HashEmbed(e(0), e(1))),
-      "graft_cosine_f32" -> (e => CosineSimilarityF32(e(0), e(1))),
-      "graft_euclidean_f32" -> (e => EuclideanDistanceF32(e(0), e(1)))
-    )
-    fns.foreach { case (n, b) =>
+    // same builder list as GraftFunctions.register — one source of truth
+    GraftFunctions.builders.foreach { case (n, b) =>
       ext.injectFunction((FunctionIdentifier(n), info(n), b))
     }
     ext.injectOptimizerRule(_ => FuseQuantizedKernels)

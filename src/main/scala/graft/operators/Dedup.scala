@@ -297,6 +297,11 @@ object Dedup {
       converged = !changed
       i += 1
     }
+    // partially-propagated labels are WRONG answers, not approximations
+    if (!converged) throw new IllegalStateException(
+      s"graft: component propagation did not converge in $maxIter rounds" +
+        " (component diameter exceeds maxIter — raise it, or use the" +
+        " large-star/small-star formulation)")
     labels.select(col("u").as("doc_id"), col("l").as("component"))
   }
 

@@ -83,7 +83,9 @@ object SimilaritySearch {
     // driver-side single-row lookup of the query vector (the reference
     // API takes the query by value; this is metadata, not the hot path)
     val qv = emb.where(col("vec_id") === qid)
-      .select("embedding").head().getSeq[Float](0)
+      .select("embedding").collect().headOption
+      .getOrElse(throw new NoSuchElementException(s"graft: no vector with vec_id=$qid"))
+      .getSeq[Float](0)
     val probes = probeBuckets(signBucketOf(qv, d, nPlanes), nPlanes, probeHamming)
     val scored = emb
       .withColumn("bucket", signBucket(col("embedding"), d, nPlanes))
@@ -172,7 +174,9 @@ object SimilaritySearch {
     val codebook = collectCodebook(centroids)
     // driver-side single-row query-vector lookup (see lshSearch note)
     val qv = emb.where(col("vec_id") === qid)
-      .select("embedding").head().getSeq[Float](0)
+      .select("embedding").collect().headOption
+      .getOrElse(throw new NoSuchElementException(s"graft: no vector with vec_id=$qid"))
+      .getSeq[Float](0)
     val probes = probeCids(codebook, qv, nprobe)
     val scored = emb
       .withColumn("cid", nearestCentroid(col("embedding"), codebook))

@@ -104,12 +104,13 @@ class VectorStore(spark: SparkSession, root: String) {
       concat(lit(","), concat_ws(",", col("tags")), lit(",")))
   }
 
-  /** Merge new distinct tag sets into the manifest (tiny: collect, union
-    * driver-side, atomic tmp+rename rewrite). */
+  /** Merge new distinct tag sets into the manifest (tiny: atomic
+    * tmp+rename rewrite). Seeding goes through [[manifest]], whose
+    * partition-discovery fallback bootstraps legacy (pre-manifest)
+    * stores — seeding from the batch alone would write a manifest that
+    * permanently hides every older partition from tag search. */
   private def updateManifest(newSets: DataFrame): Unit = {
-    val merged =
-      if (manifestExists) manifest().select("tag_key", "tags").union(newSets).distinct()
-      else newSets
+    val merged = manifest().select("tag_key", "tags").union(newSets).distinct()
     val tmp = new org.apache.hadoop.fs.Path(s"$root/manifest_tmp.parquet")
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(manifestPath)
@@ -127,9 +128,14 @@ class VectorStore(spark: SparkSession, root: String) {
    */
   def upsert(df: DataFrame, quantize: Boolean = false): Unit = {
     if (!exists) { insert(df, quantize); return }
-    // a quantized store stays quantized regardless of the flag — appending
-    // rows without the packed column would null it for the new rows
-    val q = quantize || table().columns.contains("packed")
+    // the store's layout wins over the flag: appending packed-less rows
+    // to a quantized store would null the codec for the new rows, and
+    // appending packed rows to an unquantized store would produce a
+    // mixed-schema table where quantized search silently drops old rows
+    val hasPacked = table().columns.contains("packed")
+    require(!quantize || hasPacked,
+      "graft: store is not quantized — rewrite it (insert with quantize=true into a fresh store) instead of quantize-upserting")
+    val q = hasPacked
     val ids = df.select(col("id")).distinct()
     val affected = table().join(broadcast(ids), Seq("id"), "left_semi")
       .select("tag_key").distinct().collect().map(_.getString(0))

@@ -143,8 +143,12 @@ object EventOps {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .where(col("event_type") === eventType)
+        // floor to epoch seconds so the interval semantics match the
+        // batch twin and the oracle exactly (fixture timestamps carry
+        // sub-second nanos; comparing at micros would flip boundary
+        // pairs within the same floored second)
         .select(col("event_id").as(idAs), col("user_id").as(s"${idAs}_user"),
-          timestamp_micros(expr("ts div 1000")).as(tsAs))
+          timestamp_seconds(expr("ts div 1000000000")).as(tsAs))
         .withWatermark(tsAs, "1 hour")
     val err = side("error", "err_id", "err_ts")
     val clk = side("click", "click_id", "click_ts")

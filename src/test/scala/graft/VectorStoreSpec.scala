@@ -211,6 +211,14 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.search(Seq(3f, 2f, 1f), k = 1, quantized = true)
       .head().getAs[String]("content") == "a2")
     store.clear()
+    // the reverse direction is refused: quantize-upsert into an
+    // unquantized store would mix schemas
+    val plain = freshStore()
+    plain.insert(df(Seq(("p", Array(1f, 2f), "p1", Nil))))
+    intercept[IllegalArgumentException] {
+      plain.upsert(df(Seq(("p", Array(2f, 1f), "p2", Nil))), quantize = true)
+    }
+    plain.clear()
   }
 
   test("clear removes everything (src/db.rs:608-625)") {
