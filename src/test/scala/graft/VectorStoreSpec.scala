@@ -221,6 +221,24 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     plain.clear()
   }
 
+  test("legacy store without a manifest file: search falls back, next insert repairs without hiding old partitions") {
+    val root = Files.createTempDirectory("graft-legacy").toString
+    val store = new VectorStore(spark, root)
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f), "x", Seq("t1")),
+      ("b", Array(0f, 1f), "y", Seq("t2")))))
+    // simulate a pre-manifest store
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$root/manifest.parquet")).deleteRecursively()
+    // fallback: partition discovery still answers tag search
+    assert(store.search(Seq(1f, 0f), tags = Seq("t1"), k = 5).count() == 1)
+    // the next insert rebuilds the manifest WITHOUT hiding old tag sets
+    store.insert(df(Seq(("c", Array(0.5f, 0.5f), "z", Seq("t3")))))
+    assert(store.search(Seq(1f, 0f), tags = Seq("t1"), k = 5).count() == 1)
+    assert(store.searchDpp(Seq(1f, 0f), tags = Seq("t1"), k = 5).count() == 1)
+    store.clear()
+  }
+
   test("clear removes everything (src/db.rs:608-625)") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new VectorStore(spark, root)
