@@ -240,12 +240,12 @@ object Dedup {
    * distributed fixpoint rounds costs more in job scheduling than the
    * whole graph costs in driver memory. Identical output either way.
    */
-  def components(pairs: DataFrame, maxIter: Int = 20,
+  def components(pairs: DataFrame, maxIter: Int = 50,
                  broadcastThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
     if (p.count() <= broadcastThreshold) return componentsLocal(spark, p)
-    componentsDistributed(p, maxIter)
+    componentsStars(p, maxIter)
   }
 
   /** Driver-side union-find for small pair lists. */
@@ -270,7 +270,65 @@ object Dedup {
       .toDF("doc_id", "component")
   }
 
-  /** Distributed hash-to-min fixpoint (the 100 TB path). */
+  /**
+   * Alternating large-star/small-star connected components (Kiveris et
+   * al., "Connected Components in MapReduce and Beyond", SOCC'14): each
+   * round rewires edges toward component minima —
+   *   large-star: every node's strictly-larger neighbors attach to the
+   *     minimum of its closed neighborhood;
+   *   small-star: on edges directed big->small, every neighbor (and the
+   *     node) attaches to the minimum neighbor.
+   * Converges in O(log n) rounds regardless of component diameter (the
+   * hash-to-min loop needs diameter rounds — a 1000-doc boilerplate
+   * chain defeats it). Terminates when the edge set is a fixpoint; the
+   * final edges form stars rooted at each component's min node.
+   */
+  private[graft] def componentsStars(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val init = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .where(col("u") =!= col("v")).distinct().coalesce(4).localCheckpoint()
+    val nodes = init.select(col("u")).union(init.select(col("v"))).distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      und.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val rewired = dir.join(mins, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val own = mins.select(col("u"), col("m").as("v"))
+      rewired.union(own).where(col("u") =!= col("v")).distinct()
+    }
+
+    var edges = init
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).coalesce(4).localCheckpoint()
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"graft: star components did not converge in $maxIter rounds")
+    // final edges are (node -> root) stars; roots map to themselves
+    val rooted = edges.select(col("u").as("doc_id"), col("v").as("component"))
+    nodes.join(rooted, nodes("u") === rooted("doc_id"), "left")
+      .select(col("u").as("doc_id"),
+        coalesce(col("component"), col("u")).as("component"))
+  }
+
+  /** Distributed hash-to-min fixpoint (kept for small/shallow graphs and
+    * as the equivalence baseline; see [[componentsStars]] for the
+    * diameter-independent path). */
   private[graft] def componentsDistributed(pairs: DataFrame, maxIter: Int): DataFrame = {
     // near-dup pair lists are minuscule next to the corpus: pin the
     // iteration to a few partitions so each round is one small job (at

@@ -159,6 +159,25 @@ class VectorStore(spark: SparkSession, root: String) {
     insert(df, q)
   }
 
+  /**
+   * Continuous embedding ingestion: drain a streaming DataFrame of
+   * (id?, vector, content, tags) rows into the store. `foreachBatch`
+   * hands each micro-batch over as a plain DataFrame, so the entire
+   * batch write path — dim check, tag normalization/partitioning,
+   * quantization, manifest upkeep — is reused verbatim. Returns the
+   * query; with the default AvailableNow trigger, awaitTermination()
+   * drains the backlog and stops (a production feed would use a
+   * processing-time trigger instead).
+   */
+  def insertStream(stream: DataFrame, quantize: Boolean = false,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => insert(batch, quantize))
+      .trigger(trigger)
+      .start()
+
   private def storedDim(): Option[Int] =
     if (!exists) None
     else try {

@@ -139,6 +139,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaFixpoint == expected)
   }
 
+  test("large-star/small-star components solve deep chains in O(log n) rounds") {
+    import spark.implicits._
+    // a 60-node chain (diameter 59): hash-to-min would need 59 rounds;
+    // the alternating algorithm converges logarithmically — maxIter=15
+    // asserts that, not just correctness
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val stars = Dedup.componentsStars(chain, maxIter = 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars.size == 60 && stars.values.forall(_ == 0L), s"bad components: $stars")
+    val unionFind = Dedup.components(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == unionFind)
+  }
+
   test("banded simhash pairs == all-pairs simhash (pigeonhole exactness)") {
     val docs = Tables.load(spark, dir, "documents")
     val sig = Dedup.simhash(Dedup.shingles(docs))

@@ -239,6 +239,27 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("streaming ingestion: readStream -> insertStream -> search") {
+    import org.apache.spark.sql.types._
+    val store = freshStore()
+    val src = Files.createTempDirectory("graft-ingest").toString
+    def deliver(rows: Seq[(String, Array[Float], String, Seq[String])]): Unit =
+      df(rows).coalesce(1).write.mode("append").parquet(src)
+    deliver(Seq(("s1", Array(1f, 0f), "first", Seq("live"))))
+    deliver(Seq(("s2", Array(0f, 1f), "second", Seq("live"))))
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType, containsNull = true)),
+      StructField("content", StringType),
+      StructField("tags", ArrayType(StringType, containsNull = true))))
+    val stream = spark.readStream.schema(schema).parquet(src)
+    store.insertStream(stream).awaitTermination()
+    assert(store.table().count() == 2)
+    assert(store.search(Seq(1f, 0f), tags = Seq("live"), k = 1)
+      .head().getAs[String]("content") == "first")
+    store.clear()
+  }
+
   test("clear removes everything (src/db.rs:608-625)") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new VectorStore(spark, root)
