@@ -153,6 +153,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(stars == unionFind)
   }
 
+  test("star components agree with union-find on a seeded random graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val pdf = pairs.toDF("d1", "d2")
+    val stars = Dedup.componentsStars(pdf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unionFind = Dedup.components(pdf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == unionFind)
+  }
+
   test("banded simhash pairs == all-pairs simhash (pigeonhole exactness)") {
     val docs = Tables.load(spark, dir, "documents")
     val sig = Dedup.simhash(Dedup.shingles(docs))
