@@ -61,7 +61,6 @@ class OperatorSpec extends AnyFunSuite {
     // projecting a single vector driver-side matches the distributed path
     val v = emb.where(col("vec_id") === 0).head().getSeq[Float](1)
     val one = Pca.projectOne(model, v)
-    val dist = projected.limit(0) // silence unused warnings
     assert(one.length == 4)
   }
 
@@ -164,6 +163,57 @@ class OperatorSpec extends AnyFunSuite {
     val unionFind = Dedup.components(pdf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stars == unionFind)
+  }
+
+  test("component round parallelism is derived from edge count, not a constant") {
+    // the 100x-scale fix for r2's hard-coded coalesce(4): a fixture graph
+    // iterates at the floor, a billion-edge graph at ~1000 partitions
+    assert(Dedup.roundPartitions(0L) == 4)
+    assert(Dedup.roundPartitions(999999L) == 4)
+    assert(Dedup.roundPartitions(300L, edgesPerPartition = 10L) == 30)
+    assert(Dedup.roundPartitions(2000000000L) == 2000)
+    assert(Dedup.roundPartitions(1000000001L) == 1001)
+  }
+
+  test("star components agree with union-find when rounds run at a derived width > the floor") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val pairs = Seq.fill(200)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val pdf = pairs.toDF("d1", "d2")
+    // edgesPerPartition=8 forces ~25 round partitions on this graph —
+    // the same plan a billion-edge input would get at the default
+    val stars = Dedup.componentsStars(pdf, edgesPerPartition = 8L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unionFind = Dedup.components(pdf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == unionFind)
+  }
+
+  test("reliable-checkpoint mode: dedup pipelines match localCheckpoint results") {
+    val docs = Tables.load(spark, dir, "documents")
+    def run(): Set[(Long, Long)] =
+      Dedup.components(Dedup.minhashNearDups(docs)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLocal = run()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    try {
+      val viaReliable = run()
+      assert(viaReliable == viaLocal)
+      // the reliable path really wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(ckpt).count()
+      assert(wrote > 1, "no checkpoint files written in reliable mode")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("simhash banding rejects a radius the signature width cannot block (fails loudly)") {
+    import spark.implicits._
+    val sig = Seq((1L, 5L), (2L, 6L)).toDF("doc_id", "simhash")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(sig, maxHamming = 62) // 63 bands > 62 bits
+    }
+    assert(ex.getMessage.contains("band"))
   }
 
   test("banded simhash pairs == all-pairs simhash (pigeonhole exactness)") {
