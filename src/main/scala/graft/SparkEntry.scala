@@ -545,13 +545,21 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
 
-    // approximate distinct (HLL) — no cross-engine oracle by nature;
-    // rows-only check, exact answer alongside for the reader
+    // approximate distinct (HLL). The sketch itself differs across
+    // engines by nature, so the oracle checks an integer ERROR-BOUND
+    // verdict instead: permille error < 50 (5%) — with rsd=0.01 the
+    // estimate is typically within ~1-2%, so both engines' verdicts are
+    // robustly 1 and the row hash-matches (r2's lone no_oracle row;
+    // VERDICT r2 next-step #3).
     "q_approx_distinct" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select(
+          col("exact").as("exact_parts"),
+          (expr("abs(approx - exact) * 1000 div exact") < 50)
+            .cast("int").as("approx_ok"))),
 
     "q_multi_join" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
@@ -970,6 +978,14 @@ object SparkEntry {
       "q_histogram" ->
         s"""SELECT CAST(floor(value / 50.0) AS INT) AS bucket, count(*) AS n
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // both engines run their own HLL; the hashed columns are the exact
+      // count and the integer error-bound verdict (permille error < 50)
+      "q_approx_distinct" ->
+        s"""SELECT count(DISTINCT l_partkey) AS exact_parts,
+           |  CAST((abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 1000)
+           |       // count(DISTINCT l_partkey) < 50 AS INT) AS approx_ok
+           |FROM lineitem""".stripMargin,
 
       "q_multi_join" ->
         s"""SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
