@@ -260,6 +260,101 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("concurrent inserts serialize on the writer lock: no tag set lost") {
+    // the manifest update is read-modify-write; without the lock one of
+    // two simultaneous inserters could overwrite the other's tag set
+    // (VERDICT r2 next-step #4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val store = freshStore()
+    val a = Future(store.insert(df(Seq(("a", Array(1f, 0f), "x", Seq("tagA"))))))
+    val b = Future(store.insert(df(Seq(("b", Array(0f, 1f), "y", Seq("tagB"))))))
+    Await.result(a, 120.seconds); Await.result(b, 120.seconds)
+    assert(store.table().count() == 2)
+    val sets = store.manifest().select("tags").collect()
+      .map(_.getSeq[String](0).mkString(",")).toSet
+    assert(sets == Set("tagA", "tagB"), s"manifest lost a tag set: $sets")
+    assert(store.search(Seq(1f, 0f), tags = Seq("tagA"), k = 5).count() == 1)
+    assert(store.search(Seq(0f, 1f), tags = Seq("tagB"), k = 5).count() == 1)
+    // the lock is released afterwards: a third insert proceeds
+    store.insert(df(Seq(("c", Array(1f, 1f), "z", Seq("tagC")))))
+    assert(store.table().count() == 3)
+    store.clear()
+  }
+
+  test("upsert drops manifest entries for partitions it emptied (manifest mirrors store)") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f), "a1", Seq("t1")),
+      ("b", Array(0f, 1f), "b1", Seq("t2")))))
+    // move the ONLY t1 row to tag set t2: the t1 partition vanishes and
+    // its manifest entry must go with it (ADVICE r2 #2)
+    store.upsert(df(Seq(("a", Array(1f, 0f), "a2", Seq("t2")))))
+    val sets = store.manifest().select("tags").collect()
+      .map(_.getSeq[String](0).mkString(",")).toSet
+    assert(sets == Set("t2"), s"stale manifest entries: $sets")
+    assert(store.search(Seq(1f, 0f), tags = Seq("t1"), k = 5).count() == 0)
+    assert(store.search(Seq(1f, 0f), tags = Seq("t2"), k = 5).count() == 2)
+    store.clear()
+  }
+
+  test("ANN index on the store: build, probe-pruned search, recall vs exact (facade path)") {
+    val store = freshStore()
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 120).map { i =>
+      (s"v$i", Array.fill(16)(rng.nextGaussian().toFloat), s"c$i", Seq("t"))
+    }
+    store.insert(df(rows))
+    assert(!store.hasAnnIndex)
+    store.buildAnnIndex(k = 8)
+    assert(store.hasAnnIndex)
+    val qv = rows(17)._2.toSeq
+    val ann = store.searchAnn(qv, k = 10, nprobe = 4)
+    // the probe IN-list must reach the scan as a cid partition filter
+    val scanLine = ann.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cid"), s"no cid partition pruning:\n$scanLine")
+    val annIds = ann.select("id").collect().map(_.getString(0)).toSet
+    val exactIds = store.search(qv, k = 10).select("id").collect()
+      .map(_.getString(0)).toSet
+    val recall = annIds.intersect(exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall")
+    store.clear()
+  }
+
+  test("live micro-batch ingestion: ProcessingTime trigger across two deliveries") {
+    import org.apache.spark.sql.types._
+    val store = freshStore()
+    val src = Files.createTempDirectory("graft-ingest-live").toString
+    def deliver(rows: Seq[(String, Array[Float], String, Seq[String])]): Unit =
+      df(rows).coalesce(1).write.mode("append").parquet(src)
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType, containsNull = true)),
+      StructField("content", StringType),
+      StructField("tags", ArrayType(StringType, containsNull = true))))
+    deliver(Seq(("s1", Array(1f, 0f), "first", Seq("live"))))
+    val q = store.insertStream(
+      spark.readStream.schema(schema).parquet(src),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      q.processAllAvailable()
+      assert(store.table().count() == 1)
+      // second LIVE delivery: the dim check + manifest upkeep must hold
+      // on a later micro-batch, not just the first
+      deliver(Seq(("s2", Array(0f, 1f), "second", Seq("later"))))
+      q.processAllAvailable()
+      assert(store.table().count() == 2)
+      val sets = store.manifest().select("tags").collect()
+        .map(_.getSeq[String](0).mkString(",")).toSet
+      assert(sets == Set("live", "later"), s"manifest out of sync: $sets")
+      assert(store.search(Seq(0f, 1f), tags = Seq("later"), k = 1)
+        .head().getAs[String]("content") == "second")
+    } finally q.stop()
+    store.clear()
+  }
+
   test("clear removes everything (src/db.rs:608-625)") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new VectorStore(spark, root)
