@@ -239,7 +239,16 @@ object SparkEntry {
             .cast("int").as("proj_le_norm"),
           (abs(col("pnorm2") + col("err2") - col("cnorm2"))
             <= greatest(col("cnorm2"), lit(1e-9)) * 0.001)
-            .cast("int").as("pythagoras_ok"))
+            .cast("int").as("pythagoras_ok"),
+          // data-dependent anchor the oracle can genuinely compute (the
+          // per-coordinate means are SQL-reproducible even though the
+          // eigenbasis is not): floor(centered-norm^2 * 1000). With
+          // pythagoras_ok tying pnorm2 + err2 to cnorm2, hash-matching
+          // cnorm2 pins the whole identity to the DATA, not just to
+          // internal consistency (VERDICT r2 next-step #7). Engines
+          // differ at ~1 ulp in the means; 1e-3 bucket spacing is ~11
+          // orders of magnitude above that.
+          floor(col("cnorm2") * 1000).cast("long").as("cnorm_mil"))
         .orderBy("vec_id")
     }),
 
@@ -763,12 +772,20 @@ object SparkEntry {
            |WHERE sim >= ${OracleSql.EmbDupThreshold} ORDER BY v1, v2""".stripMargin
       },
 
-      // sign-invariant integer PCA facts; genuinely computed Spark-side,
-      // constants by mathematical identity on the oracle side (the
-      // eigenbasis itself is not SQL-reproducible)
+      // sign-invariant integer PCA facts (identity-constants on this
+      // side because the eigenbasis is not SQL-reproducible) PLUS a
+      // data-dependent anchor: cnorm_mil recomputes the centered norm
+      // from DuckDB's own per-coordinate means — see the query comment
       "pca_project" ->
-        s"""SELECT vec_id, 8 AS k, 1 AS proj_le_norm, 1 AS pythagoras_ok
-           |FROM embeddings ORDER BY vec_id""".stripMargin,
+        s"""WITH mexp AS (
+           |  SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+           |  FROM embeddings, UNNEST(range(1, 65)) AS t(i) GROUP BY i
+           |), mv AS (SELECT list(m ORDER BY i) AS ms FROM mexp)
+           |SELECT e.vec_id, 8 AS k, 1 AS proj_le_norm, 1 AS pythagoras_ok,
+           |  CAST(floor(list_sum(list_transform(range(1, 65),
+           |    i -> (CAST(e.embedding[i] AS DOUBLE) - mv.ms[i])
+           |       * (CAST(e.embedding[i] AS DOUBLE) - mv.ms[i]))) * 1000) AS BIGINT) AS cnorm_mil
+           |FROM embeddings e, mv ORDER BY e.vec_id""".stripMargin,
 
       "text_stats" ->
         s"""WITH t AS (SELECT doc_id, text, lower(text) AS lt,
