@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Pca, SimilaritySearch, TextAnalysis, TopK}
+import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Pca, SimilaritySearch, TextAnalysis, TopK}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -293,6 +293,11 @@ object SparkEntry {
       registered(s)
       Dedup.embeddingNearDupsLsh(Tables.load(s, dir, "embeddings")).orderBy("v1", "v2")
     }),
+
+    // the composed curation job: language + quality filters + near-dup
+    // canonicalization in one plan (see Curation scaladoc for policy)
+    "pipeline_curate" -> ((s, dir) =>
+      Curation.curate(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
     // ---- text analysis suite (documents) ----
 
@@ -726,6 +731,44 @@ object SparkEntry {
            |)
            |SELECT u AS doc_id, CAST(min(l) AS BIGINT) AS component
            |FROM lab GROUP BY u ORDER BY doc_id""".stripMargin,
+
+      // composed curation: the dedup_clusters component chain + the
+      // text_quality/text_langid formulas, one canonical-copy policy
+      "pipeline_curate" ->
+        s"""WITH RECURSIVE ${OracleSql.shingleCte},
+           |${OracleSql.minhashCte},
+           |${OracleSql.lshCandidatesCte},
+           |${OracleSql.jaccardCte},
+           |p AS (SELECT j.d1, j.d2
+           |      FROM jac j JOIN (SELECT DISTINCT d1, d2 FROM cand) c
+           |        ON j.d1 = c.d1 AND j.d2 = c.d2
+           |      WHERE j.j >= ${OracleSql.JaccardThreshold}),
+           |e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p),
+           |n AS (SELECT DISTINCT u FROM e),
+           |lab(u, l) AS (
+           |  SELECT u, u FROM n
+           |  UNION
+           |  SELECT e.u, lab.l FROM e JOIN lab ON e.v = lab.u
+           |),
+           |comp AS (SELECT u AS doc_id, CAST(min(l) AS BIGINT) AS component
+           |         FROM lab GROUP BY u),
+           |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+           |c AS (SELECT doc_id,
+           |        CAST(len(ws) AS DOUBLE) AS n_tok,
+           |        CAST(len(list_distinct(ws)) AS DOUBLE) AS n_typ,
+           |        CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','in','to'))) AS DOUBLE) AS n_stop,
+           |        ${OracleSql.langIdSql(TextAnalysis.langMarkers)} AS pred_lang
+           |      FROM t),
+           |q AS (SELECT doc_id, pred_lang,
+           |        least(1.0, n_tok/100.0) * 0.4
+           |          + (CASE WHEN n_tok > 0 THEN n_typ/n_tok ELSE 0.0 END) * 0.4
+           |          + least(1.0, n_stop/5.0) * 0.2 AS quality
+           |      FROM c)
+           |SELECT q.doc_id, q.pred_lang, round(q.quality, 4) AS quality_r
+           |FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id
+           |WHERE q.pred_lang = 'en' AND q.quality >= 0.5
+           |  AND q.doc_id = coalesce(comp.component, q.doc_id)
+           |ORDER BY q.doc_id""".stripMargin,
 
       "text_vocab" ->
         s"""SELECT tok, count(*) AS n FROM (

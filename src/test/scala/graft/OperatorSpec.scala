@@ -165,6 +165,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(stars == unionFind)
   }
 
+  test("distributed star path on the REAL near-dup graph matches driver union-find") {
+    // the bench's dedup_clusters short-circuits to driver union-find at
+    // fixture scale; this pins the distributed path (the one that runs
+    // at 100 TB) to the same answer on the same real pair graph
+    val pairs = Dedup.minhashNearDups(Tables.load(spark, dir, "documents"))
+      .select("d1", "d2")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = toMap(Dedup.components(pairs, broadcastThreshold = 0L))
+    val viaLocal = toMap(Dedup.components(pairs))
+    assert(viaStars == viaLocal && viaLocal.nonEmpty)
+  }
+
+  test("curation pipeline: canonical copies only, all filters honored") {
+    import graft.operators.Curation
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = Curation.curate(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(kept.nonEmpty)
+    assert(kept.forall(_._2 == "en"))
+    assert(kept.forall(_._3 >= 0.5))
+    // no two surviving docs are near-dups of each other
+    val keptIds = kept.map(_._1).toSet
+    val pairs = Dedup.minhashNearDups(docs).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = pairs.filter(p => keptIds(p._1) && keptIds(p._2))
+    assert(survivors.isEmpty, s"near-dup pairs survived curation: ${survivors.toSeq}")
+    // lang=null relaxes the language predicate (the quality score's
+    // English-stopword term still dominates at this SF, so assert the
+    // superset relation, not multi-language survival)
+    val anyLang = Curation.curate(docs, lang = null, minQuality = 0.3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(anyLang.map(_._1).size >= keptIds.size)
+    assert(anyLang.map(_._2).size > 1, s"expected >1 language at quality 0.3: $anyLang")
+  }
+
   test("component round parallelism is derived from edge count, not a constant") {
     // the 100x-scale fix for r2's hard-coded coalesce(4): a fixture graph
     // iterates at the floor, a billion-edge graph at ~1000 partitions
