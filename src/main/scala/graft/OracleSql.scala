@@ -120,6 +120,21 @@ object OracleSql {
        |  FROM tok, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2
        |)""".stripMargin
 
+  /** DuckDB CTE producing (doc_id, code) distinct word n-gram codes —
+    * mirror of Dedup.ngramCodes (rolling hash fold(acc*131 + wcode)
+    * mod FingerprintP). */
+  def ngramCte(n: Int): String = {
+    val code = (0 until n).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * 131 + ${wcode(s"ws[i+$j]")}) % $FingerprintP)"
+    }
+    s"""tokn AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+       |), ngr AS (
+       |  SELECT DISTINCT doc_id, $code AS code
+       |  FROM tokn, UNNEST(range(1, len(ws) - ${n - 2})) AS u(i) WHERE len(ws) >= $n
+       |)""".stripMargin
+  }
+
   /** DuckDB CTE list producing the MinHash signature table `mh`
     * (doc_id, m0..m15) on top of `shing`. */
   def minhashCte: String = {

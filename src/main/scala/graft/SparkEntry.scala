@@ -299,6 +299,21 @@ object SparkEntry {
     "pipeline_curate" -> ((s, dir) =>
       Curation.curate(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
+    // eval-set leakage check: docs 0-4 stand in for the benchmark suite,
+    // the rest is the corpus (broadcast benchmark-shingle probe)
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.decontaminate(
+        docs.where(col("doc_id") >= 5), docs.where(col("doc_id") < 5))
+        .orderBy("doc_id")
+    }),
+
+    // training-mix construction: per-language token budget, selected in
+    // deterministic doc order (running-sum window per language)
+    "text_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(Tables.load(s, dir, "documents"))
+        .orderBy("lang", "doc_id")),
+
     // ---- text analysis suite (documents) ----
 
     "text_stats" -> ((s, dir) =>
@@ -769,6 +784,25 @@ object SparkEntry {
            |WHERE q.pred_lang = 'en' AND q.quality >= 0.5
            |  AND q.doc_id = coalesce(comp.component, q.doc_id)
            |ORDER BY q.doc_id""".stripMargin,
+
+      "decontaminate" ->
+        s"""WITH ${OracleSql.ngramCte(5)},
+           |bm AS (SELECT DISTINCT code FROM ngr WHERE doc_id < 5),
+           |corp AS (SELECT doc_id, code FROM ngr WHERE doc_id >= 5)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           |FROM corp JOIN bm USING (code)
+           |GROUP BY doc_id HAVING count(*) >= 1
+           |ORDER BY doc_id""".stripMargin,
+
+      "text_token_budget" ->
+        s"""WITH t AS (SELECT doc_id, lang,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (SELECT lang, doc_id,
+           |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+           |                   ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+           |SELECT lang, doc_id, CAST(cum AS BIGINT) AS cum_tokens
+           |FROM c WHERE cum <= 2000 ORDER BY lang, doc_id""".stripMargin,
 
       "text_vocab" ->
         s"""SELECT tok, count(*) AS n FROM (

@@ -66,6 +66,29 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, code) distinct word n-gram codes for arbitrary n: rolling
+    * hash fold(acc*131 + wcode) mod FingerprintP over each n-word window.
+    * Int64-safe on both engines (acc < P ~ 2^31, so acc*131 + 2^28 <
+    * 2^39 — far from checked-arithmetic overflow). The bigram
+    * [[shingles]] keep their positional packing (shared constants with
+    * the minhash/simhash oracle chain); this generalization serves the
+    * long-n-gram operators (decontamination needs 5+-grams — short
+    * n-grams flag stopword collisions, not leakage). */
+  def ngramCodes(docs: DataFrame, n: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, "graft: n-gram width must be >= 1")
+    val ws = tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => (0 until n).foldLeft(lit(0L): Column) { (acc, j) =>
+            (acc * 131L + wcode(element_at(col("ws"), i + lit(j)))) % FingerprintP
+          })).as("code"))
+      .distinct()
+  }
+
   /** Exact dedup: group by content hash, keep min id.
     * Reference-scope analogue: content.bin upsert dedup (SURVEY §1.3);
     * at scale: one hash-partitioned groupBy, no skew (hashes uniform). */

@@ -201,6 +201,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(anyLang.map(_._2).size > 1, s"expected >1 language at quality 0.3: $anyLang")
   }
 
+  test("decontamination flags every near-dup of a benchmark doc") {
+    import graft.operators.Curation
+    val docs = Tables.load(spark, dir, "documents")
+    val flagged = Curation.decontaminate(
+      docs.where(col("doc_id") >= 5), docs.where(col("doc_id") < 5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a jaccard near-dup (>= 70% shared shingles) of a benchmark doc is
+    // contamination by any standard; pairs are emitted d1 < d2 so the
+    // benchmark side (ids 0-4) is always d1
+    val expected = Dedup.exactNearDups(docs).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if a < 5 && b >= 5 => b }.toSet
+    assert(expected.subsetOf(flagged),
+      s"missed contamination: ${expected -- flagged}")
+  }
+
+  test("token-budget selection is a per-language prefix within budget") {
+    import graft.operators.Curation
+    val docs = Tables.load(spark, dir, "documents")
+    val sel = Curation.tokenBudget(docs, budgetPerLang = 2000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sel.nonEmpty)
+    assert(sel.forall(_._3 <= 2000L))
+    // per language: selected ids are exactly the first docs in id order
+    val allByLang = docs.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((langKey, rows) <- sel.groupBy(_._1)) {
+      val ids = rows.map(_._2).sorted
+      assert(allByLang(langKey).take(ids.length).sameElements(ids),
+        s"$langKey selection is not a prefix")
+    }
+  }
+
   test("component round parallelism is derived from edge count, not a constant") {
     // the 100x-scale fix for r2's hard-coded coalesce(4): a fixture graph
     // iterates at the floor, a billion-edge graph at ~1000 partitions
