@@ -53,16 +53,21 @@ object Dedup {
       ascii(substring(p, 4, 1)).cast("long")
   }
 
-  /** (doc_id, code) distinct word-bigram shingles. */
+  /** (doc_id, code) distinct word-bigram shingles. The per-word code
+    * array materializes ONCE per doc before the window transform — the
+    * windowed form would re-run wcode's string ops per overlapping
+    * window (the r1 HOF re-eval lesson; values are identical either
+    * way, so the oracle is unaffected). */
   def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ws = tokens(col(textCol))
     docs
       .select(col(idCol).as("doc_id"), ws.as("ws"))
       .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), transform(col("ws"), w => wcode(w)).as("wcs"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => wcode(element_at(col("ws"), i)) * 268435456L +
-            wcode(element_at(col("ws"), i + 1)))).as("code"))
+        explode(transform(sequence(lit(1), size(col("wcs")) - 1),
+          i => element_at(col("wcs"), i) * 268435456L +
+            element_at(col("wcs"), i + 1))).as("code"))
       .distinct()
   }
 
@@ -81,10 +86,12 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"), ws.as("ws"))
       .where(size(col("ws")) >= n)
+      // word codes materialize once per doc (see shingles)
+      .select(col("doc_id"), transform(col("ws"), w => wcode(w)).as("wcs"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+        explode(transform(sequence(lit(1), size(col("wcs")) - (n - 1)),
           i => (0 until n).foldLeft(lit(0L): Column) { (acc, j) =>
-            (acc * 131L + wcode(element_at(col("ws"), i + lit(j)))) % FingerprintP
+            (acc * 131L + element_at(col("wcs"), i + lit(j))) % FingerprintP
           })).as("code"))
       .distinct()
   }
