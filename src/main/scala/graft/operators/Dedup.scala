@@ -298,11 +298,12 @@ object Dedup {
    * whole graph costs in driver memory. Identical output either way.
    */
   def components(pairs: DataFrame, maxIter: Int = 50,
-                 broadcastThreshold: Long = 1000000L): DataFrame = {
+                 broadcastThreshold: Long = 1000000L,
+                 edgesPerPartition: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     val p = checkpointed(pairs.select(col("d1"), col("d2")))
     if (p.count() <= broadcastThreshold) return componentsLocal(spark, p)
-    componentsStars(p, maxIter)
+    componentsStars(p, maxIter, edgesPerPartition)
   }
 
   /** Per-round partition count for the iterative component algorithms:

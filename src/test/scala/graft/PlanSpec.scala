@@ -155,6 +155,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination probes a BROADCAST benchmark set with two-stage counting") {
+    // the benchmark n-gram set must broadcast (it is tiny next to the
+    // corpus) and the overlap count must partial-aggregate map-side —
+    // an Exchange of raw corpus n-grams would be a corpus-sized shuffle
+    val p = plan(SparkEntry.queries("decontaminate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("curation joins the dup graph back by BROADCAST (corpus never reshuffles)") {
+    val p = plan(SparkEntry.queries("pipeline_curate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join snuck in:\n" + p.take(3000))
+  }
+
   test("kernels run inside whole-stage codegen") {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
