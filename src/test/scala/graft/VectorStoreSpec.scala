@@ -355,6 +355,34 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("insertStream restart resumes from the checkpoint: committed batches never replay") {
+    import org.apache.spark.sql.types._
+    val store = freshStore()
+    val src = Files.createTempDirectory("graft-ingest-restart").toString
+    def deliver(rows: Seq[(String, Array[Float], String, Seq[String])]): Unit =
+      df(rows).coalesce(1).write.mode("append").parquet(src)
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType, containsNull = true)),
+      StructField("content", StringType),
+      StructField("tags", ArrayType(StringType, containsNull = true))))
+    def drain(): Unit = store.insertStream(
+      spark.readStream.schema(schema).parquet(src)).awaitTermination()
+    deliver(Seq(("r1", Array(1f, 0f), "one", Seq("t"))))
+    drain()
+    assert(store.table().count() == 1)
+    // restart over the SAME source: without the checkpoint the whole
+    // source would replay and duplicate-append (insert is not
+    // idempotent by id — ADVICE r2 #3)
+    drain()
+    assert(store.table().count() == 1, "restart replayed a committed batch")
+    // and new data after the restart still flows
+    deliver(Seq(("r2", Array(0f, 1f), "two", Seq("t"))))
+    drain()
+    assert(store.table().count() == 2)
+    store.clear()
+  }
+
   test("clear removes everything (src/db.rs:608-625)") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new VectorStore(spark, root)
