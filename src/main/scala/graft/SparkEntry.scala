@@ -195,6 +195,21 @@ object SparkEntry {
       SimilaritySearch.lshSearch(Tables.load(s, dir, "embeddings"), qid = 0L, k = 5, d = 64)
     }),
 
+    // batched ANN as a banded LSH JOIN — the scale path for query
+    // TABLES (knn_multiquery's broadcast brute force is right only for
+    // a handful of queries)
+    "ann_lsh_join" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.where(col("vec_id") >= 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilaritySearch.lshJoin(queries, corpus, k = 5, d = 64)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"))
+        .orderBy("qid", "rank")
+    }),
+
     // IVF coarse-quantized ANN (fixed codebook, nprobe=2)
     "ann_ivf" -> ((s, dir) => {
       registered(s)
@@ -691,6 +706,26 @@ object SparkEntry {
            |        AND b.vec_id <> 0)
            |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
            |FROM s ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+      },
+
+      "ann_lsh_join" -> {
+        val keys = (0 until OracleSql.EmbLshBands)
+          .map(b => s"${OracleSql.embBandKeySql("embedding", 64, b)} AS k$b")
+          .mkString(", ")
+        val bandJoins = (0 until OracleSql.EmbLshBands)
+          .map(b => s"SELECT a.qid, b.cid FROM qb a JOIN cb b ON a.k$b = b.k$b")
+          .mkString(" UNION ")
+        s"""WITH qb AS (SELECT vec_id AS qid, embedding AS qv, $keys
+           |            FROM embeddings WHERE vec_id < 8),
+           |cb AS (SELECT vec_id AS cid, embedding AS cv, $keys
+           |       FROM embeddings WHERE vec_id >= 8),
+           |cand AS ($bandJoins),
+           |s AS (SELECT c.qid, c.cid, ${OracleSql.cosine("cb.cv", "qb.qv")} AS sim
+           |      FROM cand c JOIN qb USING (qid) JOIN cb USING (cid)),
+           |r AS (SELECT qid, cid,
+           |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+           |      FROM s)
+           |SELECT qid, rank, cid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
       },
 
       "ann_ivf" ->

@@ -95,6 +95,43 @@ object SimilaritySearch {
       .select(col("rank"), col("vec_id"))
   }
 
+  /**
+   * Banded LSH similarity JOIN: per-query top-k over a query TABLE vs a
+   * corpus TABLE, with candidates from a (band, key) sign-LSH equi-join
+   * — the scale shape for batched ANN. `TopK.scoreAllPairs` (broadcast
+   * brute force) is right for a handful of queries; at millions of
+   * queries x billions of corpus rows the cross product is impossible,
+   * while this is bands x (|Q| + |C|) exploded rows through one
+   * hash-partitioned join, then per-query top-k via WindowGroupLimit.
+   * Same OR-of-ANDs recall curve as [[graft.operators.Dedup.embeddingNearDupsLsh]];
+   * pairs colliding in several bands dedup AFTER scoring (score is
+   * deterministic per pair, so distinct on the scored row is exact).
+   *
+   * queries: (qid, qvec); corpus: (cid, cvec). Returns (qid, rank, cid).
+   */
+  def lshJoin(queries: DataFrame, corpus: DataFrame, k: Int, d: Int,
+              bands: Int = graft.OracleSql.EmbLshBands,
+              rows: Int = graft.OracleSql.EmbLshRows): DataFrame = {
+    val allPlanes = planes(d, bands * rows)
+    def banded(df: DataFrame, vec: String, id: String): DataFrame = {
+      val bandCol = explode(array((0 until bands).map { b =>
+        val ps = allPlanes.slice(b * rows, (b + 1) * rows)
+        struct(lit(b).as("band"),
+          signBucketFromPlanes(col(vec), ps).as("key"))
+      }: _*))
+      df.select(col(id), col(vec), bandCol.as("bk"))
+        .select(col(id), col(vec),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val q = banded(queries, "qvec", "qid")
+    val c = banded(corpus, "cvec", "cid")
+    val scored = q.join(c, Seq("band", "key"))
+      .select(col("qid"), col("cid"),
+        cosine(col("cvec"), col("qvec")).as("sim"))
+      .distinct()
+    TopK.perQueryTopKWindow(scored, k)
+  }
+
   /** Driver-side euclidean, bit-identical to the EuclideanDistance
     * kernel (sequential f32->f64 fold + sqrt). */
   private def euclidOf(a: Seq[Float], b: Seq[Float]): Double = {
