@@ -201,6 +201,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(anyLang.map(_._2).size > 1, s"expected >1 language at quality 0.3: $anyLang")
   }
 
+  test("quality/langid filtering runs unchanged on a document STREAM (stateless projection)") {
+    // the per-document leg of curation is streaming-safe by
+    // construction (pure functions._ projections, no state); near-dup
+    // canonicalization stays a periodic batch compaction by nature
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("quality") >= 0.5 && col("pred_lang") === "en")
+      .select("doc_id", "pred_lang", "quality")
+    val expected = shape(TextAnalysis.stats(docs)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "documents.parquet"), tmp.resolve("d.parquet"))
+    val q = shape(TextAnalysis.stats(
+        spark.readStream.schema(docs.schema).parquet(tmp.toString)))
+      .writeStream.format("memory").queryName("graft_quality_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("graft_quality_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed == expected && streamed.nonEmpty)
+  }
+
   test("decontamination flags every near-dup of a benchmark doc") {
     import graft.operators.Curation
     val docs = Tables.load(spark, dir, "documents")
