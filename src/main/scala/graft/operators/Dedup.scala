@@ -367,11 +367,15 @@ object Dedup {
     val init0 = checkpointed(pairs.select(col("d1").as("u"), col("d2").as("v"))
       .where(col("u") =!= col("v")).distinct())
     val nParts = roundPartitions(init0.count(), edgesPerPartition)
-    // size each round's edge set: coalesce (no shuffle) when narrowing,
-    // repartition when the derived width exceeds what the shuffle gave us
+    // size each round's edge set: the round output comes from
+    // distinct/groupBy shuffles at the session shuffle width, so compare
+    // against THAT — coalesce (no shuffle) when narrowing, repartition
+    // when the derived width exceeds it. Deciding via e.rdd would
+    // materialize the round's shuffle stages under AQE just to read a
+    // partition count, running every round roughly twice.
+    val shuffleWidth = pairs.sparkSession.sessionState.conf.numShufflePartitions
     def sized(e: DataFrame): DataFrame =
-      if (e.rdd.getNumPartitions >= nParts) e.coalesce(nParts)
-      else e.repartition(nParts)
+      if (shuffleWidth >= nParts) e.coalesce(nParts) else e.repartition(nParts)
     val init = checkpointed(sized(init0))
     val nodes = checkpointed(
       init.select(col("u")).union(init.select(col("v"))).distinct())
@@ -396,14 +400,14 @@ object Dedup {
     }
 
     // (row count, order-independent checksum): equal fingerprints across
-    // a deterministic round mean an unchanged edge set (mod a ~2^-63
+    // a deterministic round mean an unchanged edge set (mod a vanishing
     // hash-collision chance; the star/union-find equivalence tests and
-    // the recursive-CTE oracle gate actual correctness). pmod keeps the
-    // per-row term < 2^31 so the sum stays far from int64 overflow even
-    // at billions of edges (ANSI mode would fault on wraparound).
+    // the recursive-CTE oracle gate actual correctness). pmod bounds the
+    // per-row term < ~2^20, so the checked int64 sum is safe to ~9e12
+    // edges — beyond any single pair graph this engine will see.
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
-        sum(pmod(xxhash64(col("u"), col("v")), lit(2147483647L)))).head()
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000003L)))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
@@ -436,8 +440,13 @@ object Dedup {
     val fwd = pairs.select(col("d1").as("u"), col("d2").as("v"))
     val edges = checkpointed(
       fwd.union(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
-    // iteration width derived from the edge count (see roundPartitions)
+    // iteration width derived from the edge count (see roundPartitions);
+    // coalesce can only narrow, so repartition when the derived width
+    // exceeds the shuffle width the groupBy produces
     val nParts = roundPartitions(edges.count(), edgesPerPartition)
+    val shuffleWidth = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    def sized(e: DataFrame): DataFrame =
+      if (shuffleWidth >= nParts) e.coalesce(nParts) else e.repartition(nParts)
     var labels = checkpointed(edges.select(col("u")).distinct()
       .withColumn("l", col("u")))
     var converged = false
@@ -445,9 +454,9 @@ object Dedup {
     while (!converged && i < maxIter) {
       val fromNbrs = edges.join(labels.select(col("u").as("v"), col("l")), Seq("v"))
         .select(col("u"), col("l"))
-      val next = checkpointed(labels.union(fromNbrs)
-        .groupBy("u").agg(min(col("l")).as("l"))
-        .coalesce(nParts))
+      val next = checkpointed(sized(
+        labels.union(fromNbrs)
+          .groupBy("u").agg(min(col("l")).as("l"))))
       val changed = next.select(col("u"), col("l").as("nl"))
         .join(labels, Seq("u"))
         .where(col("nl") =!= col("l"))
@@ -476,19 +485,14 @@ object Dedup {
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = EmbDupThreshold,
                            d: Int = 64): DataFrame = {
     import graft.functions.GraftFunctions.cosine
-    val allPlanes = graft.OracleSql.lshPlanes(d, EmbLshBands * EmbLshRows)
-    // one (band, key) row per vector per band; a single self-equi-join
-    // on (band, key) replaces per-band joins — one shuffle of
-    // bands x n rows, embeddings carried so verification needs no
-    // join-back against the corpus
-    val bandCol = explode(array((0 until EmbLshBands).map { b =>
-      val ps = allPlanes.slice(b * EmbLshRows, (b + 1) * EmbLshRows)
-      struct(lit(b).as("band"),
-        SimilaritySearch.signBucketFromPlanes(col("embedding"), ps).as("key"))
-    }: _*))
-    val keyed = emb.select(col("vec_id"), col("embedding"), bandCol.as("bk"))
-      .select(col("vec_id"), col("embedding"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    // one (band, key) row per vector per band (shared banding —
+    // SimilaritySearch.bandedKeys); a single self-equi-join on
+    // (band, key) replaces per-band joins — one shuffle of bands x n
+    // rows, embeddings carried so verification needs no join-back
+    // against the corpus
+    val keyed = SimilaritySearch.bandedKeys(
+      emb.select(col("vec_id"), col("embedding")), "embedding",
+      d, EmbLshBands, EmbLshRows)
     val l = keyed.select(col("vec_id").as("v1"), col("embedding").as("e1"),
       col("band"), col("key"))
     val r = keyed.select(col("vec_id").as("v2"), col("embedding").as("e2"),

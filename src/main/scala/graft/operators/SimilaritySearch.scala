@@ -53,6 +53,24 @@ object SimilaritySearch {
   def signBucket(vec: Column, d: Int, m: Int = graft.OracleSql.LshPlanes): Column =
     signBucketFromPlanes(vec, planes(d, m))
 
+  /** One (band, key) row per input row per band — key = the sign bits of
+    * planes [b*rows, (b+1)*rows). THE banding used by both the LSH
+    * similarity join and the embedding near-dup blocking
+    * ([[graft.operators.Dedup.embeddingNearDupsLsh]]); keep it single so
+    * the two paths can never diverge on key derivation. */
+  def bandedKeys(df: DataFrame, vecCol: String, d: Int,
+                 bands: Int, rows: Int): DataFrame = {
+    val allPlanes = planes(d, bands * rows)
+    val bandCol = explode(array((0 until bands).map { b =>
+      val ps = allPlanes.slice(b * rows, (b + 1) * rows)
+      struct(lit(b).as("band"), signBucketFromPlanes(col(vecCol), ps).as("key"))
+    }: _*))
+    df.withColumn("bk", bandCol)
+      .withColumn("band", col("bk.band"))
+      .withColumn("key", col("bk.key"))
+      .drop("bk")
+  }
+
   /** Driver-side mirror of [[signBucket]] (same sequential double fold,
     * so the bits agree with the distributed path and the oracle). */
   def signBucketOf(v: Seq[Float], d: Int, m: Int = graft.OracleSql.LshPlanes): Long =
@@ -112,19 +130,8 @@ object SimilaritySearch {
   def lshJoin(queries: DataFrame, corpus: DataFrame, k: Int, d: Int,
               bands: Int = graft.OracleSql.EmbLshBands,
               rows: Int = graft.OracleSql.EmbLshRows): DataFrame = {
-    val allPlanes = planes(d, bands * rows)
-    def banded(df: DataFrame, vec: String, id: String): DataFrame = {
-      val bandCol = explode(array((0 until bands).map { b =>
-        val ps = allPlanes.slice(b * rows, (b + 1) * rows)
-        struct(lit(b).as("band"),
-          signBucketFromPlanes(col(vec), ps).as("key"))
-      }: _*))
-      df.select(col(id), col(vec), bandCol.as("bk"))
-        .select(col(id), col(vec),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-    }
-    val q = banded(queries, "qvec", "qid")
-    val c = banded(corpus, "cvec", "cid")
+    val q = bandedKeys(queries.select(col("qid"), col("qvec")), "qvec", d, bands, rows)
+    val c = bandedKeys(corpus.select(col("cid"), col("cvec")), "cvec", d, bands, rows)
     val scored = q.join(c, Seq("band", "key"))
       .select(col("qid"), col("cid"),
         cosine(col("cvec"), col("qvec")).as("sim"))

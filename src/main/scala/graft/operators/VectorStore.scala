@@ -203,13 +203,20 @@ class VectorStore(spark: SparkSession, root: String) {
         .join(broadcast(ids), Seq("id"), "left_anti")
       val tmp = new org.apache.hadoop.fs.Path(s"$root/upsert_tmp")
       val bakRoot = new org.apache.hadoop.fs.Path(s"$root/upsert_bak")
+      // a leftover bak dir is a crashed upsert's RECOVERY COPY — possibly
+      // the only copy of a parked partition. Deleting or parking over it
+      // would destroy it; refuse until the operator recovers it.
+      require(!fs.exists(bakRoot),
+        s"graft: $bakRoot exists — a previous upsert crashed mid-swap;" +
+          " restore its partitions into the data dir (or remove it if" +
+          " already recovered) before upserting again")
       kept.write.mode(SaveMode.Overwrite).partitionBy("tag_key").parquet(tmp.toString)
       fs.mkdirs(bakRoot)
       for (key <- affected) {
         val dst = new org.apache.hadoop.fs.Path(s"$dataPath/tag_key=$key")
         val bak = new org.apache.hadoop.fs.Path(s"$bakRoot/tag_key=$key")
         val src = new org.apache.hadoop.fs.Path(s"$tmp/tag_key=$key")
-        fs.rename(dst, bak)
+        require(fs.rename(dst, bak), s"graft: parking rename $dst -> $bak failed")
         try {
           // a partition can vanish entirely if every row in it was overwritten
           if (fs.exists(src)) require(fs.rename(src, dst),
@@ -380,8 +387,13 @@ class VectorStore(spark: SparkSession, root: String) {
       .limit(k)
   }
 
-  /** Drop the store (reference clear, src/db.rs:608-625). */
-  def clear(): Unit = {
+  /** Drop the store (reference clear, src/db.rs:608-625). Takes the
+    * writer lock so an in-flight insert/upsert finishes (or this waits)
+    * before the root vanishes — deleting under a live writer would free
+    * its lock mid-write and re-admit the races the lock prevents. The
+    * root delete removes the held lock file with it, which is fine: we
+    * own it, and the finally-release becomes a no-op. */
+  def clear(): Unit = withWriterLock() {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     ()
   }
@@ -472,8 +484,13 @@ class VectorStore(spark: SparkSession, root: String) {
   // not in the index until the next build — searchAnn is approximate BY
   // CONTRACT, exact search stays available via search(). ----
 
-  private val codebookPath = s"$root/codebook.parquet"
   private val annPath = s"$root/ann"
+  // the codebook lives INSIDE the index dir (underscore-prefixed, so
+  // parquet data scans ignore it): index + codebook then commit in ONE
+  // directory rename and can never be observed out of sync — a separate
+  // codebook file would let a crash between the two writes pair a new
+  // index with an old codebook, silently probing the wrong lists
+  private val codebookPath = s"$annPath/_codebook.parquet"
 
   def hasAnnIndex: Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(codebookPath))
@@ -490,10 +507,11 @@ class VectorStore(spark: SparkSession, root: String) {
     table()
       .withColumn("cid", SimilaritySearch.nearestCentroid(col("vector"), codebook))
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(tmp.toString)
+    centroids.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$tmp/_codebook.parquet")
     val annP = new org.apache.hadoop.fs.Path(annPath)
     fs.delete(annP, true)
-    fs.rename(tmp, annP)
-    centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(codebookPath)
+    require(fs.rename(tmp, annP), s"graft: ANN index commit rename failed")
   }
 
   /** Approximate top-k over the ANN index: probe the `nprobe` nearest

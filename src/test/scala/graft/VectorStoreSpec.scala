@@ -283,6 +283,24 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("upsert refuses to run over a crashed upsert's recovery copy") {
+    val root = Files.createTempDirectory("graft-bak").toString
+    val store = new VectorStore(spark, root)
+    store.insert(df(Seq(("a", Array(1f, 0f), "x", Seq("t1")))))
+    // simulate a crashed upsert that parked a partition in upsert_bak
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/upsert_bak/tag_key=dead"))
+    val ex = intercept[IllegalArgumentException] {
+      store.upsert(df(Seq(("a", Array(0f, 1f), "y", Seq("t1")))))
+    }
+    assert(ex.getMessage.contains("upsert_bak"))
+    // recovery (here: removing the bak) unblocks the upsert
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$root/upsert_bak")).deleteRecursively()
+    store.upsert(df(Seq(("a", Array(0f, 1f), "y", Seq("t1")))))
+    assert(store.table().where(col("id") === "a").head().getAs[String]("content") == "y")
+    store.clear()
+  }
+
   test("upsert drops manifest entries for partitions it emptied (manifest mirrors store)") {
     val store = freshStore()
     store.insert(df(Seq(
