@@ -387,6 +387,25 @@ class VectorStore(spark: SparkSession, root: String) {
       .limit(k)
   }
 
+  /**
+   * Compact the store's data files: every append writes new parquet
+   * files, so a frequently-fed store accumulates tiny files per tag
+   * partition — at scale the scan cost becomes file-open-bound instead
+   * of byte-bound. Rewrites the store clustered by `tag_key` (one task's
+   * output per tag set -> one file per partition dir at fixture sizes;
+   * AQE splits genuinely large tag sets across tasks) via the same
+   * tmp+rename swap as projectAll. The manifest is untouched — tag sets
+   * don't change.
+   */
+  def compact(): Unit = withWriterLock() {
+    val rewritten = table().repartition(col("tag_key"))
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/data_compact_tmp")
+    rewritten.write.mode(SaveMode.Overwrite).partitionBy("tag_key").parquet(tmp.toString)
+    val dataP = new org.apache.hadoop.fs.Path(dataPath)
+    fs.delete(dataP, true)
+    require(fs.rename(tmp, dataP), "graft: compaction commit rename failed")
+  }
+
   /** Drop the store (reference clear, src/db.rs:608-625). Takes the
     * writer lock so an in-flight insert/upsert finishes (or this waits)
     * before the root vanishes — deleting under a live writer would free

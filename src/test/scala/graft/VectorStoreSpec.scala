@@ -401,6 +401,30 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("compact collapses append-accumulated small files without changing data") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val store = new VectorStore(spark, root)
+    for (i <- 0 until 5)
+      store.insert(df(Seq((s"v$i", Array(i.toFloat, 1f), s"c$i", Seq("t")))))
+    def partFiles(): Int = {
+      val dirs = new java.io.File(s"$root/data").listFiles()
+        .filter(_.getName.startsWith("tag_key="))
+      dirs.flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    }
+    val before = partFiles()
+    assert(before >= 5, s"expected >=5 appended files, got $before")
+    val rows = store.table().select("id", "content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    store.compact()
+    assert(partFiles() < before, "compaction did not reduce file count")
+    val after = store.table().select("id", "content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == rows)
+    assert(store.search(Seq(3f, 1f), tags = Seq("t"), k = 1)
+      .head().getAs[String]("content") == "c3")
+    store.clear()
+  }
+
   test("clear removes everything (src/db.rs:608-625)") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new VectorStore(spark, root)
