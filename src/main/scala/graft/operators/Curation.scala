@@ -95,4 +95,29 @@ object Curation {
       .where(col("cum_tokens") <= budgetPerLang)
       .select("lang", "doc_id", "cum_tokens")
   }
+
+  /**
+   * Sharded token-budget selection — the 100 TB form of [[tokenBudget]]:
+   * docs hash into `shards` buckets per language and each bucket takes
+   * an independent budget/shards prefix, so the window partitions by
+   * (lang, shard) — restoring parallelism that the low-cardinality
+   * `lang` key alone cannot give. Cut points are approximate by design
+   * (each shard stops within one doc of its sub-budget; total stays
+   * <= budgetPerLang); the exact single-window form is the verification
+   * baseline. Returns (lang, doc_id, n_tok).
+   */
+  def tokenBudgetSharded(docs: DataFrame, budgetPerLang: Long = 2000L,
+                         shards: Int = 16): DataFrame = {
+    require(shards >= 1 && budgetPerLang >= shards,
+      s"graft: budget $budgetPerLang cannot spread over $shards shards")
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("lang"), col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("shard", pmod(hash(col("doc_id")), lit(shards)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .where(col("cum") <= budgetPerLang / shards)
+      .select("lang", "doc_id", "n_tok")
+  }
 }

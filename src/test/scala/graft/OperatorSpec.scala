@@ -257,6 +257,13 @@ class OperatorSpec extends AnyFunSuite {
       assert(allByLang(langKey).take(ids.length).sameElements(ids),
         s"$langKey selection is not a prefix")
     }
+    // sharded form (the parallel 100 TB path): never exceeds the budget,
+    // and fills a comparable share of it on ample data
+    val sharded = Curation.tokenBudgetSharded(docs, budgetPerLang = 2000L, shards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val perLang = sharded.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(perLang.nonEmpty)
+    assert(perLang.values.forall(_ <= 2000L), s"shard budgets overflowed: $perLang")
   }
 
   test("component round parallelism is derived from edge count, not a constant") {

@@ -338,6 +338,13 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).toSet
     val recall = annIds.intersect(exactIds).size.toDouble / exactIds.size
     assert(recall >= 0.5, s"ANN recall too low: $recall")
+    // rebuild replaces the index atomically (codebook + partitions
+    // commit in one rename, so they can never pair out of sync)
+    store.buildAnnIndex(k = 4)
+    assert(store.hasAnnIndex)
+    val rebuilt = store.searchAnn(qv, k = 10, nprobe = 2)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(rebuilt.size == 10)
     store.clear()
   }
 
