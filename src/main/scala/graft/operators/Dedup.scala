@@ -318,6 +318,18 @@ object Dedup {
       Int.MaxValue.toLong).toInt
   }
 
+  /** Size an iteration's round output to `nParts`: the rounds' shuffles
+    * produce the session shuffle width, so coalesce (no extra shuffle)
+    * when narrowing and repartition when the derived width exceeds it —
+    * one policy shared by the star and hash-to-min iterations. Decided
+    * from conf, NOT from `e.rdd` (that materializes the round's shuffle
+    * stages under AQE just to read a partition count, running the round
+    * twice). */
+  private def sizedTo(e: DataFrame, nParts: Int): DataFrame = {
+    val width = e.sparkSession.sessionState.conf.numShufflePartitions
+    if (width >= nParts) e.coalesce(nParts) else e.repartition(nParts)
+  }
+
   /** Driver-side union-find for small pair lists. */
   private def componentsLocal(spark: org.apache.spark.sql.SparkSession,
                               pairs: DataFrame): DataFrame = {
@@ -367,16 +379,7 @@ object Dedup {
     val init0 = checkpointed(pairs.select(col("d1").as("u"), col("d2").as("v"))
       .where(col("u") =!= col("v")).distinct())
     val nParts = roundPartitions(init0.count(), edgesPerPartition)
-    // size each round's edge set: the round output comes from
-    // distinct/groupBy shuffles at the session shuffle width, so compare
-    // against THAT — coalesce (no shuffle) when narrowing, repartition
-    // when the derived width exceeds it. Deciding via e.rdd would
-    // materialize the round's shuffle stages under AQE just to read a
-    // partition count, running every round roughly twice.
-    val shuffleWidth = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    def sized(e: DataFrame): DataFrame =
-      if (shuffleWidth >= nParts) e.coalesce(nParts) else e.repartition(nParts)
-    val init = checkpointed(sized(init0))
+    val init = checkpointed(sizedTo(init0, nParts))
     val nodes = checkpointed(
       init.select(col("u")).union(init.select(col("v"))).distinct())
 
@@ -400,14 +403,17 @@ object Dedup {
     }
 
     // (row count, order-independent checksum): equal fingerprints across
-    // a deterministic round mean an unchanged edge set (mod a vanishing
-    // hash-collision chance; the star/union-find equivalence tests and
-    // the recursive-CTE oracle gate actual correctness). pmod bounds the
-    // per-row term < ~2^20, so the checked int64 sum is safe to ~9e12
-    // edges — beyond any single pair graph this engine will see.
+    // a deterministic round mean an unchanged edge set. bit_xor of the
+    // 64-bit row hashes is commutative, can NEVER overflow (no checked-
+    // arithmetic ceiling at any edge count — a modular SUM caps out
+    // around 4e9 edges under ANSI), and xor-cancellation needs duplicate
+    // rows, which the per-round distinct rules out: two DISTINCT edge
+    // sets collide with ~2^-64 probability, and the star/union-find
+    // equivalence tests plus the recursive-CTE oracle gate actual
+    // correctness.
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
-        sum(pmod(xxhash64(col("u"), col("v")), lit(1000003L)))).head()
+        expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
@@ -416,7 +422,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = checkpointed(sized(smallStar(largeStar(edges))))
+      val next = checkpointed(sizedTo(smallStar(largeStar(edges)), nParts))
       val nfp = fingerprint(next)
       converged = nfp == fp
       edges = next
@@ -440,13 +446,9 @@ object Dedup {
     val fwd = pairs.select(col("d1").as("u"), col("d2").as("v"))
     val edges = checkpointed(
       fwd.union(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
-    // iteration width derived from the edge count (see roundPartitions);
-    // coalesce can only narrow, so repartition when the derived width
-    // exceeds the shuffle width the groupBy produces
+    // iteration width derived from the edge count (see roundPartitions
+    // and sizedTo)
     val nParts = roundPartitions(edges.count(), edgesPerPartition)
-    val shuffleWidth = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    def sized(e: DataFrame): DataFrame =
-      if (shuffleWidth >= nParts) e.coalesce(nParts) else e.repartition(nParts)
     var labels = checkpointed(edges.select(col("u")).distinct()
       .withColumn("l", col("u")))
     var converged = false
@@ -454,9 +456,9 @@ object Dedup {
     while (!converged && i < maxIter) {
       val fromNbrs = edges.join(labels.select(col("u").as("v"), col("l")), Seq("v"))
         .select(col("u"), col("l"))
-      val next = checkpointed(sized(
+      val next = checkpointed(sizedTo(
         labels.union(fromNbrs)
-          .groupBy("u").agg(min(col("l")).as("l"))))
+          .groupBy("u").agg(min(col("l")).as("l")), nParts))
       val changed = next.select(col("u"), col("l").as("nl"))
         .join(labels, Seq("u"))
         .where(col("nl") =!= col("l"))

@@ -85,11 +85,25 @@ class VectorStore(spark: SparkSession, root: String) {
    * `quantize=true` stores the packed codec struct alongside (4x smaller
    * scan for quantized search at scale).
    */
+  /** A leftover bak dir is a crashed writer's RECOVERY COPY — possibly
+    * the only copy of parked data. ANY write over it (not just the same
+    * operation retried) could bury or destroy it, so every write path
+    * refuses until the operator restores or removes it. */
+  private def requireNoPendingRecovery(): Unit = {
+    val pending = Seq(s"$root/upsert_bak", s"$root/data_compact_bak")
+      .map(new org.apache.hadoop.fs.Path(_)).filter(fs.exists)
+    require(pending.isEmpty,
+      s"graft: ${pending.mkString(", ")} exists — a previous writer crashed" +
+        " mid-swap; restore its partitions into the data dir (or remove it" +
+        " if already recovered) before writing")
+  }
+
   def insert(df: DataFrame, quantize: Boolean = false): Unit =
     withWriterLock() { insertLocked(df, quantize) }
 
   /** Insert body — callers must hold the writer lock. */
   private def insertLocked(df: DataFrame, quantize: Boolean): Unit = {
+    requireNoPendingRecovery()
     val withId =
       if (df.columns.contains("id")) df
       else df.withColumn("id", expr("uuid()"))
@@ -178,6 +192,7 @@ class VectorStore(spark: SparkSession, root: String) {
   }
 
   private def upsertLocked(df: DataFrame, quantize: Boolean): Unit = {
+    requireNoPendingRecovery()
     // the store's layout wins over the flag: appending packed-less rows
     // to a quantized store would null the codec for the new rows, and
     // appending packed rows to an unquantized store would produce a
@@ -203,13 +218,6 @@ class VectorStore(spark: SparkSession, root: String) {
         .join(broadcast(ids), Seq("id"), "left_anti")
       val tmp = new org.apache.hadoop.fs.Path(s"$root/upsert_tmp")
       val bakRoot = new org.apache.hadoop.fs.Path(s"$root/upsert_bak")
-      // a leftover bak dir is a crashed upsert's RECOVERY COPY — possibly
-      // the only copy of a parked partition. Deleting or parking over it
-      // would destroy it; refuse until the operator recovers it.
-      require(!fs.exists(bakRoot),
-        s"graft: $bakRoot exists — a previous upsert crashed mid-swap;" +
-          " restore its partitions into the data dir (or remove it if" +
-          " already recovered) before upserting again")
       kept.write.mode(SaveMode.Overwrite).partitionBy("tag_key").parquet(tmp.toString)
       fs.mkdirs(bakRoot)
       for (key <- affected) {
@@ -392,18 +400,35 @@ class VectorStore(spark: SparkSession, root: String) {
    * files, so a frequently-fed store accumulates tiny files per tag
    * partition — at scale the scan cost becomes file-open-bound instead
    * of byte-bound. Rewrites the store clustered by `tag_key` (one task's
-   * output per tag set -> one file per partition dir at fixture sizes;
-   * AQE splits genuinely large tag sets across tasks) via the same
-   * tmp+rename swap as projectAll. The manifest is untouched — tag sets
-   * don't change.
+   * output per tag set -> one file per partition dir at fixture sizes).
+   * Clustering uses the REBALANCE hint, not repartition-by-column:
+   * repartition pins every row of a tag set to ONE task (AQE must
+   * preserve that semantic and will not split it), so one giant tag set
+   * would serialize the rewrite; REBALANCE lets AQE split skewed
+   * partitions because `partitionBy` on the write restores the
+   * directory layout regardless of task placement. Commit parks the old
+   * data dir aside (never delete-then-rename — a crash between the two
+   * would leave the ONLY copy in a tmp dir that nothing guards), swaps
+   * the rewrite in, then drops the parked copy; a crash mid-swap leaves
+   * `data_compact_bak`, which [[requireNoPendingRecovery]] surfaces on
+   * the next write. The manifest is untouched — tag sets don't change.
    */
   def compact(): Unit = withWriterLock() {
-    val rewritten = table().repartition(col("tag_key"))
+    requireNoPendingRecovery()
+    val rewritten = table().hint("rebalance", "tag_key")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/data_compact_tmp")
     rewritten.write.mode(SaveMode.Overwrite).partitionBy("tag_key").parquet(tmp.toString)
     val dataP = new org.apache.hadoop.fs.Path(dataPath)
-    fs.delete(dataP, true)
-    require(fs.rename(tmp, dataP), "graft: compaction commit rename failed")
+    val bak = new org.apache.hadoop.fs.Path(s"$root/data_compact_bak")
+    require(fs.rename(dataP, bak), "graft: compaction parking rename failed")
+    try {
+      require(fs.rename(tmp, dataP), "graft: compaction commit rename failed")
+      fs.delete(bak, true)
+    } catch {
+      case e: Throwable =>
+        if (!fs.exists(dataP)) fs.rename(bak, dataP)
+        throw e
+    }
   }
 
   /** Drop the store (reference clear, src/db.rs:608-625). Takes the
@@ -411,10 +436,13 @@ class VectorStore(spark: SparkSession, root: String) {
     * before the root vanishes — deleting under a live writer would free
     * its lock mid-write and re-admit the races the lock prevents. The
     * root delete removes the held lock file with it, which is fine: we
-    * own it, and the finally-release becomes a no-op. */
-  def clear(): Unit = withWriterLock() {
-    fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    ()
+    * own it, and the finally-release becomes a no-op. `force = true`
+    * skips the lock — the recovery path for a store whose writer
+    * crashed holding it (clear is destructive anyway; forcing while a
+    * writer is genuinely alive is on the caller). */
+  def clear(force: Boolean = false): Unit = {
+    def wipe(): Unit = { fs.delete(new org.apache.hadoop.fs.Path(root), true); () }
+    if (force) wipe() else withWriterLock()(wipe())
   }
 
   // ---- projected (PCA) mode: reference src/db.rs:233-241, 287-367 ----
@@ -450,6 +478,7 @@ class VectorStore(spark: SparkSession, root: String) {
    * (src/db.rs:320; divergence documented in SURVEY §2 #27).
    */
   def projectAll(k: Int): Unit = withWriterLock() {
+    requireNoPendingRecovery()
     require(!isProjected, "graft: store is already projected")
     val model = Pca.fit(table(), "vector", k)
     val proj = Pca.projector(spark, model, "graft_store_project")
@@ -519,6 +548,10 @@ class VectorStore(spark: SparkSession, root: String) {
     * is a broadcast-codebook expression — no shuffle) plus the k-means
     * fit passes. */
   def buildAnnIndex(k: Int, seed: Long = 42L): Unit = withWriterLock() {
+    requireNoPendingRecovery()
+    // pre-release layouts kept the codebook at the root; sweep it so a
+    // stale copy can't linger beside the committed in-dir one
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/codebook.parquet"), true)
     val centroids = SimilaritySearch.kmeansCentroids(
       table().select(col("vector").as("embedding")), k, seed)
     val codebook = SimilaritySearch.collectCodebook(centroids)

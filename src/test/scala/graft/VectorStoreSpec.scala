@@ -293,6 +293,13 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       store.upsert(df(Seq(("a", Array(0f, 1f), "y", Seq("t1")))))
     }
     assert(ex.getMessage.contains("upsert_bak"))
+    // plain insert refuses too: ANY write could bury the recovery copy
+    // (an upsert retry whose ids no longer survive computes an empty
+    // affected set and would otherwise sail straight into insert)
+    val ex2 = intercept[IllegalArgumentException] {
+      store.insert(df(Seq(("b", Array(1f, 1f), "z", Seq("t2")))))
+    }
+    assert(ex2.getMessage.contains("upsert_bak"))
     // recovery (here: removing the bak) unblocks the upsert
     import scala.reflect.io.Directory
     new Directory(new java.io.File(s"$root/upsert_bak")).deleteRecursively()
@@ -430,6 +437,16 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.search(Seq(3f, 1f), tags = Seq("t"), k = 1)
       .head().getAs[String]("content") == "c3")
     store.clear()
+  }
+
+  test("clear(force) resets a store whose writer crashed holding the lock") {
+    val root = Files.createTempDirectory("graft-stale-lock").toString
+    val store = new VectorStore(spark, root)
+    store.insert(df(Seq(("a", Array(1f, 2f), "x", Nil))))
+    // simulate a crashed writer: stale lock file, no owner
+    assert(new java.io.File(s"$root/_lock").createNewFile())
+    store.clear(force = true)
+    assert(!store.exists)
   }
 
   test("clear removes everything (src/db.rs:608-625)") {
