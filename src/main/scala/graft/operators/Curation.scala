@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
  *    alternative "promote the next dup" needs a second ranking pass).
  *
  * Scale shape: stats are a pure projection over the scan; the dedup leg
- * is the banded pipeline (no all-pairs anywhere); the final join is
- * dup-graph-sized (tiny vs corpus) and broadcast.
+ * is the banded pipeline (no all-pairs anywhere); the join back to the
+ * corpus broadcasts automatically when the dup graph is small and
+ * shuffle-joins on doc_id when it is not (see the comment in curate).
  */
 object Curation {
 
@@ -32,13 +33,18 @@ object Curation {
              lang: String = "en"): DataFrame = {
     val stats = TextAnalysis.stats(docs)
       .select(col("doc_id"), col("pred_lang"), col("quality"))
-    // (doc_id, component) for docs in near-dup groups only — minuscule
-    // next to the corpus, hence broadcast on the join back
+    // (doc_id, component) for docs in near-dup groups only. Join
+    // strategy is deliberately LEFT TO SPARK: when the graph fits the
+    // broadcast threshold (the union-find path returns a LocalRelation
+    // with exact stats) it broadcasts automatically; on a dup-heavy
+    // web corpus the dup graph is a large fraction of the corpus and a
+    // FORCED broadcast would OOM the executors — the shuffle hash join
+    // on doc_id is the correct shape there.
     val comp = Dedup.components(Dedup.minhashNearDups(docs))
     val langOk =
       if (lang == null) lit(true) else col("pred_lang") === lit(lang)
     stats
-      .join(broadcast(comp), Seq("doc_id"), "left")
+      .join(comp, Seq("doc_id"), "left")
       .withColumn("canonical", coalesce(col("component"), col("doc_id")))
       .where(langOk && col("quality") >= minQuality
         && col("doc_id") === col("canonical"))

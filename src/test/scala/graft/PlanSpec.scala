@@ -165,6 +165,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("curation joins the dup graph back by BROADCAST (corpus never reshuffles)") {
+    // stats-driven, not hinted: the small-graph (union-find) path yields
+    // a LocalRelation whose exact size triggers the broadcast; a forced
+    // hint would OOM on dup-heavy corpora where the graph is huge
     val p = plan(SparkEntry.queries("pipeline_curate")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join snuck in:\n" + p.take(3000))
