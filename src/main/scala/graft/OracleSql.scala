@@ -120,6 +120,17 @@ object OracleSql {
        |  FROM tok, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2
        |)""".stripMargin
 
+  /** DuckDB CTE producing (doc_id, code) word-bigram shingle
+    * OCCURRENCES (no DISTINCT — mirror of Dedup.shingleOccurrences,
+    * for repetition analysis). */
+  def shingleOccCte: String =
+    s"""tokO AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+       |), shocc AS (
+       |  SELECT doc_id, ${wcode("ws[i]")}*268435456 + ${wcode("ws[i+1]")} AS code
+       |  FROM tokO, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2
+       |)""".stripMargin
+
   /** DuckDB CTE producing (doc_id, code) distinct word n-gram codes —
     * mirror of Dedup.ngramCodes (rolling hash fold(acc*131 + wcode)
     * mod FingerprintP). */

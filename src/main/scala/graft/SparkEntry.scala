@@ -348,6 +348,23 @@ object SparkEntry {
       TextAnalysis.stats(Tables.load(s, dir, "documents"))
         .select("doc_id", "fp").orderBy("doc_id")),
 
+    // within-doc repetition stats (published pre-training quality rule:
+    // heavily repeated n-grams signal boilerplate) — one explode + two
+    // map-side-combined groupBys
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+
+    // relational pivot: per return flag, order counts by line status
+    "q_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"))
+        .orderBy("l_returnflag")),
+
     // corpus vocabulary: top-50 tokens (explode -> partial-agg count ->
     // TakeOrderedAndProject)
     "text_vocab" -> ((s, dir) =>
@@ -819,6 +836,26 @@ object SparkEntry {
            |WHERE q.pred_lang = 'en' AND q.quality >= 0.5
            |  AND q.doc_id = coalesce(comp.component, q.doc_id)
            |ORDER BY q.doc_id""".stripMargin,
+
+      "text_repetition" ->
+        s"""WITH ${OracleSql.shingleOccCte},
+           |freq AS (SELECT doc_id, code, count(*) AS c FROM shocc GROUP BY 1, 2),
+           |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM freq GROUP BY 1),
+           |d AS (SELECT doc_id,
+           |        CAST(len(ws) AS BIGINT) AS n_tok,
+           |        CAST(len(list_distinct(ws)) AS BIGINT) AS n_typ
+           |      FROM tokO)
+           |SELECT top.doc_id,
+           |  CAST(top_c * 10000 // total AS BIGINT) AS top_bigram_pm,
+           |  CAST((n_tok - n_typ) * 10000 // n_tok AS BIGINT) AS dup_token_pm
+           |FROM top JOIN d ON top.doc_id = d.doc_id
+           |ORDER BY top.doc_id""".stripMargin,
+
+      "q_pivot" ->
+        s"""SELECT l_returnflag,
+           |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+           |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "decontaminate" ->
         s"""WITH ${OracleSql.ngramCte(5)},

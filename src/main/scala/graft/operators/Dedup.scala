@@ -53,12 +53,14 @@ object Dedup {
       ascii(substring(p, 4, 1)).cast("long")
   }
 
-  /** (doc_id, code) distinct word-bigram shingles. The per-word code
-    * array materializes ONCE per doc before the window transform — the
-    * windowed form would re-run wcode's string ops per overlapping
-    * window (the r1 HOF re-eval lesson; values are identical either
-    * way, so the oracle is unaffected). */
-  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** (doc_id, code) word-bigram shingle OCCURRENCES (one row per
+    * position — repetition analysis needs the multiplicities). The
+    * per-word code array materializes ONCE per doc before the window
+    * transform — the windowed form would re-run wcode's string ops per
+    * overlapping window (the r1 HOF re-eval lesson; values are
+    * identical either way, so the oracle is unaffected). */
+  def shingleOccurrences(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
     val ws = tokens(col(textCol))
     docs
       .select(col(idCol).as("doc_id"), ws.as("ws"))
@@ -68,8 +70,12 @@ object Dedup {
         explode(transform(sequence(lit(1), size(col("wcs")) - 1),
           i => element_at(col("wcs"), i) * 268435456L +
             element_at(col("wcs"), i + 1))).as("code"))
-      .distinct()
   }
+
+  /** (doc_id, code) DISTINCT word-bigram shingles (set semantics — the
+    * minhash/jaccard/simhash input). */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleOccurrences(docs, idCol, textCol).distinct()
 
   /** (doc_id, code) distinct word n-gram codes for arbitrary n: rolling
     * hash fold(acc*131 + wcode) mod FingerprintP over each n-word window.

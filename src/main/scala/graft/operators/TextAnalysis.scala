@@ -80,6 +80,34 @@ object TextAnalysis {
          |  0L,
          |  (acc, c) -> (acc * 131 + c) % ${OracleSql.FingerprintP}L)""".stripMargin)
 
+  /**
+   * Within-document repetition stats (the classic published
+   * pre-training quality rule family: heavily repeated n-grams signal
+   * boilerplate/spam): per doc, the fraction of bigram positions taken
+   * by the single most frequent bigram, and the duplicate-token
+   * fraction (1 - types/tokens) — both as integer permyriads (x1e4,
+   * integer division — cross-engine exact).
+   *
+   * Plan shape: bigram occurrences explode once, then two partial-agg
+   * groupBys ((doc, code) counts -> per-doc max/total) — all map-side
+   * combinable, no windows, no self-joins; scales as one corpus pass.
+   */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val occ = Dedup.shingleOccurrences(docs, idCol, textCol)
+    val freq = occ.groupBy(col("doc_id"), col("code"))
+      .agg(count(lit(1)).as("c"))
+    val top = freq.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))
+    val dup = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_tok"),
+      typeCount(col(textCol)).cast("long").as("n_typ"))
+    top.join(dup, "doc_id")
+      .select(col("doc_id"),
+        expr("top_c * 10000 div total").as("top_bigram_pm"),
+        expr("(n_tok - n_typ) * 10000 div n_tok").as("dup_token_pm"))
+  }
+
   /** Full stats projection over a documents table. */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
