@@ -600,6 +600,22 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // approximate percentile — the 100 TB percentile path (the exact
+    // form in q_percentile fully sorts each group). Like
+    // q_approx_distinct, each engine checks ITS OWN sketch against its
+    // own exact value and the hashed column is the integer verdict.
+    "q_approx_percentile" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          expr("percentile_approx(o_totalprice, 0.5, 10000)").as("ap50"),
+          expr("percentile(o_totalprice, 0.5)").as("ex50"))
+        .select(col("o_orderstatus"), col("p50"),
+          (abs(col("ap50") - col("ex50")) / col("ex50") < 0.05)
+            .cast("int").as("approx_ok"))
+        .orderBy("o_orderstatus")),
+
     "q_histogram" -> ((s, dir) =>
       Tables.events(s, dir)
         .withColumn("bucket", floor(col("value") / 50.0).cast("int"))
@@ -1144,6 +1160,13 @@ object SparkEntry {
       "q_histogram" ->
         s"""SELECT CAST(floor(value / 50.0) AS INT) AS bucket, count(*) AS n
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_approx_percentile" ->
+        s"""SELECT o_orderstatus,
+           |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           |  CAST(abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+           |       / quantile_cont(o_totalprice, 0.5) < 0.05 AS INT) AS approx_ok
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // both engines run their own HLL; the hashed columns are the exact
       // count and the integer error-bound verdict (permille error < 50)

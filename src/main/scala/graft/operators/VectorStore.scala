@@ -142,11 +142,19 @@ class VectorStore(spark: SparkSession, root: String) {
   // distinct is itself a full column scan). ----
 
   private val manifestPath = s"$root/manifest.parquet"
+  private val manifestDeltaPath = s"$root/manifest_delta"
+  /** Fold deltas into the base once this many delta files accumulate —
+    * bounds the manifest read to base + a handful of tiny files. */
+  private val ManifestCompactThreshold = 16
 
   private def manifestExists: Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(manifestPath))
 
-  /** The (tag_key, tags, tags_csv) manifest; falls back to partition
+  private def manifestDeltaExists: Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(manifestDeltaPath))
+
+  /** The (tag_key, tags, tags_csv) manifest = base file + appended
+    * delta files (see [[updateManifest]]); falls back to partition
     * discovery + distinct for stores written before the manifest
     * existed. `tags_csv` = ",t1,t2," — a delimiter-wrapped rendering so
     * superset tests are string `contains` predicates, which Spark's
@@ -154,29 +162,51 @@ class VectorStore(spark: SparkSession, root: String) {
     * (`array_contains` is not in its isLikelySelective list). */
   def manifest(): DataFrame = {
     val base =
-      if (manifestExists) spark.read.parquet(manifestPath)
-      else table().select(col("tag_key"), col("tags")).distinct()
+      if (manifestExists) {
+        val b = spark.read.parquet(manifestPath)
+        if (manifestDeltaExists)
+          b.union(spark.read.parquet(manifestDeltaPath)).distinct()
+        else b
+      } else table().select(col("tag_key"), col("tags")).distinct()
     base.withColumn("tags_csv",
       concat(lit(","), concat_ws(",", col("tags")), lit(",")))
   }
 
-  /** Merge new distinct tag sets into the manifest (tiny: atomic
-    * tmp+rename rewrite). Seeding goes through [[manifest]], whose
-    * partition-discovery fallback bootstraps legacy (pre-manifest)
-    * stores — seeding from the batch alone would write a manifest that
-    * permanently hides every older partition from tag search. */
-  private def updateManifest(newSets: DataFrame): Unit =
-    writeManifest(manifest().select("tag_key", "tags").union(newSets).distinct())
+  /** Record a batch's distinct tag sets. The steady state APPENDS them
+    * as a delta file — O(batch), where a full rewrite is O(all distinct
+    * sets) per insert and becomes the insert bottleneck at millions of
+    * tag sets (SURVEY §9's "incremental manifest compaction" item).
+    * Deltas fold into the base opportunistically past
+    * [[ManifestCompactThreshold]] files. The FIRST write (or a legacy
+    * store) still seeds the full base via [[manifest]]'s
+    * partition-discovery fallback — seeding from the batch alone would
+    * permanently hide every older partition from tag search. */
+  private def updateManifest(newSets: DataFrame): Unit = {
+    if (!manifestExists) {
+      writeManifest(manifest().select("tag_key", "tags").union(newSets).distinct())
+    } else {
+      newSets.coalesce(1).write.mode(SaveMode.Append).parquet(manifestDeltaPath)
+      val nDelta = fs.listStatus(new org.apache.hadoop.fs.Path(manifestDeltaPath))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      if (nDelta >= ManifestCompactThreshold)
+        writeManifest(manifest().select("tag_key", "tags").distinct())
+    }
+  }
 
-  /** Replace the manifest with `sets` (tag_key, tags): written to a tmp
-    * dir first, then swapped in — the write materializes (and with it
-    * any read of the old manifest) before the old file is touched. */
+  /** Replace the FULL manifest state with `sets` (tag_key, tags):
+    * written to a tmp dir first, then swapped in — the write
+    * materializes (and with it any read of the old base + deltas)
+    * before the old file is touched. Deltas are superseded by a
+    * full-state write and dropped afterwards; a crash before the drop
+    * only leaves redundant delta rows that the union+distinct absorbs
+    * until the next fold. */
   private def writeManifest(sets: DataFrame): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$root/manifest_tmp.parquet")
     sets.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(manifestPath)
     fs.delete(dst, true)
     fs.rename(tmp, dst)
+    fs.delete(new org.apache.hadoop.fs.Path(manifestDeltaPath), true)
   }
 
   /**

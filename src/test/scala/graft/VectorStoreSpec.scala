@@ -221,6 +221,29 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     plain.clear()
   }
 
+  test("manifest deltas: inserts append O(batch) files; a full-state write folds them") {
+    val root = Files.createTempDirectory("graft-mdelta").toString
+    val store = new VectorStore(spark, root)
+    store.insert(df(Seq(("a", Array(1f, 0f), "x", Seq("t1"))))) // seeds base
+    store.insert(df(Seq(("b", Array(0f, 1f), "y", Seq("t2"))))) // delta
+    store.insert(df(Seq(("c", Array(1f, 1f), "z", Seq("t3"))))) // delta
+    val deltaDir = new java.io.File(s"$root/manifest_delta")
+    assert(deltaDir.exists, "later inserts should append manifest deltas, not rewrite the base")
+    def sets() = store.manifest().select("tags").collect()
+      .map(_.getSeq[String](0).mkString(",")).toSet
+    assert(sets() == Set("t1", "t2", "t3"))
+    // delta-recorded tag sets are searchable through both pruning paths
+    assert(store.search(Seq(1f, 1f), tags = Seq("t3"), k = 5).count() == 1)
+    assert(store.searchDpp(Seq(1f, 1f), tags = Seq("t3"), k = 5).count() == 1)
+    // a full-state write (upsert emptying t1) folds the old deltas into
+    // the base BEFORE its insert leg appends a fresh one — the pruned
+    // t1 entry must not resurface from a stale delta file
+    store.upsert(df(Seq(("a", Array(1f, 0f), "x2", Seq("t2")))))
+    assert(sets() == Set("t2", "t3"), s"pruned set resurfaced: ${sets()}")
+    assert(store.search(Seq(1f, 0f), tags = Seq("t1"), k = 5).count() == 0)
+    store.clear()
+  }
+
   test("legacy store without a manifest file: search falls back, next insert repairs without hiding old partitions") {
     val root = Files.createTempDirectory("graft-legacy").toString
     val store = new VectorStore(spark, root)
