@@ -110,15 +110,12 @@ object OracleSql {
     s"CAST(ascii(substr(rpad($w,4,' '),1,1))*2097152 + ascii(substr(rpad($w,4,' '),2,1))*16384" +
       s" + ascii(substr(rpad($w,4,' '),3,1))*128 + ascii(substr(rpad($w,4,' '),4,1)) AS BIGINT)"
 
-  /** DuckDB CTE producing (doc_id, code) word-bigram shingles from
-    * `documents` — mirror of Dedup.shingles. */
+  /** DuckDB CTE producing (doc_id, code) DISTINCT word-bigram shingles
+    * from `documents` — derived from [[shingleOccCte]] exactly like
+    * Dedup.shingles = shingleOccurrences.distinct(), so the occurrence
+    * and set forms can never diverge. */
   def shingleCte: String =
-    s"""tok AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
-       |), shing AS (
-       |  SELECT DISTINCT doc_id, ${wcode("ws[i]")}*268435456 + ${wcode("ws[i+1]")} AS code
-       |  FROM tok, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2
-       |)""".stripMargin
+    s"""$shingleOccCte, shing AS (SELECT DISTINCT doc_id, code FROM shocc)""".stripMargin
 
   /** DuckDB CTE producing (doc_id, code) word-bigram shingle
     * OCCURRENCES (no DISTINCT — mirror of Dedup.shingleOccurrences,

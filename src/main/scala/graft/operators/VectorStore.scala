@@ -153,6 +153,17 @@ class VectorStore(spark: SparkSession, root: String) {
   private def manifestDeltaExists: Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(manifestDeltaPath))
 
+  /** Explicit schema for delta reads: a crashed first append can leave
+    * a delta dir with no committed part files, and schema INFERENCE
+    * over it would fail every manifest read until manual cleanup; with
+    * the schema pinned, such debris reads as zero rows. */
+  private val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("tag_key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tags",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+
   /** The (tag_key, tags, tags_csv) manifest = base file + appended
     * delta files (see [[updateManifest]]); falls back to partition
     * discovery + distinct for stores written before the manifest
@@ -165,7 +176,8 @@ class VectorStore(spark: SparkSession, root: String) {
       if (manifestExists) {
         val b = spark.read.parquet(manifestPath)
         if (manifestDeltaExists)
-          b.union(spark.read.parquet(manifestDeltaPath)).distinct()
+          b.union(spark.read.schema(manifestSchema).parquet(manifestDeltaPath))
+            .distinct()
         else b
       } else table().select(col("tag_key"), col("tags")).distinct()
     base.withColumn("tags_csv",
@@ -188,8 +200,25 @@ class VectorStore(spark: SparkSession, root: String) {
       newSets.coalesce(1).write.mode(SaveMode.Append).parquet(manifestDeltaPath)
       val nDelta = fs.listStatus(new org.apache.hadoop.fs.Path(manifestDeltaPath))
         .count(_.getPath.getName.endsWith(".parquet"))
-      if (nDelta >= ManifestCompactThreshold)
-        writeManifest(manifest().select("tag_key", "tags").distinct())
+      if (nDelta >= ManifestCompactThreshold) {
+        // fold deltas into the base — reconciling DELTA-sourced keys
+        // against the store first: a crash between an upsert's base
+        // swap and its delta drop can leave stale delta rows for a
+        // pruned tag set (benign for results — both pruning paths
+        // degrade to empty scans — but they would otherwise fold into
+        // the base forever). Delta keys are O(threshold batches), so
+        // the per-key existence probe is driver-cheap.
+        val deltaKeys = spark.read.schema(manifestSchema)
+          .parquet(manifestDeltaPath).select("tag_key").distinct()
+          .collect().map(_.getString(0))
+        val dead = deltaKeys.filterNot(k =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dataPath/tag_key=$k")))
+        val folded = manifest().select("tag_key", "tags")
+        val reconciled =
+          if (dead.isEmpty) folded
+          else folded.where(!col("tag_key").isin(dead.toSeq: _*))
+        writeManifest(reconciled.distinct())
+      }
     }
   }
 
