@@ -348,6 +348,12 @@ object SparkEntry {
       TextAnalysis.stats(Tables.load(s, dir, "documents"))
         .select("doc_id", "fp").orderBy("doc_id")),
 
+    // document chunking for embedding pipelines: 64-token windows with
+    // 16-token overlap — one tokenize + one explode per doc
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // within-doc repetition stats (published pre-training quality rule:
     // heavily repeated n-grams signal boilerplate) — one explode + two
     // map-side-combined groupBys
@@ -852,6 +858,22 @@ object SparkEntry {
            |WHERE q.pred_lang = 'en' AND q.quality >= 0.5
            |  AND q.doc_id = coalesce(comp.component, q.doc_id)
            |ORDER BY q.doc_id""".stripMargin,
+
+      // 64-token chunks, 16-token overlap (step 48); DuckDB list_slice
+      // is inclusive-index while Spark slice is start+length, so end =
+      // start + 63 here — both clamp at the list end
+      "text_chunks" ->
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           |           FROM documents),
+           |c AS (
+           |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           |         array_to_string(list_slice(ws, k*48 + 1, k*48 + 64), ' ') AS chunk_text,
+           |         CAST(len(list_slice(ws, k*48 + 1, k*48 + 64)) AS INT) AS n_chunk_tokens
+           |  FROM t, UNNEST(range(0, (len(ws) - 1) // 48 + 1)) AS u(k)
+           |  WHERE len(ws) > 0
+           |)
+           |SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "text_repetition" ->
         s"""WITH ${OracleSql.shingleOccCte},

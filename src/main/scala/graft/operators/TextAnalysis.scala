@@ -108,6 +108,37 @@ object TextAnalysis {
         expr("(n_tok - n_typ) * 10000 div n_tok").as("dup_token_pm"))
   }
 
+  /**
+   * Split documents into fixed-size token chunks with overlap — the
+   * standard preprocessing between raw documents and an embedding
+   * store (models have finite token windows; the overlap preserves
+   * context across chunk boundaries). Emits (doc_id, chunk_idx,
+   * chunk_text, n_chunk_tokens); chunk starts step by
+   * chunkTokens - overlap.
+   *
+   * Plan shape: tokenize once per doc, one explode over the chunk
+   * starts — a pure corpus-pass projection, chunks/doc =
+   * ceil(max(n,1) / step); no windows, no joins, embarrassingly
+   * parallel at any corpus size.
+   */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"graft: need 0 <= overlap < chunkTokens (got $overlap, $chunkTokens)")
+    val step = chunkTokens - overlap
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), expr(s"(size(ws) - 1) div $step"))).as("k"))
+      .select(col("doc_id"),
+        col("k").cast("long").as("chunk_idx"),
+        array_join(slice(col("ws"), col("k") * step + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("ws"), col("k") * step + 1, lit(chunkTokens)))
+          .as("n_chunk_tokens"))
+  }
+
   /** Full stats projection over a documents table. */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(

@@ -317,6 +317,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("band"))
   }
 
+  test("banded simhash == all-pairs on random 62-bit signatures with planted near-pairs") {
+    // pigeonhole exactness must hold for ANY signature population, not
+    // just the fixtures: random signatures plus planted variants at
+    // 0-4 bit flips (straddling the radius-3 boundary)
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val base = Seq.fill(300)(rng.nextLong() & ((1L << 62) - 1))
+    val planted = base.take(60).map { s =>
+      var x = s
+      (0 until rng.nextInt(5)).foreach(_ => x ^= 1L << rng.nextInt(62))
+      x
+    }
+    val sigs = (base ++ planted).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "simhash")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = toSet(Dedup.simhashPairs(sigs))
+    val exact = toSet(Dedup.simhashPairsExact(sigs))
+    assert(banded == exact, s"missing ${exact -- banded}, extra ${banded -- exact}")
+    assert(exact.nonEmpty, "planted near-pairs should produce matches")
+  }
+
   test("banded simhash pairs == all-pairs simhash (pigeonhole exactness)") {
     val docs = Tables.load(spark, dir, "documents")
     val sig = Dedup.simhash(Dedup.shingles(docs))
