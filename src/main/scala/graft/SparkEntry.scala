@@ -861,7 +861,8 @@ object SparkEntry {
 
       // 64-token chunks, 16-token overlap (step 48); DuckDB list_slice
       // is inclusive-index while Spark slice is start+length, so end =
-      // start + 63 here — both clamp at the list end
+      // start + 63 here — both clamp at the list end. Chunk starts stop
+      // once a window reaches the doc end (mirrors TextAnalysis.chunk)
       "text_chunks" ->
         s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
            |           FROM documents),
@@ -869,7 +870,8 @@ object SparkEntry {
            |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
            |         array_to_string(list_slice(ws, k*48 + 1, k*48 + 64), ' ') AS chunk_text,
            |         CAST(len(list_slice(ws, k*48 + 1, k*48 + 64)) AS INT) AS n_chunk_tokens
-           |  FROM t, UNNEST(range(0, (len(ws) - 1) // 48 + 1)) AS u(k)
+           |  FROM t, UNNEST(range(0,
+           |         CASE WHEN len(ws) > 64 THEN (len(ws) - 64 + 47) // 48 ELSE 0 END + 1)) AS u(k)
            |  WHERE len(ws) > 0
            |)
            |SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens

@@ -117,20 +117,25 @@ object TextAnalysis {
    * chunkTokens - overlap.
    *
    * Plan shape: tokenize once per doc, one explode over the chunk
-   * starts — a pure corpus-pass projection, chunks/doc =
-   * ceil(max(n,1) / step); no windows, no joins, embarrassingly
-   * parallel at any corpus size.
+   * starts — a pure corpus-pass projection; no windows, no joins,
+   * embarrassingly parallel at any corpus size. Chunking STOPS once a
+   * window reaches the document end: the last start is the smallest k
+   * with k*step + chunkTokens >= n, so no chunk is a subset of its
+   * predecessor (naively iterating starts while start < n emits a
+   * duplicate tail whenever (n-1) mod step < overlap).
    */
   def chunk(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"graft: need 0 <= overlap < chunkTokens (got $overlap, $chunkTokens)")
     val step = chunkTokens - overlap
+    val kMax = when(size(col("ws")) > chunkTokens,
+      expr(s"(size(ws) - $chunkTokens + ${step - 1}) div $step")).otherwise(lit(0))
     docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
       .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0), expr(s"(size(ws) - 1) div $step"))).as("k"))
+        explode(sequence(lit(0), kMax)).as("k"))
       .select(col("doc_id"),
         col("k").cast("long").as("chunk_idx"),
         array_join(slice(col("ws"), col("k") * step + 1, lit(chunkTokens)), " ")

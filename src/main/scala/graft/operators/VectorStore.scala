@@ -33,8 +33,13 @@ class VectorStore(spark: SparkSession, root: String) {
   private val fs = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
-  /** Normalize tags exactly like the reference (sorted, distinct set). */
-  private def normTags(c: Column): Column = array_sort(array_distinct(c))
+  /** Normalize tags exactly like the reference (sorted, distinct set).
+    * A null tags cell normalizes to the EMPTY set: left as null it
+    * would produce a null tag_key (sha2 of null), land rows in the
+    * default Hive partition, and poison every negated isin over
+    * tag_key downstream with three-valued logic. */
+  private def normTags(c: Column): Column =
+    array_sort(array_distinct(coalesce(c, array().cast("array<string>"))))
 
   private def tagKey(c: Column): Column = sha2(to_json(normTags(c)), 256)
 
@@ -206,18 +211,22 @@ class VectorStore(spark: SparkSession, root: String) {
         // swap and its delta drop can leave stale delta rows for a
         // pruned tag set (benign for results — both pruning paths
         // degrade to empty scans — but they would otherwise fold into
-        // the base forever). Delta keys are O(threshold batches), so
-        // the per-key existence probe is driver-cheap.
-        val deltaKeys = spark.read.schema(manifestSchema)
-          .parquet(manifestDeltaPath).select("tag_key").distinct()
+        // the base forever). Existence comes from ONE dataPath listing
+        // (the same cost any partition discovery pays), never a
+        // per-key RPC; the delta dir is read once for both the probe
+        // and the fold.
+        val delta = spark.read.schema(manifestSchema).parquet(manifestDeltaPath)
+        val deltaKeys = delta.select("tag_key").distinct()
           .collect().map(_.getString(0))
-        val dead = deltaKeys.filterNot(k =>
-          fs.exists(new org.apache.hadoop.fs.Path(s"$dataPath/tag_key=$k")))
-        val folded = manifest().select("tag_key", "tags")
+        val existing = fs.listStatus(new org.apache.hadoop.fs.Path(dataPath))
+          .map(_.getPath.getName)
+          .filter(_.startsWith("tag_key=")).map(_.stripPrefix("tag_key=")).toSet
+        val dead = deltaKeys.filterNot(existing.contains)
+        val folded = spark.read.parquet(manifestPath).union(delta).distinct()
         val reconciled =
           if (dead.isEmpty) folded
           else folded.where(!col("tag_key").isin(dead.toSeq: _*))
-        writeManifest(reconciled.distinct())
+        writeManifest(reconciled)
       }
     }
   }

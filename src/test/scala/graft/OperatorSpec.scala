@@ -201,6 +201,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(anyLang.map(_._2).size > 1, s"expected >1 language at quality 0.3: $anyLang")
   }
 
+  test("chunking covers every token exactly; no chunk is a subset of its predecessor") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // doc lengths straddling the boundary cases: < window, == window,
+    // the old duplicate-tail regime ((n-1) mod step < overlap), and long
+    val docs = Seq(10, 50, 64, 65, 97, 100, 112, 113, 200, 500).zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"w$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(docs, chunkTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(" ").toVector))
+    for ((docId, byDoc) <- chunks.groupBy(_._1)) {
+      val ordered = byDoc.sortBy(_._2).map(_._3)
+      val n = docs.where(col("doc_id") === docId).head().getString(1).split(" ").length
+      // full coverage, in order, each successive chunk adds new tokens
+      assert(ordered.head.head == "w1" && ordered.last.last == s"w$n",
+        s"doc $docId: coverage gap")
+      for (pair <- ordered.sliding(2) if pair.length == 2) {
+        val (prev, cur) = (pair(0), pair(1))
+        assert(!prev.containsSlice(cur),
+          s"doc $docId: chunk is a subset of its predecessor")
+        assert(prev.takeRight(16) == cur.take(16) || cur.last == s"w$n",
+          s"doc $docId: overlap broken")
+      }
+    }
+  }
+
   test("quality/langid filtering runs unchanged on a document STREAM (stateless projection)") {
     // the per-document leg of curation is streaming-safe by
     // construction (pure functions._ projections, no state); near-dup

@@ -283,6 +283,20 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("null tags normalize to the empty tag set (no null tag_key ever written)") {
+    val store = freshStore()
+    store.insert(Seq(("n1", Array(1f, 0f), "nx"))
+      .toDF("id", "vector", "content")
+      .withColumn("vector", col("vector").cast("array<float>"))
+      .withColumn("tags", lit(null).cast("array<string>")))
+    // rows with null tags behave exactly like empty-tagged rows
+    assert(store.search(Seq(1f, 0f), k = 1).head().getAs[String]("content") == "nx")
+    assert(store.search(Seq(1f, 0f), tags = Seq("t"), k = 1).count() == 0)
+    val keys = store.manifest().select("tag_key").collect().map(_.getString(0))
+    assert(keys.length == 1 && keys.head != null, s"null tag_key written: ${keys.toSeq}")
+    store.clear()
+  }
+
   test("concurrent inserts serialize on the writer lock: no tag set lost") {
     // the manifest update is read-modify-write; without the lock one of
     // two simultaneous inserters could overwrite the other's tag set
