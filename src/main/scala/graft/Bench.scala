@@ -22,9 +22,13 @@ object Bench {
     // dedup_minhash / dedup_embedding_lsh ARE benched).
     val skip = Set("dedup_jaccard", "dedup_embedding")
     val suite = SparkEntry.queries.filter(q => !skip(q._1)).toSeq
+    // a broken query must be VISIBLE in the output, not silently folded
+    // into a (misleadingly faster) total as time-to-throw
+    val failures = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Seq[(String, Double)] = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failures += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // two in-JVM passes (VERDICT r2 next-step #10): the COLD pass pays
@@ -37,7 +41,8 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"queries":${js(cold)},"queries_warm":${js(warm)},"sf":"$sfDir"}""")
+    val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"failed":$failed,"queries":${js(cold)},"queries_warm":${js(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

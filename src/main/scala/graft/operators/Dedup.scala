@@ -35,10 +35,22 @@ object Dedup {
    * Without a checkpoint dir it falls back to `localCheckpoint` — the
    * right default on local[N] where executor loss means JVM death anyway
    * and the reliable path would just pay serialization for nothing.
+   *
+   * The reliable branch persists before checkpointing: the checkpoint
+   * write job RECOMPUTES an unpersisted RDD from scratch (doubling every
+   * round's shuffles — the exact cost this code avoids elsewhere); with
+   * the persist, the write reads the cached blocks, and the cache is
+   * dropped right after. Checkpoint files accumulate per round unless
+   * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — set it on
+   * long-lived sessions.
    */
   private def checkpointed(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cp = cached.checkpoint() // eager: materializes via the cache
+      cached.unpersist(blocking = false)
+      cp
+    } else df.localCheckpoint()
 
   /** Lowercased alnum tokens. */
   def tokens(text: Column): Column =

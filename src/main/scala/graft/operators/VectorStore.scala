@@ -25,7 +25,8 @@ import graft.functions.GraftFunctions
  * row-level `forall tags` filter path below stays correct and relies on
  * Parquet row-group stats instead.
  */
-class VectorStore(spark: SparkSession, root: String) {
+class VectorStore(spark: SparkSession, root: String,
+                  writerLockTimeoutMs: Long = 600000L) {
   GraftFunctions.register(spark)
   import GraftFunctions._
 
@@ -56,26 +57,48 @@ class VectorStore(spark: SparkSession, root: String) {
     * (Hadoop's RawLocalFileSystem create is check-then-act — racy);
     * other filesystems use create(overwrite=false), atomic on HDFS.
     * Object stores without atomic create should front this with an
-    * external lock service — documented, like every Hadoop committer. */
+    * external lock service — documented, like every Hadoop committer.
+    * Only exists-contention reads as "lock held": genuine I/O errors
+    * (permissions, dead namenode) propagate instead of masquerading as
+    * a busy writer for the whole timeout. A vanished root (concurrent
+    * clear) is recreated and retried. */
   private def tryLock(): Boolean =
     if ("file" == Option(lockFile.toUri.getScheme).getOrElse(fs.getScheme))
-      new java.io.File(lockFile.toUri.getPath).createNewFile()
+      try new java.io.File(lockFile.toUri.getPath).createNewFile()
+      catch {
+        case _: java.io.IOException => // parent vanished mid-spin
+          fs.mkdirs(new org.apache.hadoop.fs.Path(root)); false
+      }
     else
       try { fs.create(lockFile, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
 
-  /** Run `f` holding the store's writer lock: spin (100 ms) up to
-    * `timeoutMs`, then fail loudly naming the stale-lock recovery. NOT
-    * re-entrant — internal callers use the *Locked variants. */
-  private def withWriterLock[T](timeoutMs: Long = 60000L)(f: => T): T = {
+  /** Run `f` holding the store's writer lock: spin (100 ms) up to the
+    * store's `writerLockTimeoutMs` (default 10 min — writer jobs at
+    * scale run minutes; a short timeout would tempt operators into
+    * deleting a LIVE lock, re-admitting the races it prevents), then
+    * fail loudly with the lock's age so the operator can tell a slow
+    * writer from crash wreckage. NOT re-entrant — internal callers use
+    * the *Locked variants. */
+  private def withWriterLock[T](timeoutMs: Long = writerLockTimeoutMs)(f: => T): T = {
     fs.mkdirs(new org.apache.hadoop.fs.Path(root))
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!tryLock()) {
-      if (System.currentTimeMillis() > deadline)
+      if (System.currentTimeMillis() > deadline) {
+        val ageS = try {
+          (System.currentTimeMillis() - fs.getFileStatus(lockFile).getModificationTime) / 1000
+        } catch { case _: java.io.IOException => -1L }
         throw new IllegalStateException(
-          s"graft: writer lock $lockFile not acquired in ${timeoutMs} ms — " +
-            "another writer is active (writers serialize), or a crashed " +
-            "writer left a stale lock: delete the file to recover")
+          s"graft: writer lock $lockFile not acquired in ${timeoutMs} ms" +
+            s" (lock age ${ageS} s). A writer may still be running — raise" +
+            " writerLockTimeoutMs or wait; delete the lock file ONLY if" +
+            " its owner is known dead (crashed writer), else concurrent" +
+            " writes can lose tag sets. clear(force = true) resets a" +
+            " wedged store.")
+      }
       Thread.sleep(100)
     }
     try f finally fs.delete(lockFile, false)
@@ -109,6 +132,16 @@ class VectorStore(spark: SparkSession, root: String) {
   /** Insert body — callers must hold the writer lock. */
   private def insertLocked(df: DataFrame, quantize: Boolean): Unit = {
     requireNoPendingRecovery()
+    writeBatch(prepareBatch(df), quantize)
+  }
+
+  /** Validate + transform an incoming batch WITHOUT writing: id
+    * assignment, dimension checks, projected-mode transform, tag
+    * normalization/partition key. Split from [[writeBatch]] so upsert
+    * can validate BEFORE its destructive partition swap — validating
+    * inside the trailing insert (as round 3 first did) meant an invalid
+    * batch aborted after the old row versions were already deleted. */
+  private def prepareBatch(df: DataFrame): DataFrame = {
     val withId =
       if (df.columns.contains("id")) df
       else df.withColumn("id", expr("uuid()"))
@@ -132,10 +165,14 @@ class VectorStore(spark: SparkSession, root: String) {
       }
       withId
     }
-    val out0 = transformed
+    transformed
       .withColumn("tags", normTags(col("tags")))
       .withColumn("tag_key", tagKey(col("tags")))
-    val out = if (quantize) out0.withColumn("packed", pack(col("vector"))) else out0
+  }
+
+  /** Append a [[prepareBatch]]-validated frame and record its tag sets. */
+  private def writeBatch(prepared: DataFrame, quantize: Boolean): Unit = {
+    val out = if (quantize) prepared.withColumn("packed", pack(col("vector"))) else prepared
     out.write.mode(SaveMode.Append).partitionBy("tag_key").parquet(dataPath)
     updateManifest(out.select(col("tag_key"), col("tags")).distinct())
   }
@@ -269,6 +306,11 @@ class VectorStore(spark: SparkSession, root: String) {
     require(!quantize || hasPacked,
       "graft: store is not quantized — rewrite it (insert with quantize=true into a fresh store) instead of quantize-upserting")
     val q = hasPacked
+    // validate + transform the incoming batch BEFORE the destructive
+    // swap: a dimension-mismatched batch must fail while the old row
+    // versions still exist (validating in the trailing write, as this
+    // round first did, lost them)
+    val prepared = prepareBatch(df)
     val ids = df.select(col("id")).distinct()
     val affected = table().join(broadcast(ids), Seq("id"), "left_semi")
       .select("tag_key").distinct().collect().map(_.getString(0))
@@ -318,8 +360,13 @@ class VectorStore(spark: SparkSession, root: String) {
           .where(!col("tag_key").isin(vanished.toSeq: _*))
         writeManifest(pruned)
       }
+      // the ANN index (if any) still holds the OVERWRITTEN row versions;
+      // serving them would break last-write-wins for searchAnn readers —
+      // stale-by-missing-new-rows is the documented contract, resurrected
+      // old content is not. Invalidate; the owner rebuilds explicitly.
+      fs.delete(new org.apache.hadoop.fs.Path(annPath), true)
     }
-    insertLocked(df, q)
+    writeBatch(prepared, q)
   }
 
   /**
@@ -480,6 +527,10 @@ class VectorStore(spark: SparkSession, root: String) {
    * the rewrite in, then drops the parked copy; a crash mid-swap leaves
    * `data_compact_bak`, which [[requireNoPendingRecovery]] surfaces on
    * the next write. The manifest is untouched — tag sets don't change.
+   * Reader caveat (shared with projectAll): the whole-directory swap has
+   * a brief window with no data dir — compaction is an offline
+   * maintenance operation, not safe under live readers (the writer lock
+   * serializes writers only).
    */
   def compact(): Unit = withWriterLock() {
     requireNoPendingRecovery()

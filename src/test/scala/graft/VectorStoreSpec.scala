@@ -320,6 +320,23 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("an invalid upsert batch fails BEFORE the swap: overwritten rows survive") {
+    val store = freshStore()
+    store.insert(df(Seq(("a", Array(1f, 0f), "keep-me", Seq("t1")))))
+    // dimension-mismatched batch targeting an existing id: must abort
+    // while the old row still exists (validating after the swap, as
+    // this round first did, deleted it first)
+    intercept[IllegalArgumentException] {
+      store.upsert(df(Seq(("a", Array(1f, 0f, 9f), "bad", Seq("t1")))))
+    }
+    val rows = store.table().select("id", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("a" -> "keep-me"), s"upsert destroyed rows: $rows")
+    assert(store.search(Seq(1f, 0f), tags = Seq("t1"), k = 1)
+      .head().getAs[String]("content") == "keep-me")
+    store.clear()
+  }
+
   test("upsert refuses to run over a crashed upsert's recovery copy") {
     val root = Files.createTempDirectory("graft-bak").toString
     val store = new VectorStore(spark, root)
