@@ -252,7 +252,8 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b", Array(0f, 1f), "y", Seq("t2")))))
     // simulate a pre-manifest store
     import scala.reflect.io.Directory
-    new Directory(new java.io.File(s"$root/manifest.parquet")).deleteRecursively()
+    new Directory(new java.io.File(s"$root/manifest")).deleteRecursively()
+    new Directory(new java.io.File(s"$root/manifest_delta")).deleteRecursively()
     // fallback: partition discovery still answers tag search
     assert(store.search(Seq(1f, 0f), tags = Seq("t1"), k = 5).count() == 1)
     // the next insert rebuilds the manifest WITHOUT hiding old tag sets
@@ -337,28 +338,66 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
-  test("upsert refuses to run over a crashed upsert's recovery copy") {
-    val root = Files.createTempDirectory("graft-bak").toString
+  test("a crashed rewrite's debris is invisible: readers stay on the committed snapshot, the next writer proceeds") {
+    val root = Files.createTempDirectory("graft-crash").toString
     val store = new VectorStore(spark, root)
-    store.insert(df(Seq(("a", Array(1f, 0f), "x", Seq("t1")))))
-    // simulate a crashed upsert that parked a partition in upsert_bak
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/upsert_bak/tag_key=dead"))
-    val ex = intercept[IllegalArgumentException] {
-      store.upsert(df(Seq(("a", Array(0f, 1f), "y", Seq("t1")))))
+    store.insert(df(Seq(("a", Array(1f, 0f), "v1", Seq("t1")))))
+    val key = store.manifest().select("tag_key").head().getString(0)
+    // simulate a writer that crashed after staging but before the
+    // manifest commit: an orphan (possibly partial) gen dir plus
+    // leftover staging dirs — nothing references them
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/data/tag_key=$key/gen=99"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/upsert_tmp"))
+    assert(store.search(Seq(1f, 0f), k = 1).head().getAs[String]("content") == "v1")
+    // the next upsert commits cleanly past the debris
+    store.upsert(df(Seq(("a", Array(1f, 0f), "v2", Seq("t1")))))
+    assert(store.search(Seq(1f, 0f), k = 1).head().getAs[String]("content") == "v2")
+    assert(store.table().count() == 1)
+    // vacuum reclaims the orphan gen, the superseded gen, and the tmp
+    store.vacuum(0L)
+    val gens = new java.io.File(s"$root/data/tag_key=$key").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).toSet
+    assert(!gens.contains("gen=99") && !gens.contains("gen=0"), s"vacuum left $gens")
+    assert(!new java.io.File(s"$root/upsert_tmp").exists)
+    assert(store.search(Seq(1f, 0f), k = 1).head().getAs[String]("content") == "v2")
+    store.clear()
+  }
+
+  test("search stays fully answerable while compact commits (reader-safe generation swap)") {
+    // VERDICT r3 next #1's done-criterion: a reader concurrent with
+    // compaction must never observe a missing or partial data dir —
+    // the old generation stays on disk until vacuum, the new one
+    // becomes visible in a single manifest-version rename.
+    import java.util.concurrent.atomic.AtomicBoolean
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val store = freshStore()
+    val rows = (0 until 60).map(i =>
+      (s"v$i", Array(i.toFloat, (60 - i).toFloat), s"c$i",
+        Seq(if (i % 2 == 0) "even" else "odd")))
+    rows.grouped(20).foreach(g => store.insert(df(g)))
+    val stop = new AtomicBoolean(false)
+    val reader = Future {
+      var n = 0
+      while (!stop.get) {
+        assert(store.search(Seq(1f, 59f), k = 5).count() == 5)
+        assert(store.search(Seq(1f, 59f), tags = Seq("even"), k = 3).count() == 3)
+        n += 1
+      }
+      n
     }
-    assert(ex.getMessage.contains("upsert_bak"))
-    // plain insert refuses too: ANY write could bury the recovery copy
-    // (an upsert retry whose ids no longer survive computes an empty
-    // affected set and would otherwise sail straight into insert)
-    val ex2 = intercept[IllegalArgumentException] {
-      store.insert(df(Seq(("b", Array(1f, 1f), "z", Seq("t2")))))
-    }
-    assert(ex2.getMessage.contains("upsert_bak"))
-    // recovery (here: removing the bak) unblocks the upsert
-    import scala.reflect.io.Directory
-    new Directory(new java.io.File(s"$root/upsert_bak")).deleteRecursively()
-    store.upsert(df(Seq(("a", Array(0f, 1f), "y", Seq("t1")))))
-    assert(store.table().where(col("id") === "a").head().getAs[String]("content") == "y")
+    try {
+      store.compact()
+      store.compact() // a second cycle while the reader still spins
+    } finally stop.set(true)
+    assert(Await.result(reader, 300.seconds) > 0, "reader never completed a pass")
+    // data identical after both commits + vacuum
+    store.vacuum(0L)
+    val after = store.table().select("id", "content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == rows.map(r => (r._1, r._3)).toSet)
     store.clear()
   }
 
@@ -475,15 +514,16 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (i <- 0 until 5)
       store.insert(df(Seq((s"v$i", Array(i.toFloat, 1f), s"c$i", Seq("t")))))
     def partFiles(): Int = {
-      val dirs = new java.io.File(s"$root/data").listFiles()
-        .filter(_.getName.startsWith("tag_key="))
-      dirs.flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/data")).count(_.getName.endsWith(".parquet"))
     }
     val before = partFiles()
     assert(before >= 5, s"expected >=5 appended files, got $before")
     val rows = store.table().select("id", "content").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     store.compact()
+    store.vacuum(0L) // superseded generations linger for readers until vacuumed
     assert(partFiles() < before, "compaction did not reduce file count")
     val after = store.table().select("id", "content").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
