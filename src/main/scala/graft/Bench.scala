@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The sf1 headline suite: scale-representative queries across the
+    * relational / events / vector / dedup / curation groups. A subset —
+    * the full suite at 10x data would push the per-round bench past its
+    * usefulness as a feedback loop; these are the queries whose plans
+    * change character with volume (shuffling aggs, windows, banded
+    * joins, the distributed component iteration). */
+  private val sf1Suite = Seq(
+    "q1_agg", "q3_top_revenue", "q_window_rank", "q_salted_agg",
+    "ev_hourly", "ev_sessions", "ev_asof",
+    "knn_topk", "knn_multiquery_heap", "ann_lsh_join",
+    "dedup_exact", "dedup_minhash", "dedup_clusters_stars",
+    "text_stats", "text_token_budget_sharded", "pipeline_curate")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,7 +28,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT + codegen + parquet footer caches, untimed
     try SparkEntry.queries.get("knn_topk").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // dedup_jaccard / dedup_embedding are the O(n^2) exact-verification
     // baselines for the MinHash / banded-LSH paths; they are
     // correctness-gated in Verify, not production operators, so they are
@@ -25,24 +39,42 @@ object Bench {
     // a broken query must be VISIBLE in the output, not silently folded
     // into a (misleadingly faster) total as time-to-throw
     val failures = scala.collection.mutable.LinkedHashSet[String]()
-    def pass(): Seq[(String, Double)] = suite.map { case (name, fn) =>
+    def run(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+            dir: String): Seq[(String, Double)] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failures += name }
+      // NonFatal only (VERDICT r3 What's-wrong #4): an OOM or JVM error
+      // must ABORT the run — recording it as a per-query failure would
+      // march a poisoned JVM through the rest of the suite and publish
+      // totals from it
+      try { fn(spark, dir).count() }
+      catch { case scala.util.control.NonFatal(_) => failures += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // two in-JVM passes (VERDICT r2 next-step #10): the COLD pass pays
     // first-touch codegen/JIT/footer caches and is the protocol number
     // BASELINE.md anchors on; the WARM pass is the honest steady-state
     // figure for a long-lived session.
-    val cold = pass()
-    val warm = pass()
+    val cold = run(suite, sfDir)
+    val warm = run(suite, sfDir)
+    // scale-validation pass (VERDICT r3 next #3): a 10x dataset derived
+    // from the protocol dir by keyed replication (ScaleUp), run over the
+    // sf1 headline suite. Opt out with SPARK_GRAFT_SKIP_SF1=1; only
+    // triggered when benching the protocol sf0.1 dir so ad-hoc sf0.01
+    // iteration stays fast.
+    val sf1 =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1") || !sfDir.endsWith("sf0.1")) Nil
+      else {
+        val dir = ScaleUp.ensure(spark, sfDir,
+          sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
+        run(sf1Suite.flatMap(n => SparkEntry.queries.get(n).map(n -> _)), dir)
+      }
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    val sf1Total = sf1.map(_._2).sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"failed":$failed,"queries":${js(cold)},"queries_warm":${js(warm)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"sf1_total":$sf1Total,"failed":$failed,"queries":${js(cold)},"queries_warm":${js(warm)},"queries_sf1":${js(sf1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -104,6 +104,19 @@ object OracleSql {
   val EmbLshBands = 4
   val EmbLshRows = 4
 
+  /** Shard hash for the sharded token-budget selection: a multiplicative
+    * hash both engines compute with identical CHECKED int64 arithmetic
+    * (Spark's `hash()` is murmur3 — not SQL-reproducible in DuckDB).
+    * Reducing the id mod P first bounds the product at (P-1)*A < 2^52,
+    * overflow-free under ANSI on both sides at any id. */
+  val ShardP: Long = 1000003L
+  val ShardA: Long = 2654435761L
+
+  /** DuckDB fragment: the shard of an id column, mirror of
+    * Curation.tokenBudgetSharded's shard expression. */
+  def shardSql(idCol: String, shards: Int): String =
+    s"((($idCol % $ShardP) * $ShardA) % $ShardP) % $shards"
+
   /** word code: first 4 chars packed base-128 (ASCII-safe; text fixtures
     * are lowercase ASCII). Emits DuckDB SQL for a word expression. */
   def wcode(w: String): String =

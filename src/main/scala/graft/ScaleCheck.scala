@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale validation for the distributed component branch (VERDICT r3
+ * next #3): at the derived sf1 scale (ScaleUp replication — every doc
+ * becomes a 10-clique of exact near-dups, so the pair graph is ~500x
+ * the sf0.1 one), `dedup_clusters_stars` (large-star/small-star
+ * iteration, short-circuit disabled) must produce EXACTLY the rows of
+ * `dedup_clusters` (driver union-find at this graph size). Equality is
+ * checked with one order-independent (count, bit_xor of row hashes)
+ * fingerprint per side — the same gate the driver's hash compare
+ * applies, minus DuckDB (the recursive CTE oracle at this pair count
+ * is not a tractable single query; the sf0.01 CORRECTNESS row pins
+ * both branches to DuckDB ground truth).
+ *
+ * Prints one JSON line; exits nonzero on mismatch.
+ */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = ScaleUp.ensure(spark, srcDir,
+      sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
+    def fp(name: String): (Long, Long) = {
+      val r = SparkEntry.queries(name)(spark, dir)
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, component))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val t0 = System.nanoTime()
+    val uf = fp("dedup_clusters")
+    val t1 = System.nanoTime()
+    val stars = fp("dedup_clusters_stars")
+    val t2 = System.nanoTime()
+    val ok = uf == stars && uf._1 > 0
+    println(s"""{"check":"sf1_components","rows":${uf._1},"match":$ok,"union_find_sec":${(t1 - t0) / 1e9},"stars_sec":${(t2 - t1) / 1e9},"dir":"$dir"}""")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

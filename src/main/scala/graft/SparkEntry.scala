@@ -288,6 +288,15 @@ object SparkEntry {
       Dedup.components(Dedup.minhashNearDups(Tables.load(s, dir, "documents")))
         .orderBy("doc_id")),
 
+    // same result through the DISTRIBUTED large-star/small-star branch
+    // (broadcastThreshold = 0 disables the union-find short-circuit):
+    // the 100 TB path gets its own hash-green row and bench entry
+    // instead of living only in a test smoke (VERDICT r3 next #3)
+    "dedup_clusters_stars" -> ((s, dir) =>
+      Dedup.components(Dedup.minhashNearDups(Tables.load(s, dir, "documents")),
+          broadcastThreshold = 0L)
+        .orderBy("doc_id")),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Dedup.shingles(Tables.load(s, dir, "documents")))
         .orderBy("doc_id")),
@@ -327,6 +336,13 @@ object SparkEntry {
     // deterministic doc order (running-sum window per language)
     "text_token_budget" -> ((s, dir) =>
       Curation.tokenBudget(Tables.load(s, dir, "documents"))
+        .orderBy("lang", "doc_id")),
+
+    // the 100 TB form: (lang, shard)-partitioned windows, budget/shards
+    // per shard (VERDICT r3 next #7 — the sharded path gets its own
+    // CORRECTNESS row, not just property tests)
+    "text_token_budget_sharded" -> ((s, dir) =>
+      Curation.tokenBudgetSharded(Tables.load(s, dir, "documents"))
         .orderBy("lang", "doc_id")),
 
     // ---- text analysis suite (documents) ----
@@ -660,6 +676,27 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val cosQ = OracleSql.cosine("e.embedding", "q.qv")
+    // one oracle for both component branches: the union-find short-
+    // circuit and the distributed star iteration must agree with the
+    // same recursive-CTE ground truth
+    val clustersSql =
+      s"""WITH RECURSIVE ${OracleSql.shingleCte},
+         |${OracleSql.minhashCte},
+         |${OracleSql.lshCandidatesCte},
+         |${OracleSql.jaccardCte},
+         |p AS (SELECT j.d1, j.d2
+         |      FROM jac j JOIN (SELECT DISTINCT d1, d2 FROM cand) c
+         |        ON j.d1 = c.d1 AND j.d2 = c.d2
+         |      WHERE j.j >= ${OracleSql.JaccardThreshold}),
+         |e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p),
+         |n AS (SELECT DISTINCT u FROM e),
+         |lab(u, l) AS (
+         |  SELECT u, u FROM n
+         |  UNION
+         |  SELECT e.u, lab.l FROM e JOIN lab ON e.v = lab.u
+         |)
+         |SELECT u AS doc_id, CAST(min(l) AS BIGINT) AS component
+         |FROM lab GROUP BY u ORDER BY doc_id""".stripMargin
     Map(
       "knn_topk" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -802,24 +839,8 @@ object SparkEntry {
            |SELECT d1, d2, round(j, 4) AS jac_r FROM jac
            |WHERE j >= ${OracleSql.JaccardThreshold} ORDER BY d1, d2""".stripMargin,
 
-      "dedup_clusters" ->
-        s"""WITH RECURSIVE ${OracleSql.shingleCte},
-           |${OracleSql.minhashCte},
-           |${OracleSql.lshCandidatesCte},
-           |${OracleSql.jaccardCte},
-           |p AS (SELECT j.d1, j.d2
-           |      FROM jac j JOIN (SELECT DISTINCT d1, d2 FROM cand) c
-           |        ON j.d1 = c.d1 AND j.d2 = c.d2
-           |      WHERE j.j >= ${OracleSql.JaccardThreshold}),
-           |e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p),
-           |n AS (SELECT DISTINCT u FROM e),
-           |lab(u, l) AS (
-           |  SELECT u, u FROM n
-           |  UNION
-           |  SELECT e.u, lab.l FROM e JOIN lab ON e.v = lab.u
-           |)
-           |SELECT u AS doc_id, CAST(min(l) AS BIGINT) AS component
-           |FROM lab GROUP BY u ORDER BY doc_id""".stripMargin,
+      "dedup_clusters" -> clustersSql,
+      "dedup_clusters_stars" -> clustersSql,
 
       // composed curation: the dedup_clusters component chain + the
       // text_quality/text_langid formulas, one canonical-copy policy
@@ -915,6 +936,19 @@ object SparkEntry {
            |                   ROWS UNBOUNDED PRECEDING) AS cum FROM t)
            |SELECT lang, doc_id, CAST(cum AS BIGINT) AS cum_tokens
            |FROM c WHERE cum <= 2000 ORDER BY lang, doc_id""".stripMargin,
+
+      // same (lang, shard)-hash prefix rule as tokenBudgetSharded:
+      // budget 2000 over 16 shards -> 125 per shard
+      "text_token_budget_sharded" ->
+        s"""WITH t AS (SELECT doc_id, lang,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok,
+           |  ${OracleSql.shardSql("doc_id", 16)} AS shard
+           |  FROM documents),
+           |c AS (SELECT lang, doc_id, n_tok,
+           |  sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           |                   ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+           |SELECT lang, doc_id, CAST(n_tok AS BIGINT) AS n_tok
+           |FROM c WHERE cum <= ${2000L / 16} ORDER BY lang, doc_id""".stripMargin,
 
       "text_vocab" ->
         s"""SELECT tok, count(*) AS n FROM (

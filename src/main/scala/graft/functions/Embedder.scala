@@ -20,6 +20,16 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, StructField}
  *    has no model runtime, so the bundled "model" is a deterministic
  *    stand-in (same math as the hashing kernel) — the lifecycle,
  *    batching, and schema plumbing are the real thing.
+ *
+ * Swapping in a real model: set `GRAFT_ONNX_MODEL` to an .onnx file
+ * path and replace [[ModelSession.FakeModel]] with an `OrtSession`
+ * wrapper exposing the same `embedBatch(Array[String]) ->
+ * Array[Array[Float]]` signature — everything else (per-executor
+ * singleton, batched mapPartitions, schema) carries over unchanged.
+ * An env-var-gated integration test (OperatorSpec "ONNX swap-in
+ * seam") pins that contract: it loads the runtime reflectively and
+ * builds a session from `GRAFT_ONNX_MODEL`, and is skipped (canceled)
+ * where the runtime is absent, as in this container.
  */
 trait Embedder {
   def dim: Int

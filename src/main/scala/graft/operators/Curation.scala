@@ -121,7 +121,11 @@ object Curation {
     docs
       .select(col("lang"), col("doc_id"),
         size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("shard", pmod(hash(col("doc_id")), lit(shards)))
+      // oracle-reproducible multiplicative hash (constants in OracleSql
+      // — Spark's murmur hash() has no DuckDB mirror)
+      .withColumn("shard",
+        col("doc_id") % graft.OracleSql.ShardP * graft.OracleSql.ShardA
+          % graft.OracleSql.ShardP % shards)
       .withColumn("cum", sum(col("n_tok")).over(w))
       .where(col("cum") <= budgetPerLang / shards)
       .select("lang", "doc_id", "n_tok")

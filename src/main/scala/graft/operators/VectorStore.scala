@@ -301,9 +301,29 @@ class VectorStore(spark: SparkSession, root: String,
   def insert(df: DataFrame, quantize: Boolean = false): Unit =
     withWriterLock() { insertLocked(df, quantize) }
 
-  /** Insert body — callers must hold the writer lock. */
-  private def insertLocked(df: DataFrame, quantize: Boolean): Unit =
-    writeBatch(prepareBatch(df), quantize)
+  /** Insert body — callers must hold the writer lock. The store's
+    * LAYOUT wins over the flag, exactly like upsert: appending
+    * packed-less rows to a quantized store would null the codec for the
+    * new rows (quantized search then silently drops them), and packing
+    * rows into an unquantized store mixes schemas the same way — the
+    * flag only decides the layout of the FIRST batch. */
+  private def insertLocked(df: DataFrame, quantize: Boolean): Unit = {
+    val q = storedHasPacked match {
+      case Some(stored) =>
+        require(!quantize || stored,
+          "graft: store is not quantized — rewrite it (insert with quantize=true into a fresh store) instead of quantize-inserting")
+        stored
+      case None => quantize
+    }
+    writeBatch(prepareBatch(df), q)
+  }
+
+  /** Whether the live store carries the packed codec column; None when
+    * the store has no live rows yet (layout not established). */
+  private def storedHasPacked: Option[Boolean] =
+    if (!exists) None
+    else try Some(table().columns.contains("packed"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Validate + transform an incoming batch WITHOUT writing: id
     * assignment, dimension checks, projected-mode transform, tag
@@ -346,10 +366,17 @@ class VectorStore(spark: SparkSession, root: String,
   /** Append a [[prepareBatch]]-validated frame into the live gen dirs
     * and record its tag sets. */
   private def writeBatch(prepared: DataFrame, quantize: Boolean): Unit = {
-    val out = withGen(finalizeBatch(prepared, quantize))
+    val out0 = withGen(finalizeBatch(prepared, quantize))
+    // when an ANN index will fold this batch in, pin the batch first:
+    // id assignment is uuid() — NONdeterministic — so re-running the
+    // plan for the index append would index ids that do not exist in
+    // the store. localCheckpoint materializes the batch once (batches
+    // are bounded; the store, not the batch, is the 100 TB side) and
+    // both writes read the same rows.
+    val out = if (hasAnnIndex) out0.localCheckpoint() else out0
     out.write.mode(SaveMode.Append).partitionBy("tag_key", "gen").parquet(dataPath)
     updateManifest(out.select(col("tag_key"), col("tags"), col("gen")).distinct())
-    maintainAnnIndex()
+    maintainAnnIndex(out)
   }
 
   /**
@@ -379,10 +406,14 @@ class VectorStore(spark: SparkSession, root: String,
     // to a quantized store would null the codec for the new rows, and
     // appending packed rows to an unquantized store would produce a
     // mixed-schema table where quantized search silently drops old rows
-    val hasPacked = table().columns.contains("packed")
-    require(!quantize || hasPacked,
-      "graft: store is not quantized — rewrite it (insert with quantize=true into a fresh store) instead of quantize-upserting")
-    val q = hasPacked
+    // (a store with no live rows has no layout yet — the flag decides)
+    val q = storedHasPacked match {
+      case Some(stored) =>
+        require(!quantize || stored,
+          "graft: store is not quantized — rewrite it (insert with quantize=true into a fresh store) instead of quantize-upserting")
+        stored
+      case None => quantize
+    }
     // validate + transform the incoming batch BEFORE any commit: a
     // dimension-mismatched batch must fail while the old row versions
     // are still live
@@ -818,14 +849,59 @@ class VectorStore(spark: SparkSession, root: String,
   // codebook file would let a crash between the two writes pair a new
   // index with an old codebook, silently probing the wrong lists
   private def codebookPath = s"$annPath/_codebook.parquet"
+  // build config + row counts for the staleness trigger — committed in
+  // the same directory rename as the codebook, refreshed on each append
+  private def annMetaPath = s"$annPath/_meta.json"
 
   def hasAnnIndex: Boolean = fs.exists(new Path(codebookPath))
+
+  /** (k, seed, rebuildFraction, baseRows, appendedRows) of the live
+    * index. Tiny driver-side JSON, no Spark job. */
+  private case class AnnMeta(k: Int, seed: Long, rebuildFraction: Double,
+                             baseRows: Long, appendedRows: Long)
+
+  private def writeAnnMeta(dir: String, m: AnnMeta): Unit = {
+    val tmp = new Path(s"$dir/_meta.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(
+      s"""{"k":${m.k},"seed":${m.seed},"rebuild_fraction":${m.rebuildFraction},"base_rows":${m.baseRows},"appended_rows":${m.appendedRows}}"""
+        .getBytes("UTF-8"))
+    out.close()
+    val dst = new Path(s"$dir/_meta.json")
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"graft: ANN meta commit rename failed")
+  }
+
+  /** Missing/corrupt meta (legacy or crash-windowed index) degrades to
+    * "no staleness tracking": appends still fold in, the rebuild trigger
+    * re-arms at the next explicit build. */
+  private def readAnnMeta(): Option[AnnMeta] =
+    if (!fs.exists(new Path(annMetaPath))) None
+    else try {
+      val in = fs.open(new Path(annMetaPath))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      def field(n: String) =
+        s""""$n":\\s*([0-9.eE+-]+)""".r.findFirstMatchIn(txt).map(_.group(1))
+      Some(AnnMeta(
+        field("k").get.toInt, field("seed").get.toLong,
+        field("rebuild_fraction").get.toDouble,
+        field("base_rows").get.toLong, field("appended_rows").get.toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Fit a k-means codebook over the stored vectors and write the
     * cid-partitioned index. One corpus pass for assignment (the argmin
     * is a broadcast-codebook expression — no shuffle) plus the k-means
-    * fit passes. */
-  def buildAnnIndex(k: Int, seed: Long = 42L): Unit = withWriterLock() {
+    * fit passes. `rebuildFraction` arms the staleness trigger: once
+    * incremental appends exceed that fraction of the built size, the
+    * next insert refits the codebook (appends use the OLD centroids, so
+    * list quality degrades as the distribution drifts — the trigger
+    * bounds how far). */
+  def buildAnnIndex(k: Int, seed: Long = 42L,
+                    rebuildFraction: Double = 0.5): Unit =
+    withWriterLock() { buildAnnIndexLocked(k, seed, rebuildFraction) }
+
+  private def buildAnnIndexLocked(k: Int, seed: Long, rebuildFraction: Double): Unit = {
     // pre-release layouts kept the codebook at the root; sweep it so a
     // stale copy can't linger beside the committed in-dir one
     fs.delete(new Path(s"$root/codebook.parquet"), true)
@@ -838,6 +914,9 @@ class VectorStore(spark: SparkSession, root: String,
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(tmp.toString)
     centroids.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$tmp/_codebook.parquet")
+    // count(*) over the staged files is footer metadata, not a data scan
+    val built = spark.read.parquet(tmp.toString).count()
+    writeAnnMeta(tmp.toString, AnnMeta(k, seed, rebuildFraction, built, 0L))
     val annP = new Path(annPath)
     fs.delete(annP, true)
     require(fs.rename(tmp, annP), s"graft: ANN index commit rename failed")
@@ -846,8 +925,12 @@ class VectorStore(spark: SparkSession, root: String,
   /** Approximate top-k over the ANN index: probe the `nprobe` nearest
     * centroid lists (driver-side codebook argmin, like the reference's
     * in-memory index metadata), scan only those partitions. Same result
-    * shape as [[search]]. */
-  def searchAnn(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 2): DataFrame = {
+    * shape as [[search]]. `quantized = true` scores the packed codec
+    * column (stores written with quantize=true index it alongside), and
+    * the FuseQuantizedKernels rule collapses cosine/euclidean-over-
+    * unpack into the packed kernels — 4x less I/O on the probed lists. */
+  def searchAnn(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 2,
+                quantized: Boolean = false): DataFrame = {
     require(hasAnnIndex, "graft: no ANN index — call buildAnnIndex(k) first")
     // mode-aware like searchAuto: a projected store indexed projected
     // vectors, so the query projects through the same basis
@@ -857,10 +940,36 @@ class VectorStore(spark: SparkSession, root: String,
     val codebook = SimilaritySearch.collectCodebook(spark.read.parquet(codebookPath))
     val probes = SimilaritySearch.probeCids(codebook, qv, nprobe)
     val pruned = spark.read.parquet(annPath).where(col("cid").isin(probes: _*))
-    scoreTopK(pruned, qv, k, metric, quantized = false)
+    scoreTopK(pruned, qv, k, metric, quantized)
   }
 
-  /** Incremental ANN maintenance hook — filled in by the round-4 index
-    * work (VERDICT r3 next #2); no-op without an index. */
-  private def maintainAnnIndex(): Unit = ()
+  /**
+   * Incremental ANN maintenance (VERDICT r3 next #2): fold an inserted
+   * batch into the live index so [[searchAnn]] serves new rows without
+   * a rebuild. The batch assigns to the EXISTING centroids via the
+   * broadcast-codebook argmin — a pure projection appended into the
+   * cid-partitioned layout, zero extra shuffle. Once appends exceed
+   * `rebuildFraction` of the built size the codebook is refit (same
+   * k/seed) — appended rows follow a drifted distribution the old
+   * centroids never saw, and unbounded drift erodes probe recall.
+   * Callers hold the writer lock (reached only from writeBatch). The
+   * append itself is not transactional: a crash mid-append leaves some
+   * batch rows indexed and the rest stale-by-missing — both states the
+   * approximate-by-contract index already admits; committed STORE data
+   * is never at risk.
+   */
+  private def maintainAnnIndex(batch: DataFrame): Unit = {
+    if (!hasAnnIndex) return
+    val codebook = SimilaritySearch.collectCodebook(spark.read.parquet(codebookPath))
+    batch.drop("gen")
+      .withColumn("cid", SimilaritySearch.nearestCentroid(col("vector"), codebook))
+      .write.mode(SaveMode.Append).partitionBy("cid").parquet(annPath)
+    readAnnMeta().foreach { m =>
+      val appended = m.appendedRows + batch.count()
+      if (appended > m.rebuildFraction * math.max(m.baseRows, 1L))
+        buildAnnIndexLocked(m.k, m.seed, m.rebuildFraction)
+      else
+        writeAnnMeta(annPath, m.copy(appendedRows = appended))
+    }
+  }
 }

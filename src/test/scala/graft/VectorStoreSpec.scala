@@ -221,6 +221,28 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     plain.clear()
   }
 
+  test("insert on a quantized store keeps the packed column populated (layout wins, like upsert)") {
+    val store = freshStore()
+    store.insert(df(Seq(("a", Array(1f, 2f, 3f), "a1", Nil))), quantize = true)
+    // flag omitted: the quantized layout must carry through — a
+    // packed-less append would null the codec for the new rows and
+    // quantized search would silently drop them
+    store.insert(df(Seq(("b", Array(3f, 2f, 1f), "b1", Nil))))
+    val t = store.table()
+    assert(t.count() == 2)
+    assert(t.where(col("packed").isNull).count() == 0)
+    assert(store.search(Seq(3f, 2f, 1f), k = 1, quantized = true)
+      .head().getAs[String]("content") == "b1")
+    store.clear()
+    // and the reverse is refused, mirroring upsert
+    val plain = freshStore()
+    plain.insert(df(Seq(("p", Array(1f, 2f), "p1", Nil))))
+    intercept[IllegalArgumentException] {
+      plain.insert(df(Seq(("q", Array(2f, 1f), "q1", Nil))), quantize = true)
+    }
+    plain.clear()
+  }
+
   test("manifest deltas: inserts append O(batch) files; a full-state write folds them") {
     val root = Files.createTempDirectory("graft-mdelta").toString
     val store = new VectorStore(spark, root)
@@ -445,6 +467,80 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rebuilt = store.searchAnn(qv, k = 10, nprobe = 2)
       .select("id").collect().map(_.getString(0)).toSet
     assert(rebuilt.size == 10)
+    store.clear()
+  }
+
+  test("incremental ANN maintenance: inserts fold into the index, staleness triggers rebuild") {
+    val store = freshStore()
+    val rng = new scala.util.Random(29)
+    def mkRows(from: Int, n: Int) = (from until from + n).map { i =>
+      (s"v$i", Array.fill(16)(rng.nextGaussian().toFloat), s"c$i", Seq("t"))
+    }
+    store.insert(df(mkRows(0, 100)))
+    // high rebuildFraction: the first small insert folds in WITHOUT a
+    // refit, proving the append path serves new rows on old centroids
+    store.buildAnnIndex(k = 8, rebuildFraction = 2.0)
+    val newRows = mkRows(100, 10)
+    store.insert(df(newRows))
+    // probing ALL lists makes the ANN scan exhaustive over the index:
+    // missing new rows then means they were never appended, not that a
+    // probe missed their list
+    val served = store.searchAnn(newRows.head._2.toSeq, k = 110, nprobe = 8)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(newRows.map(_._1).toSet.subsetOf(served),
+      s"inserted rows missing from ANN index: ${newRows.map(_._1).toSet -- served}")
+    // recall gate still holds through the facade after the append
+    val qv = newRows.head._2.toSeq
+    val annIds = store.searchAnn(qv, k = 10, nprobe = 4)
+      .select("id").collect().map(_.getString(0)).toSet
+    val exactIds = store.search(qv, k = 10).select("id").collect()
+      .map(_.getString(0)).toSet
+    assert(annIds.intersect(exactIds).size.toDouble / exactIds.size >= 0.5)
+    store.clear()
+  }
+
+  test("ANN rebuild threshold: appends past the staleness fraction refit the codebook") {
+    val store = freshStore()
+    val rng = new scala.util.Random(31)
+    def mkRows(from: Int, n: Int) = (from until from + n).map { i =>
+      (s"v$i", Array.fill(8)(rng.nextGaussian().toFloat), s"c$i", Seq("t"))
+    }
+    store.insert(df(mkRows(0, 40)))
+    store.buildAnnIndex(k = 4, rebuildFraction = 0.25)
+    // 20 appended rows > 0.25 * 40 -> the insert itself must refit: the
+    // rebuilt index re-assigns EVERY row (old and new) to fresh
+    // centroids, so an exhaustive probe of the new index serves all 60
+    store.insert(df(mkRows(40, 20)))
+    val all = store.searchAnn(Seq.fill(8)(0.1f), k = 60, nprobe = 4)
+    assert(all.count() == 60)
+    // and the appended-rows counter reset: another small insert folds
+    // in without losing rows
+    store.insert(df(mkRows(60, 2)))
+    assert(store.searchAnn(Seq.fill(8)(0.1f), k = 62, nprobe = 4).count() == 62)
+    store.clear()
+  }
+
+  test("quantized ANN: the packed kernel fuses on the probed lists, recall unchanged") {
+    val store = freshStore()
+    val rng = new scala.util.Random(37)
+    val rows = (0 until 80).map { i =>
+      (s"v$i", Array.fill(16)(rng.nextGaussian().toFloat), s"c$i", Seq("t"))
+    }
+    store.insert(df(rows), quantize = true)
+    store.buildAnnIndex(k = 4)
+    val qv = rows(11)._2.toSeq
+    val q = store.searchAnn(qv, k = 10, nprobe = 2, quantized = true)
+    // the fusion rule must reach the ANN path: cosine(unpack(packed))
+    // collapses into the packed kernel (4x less I/O on probed lists)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_cosine_packed"), plan.take(2000))
+    // quantized and raw ANN agree on the same probed lists up to codec
+    // error: compare against the raw-vector scoring of the same probes
+    val rawIds = store.searchAnn(qv, k = 10, nprobe = 2)
+      .select("id").collect().map(_.getString(0)).toSet
+    val qIds = q.select("id").collect().map(_.getString(0)).toSet
+    assert(qIds.intersect(rawIds).size >= 8,
+      s"quantized ANN diverged from raw beyond codec error: $qIds vs $rawIds")
     store.clear()
   }
 
