@@ -318,6 +318,12 @@ object SparkEntry {
       Dedup.embeddingNearDupsLsh(Tables.load(s, dir, "embeddings")).orderBy("v1", "v2")
     }),
 
+    // exact-substring duplication: docs sharing a verbatim 8-token run
+    // with any other doc (the suffix-array dedup family by rolling hash)
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDups(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // the composed curation job: language + quality filters + near-dup
     // canonicalization in one plan (see Curation scaladoc for policy)
     "pipeline_curate" -> ((s, dir) =>
@@ -344,6 +350,29 @@ object SparkEntry {
     "text_token_budget_sharded" -> ((s, dir) =>
       Curation.tokenBudgetSharded(Tables.load(s, dir, "documents"))
         .orderBy("lang", "doc_id")),
+
+    // temperature mixture sampling: keep the rarest language in full,
+    // downsample the rest toward the alpha=0.5 distribution (rate =
+    // sqrt(c_min/c_lang), hash-decided per doc)
+    "text_mixture" -> ((s, dir) =>
+      Curation.mixtureSample(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // PII scrub: the fixtures carry no PII (no digits at all), so the
+    // query plants deterministic doc_id-derived emails/IPs/phones via
+    // the SAME concat in both engines, then counts + redacts them —
+    // the operator itself is general
+    "text_pii" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val id = col("doc_id")
+      val aug = docs.withColumn("text", concat(
+        col("text"), lit(" contact user"), id.cast("string"), lit("@example.com"),
+        when(id % 3 === 0, concat(lit(" ip 10."), (id % 256).cast("string"),
+          lit(".0."), (id % 100).cast("string"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-0142"))).otherwise(lit(""))))
+      TextAnalysis.pii(aug).orderBy("doc_id")
+    }),
 
     // ---- text analysis suite (documents) ----
 
@@ -927,6 +956,16 @@ object SparkEntry {
            |GROUP BY doc_id HAVING count(*) >= 1
            |ORDER BY doc_id""".stripMargin,
 
+      // cross-doc duplicated 8-gram codes per doc (ngr is DISTINCT per
+      // (doc, code), so count(*) per code = #docs sharing the span)
+      "dedup_substring" ->
+        s"""WITH ${OracleSql.ngramCte(8)},
+           |dup AS (SELECT code FROM ngr GROUP BY code HAVING count(*) > 1)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+           |FROM ngr JOIN dup USING (code)
+           |GROUP BY doc_id HAVING count(*) >= 1
+           |ORDER BY doc_id""".stripMargin,
+
       "text_token_budget" ->
         s"""WITH t AS (SELECT doc_id, lang,
            |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
@@ -949,6 +988,43 @@ object SparkEntry {
            |                   ROWS UNBOUNDED PRECEDING) AS cum FROM t)
            |SELECT lang, doc_id, CAST(n_tok AS BIGINT) AS n_tok
            |FROM c WHERE cum <= ${2000L / 16} ORDER BY lang, doc_id""".stripMargin,
+
+      // patterns + order come from TextAnalysis.piiPatterns (single
+      // source of truth); counts over the planted text, then the same
+      // sequential redaction chain ('g' = all matches, Spark's default)
+      "text_pii" -> {
+        val aug =
+          """concat(text, ' contact user', doc_id, '@example.com',
+            | CASE WHEN doc_id % 3 = 0
+            |   THEN concat(' ip 10.', doc_id % 256, '.0.', doc_id % 100) ELSE '' END,
+            | CASE WHEN doc_id % 5 = 0
+            |   THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-0142')
+            |   ELSE '' END)""".stripMargin.replace("\n", " ")
+        val counts = TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+          s"CAST(len(regexp_extract_all(aug, '$pat')) AS INT) AS n_$name"
+        }.mkString(", ")
+        val red = TextAnalysis.piiPatterns.foldLeft("aug") {
+          case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+        }
+        s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents)
+           |SELECT doc_id, $counts, $red AS redacted
+           |FROM a ORDER BY doc_id""".stripMargin
+      },
+
+      // mirror of Curation.mixtureSample at alpha = 0.5: sqrt is IEEE
+      // correctly-rounded on both engines, so keep_below agrees bit-wise
+      "text_mixture" ->
+        s"""WITH c AS (SELECT lang, count(*) AS c_dom FROM documents GROUP BY 1),
+           |m AS (SELECT min(c_dom) AS c_min FROM c),
+           |r AS (SELECT lang,
+           |        floor(sqrt(CAST(c_min AS DOUBLE)/CAST(c_dom AS DOUBLE))
+           |              * ${OracleSql.ShardP}.0) AS keep_below
+           |      FROM c, m)
+           |SELECT d.doc_id, d.lang
+           |FROM documents d JOIN r USING (lang)
+           |WHERE ((d.doc_id % ${OracleSql.ShardP}) * ${OracleSql.ShardA})
+           |        % ${OracleSql.ShardP} < keep_below
+           |ORDER BY d.doc_id""".stripMargin,
 
       "text_vocab" ->
         s"""SELECT tok, count(*) AS n FROM (

@@ -112,6 +112,45 @@ object Curation {
    * <= budgetPerLang); the exact single-window form is the verification
    * baseline. Returns (lang, doc_id, n_tok).
    */
+  /**
+   * Temperature-weighted domain mixture sampling (training-mix
+   * construction): downsample over-represented domains so the kept
+   * corpus follows the alpha-temperature distribution p_dom ∝
+   * count^alpha (alpha < 1 flattens toward uniform — the multilingual
+   * sampling rule of the published pretraining recipes). The rarest
+   * domain is kept in full and every other domain keeps
+   * (c_min/c_dom)^(1-alpha) of its docs, decided per doc by the
+   * deterministic multiplicative hash shared with the DuckDB oracle
+   * (graft.OracleSql.ShardA/ShardP — Spark's murmur `hash()` has no SQL
+   * mirror). alpha = 0.5 routes through sqrt, which IEEE guarantees
+   * correctly rounded on both engines; other alphas use pow(), where
+   * libm rounding may diverge in the last bit (documented — the oracle
+   * row pins the sqrt form).
+   *
+   * Returns the kept (doc_id, domain) rows.
+   *
+   * Scale shape (100 TB): domain counts are one tiny map-side-combined
+   * aggregate; the rate table is domains-sized and BROADCASTS; the keep
+   * decision is then a stateless projection over the corpus scan — no
+   * corpus shuffle at all.
+   */
+  def mixtureSample(docs: DataFrame, alpha: Double = 0.5,
+                    domainCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"graft: alpha $alpha outside [0, 1]")
+    import graft.OracleSql.{ShardA, ShardP}
+    val ratio = col("c_min").cast("double") / col("c_dom").cast("double")
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("c_dom"))
+    val minC = counts.agg(min(col("c_dom")).as("c_min"))
+    val rates = counts.crossJoin(broadcast(minC))
+      .withColumn("rate",
+        if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha))
+      .select(col(domainCol), floor(col("rate") * lit(ShardP.toDouble)).as("keep_below"))
+    docs
+      .join(broadcast(rates), Seq(domainCol))
+      .where(col(idCol) % ShardP * ShardA % ShardP < col("keep_below"))
+      .select(col(idCol), col(domainCol))
+  }
+
   def tokenBudgetSharded(docs: DataFrame, budgetPerLang: Long = 2000L,
                          shards: Int = 16): DataFrame = {
     require(shards >= 1 && budgetPerLang >= shards,

@@ -122,6 +122,41 @@ object Dedup {
       .groupBy(md5(lower(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
 
+  /**
+   * Exact-substring duplication (the suffix-array dedup family, e.g.
+   * "Deduplicating Training Data Makes Language Models Better" — see
+   * PAPERS.md): a document is substring-duplicated when it shares a
+   * verbatim run of `n` tokens with ANY other document. Token runs are
+   * compared by their rolling-hash codes ([[ngramCodes]]), the
+   * distributed stand-in for the paper's suffix array: a shared code is
+   * a shared span up to hash collision (~2^-31 per pair at
+   * FingerprintP), and `n` plays the paper's min-match-length L (50
+   * tokens there; the fixtures' planted near-dup families are shorter
+   * docs, so the default here is 8).
+   *
+   * Returns (doc_id, n_dup_spans): every doc with >= `minSpans` cross-
+   * doc duplicated n-gram codes, with the count of distinct such codes.
+   *
+   * Scale shape (100 TB): one groupBy(code) with a map-side-combined
+   * count (uniform keys — codes are hashes), then one equi-join back on
+   * code and one groupBy(doc_id) partial count. Never an all-pairs doc
+   * comparison; the join's build side (duplicated codes) is left to
+   * Spark's stats — on a crawl it is corpus-sized, and a forced
+   * broadcast would OOM. Deliberately NOT emitted as pairs: a code
+   * shared by k docs expands to k^2/2 pairs (boilerplate headers make
+   * k huge) while the per-doc flag stays k rows.
+   */
+  def substringDups(docs: DataFrame, n: Int = 8, minSpans: Int = 1,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val codes = ngramCodes(docs, n, idCol, textCol)
+    // codes is distinct per (doc, code), so count(*) = #docs sharing it
+    val dup = codes.groupBy("code")
+      .agg(count(lit(1)).as("nd")).where(col("nd") > 1).select("code")
+    codes.join(dup, Seq("code"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+      .where(col("n_dup_spans") >= minSpans)
+  }
+
   /** MinHash signatures (doc_id, m0..m15): one groupBy with 16 partial
     * min aggregates — map-side combined, 16 longs per doc shuffled. */
   def minhashSignatures(sh: DataFrame): DataFrame = {

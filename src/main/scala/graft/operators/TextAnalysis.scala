@@ -144,6 +144,38 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  /** PII patterns, applied (and redacted) in this order. Kept inside
+    * the java.util.regex ∩ RE2 common subset — no lookaround, no
+    * backrefs — so the Spark side (java.util.regex) and the DuckDB
+    * oracle (RE2) match identical spans. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]"))
+
+  /**
+   * PII detection + redaction (pre-training hygiene: published pipelines
+   * scrub emails/IPs/phone numbers before anything else sees the text).
+   * Emits (doc_id, n_email, n_ipv4, n_phone, redacted): per-pattern
+   * match counts over the ORIGINAL text plus the text with every match
+   * replaced by its type token, patterns applied in [[piiPatterns]]
+   * order (email first, so an address's digit runs can't be re-matched
+   * as numbers).
+   *
+   * Plan shape: a stateless regexp projection over the corpus scan —
+   * codegen'd, no shuffle, linear at 100 TB.
+   */
+  def pii(docs: DataFrame, idCol: String = "doc_id",
+          textCol: String = "text"): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).as(s"n_$name")
+    }
+    docs.select(col(idCol).as("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** Full stats projection over a documents table. */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(

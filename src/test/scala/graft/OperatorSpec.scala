@@ -292,6 +292,69 @@ class OperatorSpec extends AnyFunSuite {
     assert(perLang.values.forall(_ <= 2000L), s"shard budgets overflowed: $perLang")
   }
 
+  test("substring dedup flags exactly the docs sharing a cross-doc 8-gram") {
+    val docs = Tables.load(spark, dir, "documents")
+    val flagged = Dedup.substringDups(docs, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute-force expectation: replay the rolling-hash codes and count
+    // cross-doc duplicated ones per doc in plain Scala
+    val codes = Dedup.ngramCodes(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCode = codes.groupBy(_._2).filter(_._2.length > 1).keySet
+    val expected = codes.filter(c => byCode(c._2))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(flagged == expected)
+    assert(flagged.nonEmpty, "fixtures should contain planted shared spans")
+  }
+
+  test("mixture sampling keeps the rarest language whole and others at sqrt rate") {
+    import graft.operators.Curation
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = Curation.mixtureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keptIds = kept.map(_._1).toSet
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val cMin = totals.values.min
+    val keptByLang = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // rarest language: every doc survives
+    val rarest = totals.minBy(_._2)._1
+    assert(keptByLang.getOrElse(rarest, 0L) == totals(rarest))
+    // others: kept count within binomial noise of rate * total, and the
+    // decision is the deterministic shared hash — replay it
+    for ((langKey, total) <- totals) {
+      val below = math.floor(math.sqrt(cMin.toDouble / total.toDouble)
+        * OracleSql.ShardP.toDouble).toLong
+      val expect = docs.where(col("lang") === langKey).select("doc_id")
+        .collect().map(_.getLong(0))
+        .filter(id => id % OracleSql.ShardP * OracleSql.ShardA % OracleSql.ShardP < below)
+        .toSet
+      assert(kept.filter(_._2 == langKey).map(_._1).toSet == expect,
+        s"$langKey selection diverges from the shared hash rule")
+    }
+    assert(keptIds.nonEmpty && keptIds.size < totals.values.sum)
+  }
+
+  test("pii redaction counts and replaces emails, IPs, and phones") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b-c_d@ex-1.org and x@y.io now"),
+      (2L, "host 10.0.255.3 dialed 555-010-0142 twice: 555 010 0142"),
+      (3L, "no pii here"),
+      (4L, "edge 999.999.999.999 and v1.2.3.4556 stay: one real 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pii(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((2, 0, 0, "mail [EMAIL] and [EMAIL] now")))
+    assert(out(2L) == ((0, 1, 2, "host [IP] dialed [PHONE] twice: [PHONE]")))
+    assert(out(3L) == ((0, 0, 0, "no pii here")))
+    // 999.x still matches \d{1,3} (syntactic scrub, documented); the
+    // 4556 run breaks \b...\d{1,3}\b so only the real quad matches
+    assert(out(4L)._2 == 2 && out(4L)._4.contains("[IP]"))
+  }
+
   test("component round parallelism is derived from edge count, not a constant") {
     // the 100x-scale fix for r2's hard-coded coalesce(4): a fixture graph
     // iterates at the floor, a billion-edge graph at ~1000 partitions
