@@ -37,9 +37,12 @@ object Bench {
     val skip = Set("dedup_jaccard", "dedup_embedding")
     val suite = SparkEntry.queries.filter(q => !skip(q._1)).toSeq
     // a broken query must be VISIBLE in the output, not silently folded
-    // into a (misleadingly faster) total as time-to-throw
+    // into a (misleadingly faster) total as time-to-throw; failures are
+    // tagged with their pass ("sf1:knn_topk") so a scale-only breakage
+    // is attributable (ADVICE r4 #5)
     val failures = scala.collection.mutable.LinkedHashSet[String]()
-    def run(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+    def run(pass: String,
+            qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
             dir: String): Seq[(String, Double)] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // NonFatal only (VERDICT r3 What's-wrong #4): an OOM or JVM error
@@ -47,34 +50,44 @@ object Bench {
       // march a poisoned JVM through the rest of the suite and publish
       // totals from it
       try { fn(spark, dir).count() }
-      catch { case scala.util.control.NonFatal(_) => failures += name }
+      catch { case scala.util.control.NonFatal(_) => failures += s"$pass:$name" }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // two in-JVM passes (VERDICT r2 next-step #10): the COLD pass pays
     // first-touch codegen/JIT/footer caches and is the protocol number
     // BASELINE.md anchors on; the WARM pass is the honest steady-state
     // figure for a long-lived session.
-    val cold = run(suite, sfDir)
-    val warm = run(suite, sfDir)
+    val cold = run("cold", suite, sfDir)
+    val warm = run("warm", suite, sfDir)
     // scale-validation pass (VERDICT r3 next #3): a 10x dataset derived
     // from the protocol dir by keyed replication (ScaleUp), run over the
     // sf1 headline suite. Opt out with SPARK_GRAFT_SKIP_SF1=1; only
     // triggered when benching the protocol sf0.1 dir so ad-hoc sf0.01
-    // iteration stays fast.
+    // iteration stays fast. Gate on the path's BASENAME — endsWith let a
+    // trailing slash silently skip scale validation (ADVICE r4 #5).
     val sf1 =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1") || !sfDir.endsWith("sf0.1")) Nil
+      if (sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1")
+          || new java.io.File(sfDir).getName != "sf0.1") Nil
       else {
         val dir = ScaleUp.ensure(spark, sfDir,
           sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
-        run(sf1Suite.flatMap(n => SparkEntry.queries.get(n).map(n -> _)), dir)
+        run("sf1", sf1Suite.flatMap(n => SparkEntry.queries.get(n).map(n -> _)), dir)
       }
+    // The whole JSON line must fit the driver's ~2000-char output tail
+    // or the round's bench publishes unparsed (every r1-r4 BENCH_r*.json
+    // carried "parsed": null — the three full-precision per-query maps
+    // pushed the line past 5 KB). Millisecond precision and totals-only
+    // for the warm pass keep the line ~1.7 KB; the warm per-query map
+    // adds no information the cold map + warm_total don't.
+    def ms(v: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def js(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
     val sf1Total = sf1.map(_._2).sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"sf1_total":$sf1Total,"failed":$failed,"queries":${js(cold)},"queries_warm":${js(warm)},"queries_sf1":${js(sf1)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(coldTotal)},"unit":"sec","warm_total":${ms(warmTotal)},"sf1_total":${ms(sf1Total)},"failed":$failed,"queries":${js(cold)},"queries_sf1":${js(sf1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,21 +18,62 @@ import graft.core.Tables
  * the dedup operators (clique-quadratic candidate generation) and for
  * connected components (500k+ components at sf1).
  *
- * Idempotent: a sentinel file marks a completed derivation; partial
- * output from a crashed run is re-derived.
+ * Idempotent AND self-invalidating: the completion sentinel records the
+ * source dir, factor, and a per-table row-count fingerprint; a sentinel
+ * that no longer matches (regenerated fixtures, different factor)
+ * triggers re-derivation instead of silently reusing stale data
+ * (ADVICE r4 #2). Destruction is fenced: an existing dst is only
+ * removed when it carries this derivation's own markers — pointing
+ * SPARK_GRAFT_SF1_DIR at an unrelated populated directory (or the
+ * source itself) refuses instead of deleting it (ADVICE r4 #1).
  */
 object ScaleUp {
 
   private val facts = Seq("orders", "lineitem", "events", "documents", "embeddings")
   private val dims = Seq("region", "nation", "customer", "supplier", "part")
 
-  /** Replicate `src` `factor`x into `dst`; no-op when the sentinel says
-    * a previous derivation completed. Returns dst. */
+  /** One line per input: src path, factor, and per-table row counts
+    * (parquet footer metadata — no data scan). Any change in the
+    * driver's fixtures changes a count and invalidates the sentinel. */
+  private def fingerprint(spark: SparkSession, src: String, factor: Int): String = {
+    val counts = (facts ++ dims)
+      .map(t => s"$t=${Tables.load(spark, src, t).count()}")
+    (Seq(s"src=${new java.io.File(src).getCanonicalPath}", s"factor=$factor")
+      ++ counts).mkString("\n")
+  }
+
+  /** Replicate `src` `factor`x into `dst`; no-op when the sentinel
+    * matches a completed derivation of the SAME source/factor/contents.
+    * Returns dst. */
   def ensure(spark: SparkSession, src: String, dst: String, factor: Int = 10): String = {
+    val srcCanon = new java.io.File(src).getCanonicalPath
+    val dstCanon = new java.io.File(dst).getCanonicalPath
+    require(dstCanon != srcCanon && !srcCanon.startsWith(dstCanon + "/"),
+      s"graft: scale-up dst $dst would overwrite its own source $src")
     val done = new java.io.File(s"$dst/_GRAFT_SCALE_OK")
-    if (done.exists()) return dst
+    val inprogress = new java.io.File(s"$dst/_GRAFT_SCALE_INPROGRESS")
+    val fp = fingerprint(spark, src, factor)
+    if (done.exists()) {
+      val recorded = try {
+        new String(java.nio.file.Files.readAllBytes(done.toPath), "UTF-8")
+      } catch { case scala.util.control.NonFatal(_) => "" }
+      if (recorded == fp) return dst
+      // sentinel from another source/factor/fixture generation: fall
+      // through and re-derive (the OK marker licenses the delete below)
+    }
     val dstDir = new java.io.File(dst)
-    if (dstDir.exists()) { // crashed partial derivation — start clean
+    if (dstDir.exists()) {
+      // only delete what a previous derivation provably wrote: fresh
+      // dirs have the INPROGRESS marker from the moment anything else
+      // exists, completed ones the OK sentinel. An unmarked non-empty
+      // directory is somebody else's data — refuse (ADVICE r4 #1).
+      val contents = Option(dstDir.list()).getOrElse(Array.empty[String])
+      if (contents.nonEmpty && !done.exists() && !inprogress.exists())
+        throw new IllegalStateException(
+          s"graft: scale-up dst $dst exists, is non-empty, and carries no" +
+            " _GRAFT_SCALE_OK/_GRAFT_SCALE_INPROGRESS marker — refusing to" +
+            " delete data this derivation did not write. Point" +
+            " SPARK_GRAFT_SF1_DIR at an empty or graft-derived directory.")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(); ()
@@ -40,6 +81,9 @@ object ScaleUp {
       rm(dstDir)
     }
     dstDir.mkdirs()
+    // marker FIRST: from here on the directory is provably ours, so a
+    // crashed partial derivation can be cleaned up by the next run
+    java.nio.file.Files.write(inprogress.toPath, Array.empty[Byte])
 
     // one offset per keyed relationship, from the data itself
     def maxOf(t: String, c: String): Long =
@@ -76,7 +120,8 @@ object ScaleUp {
         .withColumn("ts", col("ts") + r * 1000000000L))
     for (t <- dims)
       Tables.load(spark, src, t).write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
-    done.createNewFile()
+    java.nio.file.Files.write(done.toPath, fp.getBytes("UTF-8"))
+    inprogress.delete()
     dst
   }
 }

@@ -219,15 +219,76 @@ object Dedup {
         (col("i").cast("double") / (col("z1") + col("z2") - col("i"))).as("j"))
   }
 
-  /** MinHash-LSH near-dup pipeline: candidates from banding, verified
-    * with exact Jaccard >= threshold. */
+  /**
+   * MinHash-LSH near-dup pipeline: candidates from banding, verified
+   * with exact Jaccard >= threshold.
+   *
+   * Exact-duplicate collapse first (the standard large-corpus staging —
+   * CCNet/Gopher run exact dedup BEFORE fuzzy dedup): identical
+   * contents group to one representative, the shingle/minhash/verify
+   * machinery runs over UNIQUE contents only, and results expand back
+   * through the groups. Output-identical to running over all docs —
+   * identical content means identical shingle sets, hence identical
+   * signatures, band keys, candidacy, and Jaccard (within a group the
+   * Jaccard is exactly z/z = 1.0) — but the expensive shingle
+   * self-join is no longer quadratic in content multiplicity. Round 4's
+   * sf1 scale run (every doc a 10-clique of exact dups by construction)
+   * put the uncollapsed pipeline at 353 s: every shingle code appeared
+   * in 10x the docs, so the code self-join produced 100x the rows. The
+   * equivalence is regression-tested against [[minhashNearDupsDirect]].
+   */
   def minhashNearDups(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    // (doc_id, gid): gid = min doc_id of the doc's exact-content group.
+    // Group key is md5(lower(text)) — shingles depend only on
+    // lower(text), so equal keys imply equal shingle sets (and md5
+    // collisions are the same 2^-64-class risk the banding tests accept)
+    val hashed = docs.select(col("doc_id"), col("text"),
+      md5(lower(col("text"))).as("chash"))
+    val groups = hashed.groupBy("chash").agg(min(col("doc_id")).as("gid"))
+    // members is reused by both expansions; at 100 TB it is corpus-sized
+    // and the chash join shuffles (uniform hash keys, skew-free)
+    val members = checkpointed(
+      hashed.join(groups, Seq("chash")).select(col("doc_id"), col("gid")))
+    val reps = hashed.join(
+      members.where(col("doc_id") === col("gid")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
     // the shingle table feeds signatures AND verification: materialize it
     // once (checkpointed — unlike .cache() it cuts the lineage instead
     // of wrapping an InMemoryRelation that blocks pushdown; r1 measured
     // cache at 4.6x SLOWER). At 100 TB this is a reliable-checkpointed/
     // bucketed intermediate table (set a checkpoint dir — see
     // [[checkpointed]]).
+    val sh = checkpointed(shingles(reps))
+    val cand = lshCandidates(minhashSignatures(sh))
+    val repPairs = jaccard(sh, Some(cand)).where(col("j") >= threshold)
+    // cross-group expansion: a rep pair (g1, g2, j) holds for every
+    // (member of g1) x (member of g2) at the SAME j — identical contents
+    // have identical shingle sets. Output-sized joins; repPairs is tiny
+    // next to members, so Spark broadcasts it
+    val m1 = members.select(col("gid").as("d1"), col("doc_id").as("x"))
+    val m2 = members.select(col("gid").as("d2"), col("doc_id").as("y"))
+    val cross = repPairs.join(m1, Seq("d1")).join(m2, Seq("d2"))
+      .select(least(col("x"), col("y")).as("d1"),
+        greatest(col("x"), col("y")).as("d2"), col("j"))
+    // within-group expansion: exact dups pair at j = 1.0 — but ONLY for
+    // groups whose content shingles at all (docs under 2 tokens produce
+    // no shingles, no signature, no candidacy in the direct pipeline)
+    val shingledGids = sh.select(col("doc_id").as("gid")).distinct()
+    val wm = members.join(shingledGids, Seq("gid"), "left_semi")
+    val within = wm.select(col("gid"), col("doc_id").as("x"))
+      .join(wm.select(col("gid"), col("doc_id").as("y")), Seq("gid"))
+      .where(col("x") < col("y"))
+      .select(col("x").as("d1"), col("y").as("d2"), lit(1.0).as("j"))
+    // disjoint by construction (cross spans two groups, within stays in
+    // one; groups partition the docs), so a plain union — no distinct
+    cross.union(within)
+  }
+
+  /** Uncollapsed MinHash-LSH pipeline — the equivalence baseline for
+    * [[minhashNearDups]]'s exact-duplicate collapse; never the
+    * production path (quadratic in content multiplicity). */
+  private[graft] def minhashNearDupsDirect(docs: DataFrame,
+                                           threshold: Double = JaccardThreshold): DataFrame = {
     val sh = checkpointed(shingles(docs))
     val cand = lshCandidates(minhashSignatures(sh))
     jaccard(sh, Some(cand)).where(col("j") >= threshold)

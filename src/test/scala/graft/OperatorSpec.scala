@@ -41,6 +41,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixtures should contain planted near-dups")
   }
 
+  test("exact-collapse minhash pipeline == uncollapsed pipeline, incl. j values") {
+    // replicate the fixture docs 3x with shifted ids (the ScaleUp shape
+    // that put the uncollapsed pipeline at 353 s on sf1): every doc
+    // becomes a 3-clique of exact dups, multi-member groups exercise
+    // both the within-group and cross-group expansions
+    val base = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val off = base.agg(max("doc_id")).head().getLong(0) + 1L
+    val docs = base
+      .withColumn("r", explode(sequence(lit(0L), lit(2L))))
+      .select((col("doc_id") + col("r") * off).as("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val collapsed = pairs(Dedup.minhashNearDups(docs))
+    val direct = pairs(Dedup.minhashNearDupsDirect(docs))
+    assert(collapsed == direct,
+      s"collapse changed the pair set: missing ${direct -- collapsed}," +
+        s" extra ${collapsed -- direct}")
+    // the replication itself must have created within-group (j = 1.0)
+    // pairs, or this test exercises nothing
+    assert(collapsed.exists(_._3 == 1.0), "no exact-dup pairs produced")
+    assert(collapsed.exists(_._3 < 1.0), "no cross-group near-dup pairs produced")
+  }
+
   test("exact dedup groups by content hash") {
     val docs = Tables.load(spark, dir, "documents")
     val n = docs.count()
