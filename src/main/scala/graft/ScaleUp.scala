@@ -33,11 +33,22 @@ object ScaleUp {
   private val dims = Seq("region", "nation", "customer", "supplier", "part")
 
   /** One line per input: src path, factor, and per-table row counts
-    * (parquet footer metadata — no data scan). Any change in the
-    * driver's fixtures changes a count and invalidates the sentinel. */
+    * (parquet footer metadata — no data scan) PLUS the source files'
+    * total bytes and newest mtime — regenerated fixtures with identical
+    * row counts but different content (same sizes are then vanishingly
+    * unlikely, and mtimes certainly differ) still invalidate the
+    * sentinel (ADVICE r5 #2). */
   private def fingerprint(spark: SparkSession, src: String, factor: Int): String = {
-    val counts = (facts ++ dims)
-      .map(t => s"$t=${Tables.load(spark, src, t).count()}")
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(files)
+      else Seq(f)
+    val counts = (facts ++ dims).map { t =>
+      val fs = files(new java.io.File(s"$src/$t.parquet"))
+      val bytes = fs.map(_.length()).sum
+      val mtime = if (fs.isEmpty) 0L else fs.map(_.lastModified()).max
+      s"$t=${Tables.load(spark, src, t).count()}:$bytes:$mtime"
+    }
     (Seq(s"src=${new java.io.File(src).getCanonicalPath}", s"factor=$factor")
       ++ counts).mkString("\n")
   }
@@ -74,11 +85,25 @@ object ScaleUp {
             " _GRAFT_SCALE_OK/_GRAFT_SCALE_INPROGRESS marker — refusing to" +
             " delete data this derivation did not write. Point" +
             " SPARK_GRAFT_SF1_DIR at an empty or graft-derived directory.")
+      // never recurse through a symlink: File.isDirectory is true for a
+      // link-to-directory, and following it would delete the TARGET's
+      // contents outside dst (ADVICE r5 #3) — delete the link itself
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
         f.delete(); ()
       }
-      rm(dstDir)
+      // markers LAST: listFiles order is unspecified, so deleting in
+      // listing order could drop _GRAFT_SCALE_OK/_INPROGRESS before the
+      // data files — a crash mid-delete would then leave an unmarked
+      // non-empty dir the next run refuses to clean (ADVICE r5 #1)
+      val markerNames = Set("_GRAFT_SCALE_OK", "_GRAFT_SCALE_INPROGRESS")
+      val (markers, data) = Option(dstDir.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .partition(f => markerNames(f.getName))
+      data.foreach(rm)
+      markers.foreach(rm)
+      dstDir.delete()
     }
     dstDir.mkdirs()
     // marker FIRST: from here on the directory is provably ours, so a

