@@ -258,6 +258,29 @@ object SimilaritySearch {
     ivfSearchWith(emb, centroids, qid, nprobe, k)
   }
 
+  /** [[ivfSearch]] scored over the 8-bit codec instead of the raw
+    * vectors — the quantized-store ANN path ([[graft.operators
+    * .VectorStore.searchAnn]] with quantized=true), oracle-reproducible:
+    * assignment and probing use raw vectors exactly like [[ivfSearch]],
+    * but similarity is cosine(unpack(packed), q), which the
+    * FuseQuantizedKernels rule collapses into the packed kernel — the
+    * probed lists are scored straight from bytes (4x less I/O on a
+    * stored index). */
+  def ivfSearchQuantized(emb: DataFrame, qid: Long, nCentroids: Int,
+                         nprobe: Int, k: Int): DataFrame = {
+    val centroids = emb.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qv = lookupVec(emb, qid)
+    val codebook = collectCodebook(centroids)
+    val probes = probeCids(codebook, qv, nprobe)
+    val scored = emb.where(col("vec_id") =!= qid)
+      .withColumn("cid", nearestCentroid(col("embedding"), codebook))
+      .where(col("cid").isin(probes: _*))
+      .withColumn("sim", cosine(unpack(pack(col("embedding"))), vecLit(qv)))
+    TopK.topKRanked(scored, k, Seq(desc("sim"), asc("vec_id")))
+      .select(col("rank"), col("vec_id"))
+  }
+
   // ---- store-integrated IVF index: cid as a partition column ----
 
   /** Materialize the corpus partitioned by assigned centroid: at 100 TB

@@ -147,6 +147,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(3000))
   }
 
+  test("ann_ivf_quantized scores through the fused packed kernel (oracle-pinned numerics)") {
+    val q = SparkEntry.queries("ann_ivf_quantized")(spark, dir)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_cosine_packed"),
+      s"FuseQuantizedKernels did not fuse cosine(unpack(pack)):\n${opt.take(3000)}")
+    assert(q.count() == 5)
+  }
+
   test("IVF index layout: probes prune partitions statically (cid partition column)") {
     import graft.operators.SimilaritySearch
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
