@@ -44,7 +44,41 @@ object ScaleCheck {
     val t2 = System.nanoTime()
     val ok = uf == stars && uf._1 > 0
     println(s"""{"check":"sf1_components","rows":${uf._1},"match":$ok,"union_find_sec":${(t1 - t0) / 1e9},"stars_sec":${(t2 - t1) / 1e9},"dir":"$dir"}""")
+
+    // Store lifecycle at scale (VERDICT r5 next #4): insert in batches,
+    // compact, vacuum, search over the sf1 embeddings. Vacuum must
+    // reclaim real bytes (the generations compaction superseded) and
+    // change no result: row count, top-k, and tag-filtered search all
+    // hold after the sweep.
+    val t3 = System.nanoTime()
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-sf1-store").toString
+    val store = new graft.operators.VectorStore(spark, storeRoot)
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        concat(lit("doc "), col("vec_id")).as("content"),
+        array(concat(lit("shard"), pmod(col("vec_id"), lit(16)))).as("tags"))
+    val nRows = emb.count()
+    for (b <- 0 until 3)
+      store.insert(emb.where(pmod(col("id").cast("long"), lit(3)) === b))
+    def du(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(du).sum
+      else f.length()
+    store.compact()
+    val beforeVac = du(new java.io.File(storeRoot))
+    store.vacuum(0L)
+    val reclaimed = beforeVac - du(new java.io.File(storeRoot))
+    val qv = graft.core.Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+    val lifecycleOk = reclaimed > 0L &&
+      store.table().count() == nRows &&
+      store.search(qv, k = 5).count() == 5 &&
+      store.search(qv, tags = Seq("shard3"), k = 5).count() == 5
+    val t4 = System.nanoTime()
+    println(s"""{"check":"sf1_store_lifecycle","rows":$nRows,"reclaimed_bytes":$reclaimed,"match":$lifecycleOk,"sec":${(t4 - t3) / 1e9}}""")
+    store.clear()
     spark.stop()
-    if (!ok) sys.exit(1)
+    if (!ok || !lifecycleOk) sys.exit(1)
   }
 }

@@ -678,6 +678,31 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("vacuum reclaims bytes: superseded generations shrink the store on disk, results unchanged") {
+    val store = freshStore()
+    val rows = (0 until 90).map(i =>
+      (s"v$i", Array(i.toFloat, (90 - i).toFloat), s"c$i", Seq(s"t${i % 3}")))
+    // three inserts -> three generations' worth of small files per
+    // partition; compact rewrites them into one gen, leaving the old
+    // ones on disk for in-flight readers until vacuum
+    rows.grouped(30).foreach(g => store.insert(df(g)))
+    def du(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(du).sum
+      else f.length()
+    store.compact()
+    val beforeVac = du(new java.io.File(store.root))
+    store.vacuum(0L)
+    val afterVac = du(new java.io.File(store.root))
+    assert(afterVac < beforeVac,
+      s"vacuum reclaimed nothing: $beforeVac -> $afterVac bytes")
+    val after = store.table().select("id", "content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == rows.map(r => (r._1, r._3)).toSet)
+    assert(store.search(Seq(3f, 87f), tags = Seq("t0"), k = 3).count() == 3)
+    store.clear()
+  }
+
   test("clear(force) resets a store whose writer crashed holding the lock") {
     val root = Files.createTempDirectory("graft-stale-lock").toString
     val store = new VectorStore(spark, root)
