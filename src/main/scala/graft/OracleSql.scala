@@ -268,4 +268,92 @@ object OracleSql {
     }
     s"CASE ${conds.mkString(" ")} ELSE 'und' END"
   }
+
+  // ---- BM25 full-text + hybrid rank-fusion constants ----
+
+  /** BM25 term-saturation and length-normalization parameters (the
+    * standard Robertson defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Reciprocal-rank-fusion constant (Cormack et al.'s k=60) and the
+    * integer scale: points = RrfScale div (RrfC + rank) — integer
+    * division on both engines, so fused scores are cross-engine exact
+    * with no float comparison anywhere in the fusion. */
+  val RrfC = 60L
+  val RrfScale = 1000000L
+
+  /** A double constant as DuckDB SQL that parses to the EXACT same
+    * IEEE value Spark's lit() uses: Scala's shortest-roundtrip repr fed
+    * through the double parser (a bare decimal literal would be read as
+    * DECIMAL and re-rounded through decimal arithmetic). */
+  def dlit(x: Double): String = s"CAST('${x}' AS DOUBLE)"
+
+  /**
+   * DuckDB CTE chain ending in `sc`(doc_id, score, n_hit): BM25 over
+   * `documents` for `terms`, mirror of Search.bm25Scored operation for
+   * operation (same association order, so the only cross-engine delta
+   * is the ln ulp — never enough to reorder discrete-input scores).
+   */
+  def bm25Ctes(terms: Seq[String], where: String = "TRUE"): String = {
+    val tfs = terms.indices.map(i =>
+      s"CAST(len(list_filter(ws, w -> w = '${terms(i)}')) AS BIGINT) AS tf_$i").mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      val tf = s"CAST(tf_$i AS DOUBLE)"
+      val df = s"CAST(df_$i AS DOUBLE)"
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1.0)"
+      s"$idf * ($tf * ${dlit(Bm25K1 + 1.0)}) / ($tf + ${dlit(Bm25K1)} * (${dlit(1.0 - Bm25B)} + ${dlit(Bm25B)} * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    }.mkString(" + ")
+    val hits = terms.indices.map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""btok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |         FROM documents WHERE $where),
+       |bbase AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, $tfs FROM btok),
+       |bstat AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM bbase),
+       |sc AS (SELECT b.doc_id, $score AS score, CAST($hits AS INT) AS n_hit
+       |       FROM bbase b, bstat)""".stripMargin
+  }
+
+  // ---- sequence packing / shard export constants ----
+
+  /** Tokens per packed training sequence and the id-range width of a
+    * prefix-sum shard (see Packing.packAssign). */
+  val PackSeqLen = 512L
+  val PackSpan = 500L
+
+  /** Shard fan-out for the training-shard export. */
+  val ExportShards = 16
+
+  /** DuckDB fragment: the rolling-hash fingerprint of a text expression
+    * (mirror of TextAnalysis.fingerprint — fold(acc*131 + charcode) mod
+    * FingerprintP over the lowercased text). */
+  def fingerprintSql(textExpr: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len(lower($textExpr))+1),
+       |        i -> CAST(ascii(substr(lower($textExpr), i, 1)) AS BIGINT))),
+       |    (acc, c) -> (acc*131 + c) % $FingerprintP)""".stripMargin
+
+  /**
+   * DuckDB CTE chain: greedy sequential sequence-packing over a CTE
+   * `pdoc`(doc_id, n_tok) — global token prefix-sum in id order, bin =
+   * tokens_before div seqLen — ending in `pseq` (the per-sequence
+   * stats). The oracle packs with ONE global window; the Spark side
+   * packs with a sharded prefix sum (Packing.packAssign) — integer
+   * equivalence is exact, which is the point: the distributed plan is
+   * checked against the obviously-correct sequential rule.
+   */
+  def packCtes(seqLen: Long): String =
+    s"""pcum AS (SELECT doc_id, n_tok,
+       |  COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+       |  FROM pdoc),
+       |passign AS (SELECT doc_id, n_tok,
+       |  CAST(tok_before // $seqLen AS BIGINT) AS seq_id FROM pcum),
+       |pseq AS (SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |  FROM passign GROUP BY seq_id)""".stripMargin
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Pca, SimilaritySearch, TextAnalysis, TopK}
+import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Packing, Pca, Search, SimilaritySearch, TextAnalysis, TopK}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -729,6 +729,54 @@ object SparkEntry {
         .groupBy(col("r_name"))
         .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))
         .orderBy("r_name")
+    }),
+
+    // full-text BM25 top-k: ONE integer corpus-stats row (broadcast) +
+    // a stateless scoring projection + TakeOrderedAndProject — two
+    // corpus scans, zero shuffles, no per-term explode/join
+    "text_bm25" -> ((s, dir) =>
+      Search.bm25TopK(Tables.load(s, dir, "documents"), Search.DefaultTerms, 10)),
+
+    // hybrid retrieval: BM25 lexical leg + cosine vector leg, fused
+    // with reciprocal-rank fusion (integer points — cross-engine exact);
+    // fusion input is legs' top-20 rows, so it is bounded at any corpus
+    // size. Doc 0 is the query document on both legs (its embedding is
+    // the vector query), so both legs exclude it.
+    "hybrid_rrf" -> ((s, dir) => {
+      registered(s)
+      val docs = Tables.load(s, dir, "documents").where(col("doc_id") =!= 0)
+      val bmLeg = Search.bm25TopK(docs, Search.DefaultTerms, 20)
+        .select(col("doc_id").as("id"), col("rank"))
+      val vecLeg = rankTop(scoredAgainst(s, dir, 0L), 20)
+        .select(col("vec_id").as("id"), col("rank"))
+      Search.rrfFuse(Seq(bmLeg, vecLeg), 10)
+        .select(col("rank"), col("id").as("doc_id"), col("rrf_score"), col("n_legs"))
+    }),
+
+    // sequence packing: documents -> fixed-token-budget training
+    // sequences via a SHARDED prefix sum (driver-side span offsets +
+    // per-shard windows) — the oracle computes the same integers with
+    // one global window, pinning the distributed plan to the sequential
+    // rule
+    "text_pack" -> ((s, dir) =>
+      Packing.packSequences(Tables.load(s, dir, "documents")).orderBy("seq_id")),
+
+    // hash-sharded export manifest: per-shard doc/token counts + an
+    // order-independent bit_xor fingerprint checksum
+    "text_shards" -> ((s, dir) =>
+      Packing.shardStats(Tables.load(s, dir, "documents")).orderBy("shard")),
+
+    // the end-to-end "prepare a training corpus" composition: PII
+    // redaction -> quality gate -> exact dedup (min-id survivor per
+    // identical text) -> sequence packing; every stage is one of the
+    // oracle-pinned operators above, composed in one plan
+    "pipeline_prepare" -> ((s, dir) => {
+      val clean = TextAnalysis.redact(Tables.load(s, dir, "documents"))
+      val kept = clean
+        .where(TextAnalysis.qualityScore(col("text")) >= lit(0.55))
+      val surv = kept.groupBy(lower(col("text")).as("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      Packing.packSequences(surv).orderBy("seq_id")
     })
   )
 
@@ -1393,7 +1441,83 @@ object SparkEntry {
            |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
            |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
            |JOIN region r ON n2.n_regionkey = r.r_regionkey
-           |GROUP BY 1 ORDER BY 1""".stripMargin
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "text_bm25" -> {
+        val terms = graft.operators.Search.DefaultTerms
+        s"""WITH ${OracleSql.bm25Ctes(terms)}
+           |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           |       doc_id, n_hit
+           |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      },
+
+      "hybrid_rrf" -> {
+        val terms = graft.operators.Search.DefaultTerms
+        val cosQ2 = OracleSql.cosine("e.embedding", "q.qv")
+        s"""WITH ${OracleSql.bm25Ctes(terms, "doc_id <> 0")},
+           |bleg AS (SELECT doc_id AS id,
+           |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           |         FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |vs AS (SELECT e.vec_id, $cosQ2 AS sim FROM embeddings e, q WHERE e.vec_id <> 0),
+           |vleg AS (SELECT vec_id AS id,
+           |           CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+           |         FROM vs ORDER BY sim DESC, vec_id LIMIT 20),
+           |u AS (SELECT id, ${OracleSql.RrfScale} // (${OracleSql.RrfC} + rank) AS pts FROM bleg
+           |      UNION ALL
+           |      SELECT id, ${OracleSql.RrfScale} // (${OracleSql.RrfC} + rank) AS pts FROM vleg),
+           |f AS (SELECT id, CAST(sum(pts) AS BIGINT) AS rrf_score,
+           |             CAST(count(*) AS INT) AS n_legs FROM u GROUP BY id)
+           |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, id) AS BIGINT) AS rank,
+           |       id AS doc_id, rrf_score, n_legs
+           |FROM f ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin
+      },
+
+      "text_pack" ->
+        s"""WITH pdoc AS (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |${OracleSql.packCtes(OracleSql.PackSeqLen)}
+           |SELECT seq_id, n_docs, n_tokens, first_doc, last_doc
+           |FROM pseq ORDER BY seq_id""".stripMargin,
+
+      "text_shards" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok,
+           |  ${OracleSql.fingerprintSql("text")} AS fp,
+           |  CAST(${OracleSql.shardSql("doc_id", OracleSql.ExportShards)} AS INT) AS shard
+           |  FROM documents)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |       CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+           |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // redact -> quality gate -> exact dedup (min-id survivor per
+      // identical lowercased text) -> pack: each stage mirrors its
+      // standalone oracle above
+      "pipeline_prepare" -> {
+        val red = TextAnalysis.piiPatterns.foldLeft("text") {
+          case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+        }
+        s"""WITH r AS (SELECT doc_id, $red AS rt FROM documents),
+           |qt AS (SELECT doc_id, rt,
+           |         regexp_extract_all(lower(rt), '[a-z0-9]+') AS ws FROM r),
+           |qc AS (SELECT doc_id, rt,
+           |         CAST(len(ws) AS DOUBLE) AS n_tok,
+           |         CAST(len(list_distinct(ws)) AS DOUBLE) AS n_typ,
+           |         CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','in','to'))) AS DOUBLE) AS n_stop
+           |       FROM qt),
+           |k AS (SELECT doc_id, rt FROM qc
+           |      WHERE round(least(1.0, n_tok/100.0) * 0.4
+           |                + (CASE WHEN n_tok > 0 THEN n_typ/n_tok ELSE 0.0 END) * 0.4
+           |                + least(1.0, n_stop/5.0) * 0.2, 4) >= 0.55),
+           |s AS (SELECT min(doc_id) AS doc_id, lower(rt) AS lt FROM k GROUP BY lower(rt)),
+           |pdoc AS (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(lt, '[a-z0-9]+')) AS BIGINT) AS n_tok FROM s),
+           |${OracleSql.packCtes(OracleSql.PackSeqLen)}
+           |SELECT seq_id, n_docs, n_tokens, first_doc, last_doc
+           |FROM pseq ORDER BY seq_id""".stripMargin
+      }
     )
   }
 

@@ -565,6 +565,80 @@ class OperatorSpec extends AnyFunSuite {
     session.getClass.getMethod("close").invoke(session)
   }
 
+  test("bm25 ranks term-dense docs first; n_hit counts matched terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector vector vector store search"), // tf=3, short
+      (2L, "vector search store"),               // tf=1, short
+      (3L, "vector vector store search index merge lots of extra words here to lengthen"), // tf=2 but long
+      (4L, "no relevant terms at all whatsoever"),
+      (5L, "merge vector")                       // 2 distinct terms
+    ).toDF("doc_id", "text")
+    val top = graft.operators.Search
+      .bm25TopK(docs, Seq("vector", "merge"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // doc 5 hits both terms; doc 4 hits none and scores 0
+    assert(top.head._2 == 5L && top.head._3 == 2)
+    assert(top.last._2 == 4L && top.last._3 == 0)
+    // among single-term docs, higher tf at comparable length wins
+    val pos = top.map(_._2).zipWithIndex.toMap
+    assert(pos(1L) < pos(2L), s"tf=3 should beat tf=1: ${top.mkString(",")}")
+  }
+
+  test("rrf fusion sums exact integer points across legs") {
+    import spark.implicits._
+    val legA = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val legB = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
+    val fused = graft.operators.Search.rrfFuse(Seq(legA, legB), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // id 20: 1000000/62 + 1000000/61 = 16129 + 16393 = 32522 (2 legs)
+    assert(fused.head == (1L, 20L, 1000000L / 62 + 1000000L / 61, 2))
+    // id 10: 1000000/61 = 16393; id 30: 1000000/62 = 16129
+    assert(fused(1) == (2L, 10L, 1000000L / 61, 1))
+    assert(fused(2) == (3L, 30L, 1000000L / 62, 1))
+  }
+
+  test("sharded prefix-sum packing == single-shard sequential packing") {
+    val docs = Tables.load(spark, dir, "documents")
+    def packed(span: Long) = graft.operators.Packing
+      .packAssign(docs, seqLen = 128L, span = span)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // span 7 exercises many shards + driver offsets; span Long.MaxValue
+    // degenerates to the trivially-correct single-shard window
+    val sharded = packed(7L)
+    val single = packed(Long.MaxValue)
+    assert(sharded == single, s"diff: ${(sharded diff single).take(5)}")
+    // packing preserves every token and doc exactly once
+    val total = docs.select(sum(size(Dedup.tokens(col("text"))))).head().getLong(0)
+    assert(sharded.toSeq.map(_._2).sum == total)
+    assert(sharded.size == docs.count())
+  }
+
+  test("shard export: stats tile the corpus; written shards round-trip") {
+    val docs = Tables.load(spark, dir, "documents")
+    val stats = graft.operators.Packing.shardStats(docs, shards = 8)
+    val rows = stats.collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      graft.operators.Packing.writeShards(docs, out, shards = 8)
+      val back = spark.read.parquet(out)
+      assert(back.count() == docs.count())
+      // per-shard counts from the files match the manifest
+      val fileCounts = back.groupBy("shard").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val manifest = rows.map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(fileCounts == manifest)
+      // partition pruning: a single-shard read scans only that directory
+      val one = back.where(col("shard") === 3)
+      val scan = one.queryExecution.executedPlan.toString
+      assert(one.count() == manifest.getOrElse(3, 0L))
+      assert(scan.contains("PartitionFilters"), scan.take(1500))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

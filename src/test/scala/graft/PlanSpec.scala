@@ -139,6 +139,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 plan: broadcast stats row + bounded top-k, no corpus shuffle") {
+    // the only Exchange allowed is the one-row stats aggregation; the
+    // corpus side must go scan -> projection -> TakeOrderedAndProject
+    val p = plan(SparkEntry.queries("text_bm25")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("ann_ivf plan has no Exchange (broadcast-codebook argmin, IN-list probe)") {
     // r1 assigned centroids with Window.partitionBy(vec_id) — a full
     // corpus shuffle (VERDICT What's-wrong #4). The expression argmin +
