@@ -13,7 +13,10 @@ object Bench {
     "ev_hourly", "ev_sessions", "ev_asof",
     "knn_topk", "knn_multiquery_heap", "ann_lsh_join",
     "dedup_exact", "dedup_minhash", "dedup_clusters_stars",
-    "text_stats", "text_token_budget_sharded", "pipeline_curate")
+    "text_stats", "text_token_budget_sharded", "pipeline_curate",
+    // r6 additions: the two new plan shapes whose character changes
+    // with volume (broadcast-stats BM25 scan, sharded prefix-sum pack)
+    "text_bm25", "text_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,6 +27,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; a 67-query
+      // suite evicts earlier queries' codegen before the warm pass
+      // reruns them, re-paying full compilation (measured: text_bm25
+      // sf1 8.8 s "warm" vs 2.5 s steady) — r5's "uniform 1.4x
+      // warm-pass slowdown" was this, not machine noise
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT + codegen + parquet footer caches, untimed

@@ -766,6 +766,49 @@ object SparkEntry {
     "text_shards" -> ((s, dir) =>
       Packing.shardStats(Tables.load(s, dir, "documents")).orderBy("shard")),
 
+    // batched multi-query IVF ANN: probe table (Q x nprobe) broadcast
+    // onto the argmin-assigned corpus — ONE equi-join, corpus never
+    // shuffles; the IVF counterpart of ann_lsh_join
+    "ann_ivf_join" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val codebook = SimilaritySearch.collectCodebook(centroids)
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.where(col("vec_id") >= 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilaritySearch.ivfJoin(queries, corpus, codebook, nprobe = 2, k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // chunk -> hash-embed -> pool: document embedding as the
+    // elementwise sum of its chunks' count vectors (map-side-combinable
+    // ML-vector aggregation), surfaced through integer projections so
+    // the pooling arithmetic is cross-engine exact
+    "embed_pool" -> ((s, dir) => {
+      registered(s)
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.functions.vector_to_array
+      import org.apache.spark.ml.stat.Summarizer
+      val he = graft.functions.HashingEmbedder(64)
+      val chunks = TextAnalysis.chunk(Tables.load(s, dir, "documents"))
+      chunks
+        .select(col("doc_id"),
+          array_to_vector(he.counts(col("chunk_text")).cast("array<double>")).as("cv"))
+        .groupBy("doc_id")
+        .agg(Summarizer.sum(col("cv")).as("sv"),
+          count(lit(1)).cast("int").as("n_chunks"))
+        .select(col("doc_id"), col("n_chunks"),
+          vector_to_array(col("sv")).cast("array<long>").as("cnts"))
+        .select(col("doc_id"), col("n_chunks"),
+          size(filter(col("cnts"), x => x > 0)).as("nnz"),
+          aggregate(zip_with(col("cnts"), sequence(lit(1), lit(64)), (c, p) => c * p),
+            lit(0L), (acc, x) => acc + x).as("csum"))
+        .orderBy("doc_id")
+    }),
+
     // the end-to-end "prepare a training corpus" composition: PII
     // redaction -> quality gate -> exact dedup (min-id survivor per
     // identical text) -> sequence packing; every stage is one of the
@@ -1491,6 +1534,53 @@ object SparkEntry {
            |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            |       CAST(bit_xor(fp) AS BIGINT) AS fp_xor
            |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // same fixed seed-row codebook as ann_ivf; assignment argmin and
+      // probe ranking tie-break on the list id in both engines
+      "ann_ivf_join" -> {
+        val eucCA = OracleSql.euclidean("c.cvec", "t.cv")
+        val eucQA = OracleSql.euclidean("q.qv", "t.cv")
+        s"""WITH cent AS (SELECT vec_id AS lid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |cs AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id >= 16),
+           |ad AS (SELECT c.cid, c.cvec, t.lid, $eucCA AS dist FROM cs c, cent t),
+           |asg AS (SELECT cid, cvec, lid FROM
+           |        (SELECT *, row_number() OVER (PARTITION BY cid ORDER BY dist, lid) rn FROM ad)
+           |        WHERE rn = 1),
+           |pr AS (SELECT qid, qv, lid FROM
+           |       (SELECT q.qid, q.qv, t.lid,
+           |          row_number() OVER (PARTITION BY q.qid ORDER BY $eucQA, t.lid) prn
+           |        FROM qs q, cent t) WHERE prn <= 2),
+           |s AS (SELECT p.qid, a.cid, ${OracleSql.cosine("a.cvec", "p.qv")} AS sim
+           |      FROM asg a JOIN pr p ON a.lid = p.lid),
+           |r AS (SELECT qid, cid,
+           |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+           |      FROM s)
+           |SELECT qid, rank, cid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+      },
+
+      // pooled counts computed by flattening each doc's chunk slices
+      // (the sequential identity); Spark pools the same integers by
+      // aggregating the chunk TABLE — exact equivalence pins the
+      // distributed pooling to the per-doc flatten rule
+      "embed_pool" -> {
+        val kmax = "CASE WHEN len(ws) > 64 THEN (len(ws) - 64 + 47) // 48 ELSE 0 END"
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           |           FROM documents),
+           |fl AS (SELECT doc_id, CAST($kmax + 1 AS INT) AS n_chunks,
+           |         flatten(list_transform(range(0, $kmax + 1),
+           |           k -> list_slice(ws, k*48 + 1, k*48 + 64))) AS flat
+           |       FROM t WHERE len(ws) > 0),
+           |cd AS (SELECT doc_id, n_chunks,
+           |         list_transform(flat, w -> ${OracleSql.wcode("w")} % 64) AS cs FROM fl),
+           |cn AS (SELECT doc_id, n_chunks,
+           |         list_transform(range(0, 64), j -> CAST(len(list_filter(cs, c -> c = j)) AS BIGINT)) AS cnts
+           |       FROM cd)
+           |SELECT doc_id, n_chunks,
+           |  CAST(len(list_filter(cnts, x -> x > 0)) AS INT) AS nnz,
+           |  CAST(list_sum(list_transform(range(1, 65), j -> cnts[j] * j)) AS BIGINT) AS csum
+           |FROM cn ORDER BY doc_id""".stripMargin
+      },
 
       // redact -> quality gate -> exact dedup (min-id survivor per
       // identical lowercased text) -> pack: each stage mirrors its

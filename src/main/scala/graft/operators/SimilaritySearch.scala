@@ -281,6 +281,45 @@ object SimilaritySearch {
       .select(col("rank"), col("vec_id"))
   }
 
+  /**
+   * Batched IVF ANN join — many queries against the corpus through ONE
+   * broadcast equi-join on probed inverted-list ids (the IVF
+   * counterpart of [[lshJoin]]). Plan shape:
+   *  - corpus rows get their list id from the broadcast-codebook argmin
+   *    expression ([[nearestCentroid]]) — a projection, zero shuffle;
+   *  - each query resolves its nprobe nearest lists from the SAME
+   *    plan-constant codebook (explode to Q x C rows, WindowGroupLimit
+   *    keeps nprobe — the query side is tiny by definition);
+   *  - the probe table (Q x nprobe rows) BROADCASTS onto the assigned
+   *    corpus — the corpus never shuffles; only the probed fraction
+   *    (~nprobe/C of rows) carries into the per-query top-k window.
+   * At 100 TB with a [[buildIvfIndex]] layout the same join prunes
+   * non-probed list partitions statically.
+   *
+   * queries: (qid, qvec); corpus: (cid, cvec). Returns (qid, rank, cid).
+   */
+  def ivfJoin(queries: DataFrame, corpus: DataFrame,
+              codebook: Seq[(Long, Seq[Float])], nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = array(codebook.sortBy(_._1).map { case (cid, cv) =>
+      struct(lit(cid).as("lid"), vecLit(cv).as("cv"))
+    }: _*)
+    val w = Window.partitionBy("qid").orderBy(asc("dist"), asc("lid"))
+    val probed = queries
+      .select(col("qid"), col("qvec"), explode(centsLit).as("c"))
+      .select(col("qid"), col("qvec"), col("c.lid").as("lid"),
+        euclidean(col("qvec"), col("c.cv")).as("dist"))
+      .withColumn("prn", row_number().over(w))
+      .where(col("prn") <= nprobe)
+      .select("qid", "qvec", "lid")
+    val asg = corpus
+      .withColumn("lid", nearestCentroid(col("cvec"), codebook))
+    val scored = asg.join(broadcast(probed), "lid")
+      .select(col("qid"), col("cid"), cosine(col("cvec"), col("qvec")).as("sim"))
+    TopK.perQueryTopKWindow(scored, k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"))
+  }
+
   // ---- store-integrated IVF index: cid as a partition column ----
 
   /** Materialize the corpus partitioned by assigned centroid: at 100 TB

@@ -149,6 +149,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("ann_ivf_join: probes broadcast onto argmin-assigned corpus (no cartesian)") {
+    val p = plan(SparkEntry.queries("ann_ivf_join")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("ann_ivf plan has no Exchange (broadcast-codebook argmin, IN-list probe)") {
     // r1 assigned centroids with Window.partitionBy(vec_id) — a full
     // corpus shuffle (VERDICT What's-wrong #4). The expression argmin +
