@@ -729,6 +729,28 @@ class VectorStore(spark: SparkSession, val root: String,
     fs.delete(new Path(tmp), true)
   }
 
+  /**
+   * Export the live store as hash-sharded training data: every row
+   * (id, vector, content, tags) lands in one of `shards` parquet
+   * partition directories keyed by a stable hash of the row id
+   * ([[Packing.writeShards]] — one file per shard, partition-pruned
+   * reads), and the returned manifest ([[Packing.shardStats]] over the
+   * same key: per-shard doc/token counts + order-independent bit_xor
+   * content fingerprint) verifies each shard after the fact without
+   * re-reading the export. This is the store -> training-pipeline
+   * handoff: downstream jobs stream shards independently.
+   *
+   * Reads the current snapshot (no writer lock — exports are readers).
+   */
+  def exportShards(path: String, shards: Int = graft.OracleSql.ExportShards): DataFrame = {
+    // uuid ids are strings; derive a stable non-negative int64 shard key
+    val rows = table()
+      .select(col("id"), col("vector"), col("content"), col("tags"))
+      .withColumn("shard_key", expr("xxhash64(id) & 9223372036854775807"))
+    Packing.writeShards(rows, path, shards, idCol = "shard_key")
+    Packing.shardStats(rows, shards, idCol = "shard_key", textCol = "content")
+  }
+
   /** Drop the store (reference clear, src/db.rs:608-625). Takes the
     * writer lock so an in-flight insert/upsert finishes (or this waits)
     * before the root vanishes — deleting under a live writer would free

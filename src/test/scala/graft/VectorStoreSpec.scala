@@ -678,6 +678,28 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("exportShards: shards tile the store; manifest matches the written files") {
+    val store = freshStore()
+    val rows = (0 until 60).map(i =>
+      (s"v$i", Array(i.toFloat, (60 - i).toFloat), s"doc text number $i", Seq(s"t${i % 2}")))
+    store.insert(df(rows))
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+    try {
+      val manifest = store.exportShards(out, shards = 4).collect()
+      assert(manifest.map(_.getLong(1)).sum == 60L)
+      val back = spark.read.parquet(out)
+      assert(back.count() == 60)
+      assert(back.select("id").distinct().count() == 60)
+      // per-shard file counts match the manifest rows
+      val fileCounts = back.groupBy("shard").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(fileCounts == manifest.map(r => (r.getInt(0), r.getLong(1))).toMap)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      store.clear()
+    }
+  }
+
   test("vacuum reclaims bytes: superseded generations shrink the store on disk, results unchanged") {
     val store = freshStore()
     val rows = (0 until 90).map(i =>
