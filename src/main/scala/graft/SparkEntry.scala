@@ -766,6 +766,20 @@ object SparkEntry {
     "text_shards" -> ((s, dir) =>
       Packing.shardStats(Tables.load(s, dir, "documents")).orderBy("shard")),
 
+    // TF-IDF keyword extraction: integer rational idf (N*1000 div df),
+    // vocab-sized df table joined back, per-doc top-3 via
+    // WindowGroupLimit
+    "text_keywords" -> ((s, dir) =>
+      TextAnalysis.keywords(Tables.load(s, dir, "documents"), 3)
+        .orderBy("doc_id", "rank")),
+
+    // bigram-LM surprisal scoring (the integer-exact perplexity-filter
+    // stand-in): conditional frequency permille per bigram position,
+    // mean surprisal per doc
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // batched multi-query IVF ANN: probe table (Q x nprobe) broadcast
     // onto the argmin-assigned corpus — ONE equi-join, corpus never
     // shuffles; the IVF counterpart of ann_lsh_join
@@ -1534,6 +1548,34 @@ object SparkEntry {
            |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            |       CAST(bit_xor(fp) AS BIGINT) AS fp_xor
            |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+
+      "text_keywords" ->
+        s"""WITH tf AS (
+           |  SELECT doc_id, tok, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           |    FROM documents)
+           |  GROUP BY doc_id, tok),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |dft AS (SELECT tok, n_docs * 1000 // count(*) AS idf_pm
+           |        FROM tf, n GROUP BY tok, n_docs),
+           |sc AS (SELECT t.doc_id, t.tok, CAST(t.tf * d.idf_pm AS BIGINT) AS score
+           |       FROM tf t JOIN dft d ON t.tok = d.tok),
+           |r AS (SELECT doc_id, tok, score,
+           |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rank
+           |      FROM sc)
+           |SELECT doc_id, rank, tok, score FROM r WHERE rank <= 3
+           |ORDER BY doc_id, rank""".stripMargin,
+
+      "text_lm_score" ->
+        s"""WITH ${OracleSql.shingleOccCte},
+           |o AS (SELECT doc_id, code, code // 268435456 AS w1 FROM shocc),
+           |bi AS (SELECT code, count(*) AS bi_c FROM o GROUP BY code),
+           |un AS (SELECT w1, count(*) AS uni_c FROM o GROUP BY w1),
+           |s AS (SELECT o.doc_id, 1000 - (bi.bi_c * 1000 // un.uni_c) AS surprisal
+           |      FROM o JOIN bi ON o.code = bi.code JOIN un ON o.w1 = un.w1)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+           |       CAST(sum(surprisal) // count(*) AS BIGINT) AS rarity_pm
+           |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // same fixed seed-row codebook as ann_ivf; assignment argmin and
       // probe ranking tie-break on the list id in both engines

@@ -198,6 +198,74 @@ object TextAnalysis {
   def redact(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, redactCol(col(textCol)))
 
+  /**
+   * TF-IDF keyword extraction: the top `k` tokens of each document by
+   * tf * idf, with idf as the INTEGER rational `N * 1000 div df` — the
+   * exact-arithmetic monotone stand-in for ln(N/df), so ranking is
+   * cross-engine exact with no float anywhere.
+   *
+   * Plan shape: one token explode -> (doc, tok) counts (map-side
+   * combinable) -> df table derived from the SAME tf table (one row
+   * per distinct (doc, tok), so df = row count per tok) -> join tf
+   * with the vocab-sized df table (Spark picks broadcast when vocab is
+   * small; falls back to hash join for web-scale vocabularies) ->
+   * per-doc top-k via WindowGroupLimit. Returns
+   * (doc_id, rank, tok, score).
+   */
+  def keywords(docs: DataFrame, k: Int = 3,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val dfTab = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("tok"), expr("n_docs * 1000 div df").as("idf_pm"))
+    val scored = tf.join(dfTab, "tok")
+      .select(col("doc_id"), col("tok"), (col("tf") * col("idf_pm")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tok"), col("score"))
+  }
+
+  /**
+   * Bigram-LM surprisal scoring — the integer-exact stand-in for the
+   * published perplexity quality filter (CCNet scores documents under a
+   * corpus LM; rare transitions => high perplexity => low quality).
+   * For each bigram position, the conditional frequency ratio
+   * `c(w1,w2) * 1000 div c(w1·)` (permille, c(w1·) = occurrences of w1
+   * as a bigram head, so the ratio is always in [1, 1000]); the
+   * position's surprisal is `1000 - ratio`, and a document's score is
+   * the mean surprisal over its bigram positions (integer division) —
+   * all integer arithmetic, no ln, cross-engine exact.
+   *
+   * Plan shape: one bigram-occurrence explode; two map-side-combinable
+   * count aggregations (bigram table, head table — both vocab-sized);
+   * two joins of the occurrence stream against them (Spark broadcasts
+   * small count tables, hash-joins web-scale ones); one per-doc
+   * re-aggregation. The same shuffle family as decontaminate — scales
+   * as corpus passes + vocab-keyed joins.
+   */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val occ = Dedup.shingleOccurrences(docs, idCol, textCol)
+      .withColumn("w1", expr("code div 268435456"))
+    val biC = occ.groupBy(col("code")).agg(count(lit(1)).as("bi_c"))
+    val uniC = occ.groupBy(col("w1")).agg(count(lit(1)).as("uni_c"))
+    occ.join(biC, "code").join(uniC, "w1")
+      .select(col("doc_id"),
+        (lit(1000L) - expr("bi_c * 1000 div uni_c")).as("surprisal"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"), sum(col("surprisal")).as("s_sum"))
+      .select(col("doc_id"), col("n_bi"),
+        expr("s_sum div n_bi").as("rarity_pm"))
+  }
+
   /** Full stats projection over a documents table. */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(

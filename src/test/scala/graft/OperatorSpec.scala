@@ -639,6 +639,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("tf-idf keywords: a doc-unique token outranks a ubiquitous one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common zebra zebra common"),
+      (2L, "common common common stuff"),
+      (3L, "common stuff common stuff")
+    ).toDF("doc_id", "text")
+    val kw = graft.operators.TextAnalysis.keywords(docs, 1)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // doc 1: zebra tf=2 * idf 3000 = 6000 beats common tf=3 * idf 1000
+    assert(kw(1L) == "zebra", kw.toString)
+  }
+
+  test("bigram surprisal: unique transitions score rarer than repeated ones") {
+    import spark.implicits._
+    // surprisal is CONDITIONAL (1000 - c(w1,w2)*1000/c(w1.)): a head
+    // that always continues the same way is unsurprising even if the
+    // bigram is globally rare; rarity needs DIVERSE continuations
+    val docs = Seq(
+      (1L, "a b a b a b a b"),  // b|a dominant transition
+      (2L, "a c a d a e a f")  // a's continuations all rare
+    ).toDF("doc_id", "text")
+    val sc = graft.operators.TextAnalysis.lmScore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(sc(2L) > sc(1L), sc.toString)
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
