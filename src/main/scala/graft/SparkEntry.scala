@@ -797,6 +797,14 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // product-quantization ANN: 8 subspaces x 16 seed-derived codes
+    // (4 bytes/vector); asymmetric-distance scoring = 8 LUT lookups +
+    // adds per row, zero shuffle
+    "ann_pq" -> ((s, dir) => {
+      registered(s)
+      SimilaritySearch.pqSearch(Tables.load(s, dir, "embeddings"), qid = 42L)
+    }),
+
     // chunk -> hash-embed -> pool: document embedding as the
     // elementwise sum of its chunks' count vectors (map-side-combinable
     // ML-vector aggregation), surfaced through integer projections so
@@ -1599,6 +1607,35 @@ object SparkEntry {
            |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
            |      FROM s)
            |SELECT qid, rank, cid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+      },
+
+      // PQ mirror: per-subspace argmin codes (sqrt euclid, tie lowest
+      // seed — same ordering as every other argmin here), query LUT of
+      // squared distances, then a FIXED-ORDER d0+...+d7 sum (a grouped
+      // SUM would be order-indeterminate across engines)
+      "ann_pq" -> {
+        val sq = (a: String, b: String) => s"(CAST($a AS DOUBLE) - CAST($b AS DOUBLE))"
+        val subEuclid =
+          s"sqrt(list_sum(list_transform(range(1, 9), i -> ${sq("c.embedding[u.s*8 + i]", "sd.sv[u.s*8 + i]")} * ${sq("c.embedding[u.s*8 + i]", "sd.sv[u.s*8 + i]")})))"
+        val subD2 =
+          s"list_sum(list_transform(range(1, 9), i -> ${sq("q.qv[u.s*8 + i]", "sd.sv[u.s*8 + i]")} * ${sq("q.qv[u.s*8 + i]", "sd.sv[u.s*8 + i]")}))"
+        val piv = (0 until 8).map(s => s"max(CASE WHEN s = $s THEN d2 END) AS d$s").mkString(", ")
+        val fold = (0 until 8).map(s => s"d$s").mkString(" + ")
+        s"""WITH seeds AS (SELECT vec_id AS j, embedding AS sv FROM embeddings WHERE vec_id < 16),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+           |cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 42),
+           |ad AS (SELECT c.vec_id, u.s, sd.j, $subEuclid AS dist
+           |       FROM cs c, UNNEST(range(0, 8)) u(s), seeds sd),
+           |code AS (SELECT vec_id, s, j FROM
+           |         (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) rn FROM ad)
+           |         WHERE rn = 1),
+           |lut AS (SELECT u.s, sd.j, $subD2 AS d2
+           |        FROM q, UNNEST(range(0, 8)) u(s), seeds sd),
+           |piv AS (SELECT vec_id, $piv
+           |        FROM code JOIN lut USING (s, j) GROUP BY vec_id),
+           |sc AS (SELECT vec_id, $fold AS dist2 FROM piv)
+           |SELECT CAST(row_number() OVER (ORDER BY dist2 ASC, vec_id) AS BIGINT) AS rank, vec_id
+           |FROM sc ORDER BY dist2 ASC, vec_id LIMIT 5""".stripMargin
       },
 
       // pooled counts computed by flattening each doc's chunk slices

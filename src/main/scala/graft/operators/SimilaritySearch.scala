@@ -320,6 +320,74 @@ object SimilaritySearch {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"))
   }
 
+  // ---- product quantization: codes + asymmetric-distance search ----
+
+  /** Product-quantization codebooks from the first `nCodes` seed rows:
+    * subspace s's centroid j = seed j's subvector [s*dsub, (s+1)*dsub).
+    * Fixed data-derived codebooks (exactly like ann_ivf's seed
+    * codebook) keep the whole PQ path SQL-reproducible; production
+    * would fit per-subspace k-means with [[kmeansCentroids]] instead —
+    * the search machinery is identical either way. */
+  def pqCodebooks(emb: DataFrame, nSub: Int, nCodes: Int): Seq[Seq[(Long, Seq[Float])]] = {
+    val seeds = emb.where(col("vec_id") < nCodes)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val d = seeds.head._2.length
+    require(d % nSub == 0, s"graft: dim $d not divisible into $nSub subspaces")
+    val dsub = d / nSub
+    (0 until nSub).map { s =>
+      seeds.toSeq.map { case (j, v) => (j, v.slice(s * dsub, (s + 1) * dsub)) }
+    }
+  }
+
+  /** PQ-encode: per-subspace nearest-centroid codes — nSub codes of
+    * log2(nCodes) bits (8 x 4 bits at the defaults: a 64-d f32 vector
+    * compresses 64x to 4 bytes). Each code is the same broadcast-
+    * codebook argmin expression as IVF assignment, over a slice. */
+  def pqEncode(vec: Column, books: Seq[Seq[(Long, Seq[Float])]]): Seq[Column] = {
+    val dsub = books.head.head._2.length
+    books.zipWithIndex.map { case (book, s) =>
+      nearestCentroid(slice(vec, s * dsub + 1, dsub), book)
+    }
+  }
+
+  /**
+   * Asymmetric-distance PQ search: the query precomputes the per-
+   * (subspace, code) squared-distance table driver-side (nSub x nCodes
+   * doubles — KB metadata); corpus rows score as nSub literal-array
+   * lookups + adds over their CODES, never touching raw vectors. The
+   * I/O story at 100 TB: a PQ-encoded corpus scans at ~4 bytes/vector
+   * (vs 256 for f32, 64 for the 8-bit scalar codec) and the scan stays
+   * a pure projection + TakeOrderedAndProject — zero shuffle.
+   * (Here codes are derived in the same plan; a stored deployment
+   * materializes them at write time like buildIvfIndex does cids.)
+   */
+  def pqSearch(emb: DataFrame, qid: Long, nSub: Int = 8, nCodes: Int = 16,
+               k: Int = 5): DataFrame = {
+    val books = pqCodebooks(emb, nSub, nCodes)
+    val qv = lookupVec(emb, qid)
+    val dsub = qv.length / nSub
+    // LUT in the same sequential fold order the oracle's list_sum uses
+    val luts: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
+      val q = qv.slice(s * dsub, (s + 1) * dsub)
+      book.sortBy(_._1).map { case (_, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val dd = q(i).toDouble - c(i).toDouble; acc += dd * dd; i += 1
+        }
+        acc
+      }
+    }
+    val codes = pqEncode(col("embedding"), books)
+    val dist2 = codes.zipWithIndex.map { case (cc, s) =>
+      element_at(array(luts(s).map(lit): _*), (cc + 1).cast("int"))
+    }.reduce(_ + _)
+    val scored = emb.where(col("vec_id") =!= qid).withColumn("dist2", dist2)
+    TopK.topKRanked(scored, k, Seq(asc("dist2"), asc("vec_id")))
+      .select(col("rank"), col("vec_id"))
+  }
+
   // ---- store-integrated IVF index: cid as a partition column ----
 
   /** Materialize the corpus partitioned by assigned centroid: at 100 TB

@@ -639,6 +639,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pq: seed rows encode to themselves (zero subspace distance)") {
+    import graft.operators.SimilaritySearch
+    val emb = Tables.load(spark, dir, "embeddings")
+    val books = SimilaritySearch.pqCodebooks(emb, nSub = 8, nCodes = 16)
+    val codes = SimilaritySearch.pqEncode(col("embedding"), books)
+    val seedCodes = emb.where(col("vec_id") < 16)
+      .select(col("vec_id") +: codes.zipWithIndex.map { case (c, s) => c.as(s"c$s") }: _*)
+      .collect()
+    // every seed's subvector is its own nearest centroid in every subspace
+    for (r <- seedCodes; s <- 0 until 8)
+      assert(r.getLong(1 + s) == r.getLong(0), s"seed ${r.getLong(0)} subspace $s")
+    // and the search returns exactly k ranked rows
+    assert(SimilaritySearch.pqSearch(emb, qid = 3L).count() == 5)
+  }
+
   test("tf-idf keywords: a doc-unique token outranks a ubiquitous one") {
     import spark.implicits._
     val docs = Seq(

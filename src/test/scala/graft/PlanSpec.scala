@@ -164,6 +164,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(3000))
   }
 
+  test("ann_pq plan has no Exchange (codes + LUT lookups are a pure projection)") {
+    val p = plan(SparkEntry.queries("ann_pq")(spark, dir))
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("ann_ivf_quantized scores through the fused packed kernel (oracle-pinned numerics)") {
     val q = SparkEntry.queries("ann_ivf_quantized")(spark, dir)
     val opt = q.queryExecution.optimizedPlan.toString
