@@ -14,9 +14,10 @@ object Bench {
     "knn_topk", "knn_multiquery_heap", "ann_lsh_join",
     "dedup_exact", "dedup_minhash", "dedup_clusters_stars",
     "text_stats", "text_token_budget_sharded", "pipeline_curate",
-    // r6 additions: the two new plan shapes whose character changes
-    // with volume (broadcast-stats BM25 scan, sharded prefix-sum pack)
-    "text_bm25", "text_pack")
+    // r6 additions: the new plan shapes whose character changes with
+    // volume (broadcast-stats BM25 scan, sharded prefix-sum pack,
+    // LUT-projection PQ scan)
+    "text_bm25", "text_pack", "ann_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -730,6 +730,48 @@ class VectorStore(spark: SparkSession, val root: String,
   }
 
   /**
+   * Hybrid retrieval over the store: a lexical BM25 leg over the stored
+   * content and a vector leg over the stored embeddings, fused with
+   * reciprocal-rank fusion ([[Search.rrfFuse]] — integer points, exact).
+   * Both legs run over the same (optionally tag-pruned) snapshot; each
+   * ends in its own TakeOrderedAndProject, so fusion input is 2*fuseK
+   * rows at any store size. This is the retrieval shape production
+   * stacks actually deploy on a vector DB — pure-vector recall misses
+   * exact-term matches, pure-lexical misses paraphrases; RRF needs no
+   * score calibration between the legs.
+   *
+   * Returns (rank, id, content, rrf_score, n_legs) for the top k.
+   */
+  def searchHybrid(
+      queryVec: Seq[Float],
+      terms: Seq[String],
+      tags: Seq[String] = Nil,
+      k: Int = 10,
+      fuseK: Int = 20): DataFrame = {
+    val snap = {
+      val base = table()
+      if (tags.isEmpty) base
+      else base.where(tags.distinct.map(t => array_contains(col("tags"), t)).reduce(_ && _))
+    }
+    // zero-hit docs can reach a small corpus' top-k with score 0; they
+    // are not lexical hits and must not earn fusion points
+    val lexLeg = Search
+      .bm25TopK(snap, terms, fuseK, idCol = "id", textCol = "content")
+      .where(col("n_hit") > 0)
+      .select(col("doc_id").as("id"), col("rank"))
+    // the window ranks the ALREADY-LIMITED leg (<= fuseK rows), so the
+    // single partition is bounded — the legal post-limit shape
+    val vecLeg = search(queryVec, tags, fuseK)
+      .select(col("id"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("similarity"), asc("id")))
+        .cast("long").as("rank"))
+    val fused = Search.rrfFuse(Seq(lexLeg, vecLeg), k)
+    fused.join(snap.select(col("id"), col("content")), Seq("id"), "left")
+      .select(col("rank"), col("id"), col("content"), col("rrf_score"), col("n_legs"))
+      .orderBy("rank")
+  }
+
+  /**
    * Export the live store as hash-sharded training data: every row
    * (id, vector, content, tags) lands in one of `shards` parquet
    * partition directories keyed by a stable hash of the row id

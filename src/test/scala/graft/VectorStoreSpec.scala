@@ -678,6 +678,25 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("searchHybrid: lexical-only and vector-only hits both surface; fusion favors dual hits") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("both", Array(1f, 0f), "quantum flux capacitor", Seq("t")),
+      ("lex", Array(0f, 1f), "quantum quantum quantum", Seq("t")),
+      ("vec", Array(0.9f, 0.1f), "unrelated words entirely", Seq("t")),
+      ("nil", Array(0f, -1f), "nothing relevant here", Seq("t")))))
+    val hits = store.searchHybrid(Seq(1f, 0f), Seq("quantum"), k = 4, fuseK = 2)
+      .collect().map(r => (r.getString(1), r.getInt(4)))
+    val byId = hits.toMap
+    // 'both' is in the lexical top-2 AND the vector top-2; it must rank first
+    assert(byId("both") == 2, hits.mkString(","))
+    assert(hits.head._1 == "both")
+    // one-leg hits still surface; no-leg docs don't
+    assert(byId.get("lex").contains(1) && byId.get("vec").contains(1))
+    assert(!byId.contains("nil"), hits.mkString(","))
+    store.clear()
+  }
+
   test("exportShards: shards tile the store; manifest matches the written files") {
     val store = freshStore()
     val rows = (0 until 60).map(i =>
