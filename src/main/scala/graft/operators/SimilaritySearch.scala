@@ -332,6 +332,7 @@ object SimilaritySearch {
     val seeds = emb.where(col("vec_id") < nCodes)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(seeds.nonEmpty, s"graft: PQ needs seed rows (vec_id < $nCodes) for codebooks")
     val d = seeds.head._2.length
     require(d % nSub == 0, s"graft: dim $d not divisible into $nSub subspaces")
     val dsub = d / nSub
