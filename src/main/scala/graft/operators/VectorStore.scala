@@ -766,7 +766,11 @@ class VectorStore(spark: SparkSession, val root: String,
         org.apache.spark.sql.expressions.Window.orderBy(desc("similarity"), asc("id")))
         .cast("long").as("rank"))
     val fused = Search.rrfFuse(Seq(lexLeg, vecLeg), k)
-    fused.join(snap.select(col("id"), col("content")), Seq("id"), "left")
+    // content join-back: the fused side (<= k rows) BROADCASTS onto the
+    // streaming snapshot — never a store shuffle. Inner is equivalent
+    // to left here because every fused id came from a leg over `snap`.
+    snap.select(col("id"), col("content"))
+      .join(broadcast(fused), Seq("id"))
       .select(col("rank"), col("id"), col("content"), col("rrf_score"), col("n_legs"))
       .orderBy("rank")
   }
