@@ -930,6 +930,16 @@ class VectorStore(spark: SparkSession, val root: String,
   // codebook file would let a crash between the two writes pair a new
   // index with an old codebook, silently probing the wrong lists
   private def codebookPathIn(dir: String) = s"$dir/_codebook.parquet"
+  // PQ sub-codebooks live beside the IVF codebook in the SAME versioned
+  // dir for the same reason: codes and the books that decode them
+  // commit in one rename, never observable out of sync
+  private def pqPathIn(dir: String) = s"$dir/_pq_codebooks.parquet"
+
+  /** PQ geometry for the store index: 8 subspaces x 16 codes (4 bits
+    * each -> 4 bytes/vector). Indexes skip PQ when the stored dimension
+    * is not divisible into subspaces (tiny test stores). */
+  private val PqSub = 8
+  private val PqCodes = 16
 
   /** Committed index versions under ann/v<k> — same newest-version
     * resolution as the manifest (ADVICE r4 #3 / VERDICT r5 next #1): a
@@ -1013,12 +1023,35 @@ class VectorStore(spark: SparkSession, val root: String,
     val centroids = SimilaritySearch.kmeansCentroids(
       table().select(col("vector").as("embedding")), k, seed)
     val codebook = SimilaritySearch.collectCodebook(centroids)
+    // IVF-PQ: per-subspace k-means sub-codebooks fitted over the stored
+    // vectors (a production build fits on a sample; these stores are
+    // bounded). Skipped when dim does not divide into subspaces.
+    val dim = table().select(size(col("vector")).as("d")).head().getInt(0)
+    val pqBooks: Option[Seq[Seq[(Long, Seq[Float])]]] =
+      if (dim % PqSub != 0 || dim < PqSub) None
+      else {
+        val dsub = dim / PqSub
+        Some((0 until PqSub).map { s =>
+          SimilaritySearch.collectCodebook(SimilaritySearch.kmeansCentroids(
+            table().select(slice(col("vector"), s * dsub + 1, dsub).as("embedding")),
+            PqCodes, seed + s)
+            .select(col("cid"), col("cvec")))
+        })
+      }
     val tmp = new Path(s"$root/ann_tmp")
-    table()
+    withPqCodes(table(), pqBooks)
       .withColumn("cid", SimilaritySearch.nearestCentroid(col("vector"), codebook))
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(tmp.toString)
     centroids.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$tmp/_codebook.parquet")
+    pqBooks.foreach { books =>
+      import spark.implicits._
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.map { case (cid, cv) => (s, cid, cv) }
+      }.toDF("sub", "cid", "cvec")
+        .withColumn("cvec", col("cvec").cast("array<float>"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/_pq_codebooks.parquet")
+    }
     // count(*) over the staged files is footer metadata, not a data scan
     val built = spark.read.parquet(tmp.toString).count()
     writeAnnMeta(tmp.toString, AnnMeta(k, seed, rebuildFraction, built, 0L))
@@ -1059,6 +1092,67 @@ class VectorStore(spark: SparkSession, val root: String,
   }
 
   /**
+   * IVF-PQ search (the FAISS IVFPQ shape): probe pruning like
+   * [[searchAnn]], but the probed lists are PRESELECTED by asymmetric
+   * PQ distance — per-(subspace, code) lookup tables computed from the
+   * query driver-side, scored as `PqSub` literal-array lookups per row
+   * over the stored 4-byte codes — and only the `refineK` ADC survivors
+   * are re-scored exactly on their raw vectors. At 100 TB the ADC pass
+   * reads codes (4 B/vector) instead of f32 vectors (256 B) across the
+   * probed lists; exact scoring touches refineK rows.
+   *
+   * Cosine mode approximates via reconstructed dot and norm LUTs
+   * (dot(q, x) ~ sum_s dot(q_s, c_code) and |x|^2 ~ sum_s |c_code|^2);
+   * projected stores use the euclidean distance^2 LUT directly. The
+   * exact refine pass makes the end result's quality that of the
+   * preselect recall, not the code granularity.
+   */
+  def searchAnnPq(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 2,
+                  refineK: Int = 0): DataFrame = {
+    val dir = currentAnnDir.getOrElse(
+      throw new IllegalStateException(
+        "graft: no ANN index — call buildAnnIndex(k) first"))
+    val books = readPqBooks(dir).getOrElse(
+      throw new IllegalStateException(
+        "graft: index has no PQ codes (pre-PQ build or non-divisible dim) — rebuild with buildAnnIndex"))
+    val (qv, metric) =
+      if (isProjected) (Pca.projectOne(loadModel(), queryVec).toSeq, "euclidean")
+      else (queryVec, "cosine")
+    val codebook = SimilaritySearch.collectCodebook(
+      spark.read.parquet(codebookPathIn(dir)))
+    val probes = SimilaritySearch.probeCids(codebook, qv, nprobe)
+    val pruned = spark.read.parquet(dir).where(col("cid").isin(probes: _*))
+    val dsub = qv.length / books.size
+    def lutCol(f: (Seq[Float], Seq[Float]) => Double): Column =
+      books.zipWithIndex.map { case (book, s) =>
+        val qs = qv.slice(s * dsub, (s + 1) * dsub)
+        val lut = book.map { case (_, cv) => f(qs, cv) }
+        element_at(array(lut.map(lit): _*), element_at(col("pq"), s + 1) + 1)
+      }.reduce(_ + _)
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val adc = metric match {
+      case "euclidean" =>
+        lutCol((q, c) => q.indices.foldLeft(0.0) { (acc, i) =>
+          val d = q(i).toDouble - c(i).toDouble; acc + d * d
+        })
+      case _ =>
+        val qn = math.sqrt(dot(qv, qv))
+        val dotC = lutCol(dot)
+        val n2C = lutCol((_, c) => dot(c, c))
+        when(n2C > 0.0, dotC / (lit(qn) * sqrt(n2C))).otherwise(lit(-2.0))
+    }
+    val order =
+      if (metric == "euclidean") Seq(asc("adc"), asc("id"))
+      else Seq(desc("adc"), asc("id"))
+    val candidates = TopK
+      .topKRanked(pruned.withColumn("adc", adc),
+        if (refineK > 0) refineK else 4 * k, order)
+      .drop("rank", "adc")
+    scoreTopK(candidates, qv, k, metric, quantized = false)
+  }
+
+  /**
    * Incremental ANN maintenance (VERDICT r3 next #2): fold an inserted
    * batch into the live index so [[searchAnn]] serves new rows without
    * a rebuild. The batch assigns to the EXISTING centroids via the
@@ -1073,11 +1167,39 @@ class VectorStore(spark: SparkSession, val root: String,
    * approximate-by-contract index already admits; committed STORE data
    * is never at risk.
    */
+  /** Attach the PQ codes column when sub-codebooks are in play — the
+    * same argmin-expression encode as [[SimilaritySearch.pqEncode]],
+    * one projection, no shuffle. */
+  private def withPqCodes(df: DataFrame,
+                          books: Option[Seq[Seq[(Long, Seq[Float])]]]): DataFrame =
+    books match {
+      case None => df
+      case Some(bs) =>
+        df.withColumn("pq",
+          array(SimilaritySearch.pqEncode(col("vector"), bs).map(_.cast("int")): _*))
+    }
+
+  /** The committed index dir's PQ sub-codebooks, grouped by subspace
+    * (None for indexes built without PQ — pre-PQ layouts or
+    * non-divisible dims). */
+  private def readPqBooks(dir: String): Option[Seq[Seq[(Long, Seq[Float])]]] =
+    if (!fs.exists(new Path(pqPathIn(dir)))) None
+    else Some {
+      spark.read.parquet(pqPathIn(dir))
+        .select("sub", "cid", "cvec").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.toSeq.sortBy(_._2).map { case (_, cid, cv) => (cid, cv) })
+    }
+
   private def maintainAnnIndex(batch: DataFrame): Unit = {
     val dir = currentAnnDir.getOrElse(return)
     val codebook = SimilaritySearch.collectCodebook(
       spark.read.parquet(codebookPathIn(dir)))
-    batch.drop("gen")
+    // appended rows must carry the SAME columns as the built index —
+    // including PQ codes (encoded with the committed books; ADVICE r4
+    // #4's schema-alignment lesson)
+    withPqCodes(batch.drop("gen"), readPqBooks(dir))
       .withColumn("cid", SimilaritySearch.nearestCentroid(col("vector"), codebook))
       .write.mode(SaveMode.Append).partitionBy("cid").parquet(dir)
     readAnnMeta(dir).foreach { m =>

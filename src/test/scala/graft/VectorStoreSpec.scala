@@ -678,6 +678,40 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("IVF-PQ: ADC preselect + exact refine tracks exact search; appends get codes") {
+    val store = freshStore()
+    val vt = graft.core.Tables.vectorTable(spark, "/root/testdata/sf0.001")
+      .select(col("id").cast("string").as("id"), col("vector"), col("content"), col("tags"))
+    store.insert(vt)
+    store.buildAnnIndex(4)
+    val qv = vt.where(col("id") === "0").select("vector")
+      .head().getSeq[Float](0)
+    val exact = store.search(qv, k = 10).select("id")
+      .collect().map(_.getString(0)).toSet
+    val pq = store.searchAnnPq(qv, k = 10, nprobe = 2).select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(pq.size == 10)
+    val recall = (exact intersect pq).size / 10.0
+    assert(recall >= 0.5, s"IVF-PQ recall $recall vs exact; got ${pq.toSeq.sorted}")
+    // appended rows are PQ-encoded with the committed books and
+    // immediately searchable through the ADC path
+    store.insert(df(Seq(("appended-probe", qv.toArray, "fresh row", Seq("t")))))
+    val top = store.searchAnnPq(qv, k = 2, nprobe = 2).select("id")
+      .collect().map(_.getString(0))
+    assert(top.contains("appended-probe"), top.mkString(","))
+    store.clear()
+  }
+
+  test("IVF-PQ: an index whose dim cannot subspace-split fails searchAnnPq loudly") {
+    val store = freshStore()
+    store.insert(df((0 until 20).map(i =>
+      (s"v$i", Array(i.toFloat, (20 - i).toFloat), s"c$i", Seq("t")))))
+    store.buildAnnIndex(2)
+    assert(store.searchAnn(Seq(1f, 2f), k = 3).count() == 3) // plain ANN still works
+    intercept[IllegalStateException] { store.searchAnnPq(Seq(1f, 2f), k = 3) }
+    store.clear()
+  }
+
   test("searchHybrid: lexical-only and vector-only hits both surface; fusion favors dual hits") {
     val store = freshStore()
     store.insert(df(Seq(
