@@ -256,6 +256,31 @@ object OracleSql {
        |  FROM nrm
        |)""".stripMargin
 
+  /** DuckDB CTE chain ending in `cev`(doc_id, chunk_idx, e): the
+    * hashing embedder applied PER CHUNK (chunk() slicing at 64/16,
+    * hashEmbedCtes' exact normalization ops) — the corpus side of
+    * late-interaction max-sim scoring. */
+  def chunkEmbedCtes(d: Int): String = {
+    val kmax = "CASE WHEN len(ws) > 64 THEN (len(ws) - 64 + 47) // 48 ELSE 0 END"
+    s"""tch AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |        FROM documents),
+       |cch AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       |          list_slice(ws, k*48 + 1, k*48 + 64) AS cws
+       |        FROM tch, UNNEST(range(0, $kmax + 1)) AS u(k) WHERE len(ws) > 0),
+       |ccd AS (SELECT doc_id, chunk_idx,
+       |          list_transform(cws, w -> ${wcode("w")} % $d) AS cs FROM cch),
+       |ccn AS (SELECT doc_id, chunk_idx,
+       |          list_transform(range(0, $d),
+       |                         j -> CAST(len(list_filter(cs, c -> c = j)) AS BIGINT)) AS cnts
+       |        FROM ccd),
+       |cnr AS (SELECT doc_id, chunk_idx, cnts,
+       |          sqrt(list_sum(list_transform(cnts, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+       |        FROM ccn),
+       |cev AS (SELECT doc_id, chunk_idx,
+       |          CAST(list_transform(cnts, x -> CASE WHEN nn > 0.0 THEN CAST(x AS DOUBLE)/nn ELSE 0.0 END) AS FLOAT[]) AS e
+       |        FROM cnr)""".stripMargin
+  }
+
   /** DuckDB fragment: the marker-count language-ID CASE over a token
     * list column `ws` (mirrors TextAnalysis.langId). */
   def langIdSql(markers: Seq[(String, Seq[String])]): String = {

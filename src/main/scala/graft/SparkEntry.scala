@@ -797,6 +797,22 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // late-interaction (ColBERT-shape) retrieval: query chunks vs
+    // corpus chunks, per-query-chunk max cosine, integer-scaled sum —
+    // broadcast query side, map-side-combinable maxes
+    "ann_maxsim" -> ((s, dir) => {
+      registered(s)
+      val he = graft.functions.HashingEmbedder(64)
+      val emb = TextAnalysis.chunk(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("chunk_idx"), he.embed(col("chunk_text")).as("e"))
+      val q = emb.where(col("doc_id") === 0)
+        .select(col("chunk_idx").as("q_idx"), col("e").as("qe"))
+      val corpus = emb.where(col("doc_id") =!= 0)
+        .select(col("doc_id").as("id"), col("e"))
+      Search.maxSimTopK(q, corpus, 10)
+        .select(col("rank"), col("id").as("doc_id"), col("msim"))
+    }),
+
     // product-quantization ANN: 8 subspaces x 16 seed-derived codes
     // (4 bytes/vector); asymmetric-distance scoring = 8 LUT lookups +
     // adds per row, zero shuffle
@@ -1608,6 +1624,21 @@ object SparkEntry {
            |      FROM s)
            |SELECT qid, rank, cid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
       },
+
+      // per-(id, q_idx) max is deterministic (same float sets both
+      // engines); the per-doc SUM is integer (floor 1e6-scaled), so
+      // accumulation order can never move a score
+      "ann_maxsim" ->
+        s"""WITH ${OracleSql.chunkEmbedCtes(64)},
+           |qc AS (SELECT chunk_idx AS q_idx, e AS qe FROM cev WHERE doc_id = 0),
+           |s AS (SELECT c.doc_id AS id, q.q_idx, ${OracleSql.cosine("c.e", "q.qe")} AS sim
+           |      FROM cev c, qc q WHERE c.doc_id <> 0),
+           |m AS (SELECT id, q_idx, max(sim) AS mx FROM s GROUP BY id, q_idx),
+           |d AS (SELECT id, CAST(sum(CAST(floor(mx * 1000000.0) AS BIGINT)) AS BIGINT) AS msim
+           |      FROM m GROUP BY id)
+           |SELECT CAST(row_number() OVER (ORDER BY msim DESC, id) AS BIGINT) AS rank,
+           |       id AS doc_id, msim
+           |FROM d ORDER BY msim DESC, id LIMIT 10""".stripMargin,
 
       // PQ mirror: per-subspace argmin codes (sqrt euclid, tie lowest
       // seed — same ordering as every other argmin here), query LUT of

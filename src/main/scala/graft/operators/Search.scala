@@ -80,6 +80,32 @@ object Search {
       .select(col("rank"), col("doc_id"), col("n_hit"))
 
   /**
+   * Late-interaction (max-sim) retrieval over chunked embeddings — the
+   * ColBERT scoring shape: a document's score against a multi-chunk
+   * query is the SUM over query chunks of the MAX cosine against any of
+   * the document's chunks. Fine-grained matching that single pooled
+   * vectors blur away; the standard second-stage ranker over a chunked
+   * corpus.
+   *
+   * queries: (q_idx, qe) — a handful of chunk vectors, broadcast;
+   * corpus: (id, e) — one row per document chunk. Per-position maxes
+   * are a map-side-combinable (id, q_idx) aggregation over the
+   * broadcast-joined chunk stream; the per-document sum is INTEGER
+   * (floor(1e6 * max)) so accumulation order can never move a score.
+   * Returns (rank, id, msim) for the top k.
+   */
+  def maxSimTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", graft.functions.GraftFunctions.cosine(col("e"), col("qe")))
+      .groupBy(col("id"), col("q_idx"))
+      .agg(max(col("sim")).as("mx"))
+      .groupBy(col("id"))
+      .agg(sum(floor(col("mx") * lit(1000000.0)).cast("long")).as("msim"))
+    TopK.topKRanked(scored, k, Seq(desc("msim"), asc("id")))
+      .select(col("rank"), col("id"), col("msim"))
+  }
+
+  /**
    * Reciprocal-rank fusion over ranked legs (each leg: (id, rank)):
    * fused points = sum over legs of RrfScale div (RrfC + rank) —
    * integer division, so fusion is cross-engine exact. Returns
