@@ -525,6 +525,39 @@ class VectorStore(spark: SparkSession, val root: String,
       .drop("gen")
   }
 
+  /** Committed manifest versions, oldest -> newest: the store's
+    * readable snapshot history until [[vacuum]] reclaims superseded
+    * versions (history depth IS the vacuum grace window, by design). */
+  def versions: Seq[Int] = manifestVersions()
+
+  /**
+   * Time-travel read: the snapshot manifest version `v` committed — the
+   * lakehouse capability the reader-safe generation commits already pay
+   * for. Version v's base + its scoped deltas resolve to (tag_key, gen)
+   * dirs whose FILES stay on disk after upsert/compact superseded them,
+   * until vacuum's grace period passes; so `tableAt` of a pre-upsert
+   * version reads the pre-upsert rows. Within a version epoch, deltas
+   * (plain inserts) are folded in — versions step at base rewrites
+   * (seed, upsert, compact, threshold folds), the same granularity the
+   * concurrent-reader guarantee is defined at.
+   */
+  def tableAt(version: Int): DataFrame = {
+    require(manifestVersions().contains(version),
+      s"graft: no manifest version v$version (have ${manifestVersions().mkString(",")} — vacuumed?)")
+    val b = spark.read.parquet(basePathFor(version))
+    val merged =
+      if (fs.exists(new Path(deltaPathFor(version))))
+        b.unionByName(spark.read.schema(manifestSchema).parquet(deltaPathFor(version)))
+      else b
+    val live = merged.groupBy("tag_key", "tags").agg(max("gen").as("gen"))
+      .select("tag_key", "gen").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    if (live.isEmpty) spark.read.parquet(dataPath)
+    else spark.read.option("basePath", dataPath)
+      .parquet(live.map { case (k, g) => genDir(k, g) }: _*)
+      .drop("gen")
+  }
+
   /**
    * Reclaim storage no reader can need anymore: generation dirs not
    * named by the current manifest, superseded manifest versions (and

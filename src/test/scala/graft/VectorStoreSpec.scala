@@ -678,6 +678,24 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("time travel: tableAt reads the pre-upsert snapshot until vacuum reclaims it") {
+    val store = freshStore()
+    store.insert(df(Seq(("a", Array(1f, 0f), "one", Seq("t")))))
+    val v1 = store.versions.last
+    store.upsert(df(Seq(("a", Array(1f, 0f), "one-v2", Seq("t")))))
+    assert(store.versions.last > v1, "upsert should commit a new manifest version")
+    assert(store.table().select("content").head().getString(0) == "one-v2")
+    assert(store.tableAt(v1).select("content").head().getString(0) == "one")
+    assert(store.tableAt(store.versions.last)
+      .select("content").head().getString(0) == "one-v2")
+    store.vacuum(0L)
+    // history reclaimed: only the live version remains readable
+    assert(store.versions == Seq(store.versions.last))
+    intercept[IllegalArgumentException] { store.tableAt(v1) }
+    assert(store.table().select("content").head().getString(0) == "one-v2")
+    store.clear()
+  }
+
   test("IVF-PQ: ADC preselect + exact refine tracks exact search; appends get codes") {
     val store = freshStore()
     val vt = graft.core.Tables.vectorTable(spark, "/root/testdata/sf0.001")
