@@ -281,6 +281,24 @@ object OracleSql {
        |        FROM cnr)""".stripMargin
   }
 
+  /** DuckDB CTE chain: `iters` UNROLLED integer-PageRank rounds over a
+    * pair CTE `p`(d1, d2) — recursive CTEs disallow aggregation in the
+    * recursive term, so the oracle unrolls; the integer recurrence
+    * (div at both steps) is bit-reproducible, so pr<iters> replays
+    * Graph.pagerankInt exactly. */
+  def pagerankCtes(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""pr$t AS (SELECT e.v AS node,
+         |  CAST(150000 + (850 * sum(pp.pr // dg.deg)) // 1000 AS BIGINT) AS pr
+         |  FROM pr${t - 1} pp JOIN ed e ON pp.node = e.u JOIN dg ON e.u = dg.u
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""ed AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p),
+       |dg AS (SELECT u, count(*) AS deg FROM ed GROUP BY u),
+       |pr0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS pr FROM dg),
+       |$steps""".stripMargin
+  }
+
   /** DuckDB fragment: the marker-count language-ID CASE over a token
     * list column `ws` (mirrors TextAnalysis.langId). */
   def langIdSql(markers: Seq[(String, Seq[String])]): String = {

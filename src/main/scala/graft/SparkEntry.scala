@@ -797,6 +797,15 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // integer-exact PageRank over the near-dup graph (rank identifies
+    // the CENTER docs of duplicate families): per-round equi-join +
+    // map-side-combinable sum, checkpointed flat lineage
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pagerankInt(
+        Dedup.minhashNearDups(Tables.load(s, dir, "documents"))
+          .select("d1", "d2"), 10)
+        .orderBy("node")),
+
     // late-interaction (ColBERT-shape) retrieval: query chunks vs
     // corpus chunks, per-query-chunk max cosine, integer-scaled sum —
     // broadcast query side, map-side-combinable maxes
@@ -1624,6 +1633,20 @@ object SparkEntry {
            |      FROM s)
            |SELECT qid, rank, cid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
       },
+
+      // same near-dup pair derivation as dedup_clusters; then 10
+      // unrolled integer-PageRank rounds (bit-reproducible recurrence)
+      "graph_pagerank" ->
+        s"""WITH ${OracleSql.shingleCte},
+           |${OracleSql.minhashCte},
+           |${OracleSql.lshCandidatesCte},
+           |${OracleSql.jaccardCte},
+           |p AS (SELECT j.d1, j.d2
+           |      FROM jac j JOIN (SELECT DISTINCT d1, d2 FROM cand) c
+           |        ON j.d1 = c.d1 AND j.d2 = c.d2
+           |      WHERE j.j >= ${OracleSql.JaccardThreshold}),
+           |${OracleSql.pagerankCtes(10)}
+           |SELECT node, pr FROM pr10 ORDER BY node""".stripMargin,
 
       // per-(id, q_idx) max is deterministic (same float sets both
       // engines); the per-doc SUM is integer (floor 1e6-scaled), so

@@ -44,7 +44,7 @@ object Dedup {
    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — set it on
    * long-lived sessions.
    */
-  private def checkpointed(df: DataFrame): DataFrame =
+  private[operators] def checkpointed(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cp = cached.checkpoint() // eager: materializes via the cache

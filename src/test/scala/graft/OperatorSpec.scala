@@ -639,6 +639,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("integer pagerank: exact hand-computed ranks on a star graph") {
+    import spark.implicits._
+    // star: center 0 <-> leaves 1..4. After one round:
+    //   center: 150000 + 850*(4 * (1000000 div 1)) div 1000 = 3550000
+    //   leaf:   150000 + 850*(1000000 div 4) div 1000      =  362500
+    val pairs = (1L to 4L).map(i => (0L, i)).toDF("d1", "d2")
+    val pr = graft.operators.Graph.pagerankInt(pairs, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pr(0L) == 3550000L, pr.toString)
+    assert((1L to 4L).forall(pr(_) == 362500L), pr.toString)
+  }
+
   test("pq: seed rows encode to themselves (zero subspace distance)") {
     import graft.operators.SimilaritySearch
     val emb = Tables.load(spark, dir, "embeddings")
