@@ -486,6 +486,28 @@ object SparkEntry {
 
     // ---- relational coverage (Catalyst-native operators) ----
 
+    // funnel analysis: users progressing view -> click -> purchase,
+    // each stage within an hour of the previous — three stage-filtered
+    // min-aggregations chained by per-user joins (map-side combinable;
+    // the classic product-analytics shape). int64-nanos comparisons,
+    // cross-engine exact.
+    "ev_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns"))
+      val h = 3600L * 1000000000L
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_ns").as("v_ts"))
+      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts_ns") > col("v_ts") && col("ts_ns") <= col("v_ts") + h)
+        .groupBy("user_id").agg(min("ts_ns").as("c_ts"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts_ns") > col("c_ts") && col("ts_ns") <= col("c_ts") + h)
+        .groupBy("user_id").agg(min("ts_ns").as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_funnel")))
+    }),
+
     "q3_top_revenue" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val l = Tables.load(s, dir, "lineitem")
@@ -1468,6 +1490,25 @@ object SparkEntry {
            |    i -> CASE WHEN ((i-1) % 4) = 0
            |              THEN ascii(substr(text, i, 1)) ELSE 0 END)), 0) AS BIGINT) AS resized_sum
            |FROM t ORDER BY doc_id""".stripMargin,
+
+      "ev_funnel" ->
+        s"""WITH ev AS (SELECT user_id, event_type,
+           |              CAST(epoch_ns(ts) AS BIGINT) AS ts_ns FROM events),
+           |v AS (SELECT user_id, min(ts_ns) AS v_ts FROM ev
+           |      WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (SELECT e.user_id, min(e.ts_ns) AS c_ts
+           |      FROM ev e JOIN v ON e.user_id = v.user_id
+           |      WHERE e.event_type = 'click'
+           |        AND e.ts_ns > v.v_ts AND e.ts_ns <= v.v_ts + 3600000000000
+           |      GROUP BY e.user_id),
+           |p AS (SELECT e.user_id, min(e.ts_ns) AS p_ts
+           |      FROM ev e JOIN c ON e.user_id = c.user_id
+           |      WHERE e.event_type = 'purchase'
+           |        AND e.ts_ns > c.c_ts AND e.ts_ns <= c.c_ts + 3600000000000
+           |      GROUP BY e.user_id)
+           |SELECT (SELECT count(*) FROM v) AS n_view,
+           |       (SELECT count(*) FROM c) AS n_view_click,
+           |       (SELECT count(*) FROM p) AS n_funnel""".stripMargin,
 
       "ev_asof" ->
         s"""WITH err AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec

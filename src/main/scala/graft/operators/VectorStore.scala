@@ -1125,6 +1125,38 @@ class VectorStore(spark: SparkSession, val root: String,
   }
 
   /**
+   * Compact the ANN index: appends accumulate one small file per batch
+   * per touched list — at 100 TB a probe becomes file-open-bound the
+   * same way the store's data dirs do ([[compact]]). This rewrites the
+   * lists clustered by cid (REBALANCE, so AQE can split a skewed list)
+   * WITHOUT refitting codebooks — the cheap lifecycle operation between
+   * full [[buildAnnIndex]] rebuilds — and commits as the next version
+   * (codebooks copied into the staged dir, same one-rename guarantee).
+   * Appended-staleness tracking carries over: compaction changes file
+   * geometry, not distribution drift, so the rebuild trigger's
+   * appendedRows is preserved.
+   */
+  def compactAnnIndex(): Unit = withWriterLock() {
+    currentAnnDir match {
+      case None => ()
+      case Some(dir) =>
+        val tmp = new Path(s"$root/ann_compact_tmp")
+        fs.delete(tmp, true)
+        spark.read.parquet(dir).hint("rebalance", "cid")
+          .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(tmp.toString)
+        val conf = spark.sparkContext.hadoopConfiguration
+        for (f <- Seq("_codebook.parquet", "_pq_codebooks.parquet")
+             if fs.exists(new Path(s"$dir/$f")))
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, new Path(s"$dir/$f"), fs, new Path(s"$tmp/$f"), false, conf)
+        readAnnMeta(dir).foreach(writeAnnMeta(tmp.toString, _))
+        val next = annVersions().lastOption.map(_ + 1).getOrElse(0)
+        require(fs.rename(tmp, new Path(s"$annRoot/v$next")),
+          s"graft: ANN compaction commit rename to v$next failed")
+    }
+  }
+
+  /**
    * IVF-PQ search (the FAISS IVFPQ shape): probe pruning like
    * [[searchAnn]], but the probed lists are PRESELECTED by asymmetric
    * PQ distance — per-(subspace, code) lookup tables computed from the

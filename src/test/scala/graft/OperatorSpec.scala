@@ -651,6 +651,16 @@ class OperatorSpec extends AnyFunSuite {
     assert((1L to 4L).forall(pr(_) == 362500L), pr.toString)
   }
 
+  test("distributed pagerank branch == driver loop (forced past the threshold)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 300).map(_ => (rnd.nextInt(60).toLong, 60L + rnd.nextInt(60)))
+      .distinct.toDF("d1", "d2")
+    def run(thr: Long) = graft.operators.Graph.pagerankInt(pairs, 7, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(0L) == run(Long.MaxValue), "branches disagree")
+  }
+
   test("pq: seed rows encode to themselves (zero subspace distance)") {
     import graft.operators.SimilaritySearch
     val emb = Tables.load(spark, dir, "embeddings")

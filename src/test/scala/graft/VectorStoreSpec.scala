@@ -720,6 +720,35 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("compactAnnIndex: append-accumulated list files shrink; results and PQ survive") {
+    val store = freshStore()
+    val vt = graft.core.Tables.vectorTable(spark, "/root/testdata/sf0.001")
+      .select(col("id").cast("string").as("id"), col("vector"), col("content"), col("tags"))
+    store.insert(vt.where(col("id").cast("long") < 30))
+    store.buildAnnIndex(4)
+    // three append batches -> three extra files per touched cid list
+    for (lo <- Seq(30, 36, 42))
+      store.insert(vt.where(col("id").cast("long") >= lo && col("id").cast("long") < lo + 6))
+    val qv = vt.where(col("id") === "0").select("vector").head().getSeq[Float](0)
+    val before = store.searchAnn(qv, k = 8).collect().map(_.getString(1)).toSeq
+    def annFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+        else Seq(f)
+      val vs = new java.io.File(s"${store.root}/ann").listFiles().filter(_.getName.startsWith("v"))
+      walk(vs.maxBy(_.getName.stripPrefix("v").toInt)).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = annFiles()
+    val versBefore = store.versions // manifest versions unaffected
+    store.compactAnnIndex()
+    assert(annFiles() < filesBefore, s"no shrink: $filesBefore -> ${annFiles()}")
+    val after = store.searchAnn(qv, k = 8).collect().map(_.getString(1)).toSeq
+    assert(after == before)
+    assert(store.searchAnnPq(qv, k = 5).count() == 5) // PQ books survived the copy
+    assert(store.versions == versBefore)
+    store.clear()
+  }
+
   test("IVF-PQ: an index whose dim cannot subspace-split fails searchAnnPq loudly") {
     val store = freshStore()
     store.insert(df((0 until 20).map(i =>
