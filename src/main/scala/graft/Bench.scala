@@ -16,8 +16,8 @@ object Bench {
     "text_stats", "text_token_budget_sharded", "pipeline_curate",
     // r6 additions: the new plan shapes whose character changes with
     // volume (broadcast-stats BM25 scan, sharded prefix-sum pack,
-    // LUT-projection PQ scan)
-    "text_bm25", "text_pack", "ann_pq")
+    // LUT-projection PQ scan, iterative graph rounds, staged funnel)
+    "text_bm25", "text_pack", "ann_pq", "graph_pagerank", "ev_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
