@@ -44,6 +44,10 @@ object Packing {
       .withColumn("shard", expr(s"doc_id div $span"))
     val totals = t.groupBy("shard").agg(sum(col("n_tok")).as("shard_tok"))
       .orderBy("shard").collect()
+    // negative ids would split div (Spark truncates, the SQL oracle's
+    // // floors) — fail loudly instead of hash-mismatching downstream
+    require(totals.headOption.forall(_.getLong(0) >= 0L),
+      "graft: packAssign requires non-negative doc ids")
     var acc = 0L
     val offs = totals.toSeq.map { r =>
       val row = (r.getLong(0), acc); acc += r.getLong(1); row

@@ -530,6 +530,24 @@ class VectorStore(spark: SparkSession, val root: String,
     * versions (history depth IS the vacuum grace window, by design). */
   def versions: Seq[Int] = manifestVersions()
 
+  /** Operational snapshot: one row per live tag set with its committed
+    * generation, on-disk bytes, and file count — pure filesystem
+    * metadata (no data scan), the "what is this store made of" view an
+    * operator checks before deciding to [[compact]] or [[vacuum]]. */
+  def stats(): DataFrame = {
+    import spark.implicits._
+    val live = manifest().select("tag_key", "tags", "gen").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1), r.getInt(2)))
+    live.toSeq.map { case (key, tags, gen) =>
+      val dir = new Path(genDir(key, gen))
+      val files =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.filter(_.isFile)
+          .filterNot(_.getPath.getName.startsWith("_"))
+      (key, tags, gen, files.map(_.getLen).sum, files.size)
+    }.toDF("tag_key", "tags", "gen", "bytes", "n_files")
+  }
+
   /**
    * Time-travel read: the snapshot manifest version `v` committed — the
    * lakehouse capability the reader-safe generation commits already pay

@@ -678,6 +678,17 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("stats: one row per live tag set with real bytes, no data scan") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f), "one", Seq("x")),
+      ("b", Array(0f, 1f), "two", Seq("y")))))
+    val st = store.stats().collect()
+    assert(st.length == 2)
+    assert(st.forall(r => r.getLong(3) > 0 && r.getInt(4) >= 1))
+    store.clear()
+  }
+
   test("time travel: tableAt reads the pre-upsert snapshot until vacuum reclaims it") {
     val store = freshStore()
     store.insert(df(Seq(("a", Array(1f, 0f), "one", Seq("t")))))
