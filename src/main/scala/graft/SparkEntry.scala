@@ -504,8 +504,8 @@ object SparkEntry {
         .where(col("ts_ns") > col("c_ts") && col("ts_ns") <= col("c_ts") + h)
         .groupBy("user_id").agg(min("ts_ns").as("p_ts"))
       v.agg(count(lit(1)).as("n_view"))
-        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
-        .crossJoin(p.agg(count(lit(1)).as("n_funnel")))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_funnel"))))
     }),
 
     "q3_top_revenue" -> ((s, dir) => {

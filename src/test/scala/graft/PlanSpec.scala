@@ -164,6 +164,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(3000))
   }
 
+  test("r6 query family: no CartesianProduct anywhere") {
+    for (n <- Seq("text_keywords", "text_lm_score", "ev_funnel", "ann_maxsim",
+                  "hybrid_rrf", "text_pack", "text_shards", "pipeline_prepare",
+                  "embed_pool", "graph_pagerank")) {
+      val p = plan(SparkEntry.queries(n)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$n:\n${p.take(2000)}")
+    }
+  }
+
   test("ann_pq plan has no Exchange (codes + LUT lookups are a pure projection)") {
     val p = plan(SparkEntry.queries("ann_pq")(spark, dir))
     assert(!p.contains("Exchange"), p.take(3000))
