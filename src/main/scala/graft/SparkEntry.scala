@@ -210,6 +210,22 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // contrastive hard-negative mining: nearest candidates BELOW the
+    // near-dup threshold per query — banded-LSH candidates, dup band
+    // excluded before the per-query top-k
+    "pairs_hard_negatives" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.where(col("vec_id") >= 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilaritySearch.hardNegatives(queries, corpus, k = 5, d = 64)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
+          round(col("sim"), 4).as("sim_r"))
+        .orderBy("qid", "rank")
+    }),
+
     // IVF coarse-quantized ANN (fixed codebook, nprobe=2)
     "ann_ivf" -> ((s, dir) => {
       registered(s)
@@ -1020,6 +1036,30 @@ object SparkEntry {
            |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
            |      FROM s)
            |SELECT qid, rank, cid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+      },
+
+      // same candidate CTEs as ann_lsh_join, dup band excluded before
+      // ranking; sim_r rounded like knn_scores (proven float pattern)
+      "pairs_hard_negatives" -> {
+        val keys = (0 until OracleSql.EmbLshBands)
+          .map(b => s"${OracleSql.embBandKeySql("embedding", 64, b)} AS k$b")
+          .mkString(", ")
+        val bandJoins = (0 until OracleSql.EmbLshBands)
+          .map(b => s"SELECT a.qid, b.cid FROM qb a JOIN cb b ON a.k$b = b.k$b")
+          .mkString(" UNION ")
+        s"""WITH qb AS (SELECT vec_id AS qid, embedding AS qv, $keys
+           |            FROM embeddings WHERE vec_id < 8),
+           |cb AS (SELECT vec_id AS cid, embedding AS cv, $keys
+           |       FROM embeddings WHERE vec_id >= 8),
+           |cand AS ($bandJoins),
+           |s AS (SELECT c.qid, c.cid, ${OracleSql.cosine("cb.cv", "qb.qv")} AS sim
+           |      FROM cand c JOIN qb USING (qid) JOIN cb USING (cid)),
+           |f AS (SELECT * FROM s WHERE sim < ${OracleSql.EmbDupThreshold}),
+           |r AS (SELECT qid, cid, sim,
+           |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+           |      FROM f)
+           |SELECT qid, rank, cid, round(sim, 4) AS sim_r
+           |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
       },
 
       "ann_ivf" ->

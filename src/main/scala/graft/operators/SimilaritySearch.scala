@@ -143,17 +143,42 @@ object SimilaritySearch {
    *
    * queries: (qid, qvec); corpus: (cid, cvec). Returns (qid, rank, cid).
    */
-  def lshJoin(queries: DataFrame, corpus: DataFrame, k: Int, d: Int,
-              bands: Int = graft.OracleSql.EmbLshBands,
-              rows: Int = graft.OracleSql.EmbLshRows): DataFrame = {
+  /** The banded-LSH candidate stream shared by [[lshJoin]] and
+    * [[hardNegatives]]: distinct (qid, cid, sim) from the (band, key)
+    * equi-join — never a cross product. */
+  private def lshScoredCandidates(queries: DataFrame, corpus: DataFrame, d: Int,
+                                  bands: Int, rows: Int): DataFrame = {
     val q = bandedKeys(queries.select(col("qid"), col("qvec")), "qvec", d, bands, rows)
     val c = bandedKeys(corpus.select(col("cid"), col("cvec")), "cvec", d, bands, rows)
-    val scored = q.join(c, Seq("band", "key"))
+    q.join(c, Seq("band", "key"))
       .select(col("qid"), col("cid"),
         cosine(col("cvec"), col("qvec")).as("sim"))
       .distinct()
-    TopK.perQueryTopKWindow(scored, k)
   }
+
+  def lshJoin(queries: DataFrame, corpus: DataFrame, k: Int, d: Int,
+              bands: Int = graft.OracleSql.EmbLshBands,
+              rows: Int = graft.OracleSql.EmbLshRows): DataFrame =
+    TopK.perQueryTopKWindow(
+      lshScoredCandidates(queries, corpus, d, bands, rows), k)
+
+  /**
+   * Contrastive hard-negative mining: for each query, the nearest
+   * candidates that are similar-but-NOT-near-duplicate — the negatives
+   * contrastive training wants (random negatives are too easy to
+   * separate; near-duplicates are false negatives that poison the
+   * loss). Candidates come from the same banded sign-LSH join as
+   * [[lshJoin]]; rows at sim >= `dupThreshold` (the near-dup band,
+   * OracleSql.EmbDupThreshold by default) are excluded BEFORE the
+   * per-query top-k, so the window ranks only true negatives.
+   */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int, d: Int,
+                    dupThreshold: Double = graft.OracleSql.EmbDupThreshold,
+                    bands: Int = graft.OracleSql.EmbLshBands,
+                    rows: Int = graft.OracleSql.EmbLshRows): DataFrame =
+    TopK.perQueryTopKWindow(
+      lshScoredCandidates(queries, corpus, d, bands, rows)
+        .where(col("sim") < dupThreshold), k)
 
   /** Driver-side euclidean, bit-identical to the EuclideanDistance
     * kernel (sequential f32->f64 fold + sqrt). */
