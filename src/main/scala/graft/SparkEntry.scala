@@ -804,6 +804,11 @@ object SparkEntry {
     "text_shards" -> ((s, dir) =>
       Packing.shardStats(Tables.load(s, dir, "documents")).orderBy("shard")),
 
+    // deterministic 80/10/10 train/val/test split (membership a pure
+    // function of the id) with verifiable per-split checksums
+    "text_split" -> ((s, dir) =>
+      Packing.splitStats(Tables.load(s, dir, "documents")).orderBy("split")),
+
     // TF-IDF keyword extraction: integer rational idf (N*1000 div df),
     // vocab-sized df table joined back, per-doc top-3 via
     // WindowGroupLimit
@@ -1794,6 +1799,19 @@ object SparkEntry {
            |  CAST(len(list_filter(cnts, x -> x > 0)) AS INT) AS nnz,
            |  CAST(list_sum(list_transform(range(1, 65), j -> cnts[j] * j)) AS BIGINT) AS csum
            |FROM cn ORDER BY doc_id""".stripMargin
+      },
+
+      "text_split" -> {
+        val pm = s"(((doc_id % ${OracleSql.ShardP}) * ${OracleSql.ShardA}) % ${OracleSql.ShardP}) % 1000"
+        s"""WITH t AS (SELECT doc_id,
+           |  CASE WHEN $pm < 800 THEN 'train' WHEN $pm < 900 THEN 'val' ELSE 'test' END AS split,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok,
+           |  ${OracleSql.fingerprintSql("text")} AS fp
+           |  FROM documents)
+           |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |       CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+           |FROM t GROUP BY split ORDER BY split""".stripMargin
       },
 
       // redact -> quality gate -> exact dedup (min-id survivor per

@@ -99,6 +99,37 @@ object Packing {
         expr("bit_xor(fp)").as("fp_xor"))
 
   /**
+   * Deterministic train/val/test assignment: the same multiplicative
+   * id-hash as sharding, reduced to permille, split on fixed
+   * boundaries (800/900 -> 80/10/10). Membership is a pure function of
+   * the id — stable under corpus growth, re-runs, and engine changes,
+   * which is the property a data split must have (random splits leak
+   * across reruns). Returns the input plus a `split` column.
+   */
+  def splitAssign(docs: DataFrame, trainPm: Int = 800, valPm: Int = 900,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(0 < trainPm && trainPm < valPm && valPm < 1000,
+      s"graft: need 0 < trainPm < valPm < 1000 (got $trainPm, $valPm)")
+    import OracleSql.{ShardA, ShardP}
+    val pm = expr(s"((($idCol % $ShardP) * $ShardA) % $ShardP) % 1000")
+    docs.withColumn("split",
+      when(pm < trainPm, "train").when(pm < valPm, "val").otherwise("test"))
+  }
+
+  /** Per-split manifest: (split, n_docs, n_tokens, fp_xor) — the same
+    * order-independent checksum as [[shardStats]], so each split can be
+    * verified independently after export. */
+  def splitStats(docs: DataFrame, trainPm: Int = 800, valPm: Int = 900,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    splitAssign(docs, trainPm, valPm, idCol)
+      .select(col("split"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tok"),
+        TextAnalysis.fingerprint(textCol).as("fp"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        expr("bit_xor(fp)").as("fp_xor"))
+
+  /**
    * Write the corpus as `shards` hash-sharded parquet directories
    * (shard=NN/ partitions): repartition on the shard key so each output
    * partition holds exactly one shard's rows (one file per shard, no
