@@ -524,6 +524,24 @@ object SparkEntry {
         .crossJoin(broadcast(p.agg(count(lit(1)).as("n_funnel"))))
     }),
 
+    // cohort retention: users grouped by first-seen day; how many are
+    // active again N days later. Two map-side-combinable aggregations
+    // + one per-user broadcast-size join — the other classic
+    // product-analytics shape next to ev_funnel. Day arithmetic on
+    // int64 nanos div 86400e9 — cross-engine exact.
+    "ev_retention" -> ((s, dir) => {
+      val day = 86400L * 1000000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_ns div $day").as("d"))
+        .distinct()
+      val cohort = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_d"), (col("d") - col("cohort_d")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .where(col("day_offset") <= 3)
+        .orderBy("cohort_d", "day_offset")
+    }),
+
     "q3_top_revenue" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val l = Tables.load(s, dir, "lineitem")
@@ -1535,6 +1553,17 @@ object SparkEntry {
            |    i -> CASE WHEN ((i-1) % 4) = 0
            |              THEN ascii(substr(text, i, 1)) ELSE 0 END)), 0) AS BIGINT) AS resized_sum
            |FROM t ORDER BY doc_id""".stripMargin,
+
+      "ev_retention" ->
+        s"""WITH ev AS (SELECT DISTINCT user_id,
+           |              CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS d FROM events),
+           |c AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id)
+           |SELECT c.cohort_d, e.d - c.cohort_d AS day_offset,
+           |       CAST(count(*) AS BIGINT) AS n_users
+           |FROM ev e JOIN c ON e.user_id = c.user_id
+           |WHERE e.d - c.cohort_d <= 3
+           |GROUP BY c.cohort_d, e.d - c.cohort_d
+           |ORDER BY cohort_d, day_offset""".stripMargin,
 
       "ev_funnel" ->
         s"""WITH ev AS (SELECT user_id, event_type,
