@@ -142,5 +142,9 @@ object Packing {
                   idCol: String = "doc_id"): Unit =
     docs.withColumn("shard", shardExpr(idCol, shards))
       .repartition(shards, col("shard"))
+      // sort within each shard file: parquet row-group min/max stats on
+      // the id then prune point/range lookups inside a shard (the
+      // shard hash routes; the sort makes the file itself seekable)
+      .sortWithinPartitions(col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }
