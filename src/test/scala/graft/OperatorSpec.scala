@@ -639,6 +639,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("split assignment is total, disjoint, and stable under corpus growth") {
+    val docs = Tables.load(spark, dir, "documents")
+    val a = graft.operators.Packing.splitAssign(docs)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a.size == docs.count())
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // growth stability: assignments on a SUBSET are identical — adding
+    // data can never reshuffle existing membership
+    val b = graft.operators.Packing.splitAssign(docs.where(col("doc_id") < 20))
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(b.forall { case (id, s) => a(id) == s })
+  }
+
   test("integer pagerank: exact hand-computed ranks on a star graph") {
     import spark.implicits._
     // star: center 0 <-> leaves 1..4. After one round:

@@ -786,6 +786,9 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one-leg hits still surface; no-leg docs don't
     assert(byId.get("lex").contains(1) && byId.get("vec").contains(1))
     assert(!byId.contains("nil"), hits.mkString(","))
+    // tag pruning applies to BOTH legs: restrict to a tag nothing has
+    assert(store.searchHybrid(Seq(1f, 0f), Seq("quantum"),
+      tags = Seq("absent"), k = 4, fuseK = 2).count() == 0)
     store.clear()
   }
 
