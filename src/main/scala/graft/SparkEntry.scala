@@ -65,6 +65,24 @@ object SparkEntry {
                       idCol: String = "vec_id"): DataFrame =
     TopK.topKRanked(scored, k, Seq(desc(simCol), asc(idCol)))
 
+  /** The MinHash near-dup pair graph, persisted once per (session, dir):
+    * dedup_minhash, dedup_clusters(_stars), graph_pagerank, and
+    * pipeline_curate all consume these SAME pairs, and without sharing
+    * the suite pays the shingle->minhash->band pipeline once per
+    * consumer (VERDICT r6 next #4 — ~3x the priciest upstream in the
+    * bench). The pairs themselves are near-dup edges only — KB-to-MB
+    * scale even on a dup-heavy corpus — so MEMORY_AND_DISK holds them
+    * comfortably; at 100 TB the same move is a checkpoint of the pair
+    * table next to the ANN index. Keyed by session identity so a cached
+    * plan can never leak across a stopped session (tests spin up many). */
+  private val dupPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def minhashPairsCached(s: SparkSession, dir: String): DataFrame =
+    dupPairsCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => Dedup.minhashNearDups(Tables.load(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // ---------------------------------------------------------------
   // the operator inventory (SURVEY.md §2 + extension scope)
   // ---------------------------------------------------------------
@@ -298,7 +316,7 @@ object SparkEntry {
       Dedup.exact(Tables.load(s, dir, "documents")).select("keeper", "group_size").orderBy("keeper")),
 
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDups(Tables.load(s, dir, "documents"))
+      minhashPairsCached(s, dir)
         .select(col("d1"), col("d2"), round(col("j"), 4).as("jac_r"))
         .orderBy("d1", "d2")),
 
@@ -310,7 +328,7 @@ object SparkEntry {
     // pairs -> dedup groups: connected components of the MinHash near-dup
     // graph (hash-to-min label propagation; oracle = recursive CTE)
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.components(Dedup.minhashNearDups(Tables.load(s, dir, "documents")))
+      Dedup.components(minhashPairsCached(s, dir))
         .orderBy("doc_id")),
 
     // same result through the DISTRIBUTED large-star/small-star branch
@@ -318,8 +336,7 @@ object SparkEntry {
     // the 100 TB path gets its own hash-green row and bench entry
     // instead of living only in a test smoke (VERDICT r3 next #3)
     "dedup_clusters_stars" -> ((s, dir) =>
-      Dedup.components(Dedup.minhashNearDups(Tables.load(s, dir, "documents")),
-          broadcastThreshold = 0L)
+      Dedup.components(minhashPairsCached(s, dir), broadcastThreshold = 0L)
         .orderBy("doc_id")),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -352,7 +369,8 @@ object SparkEntry {
     // the composed curation job: language + quality filters + near-dup
     // canonicalization in one plan (see Curation scaladoc for policy)
     "pipeline_curate" -> ((s, dir) =>
-      Curation.curate(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+      Curation.curate(Tables.load(s, dir, "documents"),
+        dupPairs = Some(minhashPairsCached(s, dir))).orderBy("doc_id")),
 
     // eval-set leakage check: docs 0-4 stand in for the benchmark suite,
     // the rest is the corpus (broadcast benchmark-shingle probe)
@@ -863,8 +881,7 @@ object SparkEntry {
     // map-side-combinable sum, checkpointed flat lineage
     "graph_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pagerankInt(
-        Dedup.minhashNearDups(Tables.load(s, dir, "documents"))
-          .select("d1", "d2"), 10)
+        minhashPairsCached(s, dir).select("d1", "d2"), 10)
         .orderBy("node")),
 
     // late-interaction (ColBERT-shape) retrieval: query chunks vs

@@ -28,9 +28,13 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Curated corpus: (doc_id, pred_lang, quality_r) of surviving docs.
-    * `lang = null` keeps all languages. */
+    * `lang = null` keeps all languages. `dupPairs` lets a caller that
+    * already materialized the MinHash near-dup graph (an expensive
+    * shingle->minhash->band pipeline shared with dedup_clusters /
+    * PageRank) feed it in instead of rebuilding it — the rows must be
+    * exactly [[Dedup.minhashNearDups]](docs). */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
-             lang: String = "en"): DataFrame = {
+             lang: String = "en", dupPairs: Option[DataFrame] = None): DataFrame = {
     val stats = TextAnalysis.stats(docs)
       .select(col("doc_id"), col("pred_lang"), col("quality"))
     // (doc_id, component) for docs in near-dup groups only. Join
@@ -40,7 +44,7 @@ object Curation {
     // web corpus the dup graph is a large fraction of the corpus and a
     // FORCED broadcast would OOM the executors — the shuffle hash join
     // on doc_id is the correct shape there.
-    val comp = Dedup.components(Dedup.minhashNearDups(docs))
+    val comp = Dedup.components(dupPairs.getOrElse(Dedup.minhashNearDups(docs)))
     val langOk =
       if (lang == null) lit(true) else col("pred_lang") === lit(lang)
     stats

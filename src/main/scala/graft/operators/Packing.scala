@@ -42,11 +42,15 @@ object Packing {
     val t = docs.select(col(idCol).cast("long").as("doc_id"),
         size(Dedup.tokens(col(textCol))).cast("long").as("n_tok"))
       .withColumn("shard", expr(s"doc_id div $span"))
-    val totals = t.groupBy("shard").agg(sum(col("n_tok")).as("shard_tok"))
+    val totals = t.groupBy("shard")
+      .agg(sum(col("n_tok")).as("shard_tok"), min(col("doc_id")).as("min_id"))
       .orderBy("shard").collect()
     // negative ids would split div (Spark truncates, the SQL oracle's
-    // // floors) — fail loudly instead of hash-mismatching downstream
-    require(totals.headOption.forall(_.getLong(0) >= 0L),
+    // // floors) — fail loudly instead of hash-mismatching downstream.
+    // The guard is on min(doc_id), not min(shard): ids in (-span, 0)
+    // truncate to shard 0 and a shard-level check passes them silently
+    // (ADVICE r6 #2).
+    require(totals.forall(_.getLong(2) >= 0L),
       "graft: packAssign requires non-negative doc ids")
     var acc = 0L
     val offs = totals.toSeq.map { r =>
@@ -78,7 +82,11 @@ object Packing {
     * reproduction). */
   private def shardExpr(idCol: String, shards: Int) = {
     import OracleSql.{ShardA, ShardP}
-    expr(s"((($idCol % $ShardP) * $ShardA) % $ShardP) % $shards").cast("int")
+    // pmod, not %: Spark's % is sign-preserving, so a negative id would
+    // produce a negative shard — a negative partition dir in writeShards
+    // and an unprunable key (ADVICE r6 #2). For the non-negative ids the
+    // oracle tables carry, pmod == %, so the DuckDB mirror is unchanged.
+    expr(s"pmod(pmod($idCol, $ShardP) * $ShardA, $ShardP) % $shards").cast("int")
   }
 
   /**
@@ -111,7 +119,10 @@ object Packing {
     require(0 < trainPm && trainPm < valPm && valPm < 1000,
       s"graft: need 0 < trainPm < valPm < 1000 (got $trainPm, $valPm)")
     import OracleSql.{ShardA, ShardP}
-    val pm = expr(s"((($idCol % $ShardP) * $ShardA) % $ShardP) % 1000")
+    // pmod for the same reason as shardExpr: with sign-preserving %, a
+    // negative id yields a negative permille that ALWAYS classifies as
+    // 'train' — silent split leakage instead of a stable assignment
+    val pm = expr(s"pmod(pmod($idCol, $ShardP) * $ShardA, $ShardP) % 1000")
     docs.withColumn("split",
       when(pm < trainPm, "train").when(pm < valPm, "val").otherwise("test"))
   }

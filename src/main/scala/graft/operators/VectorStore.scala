@@ -398,6 +398,12 @@ class VectorStore(spark: SparkSession, val root: String,
    * incomplete insert, never a half-applied overwrite).
    */
   def upsert(df: DataFrame, quantize: Boolean = false): Unit = withWriterLock() {
+    // upsert-by-id is meaningless without caller-supplied ids — without
+    // this check the fresh-store path silently uuid-assigned while the
+    // existing-store path threw a raw AnalysisException (ADVICE r6 #3)
+    require(df.columns.contains("id"),
+      "graft: upsert requires an 'id' column (last-write-wins is keyed on it);" +
+        " use insert() for rows without caller-assigned ids")
     if (!exists) insertLocked(df, quantize) else upsertLocked(df, quantize)
   }
 
@@ -519,10 +525,47 @@ class VectorStore(spark: SparkSession, val root: String,
         manifest().select("tag_key", "gen").collect()
           .map(r => (r.getString(0), r.getInt(1))).toSeq
       else listingLive()
-    if (live.isEmpty) spark.read.parquet(dataPath) // preserves empty-store errors
+    if (live.isEmpty) {
+      // A COMMITTED manifest naming zero tag sets means the live
+      // snapshot has zero rows — falling back to a raw dataPath read
+      // here would resurrect every superseded generation awaiting
+      // vacuum (ADVICE r6 #1: an upsert that vanishes all affected
+      // partitions, read in the commit window). Only a store with no
+      // manifest at all keeps the raw read (preserves empty-store
+      // errors for a store that was never written).
+      if (manifestExists) emptySnapshot()
+      else spark.read.parquet(dataPath)
+    }
     else spark.read.option("basePath", dataPath)
       .parquet(live.map { case (k, g) => genDir(k, g) }: _*)
       .drop("gen")
+  }
+
+  /** Zero-row DataFrame in the store's schema: probed from the on-disk
+    * files when any exist (footer metadata only — keeps packed /
+    * projected layouts exact), else the canonical insert schema. */
+  private def emptySnapshot(): DataFrame = {
+    val schema =
+      try {
+        val raw = spark.read.parquet(dataPath).schema
+        org.apache.spark.sql.types.StructType(raw.filterNot(_.name == "gen"))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("vector",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType)),
+            org.apache.spark.sql.types.StructField("content",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("tags",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType)),
+            org.apache.spark.sql.types.StructField("tag_key",
+              org.apache.spark.sql.types.StringType)))
+      }
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
   /** Committed manifest versions, oldest -> newest: the store's
@@ -570,7 +613,10 @@ class VectorStore(spark: SparkSession, val root: String,
     val live = merged.groupBy("tag_key", "tags").agg(max("gen").as("gen"))
       .select("tag_key", "gen").collect()
       .map(r => (r.getString(0), r.getInt(1))).toSeq
-    if (live.isEmpty) spark.read.parquet(dataPath)
+    // an empty version IS a snapshot: time-traveling to it must return
+    // zero rows, not whatever currently sits under dataPath (ADVICE r6
+    // #1 — the raw-read fallback returned CURRENT data here)
+    if (live.isEmpty) emptySnapshot()
     else spark.read.option("basePath", dataPath)
       .parquet(live.map { case (k, g) => genDir(k, g) }: _*)
       .drop("gen")
@@ -870,11 +916,13 @@ class VectorStore(spark: SparkSession, val root: String,
     * probes eigen.bin, src/db.rs:233-237). */
   def isProjected: Boolean = fs.exists(new Path(eigenPath))
 
-  private def saveModel(m: Pca.Model): Unit = {
+  private def saveModel(m: Pca.Model): Unit = saveModelAt(m, eigenPath)
+
+  private def saveModelAt(m: Pca.Model, path: String): Unit = {
     import spark.implicits._
     Seq((m.means, m.basis.map(_.toSeq).toSeq))
       .toDF("means", "basis")
-      .write.mode(SaveMode.Overwrite).parquet(eigenPath)
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
   /** Load the stored projection (basis d x k + global means). */
@@ -896,11 +944,16 @@ class VectorStore(spark: SparkSession, val root: String,
    *
    * Commits like [[compact]]: staged gen dirs + one manifest rename, so
    * a concurrent reader never sees a missing or partial directory. The
-   * basis file lands immediately before the manifest commit; a reader
-   * straddling those two metadata ops can transiently pair the new
-   * basis with old data (a SEMANTIC skew — the dimensionality of the
-   * store changes — inherent to any online schema migration; the data
-   * itself is never unavailable).
+   * basis is STAGED under a temp name and renamed into place
+   * immediately after the manifest commit (ADVICE r6 #4 — writing it
+   * before the commit left a full-parquet-write-sized window where a
+   * reader paired the new basis with old-dimension data and projected
+   * queries scored against unprojected vectors, returning NaN-filtered
+   * or empty results). The residual skew is the gap between two
+   * renames — inherent to any online schema migration without a
+   * unified metadata root; a reader in that sliver sees projected data
+   * with [[isProjected]] still false, i.e. a dimension-mismatched
+   * cosine that NaN-filters to empty rather than silently-wrong rows.
    */
   def projectAll(k: Int): Unit = withWriterLock() {
     require(!isProjected, "graft: store is already projected")
@@ -918,11 +971,15 @@ class VectorStore(spark: SparkSession, val root: String,
     val staged = fs.listStatus(new Path(tmp)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("tag_key="))
       .map(_.stripPrefix("tag_key="))
+    val eigenTmp = new Path(s"$root/eigen_tmp.parquet")
+    fs.delete(eigenTmp, true) // crashed-writer debris
+    saveModelAt(model, eigenTmp.toString)
     for (key <- staged) commitGenDir(tmp, key, newGen)
-    saveModel(model)
     writeManifest(manifest()
       .where(col("tag_key").isin(staged: _*))
       .select(col("tag_key"), col("tags"), lit(newGen).as("gen")))
+    require(fs.rename(eigenTmp, new Path(eigenPath)),
+      s"graft: basis commit rename to $eigenPath failed")
     fs.delete(new Path(tmp), true)
   }
 
