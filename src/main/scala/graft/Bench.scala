@@ -1,5 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: one JSON line to stdout + the same line to
+ * `SPARK_GRAFT_BENCH_OUT` (default bench_out.json) + a richer
+ * bench_detail.json (per-query warm min/med/max, machine-state marks).
+ *
+ * Contention-proofing (VERDICT r6 next #1 — round 6 shipped two
+ * irreconcilable sf1 artifacts, 774 s under a loaded machine vs 50 s
+ * idle, and the harness had no way to tell the driver which to trust):
+ *  - the warm pass runs EVERY query 3x consecutively and reports the
+ *    per-query MEDIAN (sum of medians = warm_total); min/median/max go
+ *    to bench_detail.json. External load hits the reps unevenly, so
+ *    median-of-3 absorbs one contended rep per query outright.
+ *  - /proc/loadavg + process count are sampled before the run and at
+ *    every pass boundary (`env_marks` in the detail file,
+ *    load_pre_bench/procs_pre_bench in the main line). Only the
+ *    PRE-BENCH load is a contention signal — mid-run loadavg is
+ *    dominated by our own executors.
+ *  - the sf1 validation suite runs in a FRESH FORKED JVM (same JVM
+ *    args + classpath as this one, child mode `--child <dir> <out>`),
+ *    so sf0.1 shuffle/codegen/GC debris cannot bleed into the scale
+ *    numbers; the child writes a JSON fragment the parent splices in.
+ *  - `contended` flags the artifact loudly when any of: pre-bench
+ *    loadavg says the machine was already busy, a warm total exceeds
+ *    1.5x its cold total (a deterministic suite can only do that under
+ *    external load), or >20% of queries have a 3-rep spread over 100%
+ *    of their median and 0.5 s absolute (`contention_reasons` lists
+ *    which fired, tagged by pass).
+ * ANN recall@10 vs the exact scan (graft.tools.Recall) is recorded for
+ * sf0.1 in the parent and sf1 in the child (VERDICT r6 next #5), and
+ * the artifact records whether an ONNX runtime is present so the
+ * embedder seam's env constraint is stated per round (next #7).
+ */
 object Bench {
 
   /** The sf1 headline suite: scale-representative queries across the
@@ -19,8 +52,41 @@ object Bench {
     // LUT-projection PQ scan, iterative graph rounds, staged funnel)
     "text_bm25", "text_pack", "ann_pq", "graph_pagerank", "ev_funnel")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  // dedup_jaccard / dedup_embedding are the O(n^2) exact-verification
+  // baselines for the MinHash / banded-LSH paths; correctness-gated in
+  // Verify, not production operators, so excluded from throughput
+  // numbers (the banded production paths ARE benched).
+  private val skip = Set("dedup_jaccard", "dedup_embedding")
+
+  private val WarmReps = 3
+
+  // ---- machine-state probes ----
+
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  private def nProcs(): Int =
+    Option(new java.io.File("/proc").list())
+      .map(_.count(s => s.nonEmpty && s.forall(_.isDigit))).getOrElse(-1)
+
+  private def onnxPresent: Boolean =
+    try { Class.forName("ai.onnxruntime.OrtEnvironment"); true }
+    catch { case _: Throwable => false }
+
+  // ---- formatting ----
+
+  private def ms(v: Double): String =
+    java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def js(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+
+  private def jsArr(ss: Iterable[String]): String =
+    ss.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,7 +94,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // the generated-class cache defaults to 100 entries; a 67-query
+      // the generated-class cache defaults to 100 entries; an 80-query
       // suite evicts earlier queries' codegen before the warm pass
       // reruns them, re-paying full compilation (measured: text_bm25
       // sf1 8.8 s "warm" vs 2.5 s steady) — r5's "uniform 1.4x
@@ -36,86 +102,215 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** One timing sweep over `qs`: cold (1 rep) then warm (3 consecutive
+    * reps per query). Failures are tagged "pass:query" and NEVER folded
+    * silently into a (misleadingly faster) total; NonFatal only — an
+    * OOM or JVM error must abort the run rather than march a poisoned
+    * JVM through the rest of the suite. */
+  private case class Sweep(cold: Seq[(String, Double)],
+                           warm: Seq[(String, Seq[Double])],
+                           failures: Seq[String],
+                           marks: Seq[(String, Double, Int)]) {
+    def warmMed: Seq[(String, Double)] =
+      warm.map { case (n, reps) => n -> reps.sorted.apply(reps.size / 2) }
+    def warmMin: Seq[(String, Double)] =
+      warm.map { case (n, reps) => n -> reps.min }
+    def coldTotal: Double = cold.map(_._2).sum
+    def warmMedTotal: Double = warmMed.map(_._2).sum
+    /** Contention verdicts for this sweep, tagged with `tag`. */
+    def contentionReasons(tag: String): Seq[String] = {
+      val r = scala.collection.mutable.ArrayBuffer[String]()
+      if (coldTotal > 0 && warmMedTotal > 1.5 * coldTotal)
+        r += s"$tag:warm_gt_1.5x_cold"
+      val spready = warm.count { case (_, reps) =>
+        val mx = reps.max; val mn = reps.min
+        val med = reps.sorted.apply(reps.size / 2)
+        mx - mn > 0.5 && mx - mn > med
+      }
+      if (warm.nonEmpty && spready.toDouble / warm.size > 0.2)
+        r += s"$tag:warm_spread_${spready}of${warm.size}"
+      r.toSeq
+    }
+  }
+
+  private def sweep(spark: SparkSession, tag: String,
+                    qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                    dir: String): Sweep = {
+    val failures = scala.collection.mutable.LinkedHashSet[String]()
+    val marks = scala.collection.mutable.ArrayBuffer[(String, Double, Int)]()
+    def mark(label: String): Unit = marks += ((label, load1(), nProcs()))
+    def time(pass: String, name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, dir).count() }
+      catch { case scala.util.control.NonFatal(_) => failures += s"$pass:$name" }
+      (System.nanoTime() - t0) / 1e9
+    }
+    mark(s"$tag:cold:before")
+    val cold = qs.map { case (n, fn) => n -> time(tag, n, fn) }
+    mark(s"$tag:cold:after")
+    val warm = qs.map { case (n, fn) =>
+      n -> Seq.fill(WarmReps)(time(s"${tag}warm", n, fn))
+    }
+    mark(s"$tag:warm:after")
+    Sweep(cold, warm, failures.toSeq, marks.toSeq)
+  }
+
+  private def recallJson(spark: SparkSession, dir: String): String =
+    try js(graft.tools.Recall.measure(spark, dir)
+      .map { case (n, v) => n -> v })
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] recall measurement failed: $e")
+      "{}"
+    }
+
+  // ---- child mode: the sf1 suite in a fresh JVM ----
+
+  /** Writes a brace-less JSON fragment (sf1 keys) to `out`; the parent
+    * splices it into the main line verbatim. */
+  private def childMain(dir: String, out: String): Unit = {
+    val preLoad = load1(); val preProcs = nProcs()
+    val spark = session()
+    try SparkEntry.queries.get("knn_topk").foreach(_(spark, dir).count())
+    catch { case scala.util.control.NonFatal(_) => () }
+    val qs = sf1Suite.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val s = sweep(spark, "sf1", qs, dir)
+    val recall = if (sys.env.get("SPARK_GRAFT_SKIP_RECALL").contains("1")) "{}"
+                 else recallJson(spark, dir)
+    val reasons = s.contentionReasons("sf1")
+    val detail = s.warm.map { case (n, reps) =>
+      "\"" + n + "\":[" + reps.sorted.map(ms).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val marks = s.marks.map { case (l, ld, np) =>
+      s"""{"at":"$l","load1":${ms(ld)},"procs":$np}"""
+    }.mkString("[", ",", "]")
+    val frag =
+      s""""sf1_total":${ms(s.coldTotal)},"sf1_warm_total":${ms(s.warmMedTotal)},"sf1_warm_min_total":${ms(s.warmMin.map(_._2).sum)},"sf1_contended":${reasons.nonEmpty},"sf1_contention_reasons":${jsArr(reasons)},"sf1_load_pre":${ms(preLoad)},"sf1_procs_pre":$preProcs,"sf1_failed":${jsArr(s.failures)},"queries_sf1":${js(s.cold)},"queries_sf1_warm":${js(s.warmMed)},"queries_sf1_warm_detail":$detail,"sf1_env_marks":$marks,"recall_sf1":$recall"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      frag.getBytes("UTF-8"))
+    spark.stop()
+  }
+
+  /** Fork a child JVM with this JVM's own args + classpath, run the sf1
+    * suite there, return the JSON fragment. None on any failure. */
+  private def forkSf1(dir: String): Option[String] = {
+    try {
+      val javaBin = s"${sys.props("java.home")}/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments
+      val cp = sys.props("java.class.path")
+      val frag = java.nio.file.Files.createTempFile("graft_bench_sf1", ".json")
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      cmd.addAll(jvmArgs)
+      cmd.add("-cp"); cmd.add(cp)
+      cmd.add("graft.Bench"); cmd.add("--child"); cmd.add(dir)
+      cmd.add(frag.toString)
+      val log = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_SF1_LOG", "/tmp/graft_bench_sf1_child.log"))
+      val p = new ProcessBuilder(cmd)
+        .redirectErrorStream(true)
+        .redirectOutput(log)
+        .start()
+      val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); System.err.println("[bench] sf1 child timed out"); None }
+      else if (p.exitValue() != 0) {
+        System.err.println(s"[bench] sf1 child exited ${p.exitValue()} (log: $log)")
+        None
+      } else {
+        val s = new String(java.nio.file.Files.readAllBytes(frag), "UTF-8")
+        if (s.contains("\"sf1_total\"")) Some(s) else None
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] sf1 fork failed: $e"); None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "--child") { childMain(args(1), args(2)); return }
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val preLoad = load1(); val preProcs = nProcs()
+    val spark = session()
     // warmup: JIT + codegen + parquet footer caches, untimed
     try SparkEntry.queries.get("knn_topk").foreach(_(spark, sfDir).count())
     catch { case scala.util.control.NonFatal(_) => () }
-    // dedup_jaccard / dedup_embedding are the O(n^2) exact-verification
-    // baselines for the MinHash / banded-LSH paths; they are
-    // correctness-gated in Verify, not production operators, so they are
-    // excluded from throughput numbers (the banded production paths
-    // dedup_minhash / dedup_embedding_lsh ARE benched).
-    val skip = Set("dedup_jaccard", "dedup_embedding")
     val suite = SparkEntry.queries.filter(q => !skip(q._1)).toSeq
-    // a broken query must be VISIBLE in the output, not silently folded
-    // into a (misleadingly faster) total as time-to-throw; failures are
-    // tagged with their pass ("sf1:knn_topk") so a scale-only breakage
-    // is attributable (ADVICE r4 #5)
-    val failures = scala.collection.mutable.LinkedHashSet[String]()
-    def run(pass: String,
-            qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-            dir: String): Seq[(String, Double)] = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // NonFatal only (VERDICT r3 What's-wrong #4): an OOM or JVM error
-      // must ABORT the run — recording it as a per-query failure would
-      // march a poisoned JVM through the rest of the suite and publish
-      // totals from it
-      try { fn(spark, dir).count() }
-      catch { case scala.util.control.NonFatal(_) => failures += s"$pass:$name" }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    // two in-JVM passes (VERDICT r2 next-step #10): the COLD pass pays
-    // first-touch codegen/JIT/footer caches and is the protocol number
-    // BASELINE.md anchors on; the WARM pass is the honest steady-state
-    // figure for a long-lived session.
-    val cold = run("cold", suite, sfDir)
-    val warm = run("warm", suite, sfDir)
-    // scale-validation pass (VERDICT r3 next #3): a 10x dataset derived
-    // from the protocol dir by keyed replication (ScaleUp), run over the
-    // sf1 headline suite. Opt out with SPARK_GRAFT_SKIP_SF1=1; only
-    // triggered when benching the protocol sf0.1 dir so ad-hoc sf0.01
-    // iteration stays fast. Gate on the path's BASENAME — endsWith let a
-    // trailing slash silently skip scale validation (ADVICE r4 #5).
-    // cold AND warm sf1 passes (VERDICT r5 next #2): r4's sf1 numbers
-    // ran after ~980 s of dedup queries had warmed the JVM, r5's ran
-    // cold, and three relational queries moved 4-8x between them —
-    // recording both passes separates JIT/codegen warm-up from real plan
-    // regressions at the validation scale factor.
-    val (sf1, sf1w) =
+    val s = sweep(spark, "sf01", suite, sfDir)
+    val recall01 = recallJson(spark, sfDir)
+
+    // sf1 validation in a FRESH JVM. Only triggered when benching the
+    // protocol sf0.1 dir so ad-hoc sf0.01 iteration stays fast; gate on
+    // the path's BASENAME (endsWith let a trailing slash silently skip
+    // scale validation — ADVICE r4 #5).
+    var sf1Forked = false
+    val sf1Frag: Option[String] =
       if (sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1")
-          || new java.io.File(sfDir).getName != "sf0.1") (Nil, Nil)
+          || new java.io.File(sfDir).getName != "sf0.1") None
       else {
         val dir = ScaleUp.ensure(spark, sfDir,
           sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
-        val qs = sf1Suite.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-        (run("sf1", qs, dir), run("sf1warm", qs, dir))
+        // release this JVM's executors/heap before the child starts —
+        // the fork exists precisely so the scale numbers see a quiet
+        // machine
+        spark.stop()
+        val forked = forkSf1(dir)
+        sf1Forked = forked.isDefined
+        forked.orElse {
+          // fallback: in-process (old behavior), loudly non-forked
+          System.err.println("[bench] sf1 falling back to in-JVM run")
+          val sp2 = session()
+          val qs = sf1Suite.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+          val c = sweep(sp2, "sf1", qs, dir)
+          val reasons = c.contentionReasons("sf1")
+          val frag =
+            s""""sf1_total":${ms(c.coldTotal)},"sf1_warm_total":${ms(c.warmMedTotal)},"sf1_warm_min_total":${ms(c.warmMin.map(_._2).sum)},"sf1_contended":${reasons.nonEmpty},"sf1_contention_reasons":${jsArr(reasons)},"sf1_failed":${jsArr(c.failures)},"queries_sf1":${js(c.cold)},"queries_sf1_warm":${js(c.warmMed)},"recall_sf1":{}"""
+          sp2.stop()
+          Some(frag)
+        }
       }
-    // The whole JSON line must fit the driver's ~2000-char output tail
-    // or the round's bench publishes unparsed (every r1-r4 BENCH_r*.json
-    // carried "parsed": null — the three full-precision per-query maps
-    // pushed the line past 5 KB). Millisecond precision and totals-only
-    // for the warm pass keep the line ~1.7 KB; the warm per-query map
-    // adds no information the cold map + warm_total don't.
-    def ms(v: Double): String =
-      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def js(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val coldTotal = cold.map(_._2).sum
-    val warmTotal = warm.map(_._2).sum
-    val sf1Total = sf1.map(_._2).sum
-    val sf1WarmTotal = sf1w.map(_._2).sum
-    val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    if (!spark.sparkContext.isStopped) spark.stop()
+
+    // ---- verdicts ----
+    val reasons = scala.collection.mutable.ArrayBuffer[String]()
+    // pre-bench load is the one loadavg sample our own work can't
+    // pollute; 32 hot threads on this box is us, 4+ BEFORE we start is
+    // someone else
+    if (preLoad > 4.0) reasons += s"pre_load_${ms(preLoad)}"
+    reasons ++= s.contentionReasons("sf01")
+    val sf1Contended = sf1Frag.exists(_.contains("\"sf1_contended\":true"))
+    if (sf1Contended) reasons += "sf1"
+    val contended = reasons.nonEmpty
+
+    val fragStr = sf1Frag.map("," + _).getOrElse(
+      ""","sf1_total":0.000,"sf1_warm_total":0.000,"queries_sf1":{},"queries_sf1_warm":{}""")
     val json =
-      s"""{"metric":"total","value":${ms(coldTotal)},"unit":"sec","warm_total":${ms(warmTotal)},"sf1_total":${ms(sf1Total)},"sf1_warm_total":${ms(sf1WarmTotal)},"failed":$failed,"queries":${js(cold)},"queries_sf1":${js(sf1)},"queries_sf1_warm":${js(sf1w)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(s.coldTotal)},"unit":"sec","warm_total":${ms(s.warmMedTotal)},"warm_min_total":${ms(s.warmMin.map(_._2).sum)},"warm_reps":$WarmReps,"contended":$contended,"contention_reasons":${jsArr(reasons.toSeq)},"load_pre_bench":${ms(preLoad)},"procs_pre_bench":$preProcs,"sf1_forked":$sf1Forked,"onnx_runtime":$onnxPresent,"failed":${jsArr(s.failures)},"queries":${js(s.cold)},"queries_warm":${js(s.warmMed)},"recall_sf01":$recall01$fragStr,"sf":"$sfDir"}"""
     println(json)
-    // ALSO write the JSON to a file (VERDICT r5 next #3): the stdout
-    // line sits mid-tail between sbt [info] noise and every round's
-    // BENCH_r*.json has carried "parsed": null — the file artifact is
-    // machine-readable without scraping the log tail
+    // the stdout line sits mid-tail between sbt [info] noise; the file
+    // artifact is machine-readable without scraping the log tail
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: $e") }
-    spark.stop()
+    // rich per-query detail: warm min/med/max triples + machine-state
+    // marks — the evidence trail for any contended verdict
+    val detail = {
+      val triples = s.warm.map { case (n, reps) =>
+        "\"" + n + "\":[" + reps.sorted.map(ms).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val marks = s.marks.map { case (l, ld, np) =>
+        s"""{"at":"$l","load1":${ms(ld)},"procs":$np}"""
+      }.mkString("[", ",", "]")
+      s"""{"queries_warm_detail":$triples,"env_marks":$marks}"""
+    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_detail.json: $e") }
   }
 }

@@ -77,8 +77,32 @@ object ScaleCheck {
       store.search(qv, tags = Seq("shard3"), k = 5).count() == 5
     val t4 = System.nanoTime()
     println(s"""{"check":"sf1_store_lifecycle","rows":$nRows,"reclaimed_bytes":$reclaimed,"match":$lifecycleOk,"sec":${(t4 - t3) / 1e9}}""")
+
+    // IVF-PQ recall at the validation scale (VERDICT r6 next #3/#5):
+    // fitted per-subspace books over the sf1 store, ADC preselect +
+    // exact refine vs the exact scan. The replicated corpus makes every
+    // exact top-10 a clique of identical vectors — identical vectors
+    // share a cid list, so this is the clique-robustness floor; the
+    // organic-quality number is the sf0.1 spec in VectorStoreSpec.
+    val t5 = System.nanoTime()
+    store.buildAnnIndex(16)
+    val qvs = graft.core.Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") >= 1 && col("vec_id") <= 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val recalls = qvs.map { q =>
+      val exact = store.search(q, k = 10).select("id")
+        .collect().map(_.getString(0)).toSet
+      val pq = store.searchAnnPq(q, k = 10, nprobe = 8, refineK = 80)
+        .select("id").collect().map(_.getString(0)).toSet
+      (exact intersect pq).size / 10.0
+    }
+    val meanRecall = recalls.sum / recalls.length
+    val recallOk = meanRecall >= 0.8
+    val t6 = System.nanoTime()
+    println(s"""{"check":"sf1_ann_pq_recall","recall":$meanRecall,"match":$recallOk,"sec":${(t6 - t5) / 1e9}}""")
+
     store.clear()
     spark.stop()
-    if (!ok || !lifecycleOk) sys.exit(1)
+    if (!ok || !lifecycleOk || !recallOk) sys.exit(1)
   }
 }

@@ -409,8 +409,16 @@ object SimilaritySearch {
                k: Int = 5): DataFrame = {
     val books = pqCodebooks(emb, nSub, nCodes)
     val qv = lookupVec(emb, qid)
-    val dsub = qv.length / nSub
-    // LUT in the same sequential fold order the oracle's list_sum uses
+    pqSearchVec(emb.where(col("vec_id") =!= qid), qv, books, k)
+  }
+
+  /** Asymmetric squared-distance column for a query over PQ codes:
+    * per-(subspace, code) LUTs computed driver-side as literal arrays,
+    * scored as nSub lookups + adds per row. LUT entries use the same
+    * sequential fold order the oracle's list_sum uses. */
+  def pqAdcDist(vecCol: Column, qv: Seq[Float],
+                books: Seq[Seq[(Long, Seq[Float])]]): Column = {
+    val dsub = qv.length / books.size
     val luts: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
       val q = qv.slice(s * dsub, (s + 1) * dsub)
       book.sortBy(_._1).map { case (_, c) =>
@@ -422,13 +430,33 @@ object SimilaritySearch {
         acc
       }
     }
-    val codes = pqEncode(col("embedding"), books)
-    val dist2 = codes.zipWithIndex.map { case (cc, s) =>
+    val codes = pqEncode(vecCol, books)
+    codes.zipWithIndex.map { case (cc, s) =>
       element_at(array(luts(s).map(lit): _*), (cc + 1).cast("int"))
     }.reduce(_ + _)
-    val scored = emb.where(col("vec_id") =!= qid).withColumn("dist2", dist2)
-    TopK.topKRanked(scored, k, Seq(asc("dist2"), asc("vec_id")))
-      .select(col("rank"), col("vec_id"))
+  }
+
+  /** Query-by-value PQ search over an arbitrary corpus — the production
+    * entry point ([[pqSearch]] is the qid-addressed oracle form): no
+    * corpus scan for the query vector, books fitted or seeded by the
+    * caller. `refineK > 0` re-scores the top refineK ADC candidates
+    * exactly on their raw vectors (the IVFPQ refine shape
+    * [[graft.operators.VectorStore.searchAnnPq]] uses) — at 4-bit code
+    * granularity ADC ordering alone ranks coarsely, and the refine pass
+    * recovers the exact order at refineK-rows cost. */
+  def pqSearchVec(corpus: DataFrame, qv: Seq[Float],
+                  books: Seq[Seq[(Long, Seq[Float])]], k: Int,
+                  refineK: Int = 0): DataFrame = {
+    val scored = corpus.withColumn("dist2", pqAdcDist(col("embedding"), qv, books))
+    val adcTop = TopK.topKRanked(scored, if (refineK > 0) refineK else k,
+      Seq(asc("dist2"), asc("vec_id")))
+    if (refineK <= 0) adcTop.select(col("rank"), col("vec_id"))
+    else {
+      val exact = adcTop.drop("rank", "dist2")
+        .withColumn("sim", cosine(col("embedding"), vecLit(qv)))
+      TopK.topKRanked(exact, k, Seq(desc("sim"), asc("vec_id")))
+        .select(col("rank"), col("vec_id"))
+    }
   }
 
   // ---- store-integrated IVF index: cid as a partition column ----

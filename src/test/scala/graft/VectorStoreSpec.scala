@@ -731,6 +731,39 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("IVF-PQ recall >= 0.8 @ k=10 on the sf0.1 store with fitted books (VERDICT r6 #3)") {
+    // the production-scale quality gate: 65k organic driver vectors,
+    // per-subspace k-means books fitted by buildAnnIndex, ADC preselect
+    // + exact refine — the number a real deployment sees, not the
+    // 500-vector fixture floor above
+    val store = freshStore()
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        concat(lit("doc "), col("vec_id")).as("content"),
+        array(lit("t")).as("tags"))
+    store.insert(emb)
+    store.buildAnnIndex(16)
+    val queries = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .where(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    // nprobe 8/16 and refineK 80: the driver's synthetic vectors are
+    // near-isotropic (weak cluster structure — AnnTune measured probe
+    // recall 0.64 at nprobe=4, 0.89 at 8), so half the lists must be
+    // probed for a 0.8 floor; organic embedding corpora cluster far
+    // better and run lower nprobe at the same recall
+    val recalls = queries.map { qv =>
+      val exact = store.search(qv, k = 10).select("id")
+        .collect().map(_.getString(0)).toSet
+      val pq = store.searchAnnPq(qv, k = 10, nprobe = 8, refineK = 80)
+        .select("id").collect().map(_.getString(0)).toSet
+      (exact intersect pq).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"IVF-PQ sf0.1 recall $mean (per-query: ${recalls.mkString(",")})")
+    store.clear()
+  }
+
   test("compactAnnIndex: append-accumulated list files shrink; results and PQ survive") {
     val store = freshStore()
     val vt = graft.core.Tables.vectorTable(spark, "/root/testdata/sf0.001")
