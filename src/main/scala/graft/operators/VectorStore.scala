@@ -661,7 +661,7 @@ class VectorStore(spark: SparkSession, val root: String,
       }
     }
     for (t <- Seq("upsert_tmp", "data_compact_tmp", "data_tmp",
-      "manifest_tmp.parquet", "ann_tmp")) {
+      "manifest_tmp.parquet", "ann_tmp", "dup_tmp")) {
       val p = new Path(s"$root/$t")
       if (fs.exists(p) && expired(p)) fs.delete(p, true)
     }
@@ -678,6 +678,12 @@ class VectorStore(spark: SparkSession, val root: String,
       for (c <- fs.listStatus(new Path(annRoot))
              if !c.getPath.getName.matches("v\\d+") && expired(c.getPath))
         fs.delete(c.getPath, true)
+    // superseded dup-graph versions: same versioned-commit contract
+    val curDup = dupVersions().lastOption
+    for (v <- dupVersions() if !curDup.contains(v)) {
+      val p = new Path(s"$dupRoot/v$v")
+      if (expired(p)) fs.delete(p, true)
+    }
   }
 
   /** Driver-side superset pruning: distinct tag-sets are few; resolve
@@ -1237,6 +1243,68 @@ class VectorStore(spark: SparkSession, val root: String,
         require(fs.rename(tmp, new Path(s"$annRoot/v$next")),
           s"graft: ANN compaction commit rename to v$next failed")
     }
+  }
+
+  // ---- near-dup pair graph: a versioned store artifact ----
+
+  private val dupRoot = s"$root/dup"
+
+  private def dupVersions(): Seq[Int] =
+    if (!fs.exists(new Path(dupRoot))) Nil
+    else fs.listStatus(new Path(dupRoot)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.stripPrefix("v").toInt).sorted
+
+  /**
+   * Materialize the banded sign-LSH near-dup PAIR GRAPH over the stored
+   * vectors as a committed, versioned artifact (`dup/v<k>`) — the
+   * store-side answer to the suite-side lesson that dedup, clustering,
+   * PageRank-over-dups, and curation all consume the SAME pairs and
+   * should never each re-run the banding pipeline (VERDICT r6 next #4).
+   * At 100 TB the pair table is the expensive thing (one banded
+   * self-equi-join over the corpus) while its OUTPUT is tiny relative
+   * to the corpus (near-dup edges only), so materializing it next to
+   * the ANN index turns every downstream consumer into a cheap scan.
+   *
+   * Pairs are (id1, id2, sim_r) with id1 < id2 (string order — any
+   * total order dedups the symmetric pair), cosine-verified at
+   * `threshold` inside the band join (precision 1.0 by construction;
+   * recall is the LSH OR-of-ANDs curve). Commit contract matches the
+   * ANN index: staged under dup_tmp, ONE rename to the next v<k>, old
+   * versions readable until [[vacuum]] reclaims them, _meta.json
+   * records threshold + built row count for staleness decisions.
+   */
+  def buildDupGraph(threshold: Double = graft.OracleSql.EmbDupThreshold): Unit =
+    withWriterLock() {
+      val snap = table()
+      val dim = snap.select(size(col("vector")).as("d")).head().getInt(0)
+      val pairs = Dedup.embeddingNearDupsLsh(
+        snap.select(col("id").as("vec_id"), col("vector").as("embedding")),
+        threshold, dim)
+        .select(col("v1").as("id1"), col("v2").as("id2"), col("sim_r"))
+      val tmp = new Path(s"$root/dup_tmp")
+      fs.delete(tmp, true)
+      pairs.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val rows = snap.count()
+      val out = fs.create(new Path(s"$tmp/_meta.json"), true)
+      out.write(s"""{"threshold":$threshold,"base_rows":$rows}""".getBytes("UTF-8"))
+      out.close()
+      val next = dupVersions().lastOption.map(_ + 1).getOrElse(0)
+      fs.mkdirs(new Path(dupRoot))
+      require(fs.rename(tmp, new Path(s"$dupRoot/v$next")),
+        s"graft: dup-graph commit rename to v$next failed")
+    }
+
+  def hasDupGraph: Boolean = dupVersions().nonEmpty
+
+  /** The committed near-dup pairs (id1, id2, sim_r), newest version.
+    * Underscore-prefixed meta files are invisible to the parquet scan,
+    * so this is a plain partition-parallel read. */
+  def nearDups(): DataFrame = {
+    val v = dupVersions().lastOption.getOrElse(
+      throw new IllegalStateException(
+        "graft: no dup graph — call buildDupGraph() first"))
+    spark.read.parquet(s"$dupRoot/v$v")
   }
 
   /**

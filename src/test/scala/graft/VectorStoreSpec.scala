@@ -731,6 +731,38 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("dup graph: versioned pair artifact; rebuild bumps version; vacuum reclaims") {
+    val store = freshStore()
+    // a near-dup trio (identical vectors) + two isolated rows
+    store.insert(df(Seq(
+      ("a", Array(1f, 2f, 3f, 4f), "dup", Seq("t")),
+      ("b", Array(1f, 2f, 3f, 4f), "dup", Seq("t")),
+      ("c", Array(1f, 2f, 3f, 4f), "dup", Seq("t")),
+      ("x", Array(-4f, 3f, -2f, 1f), "solo", Seq("t")),
+      ("y", Array(2f, -1f, 4f, -3f), "solo", Seq("t")))))
+    intercept[IllegalStateException] { store.nearDups() }
+    store.buildDupGraph()
+    assert(store.hasDupGraph)
+    val pairs = store.nearDups().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")), pairs.toString)
+    // rebuild after an insert commits the NEXT version; old one stays
+    // readable until vacuum (same contract as the ANN index)
+    store.insert(df(Seq(("d", Array(1f, 2f, 3f, 4f), "dup too", Seq("t")))))
+    store.buildDupGraph()
+    val after = store.nearDups().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")), after.toString)
+    val v0 = new java.io.File(s"${store.root}/dup/v0")
+    val v1 = new java.io.File(s"${store.root}/dup/v1")
+    assert(v0.exists && v1.exists)
+    store.vacuum(0L)
+    assert(!v0.exists && v1.exists, "vacuum should reclaim only the superseded dup version")
+    assert(store.nearDups().count() == 6)
+    store.clear()
+  }
+
   test("IVF-PQ recall >= 0.8 @ k=10 on the sf0.1 store with fitted books (VERDICT r6 #3)") {
     // the production-scale quality gate: 65k organic driver vectors,
     // per-subspace k-means books fitted by buildAnnIndex, ADC preselect
