@@ -1245,6 +1245,109 @@ class VectorStore(spark: SparkSession, val root: String,
     }
   }
 
+  /** Query-side projection column + scoring metric for the store's
+    * current mode: projected stores project the query through the
+    * stored basis and score by (negated) euclidean, mirroring
+    * [[search]]'s single-vector path. */
+  private def queryColumnMode(): (Column => Column, String) =
+    if (isProjected) (Pca.projector(spark, loadModel()), "euclidean")
+    else (identity[Column] _, "cosine")
+
+  private def simColumn(metric: String, vec: Column, q: Column): Column =
+    metric match {
+      case "euclidean" => -GraftFunctions.euclidean(vec, q)
+      case _ => GraftFunctions.cosine(vec, q)
+    }
+
+  /**
+   * Batched EXACT top-k: a query TABLE (qid, qvec) against the store in
+   * ONE plan — the store-side counterpart of the suite's
+   * knn_multiquery shape. The query side broadcasts (a query batch is
+   * bounded by contract — thousands, not billions); the scored stream
+   * is per-query-ranked through a qid-partitioned window whose rank
+   * filter Spark rewrites to WindowGroupLimit, so only k rows per query
+   * per partition survive to the shuffle. Mode-aware like [[search]].
+   * Returns (qid, rank, similarity, id, content, tags).
+   *
+   * For query batches large enough that |Q| x |store| streaming is the
+   * bottleneck, use [[searchManyAnn]] — probes prune the scan to
+   * ~nprobe/C of the index.
+   */
+  def searchMany(queries: DataFrame, k: Int = 10,
+                 tags: Seq[String] = Nil): DataFrame = {
+    val snap0 = table()
+    val snap =
+      if (tags.isEmpty) snap0
+      else snap0.where(
+        tags.distinct.map(t => array_contains(col("tags"), t)).reduce(_ && _))
+    val (qproj, metric) = queryColumnMode()
+    val q = broadcast(queries.select(col("qid"), qproj(col("qvec")).as("qv")))
+    val scored = snap.join(q)
+      .withColumn("similarity", simColumn(metric, col("vector"), col("qv")))
+      .where(!isnan(col("similarity")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("similarity"), asc("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("similarity"),
+        col("id"), col("content"), col("tags"))
+  }
+
+  /**
+   * Batched ANN top-k over the committed IVF index: every query
+   * resolves its nprobe nearest lists from the plan-constant codebook
+   * (explode + WindowGroupLimit — the query side is tiny by
+   * definition), the UNION of probed list ids (bounded by the codebook
+   * size — driver metadata, one small job over the query table, the
+   * scan never runs for it) becomes a STATIC partition IN-list on the
+   * cid-partitioned index — non-probed lists are never read, exactly
+   * like [[searchAnn]]'s single-query pruning — and the (qid, lid)
+   * probe table then BROADCASTS onto the pruned scan for per-query
+   * assignment. The corpus never shuffles, and each index row joins at
+   * most its own list's probes (a row lives in exactly ONE list, so no
+   * dedup is needed). Same version-pinning as [[searchAnn]] (codebook
+   * and data resolve from ONE committed dir). Returns
+   * (qid, rank, similarity, id, content, tags).
+   */
+  def searchManyAnn(queries: DataFrame, k: Int = 10,
+                    nprobe: Int = 2): DataFrame = {
+    val dir = currentAnnDir.getOrElse(
+      throw new IllegalStateException(
+        "graft: no ANN index — call buildAnnIndex(k) first"))
+    val codebook = SimilaritySearch.collectCodebook(
+      spark.read.parquet(codebookPathIn(dir)))
+    val (qproj, metric) = queryColumnMode()
+    val q = queries.select(col("qid"), qproj(col("qvec")).as("qv"))
+    val centsLit = array(codebook.sortBy(_._1).map { case (cid, cv) =>
+      struct(lit(cid).as("lid"), GraftFunctions.vecLit(cv).as("cv"))
+    }: _*)
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(asc("dist"), asc("lid"))
+    val probed = q
+      .select(col("qid"), col("qv"), explode(centsLit).as("c"))
+      .select(col("qid"), col("qv"), col("c.lid").as("lid"),
+        GraftFunctions.euclidean(col("qv"), col("c.cv")).as("dist"))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("lid"))
+    // distinct probed lists: <= |codebook| values from the QUERY side
+    // only — a static IN-list beats relying on DPP to reach the scan
+    val probeLids = probed.select("lid").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(dir)
+      .where(col("cid").isin(probeLids: _*)).withColumnRenamed("cid", "lid")
+    val scored = idx.join(broadcast(probed), Seq("lid"))
+      .withColumn("similarity", simColumn(metric, col("vector"), col("qv")))
+      .where(!isnan(col("similarity")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("similarity"), asc("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("similarity"),
+        col("id"), col("content"), col("tags"))
+  }
+
   // ---- near-dup pair graph: a versioned store artifact ----
 
   private val dupRoot = s"$root/dup"

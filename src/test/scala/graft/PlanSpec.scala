@@ -107,6 +107,30 @@ class PlanSpec extends AnyFunSuite {
     routed.clear()
   }
 
+  test("searchManyAnn: static partition pruning on probed lists + WindowGroupLimit") {
+    val root = Files.createTempDirectory("graft-manyann").toString
+    val store = new VectorStore(spark, root)
+    import spark.implicits._
+    val rows = (0 until 64).map { i =>
+      (s"id$i", Array(math.cos(i / 10.0).toFloat, math.sin(i / 10.0).toFloat,
+        (i % 7).toFloat, (i % 5).toFloat), s"c$i", Seq("t"))
+    }
+    store.insert(rows.toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>")))
+    store.buildAnnIndex(4)
+    val qs = rows.take(2).zipWithIndex
+      .map { case (r, i) => (i.toLong, r._2.toSeq) }
+      .toDF("qid", "qvec").withColumn("qvec", col("qvec").cast("array<float>"))
+    val p = plan(store.searchManyAnn(qs, k = 3, nprobe = 2))
+    // the probed-list union reaches the index scan as a STATIC partition
+    // IN-list (non-probed lists never read) and the per-query rank
+    // filter runs as WindowGroupLimit (bounded pre-shuffle)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cid"), s"no static partition filter on cid:\n$scanLine\n${p.take(3000)}")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    store.clear()
+  }
+
   test("aggregations are partially aggregated map-side (two HashAggregate stages)") {
     val p = plan(SparkEntry.queries("q1_agg")(spark, dir))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))

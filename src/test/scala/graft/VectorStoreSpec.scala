@@ -731,6 +731,56 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("searchMany: batched exact top-k agrees with per-query search; tag filter holds") {
+    val store = freshStore()
+    val vt = graft.core.Tables.vectorTable(spark, "/root/testdata/sf0.001")
+      .select(col("id").cast("string").as("id"), col("vector"), col("content"), col("tags"))
+    store.insert(vt)
+    val qvs = vt.where(col("id").cast("long") < 4).orderBy(col("id").cast("long"))
+      .select(col("id").cast("long").as("qid"), col("vector").as("qvec"))
+    val batched = store.searchMany(qvs, k = 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getLong(1)).map(r => (r.getString(3), r.getDouble(2))).toSeq
+      }
+    val single = qvs.collect().map { r =>
+      val qid = r.getLong(0)
+      val res = store.search(r.getSeq[Float](1), k = 5).collect()
+        .map(h => (h.getString(1), h.getDouble(0))).toSeq
+      qid -> res
+    }.toMap
+    assert(batched == single, s"batched $batched vs single $single")
+    // tag filter: restrict both paths to one tag and re-check one query
+    val someTag = vt.select(explode(col("tags"))).limit(1).head().getString(0)
+    val qv0 = qvs.limit(1)
+    val bt = store.searchMany(qv0, k = 3, tags = Seq(someTag)).collect()
+      .map(r => r.getString(3)).toSeq
+    val st = store.search(qv0.head().getSeq[Float](1), tags = Seq(someTag), k = 3)
+      .collect().map(_.getString(1)).toSeq
+    assert(bt == st)
+    store.clear()
+  }
+
+  test("searchManyAnn: probed batch equals exact batch when all lists are probed") {
+    val store = freshStore()
+    val vt = graft.core.Tables.vectorTable(spark, "/root/testdata/sf0.001")
+      .select(col("id").cast("string").as("id"), col("vector"), col("content"), col("tags"))
+    store.insert(vt)
+    store.buildAnnIndex(4)
+    val qvs = vt.where(col("id").cast("long") < 3)
+      .select(col("id").cast("long").as("qid"), col("vector").as("qvec"))
+    // nprobe = all lists -> the probe join scans everything = exact
+    val ann = store.searchManyAnn(qvs, k = 5, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    val exact = store.searchMany(qvs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(ann == exact, s"ann $ann vs exact $exact")
+    // narrow probes still return k rows per query and a subset ordering
+    val narrow = store.searchManyAnn(qvs, k = 5, nprobe = 2).collect()
+    assert(narrow.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    store.clear()
+  }
+
   test("dup graph: versioned pair artifact; rebuild bumps version; vacuum reclaims") {
     val store = freshStore()
     // a near-dup trio (identical vectors) + two isolated rows
