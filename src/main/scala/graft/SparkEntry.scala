@@ -73,15 +73,20 @@ object SparkEntry {
     * bench). The pairs themselves are near-dup edges only — KB-to-MB
     * scale even on a dup-heavy corpus — so MEMORY_AND_DISK holds them
     * comfortably; at 100 TB the same move is a checkpoint of the pair
-    * table next to the ANN index. Keyed by session identity so a cached
-    * plan can never leak across a stopped session (tests spin up many). */
+    * table next to the ANN index. Keyed by the session OBJECT (tuple
+    * equality on SparkSession is reference equality — no identityHash
+    * collisions), and entries for stopped sessions are purged on every
+    * access so a cached plan can never leak across a stopped session
+    * and the map cannot grow past the live-session count (tests spin
+    * up many). */
   private val dupPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def minhashPairsCached(s: SparkSession, dir: String): DataFrame =
-    dupPairsCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir",
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def minhashPairsCached(s: SparkSession, dir: String): DataFrame = {
+    dupPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    dupPairsCache.computeIfAbsent((s, dir),
       _ => Dedup.minhashNearDups(Tables.load(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** A VectorStore populated through the STRUCTURED STREAMING ingest
     * path (insertStream -> foreachBatch -> insert), built once per
@@ -98,10 +103,10 @@ object SparkEntry {
     * every tie-break matches the SQL oracle's. Doc 0 is the query
     * document on both legs, so it is excluded from the store. */
   private val streamedStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def streamedStoreRoot(s: SparkSession, dir: String): String =
-    streamedStoreCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir",
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def streamedStoreRoot(s: SparkSession, dir: String): String = {
+    streamedStoreCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    streamedStoreCache.computeIfAbsent((s, dir),
       { _ =>
         val root = java.nio.file.Files
           .createTempDirectory("graft_hybrid_stream").toString
@@ -119,6 +124,7 @@ object SparkEntry {
         store.insertStream(stream).awaitTermination()
         s"$root/store"
       })
+  }
 
   // ---------------------------------------------------------------
   // the operator inventory (SURVEY.md §2 + extension scope)

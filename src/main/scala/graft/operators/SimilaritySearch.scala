@@ -158,7 +158,12 @@ object SimilaritySearch {
     * back once: the query side by qid (tiny per contract — it
     * broadcasts on stats), the corpus by cid (ONE shuffle of each
     * corpus vector instead of `bands` copies). Cosine is deterministic
-    * per pair, so score-after-distinct is exactly the r6 result set. */
+    * per pair, so score-after-distinct is exactly the r6 result set.
+    *
+    * PRECONDITION: qid / cid are unique keys. Duplicate id rows would
+    * re-expand through the vector join-back after the (qid, cid)
+    * distinct and occupy multiple top-k ranks; run exact dedup first
+    * (as every caller in this suite does) if ids can repeat. */
   private def lshScoredCandidates(queries: DataFrame, corpus: DataFrame, d: Int,
                                   bands: Int, rows: Int): DataFrame = {
     val q = bandedKeys(queries.select(col("qid"), col("qvec")), "qvec", d, bands, rows)

@@ -543,7 +543,12 @@ class VectorStore(spark: SparkSession, val root: String,
 
   /** Zero-row DataFrame in the store's schema: probed from the on-disk
     * files when any exist (footer metadata only — keeps packed /
-    * projected layouts exact), else the canonical insert schema. */
+    * projected layouts exact), else the canonical insert schema. The
+    * canonical fallback cannot know about a `packed` column (no files
+    * left to probe), so a quantized store that is BOTH emptied and
+    * fully vacuumed fails quantized search analysis loudly instead of
+    * returning zero rows — acceptable: that state requires vacuuming
+    * away every superseded generation of an empty store. */
   private def emptySnapshot(): DataFrame = {
     val schema =
       try {
@@ -661,7 +666,7 @@ class VectorStore(spark: SparkSession, val root: String,
       }
     }
     for (t <- Seq("upsert_tmp", "data_compact_tmp", "data_tmp",
-      "manifest_tmp.parquet", "ann_tmp", "dup_tmp")) {
+      "manifest_tmp.parquet", "ann_tmp", "dup_tmp", "eigen_tmp.parquet")) {
       val p = new Path(s"$root/$t")
       if (fs.exists(p) && expired(p)) fs.delete(p, true)
     }
@@ -932,8 +937,10 @@ class VectorStore(spark: SparkSession, val root: String,
   }
 
   /** Load the stored projection (basis d x k + global means). */
-  def loadModel(): Pca.Model = {
-    val row = spark.read.parquet(eigenPath).head()
+  def loadModel(): Pca.Model = loadModelAt(eigenPath)
+
+  private def loadModelAt(path: String): Pca.Model = {
+    val row = spark.read.parquet(path).head()
     // rows materialize nested arrays as mutable ArraySeq — use the
     // collection root type to stay cast-safe
     Pca.Model(
@@ -963,6 +970,24 @@ class VectorStore(spark: SparkSession, val root: String,
    */
   def projectAll(k: Int): Unit = withWriterLock() {
     require(!isProjected, "graft: store is already projected")
+    // Crash recovery BEFORE refitting: a previous projectAll that died
+    // between its manifest commit and the basis rename left projected
+    // DATA with no committed basis — isProjected is false, and a naive
+    // retry would fit on already-projected vectors and double-project
+    // the store. The staged basis' k tells the two crash points apart:
+    // stored dim == staged k means the manifest commit happened (finish
+    // the rename and stop); otherwise the crash predated the commit and
+    // the stage file is plain debris.
+    val eigenStaged = new Path(s"$root/eigen_tmp.parquet")
+    if (fs.exists(eigenStaged)) {
+      val stagedK = loadModelAt(eigenStaged.toString).k
+      if (storedDim().contains(stagedK)) {
+        require(fs.rename(eigenStaged, new Path(eigenPath)),
+          s"graft: basis recovery rename to $eigenPath failed")
+        throw new IllegalStateException(
+          "graft: completed a crashed projection's basis commit — the store was already projected; not refitting")
+      } else fs.delete(eigenStaged, true)
+    }
     val model = Pca.fit(table(), "vector", k)
     val proj = Pca.projector(spark, model, "graft_store_project")
     val projected0 = table().withColumn("vector", proj(col("vector")))
@@ -1276,9 +1301,16 @@ class VectorStore(spark: SparkSession, val root: String,
   def searchMany(queries: DataFrame, k: Int = 10,
                  tags: Seq[String] = Nil): DataFrame = {
     val snap0 = table()
+    // same two-level tag filter as [[search]]: manifest-resolved
+    // tag_key IN-list so non-matching PARTITIONS are never read, plus
+    // the row-level guard for partition-less layouts
+    val pruned = matchingTagKeys(tags) match {
+      case Some(keys) => snap0.where(col("tag_key").isin(keys: _*))
+      case None => snap0
+    }
     val snap =
-      if (tags.isEmpty) snap0
-      else snap0.where(
+      if (tags.isEmpty) pruned
+      else pruned.where(
         tags.distinct.map(t => array_contains(col("tags"), t)).reduce(_ && _))
     val (qproj, metric) = queryColumnMode()
     val q = broadcast(queries.select(col("qid"), qproj(col("qvec")).as("qv")))
@@ -1379,8 +1411,17 @@ class VectorStore(spark: SparkSession, val root: String,
    */
   def buildDupGraph(threshold: Double = graft.OracleSql.EmbDupThreshold): Unit =
     withWriterLock() {
+      // projected stores hold mean-centered PCA coordinates: cosine is
+      // not preserved under centering, so the raw-space near-dup
+      // threshold is meaningless there — build the graph before
+      // projecting (the artifact survives projection; pair ids are
+      // stable)
+      require(!isProjected,
+        "graft: buildDupGraph needs raw-space vectors — build it before projectAll")
       val snap = table()
-      val dim = snap.select(size(col("vector")).as("d")).head().getInt(0)
+      val dim = snap.select(size(col("vector")).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(throw new IllegalStateException(
+          "graft: buildDupGraph on an empty store"))
       val pairs = Dedup.embeddingNearDupsLsh(
         snap.select(col("id").as("vec_id"), col("vector").as("embedding")),
         threshold, dim)

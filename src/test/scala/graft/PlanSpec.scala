@@ -107,6 +107,23 @@ class PlanSpec extends AnyFunSuite {
     routed.clear()
   }
 
+  test("searchMany: tag filter prunes store partitions statically (manifest IN-list)") {
+    val root = Files.createTempDirectory("graft-manyprune").toString
+    val store = new VectorStore(spark, root)
+    import spark.implicits._
+    store.insert(Seq(
+      ("a", Array(1f, 0f), "x", Seq("t1")),
+      ("b", Array(0f, 1f), "y", Seq("t2")))
+      .toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>")))
+    val qs = Seq((0L, Seq(1f, 0f))).toDF("qid", "qvec")
+      .withColumn("qvec", col("qvec").cast("array<float>"))
+    val p = plan(store.searchMany(qs, k = 1, tags = Seq("t1")))
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("tag_key"), s"no partition filter on tag_key:\n$scanLine")
+    store.clear()
+  }
+
   test("searchManyAnn: static partition pruning on probed lists + WindowGroupLimit") {
     val root = Files.createTempDirectory("graft-manyann").toString
     val store = new VectorStore(spark, root)

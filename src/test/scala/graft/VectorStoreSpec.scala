@@ -731,6 +731,33 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("projectAll crash recovery: committed-but-unrenamed basis is completed, never refit") {
+    val store = freshStore()
+    val rows = (0 until 30).map { i =>
+      (s"id$i", Array.tabulate(6)(j => math.sin(i * 0.7 + j).toFloat), s"c$i", Seq("t"))
+    }
+    store.insert(df(rows))
+    store.projectAll(2)
+    assert(store.isProjected)
+    // simulate the crash window a retry must survive: projected data
+    // committed, basis staged but not renamed (the state between
+    // projectAll's two metadata ops)
+    val rootDir = java.nio.file.Paths.get(store.root)
+    java.nio.file.Files.move(rootDir.resolve("eigen.parquet"),
+      rootDir.resolve("eigen_tmp.parquet"))
+    assert(!store.isProjected)
+    val ex = intercept[IllegalStateException] { store.projectAll(2) }
+    assert(ex.getMessage.contains("crashed projection"), ex.getMessage)
+    // the recovery finished the rename: store is projected again and a
+    // raw-dim query searches through the recovered basis
+    assert(store.isProjected)
+    assert(store.searchAuto(rows.head._2.toSeq, k = 3).count() == 3)
+    // naive refit would have required !isProjected to pass — double
+    // projection is structurally impossible now
+    intercept[IllegalArgumentException] { store.projectAll(2) }
+    store.clear()
+  }
+
   test("searchMany: batched exact top-k agrees with per-query search; tag filter holds") {
     val store = freshStore()
     val vt = graft.core.Tables.vectorTable(spark, "/root/testdata/sf0.001")
