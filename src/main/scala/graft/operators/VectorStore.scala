@@ -1339,11 +1339,15 @@ class VectorStore(spark: SparkSession, val root: String,
    * assignment. The corpus never shuffles, and each index row joins at
    * most its own list's probes (a row lives in exactly ONE list, so no
    * dedup is needed). Same version-pinning as [[searchAnn]] (codebook
-   * and data resolve from ONE committed dir). Returns
+   * and data resolve from ONE committed dir). `quantized = true`
+   * scores the packed codec column (quantized stores index it
+   * alongside) — FuseQuantizedKernels collapses kernel-over-unpack
+   * into the packed kernel, so probed lists scan bytes, like
+   * [[searchAnn]]'s quantized mode. Returns
    * (qid, rank, similarity, id, content, tags).
    */
   def searchManyAnn(queries: DataFrame, k: Int = 10,
-                    nprobe: Int = 2): DataFrame = {
+                    nprobe: Int = 2, quantized: Boolean = false): DataFrame = {
     val dir = currentAnnDir.getOrElse(
       throw new IllegalStateException(
         "graft: no ANN index — call buildAnnIndex(k) first"))
@@ -1368,8 +1372,11 @@ class VectorStore(spark: SparkSession, val root: String,
     val probeLids = probed.select("lid").distinct().collect().map(_.getLong(0))
     val idx = spark.read.parquet(dir)
       .where(col("cid").isin(probeLids: _*)).withColumnRenamed("cid", "lid")
+    require(!quantized || idx.columns.contains("packed"),
+      "graft: quantized batched search needs a quantized store (index has no packed column)")
+    val vec = if (quantized) GraftFunctions.unpack(col("packed")) else col("vector")
     val scored = idx.join(broadcast(probed), Seq("lid"))
-      .withColumn("similarity", simColumn(metric, col("vector"), col("qv")))
+      .withColumn("similarity", simColumn(metric, vec, col("qv")))
       .where(!isnan(col("similarity")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("similarity"), asc("id"))

@@ -805,6 +805,35 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // narrow probes still return k rows per query and a subset ordering
     val narrow = store.searchManyAnn(qvs, k = 5, nprobe = 2).collect()
     assert(narrow.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // unquantized store: the quantized flag fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      store.searchManyAnn(qvs, k = 5, quantized = true)
+    }
+    store.clear()
+  }
+
+  test("searchManyAnn quantized: packed-kernel scoring on a quantized store") {
+    val store = freshStore()
+    val vt = graft.core.Tables.vectorTable(spark, "/root/testdata/sf0.001")
+      .select(col("id").cast("string").as("id"), col("vector"), col("content"), col("tags"))
+    store.insert(vt, quantize = true)
+    store.buildAnnIndex(4)
+    val qvs = vt.where(col("id").cast("long") < 2)
+      .select(col("id").cast("long").as("qid"), col("vector").as("qvec"))
+    val quant = store.searchManyAnn(qvs, k = 5, nprobe = 4, quantized = true)
+    // the fusion rule collapses cosine(unpack(packed)) into the packed
+    // kernel — same gate as the single-query quantized path
+    val p = quant.queryExecution.executedPlan.toString
+    assert(p.contains("OnPacked") || !p.contains("graft_unpack"), p.take(2000))
+    val rows = quant.collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // dequantized scoring tracks exact: top-1 id agrees per query (the
+    // codec's max per-dim error is bounded; top-1 margins dominate it)
+    val exact = store.searchMany(qvs, k = 1).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val qtop = rows.filter(_.getLong(1) == 1L)
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(qtop == exact, s"quantized top-1 $qtop vs exact $exact")
     store.clear()
   }
 
