@@ -25,9 +25,13 @@ import org.apache.spark.sql.SparkSession
  *  - `contended` flags the artifact loudly when any of: pre-bench
  *    loadavg says the machine was already busy, a warm total exceeds
  *    1.5x its cold total (a deterministic suite can only do that under
- *    external load), or >20% of queries have a 3-rep spread over 100%
- *    of their median and 0.5 s absolute (`contention_reasons` lists
- *    which fired, tagged by pass).
+ *    external load), >20% of queries have a 3-rep spread over 100% of
+ *    their median and 0.5 s absolute, two or more queries have a >4x
+ *    rep blowup, HOST-NEIGHBOR CPU STEAL exceeds 5% across a pass
+ *    (/proc/stat steal jiffies — this box is a VM, and a noisy host
+ *    never shows in guest loadavg: an r7 pass ran every query 3-10x
+ *    slow at guest load1=3.5), or the cgroup throttled the JVM
+ *    (`contention_reasons` lists which fired, tagged by pass).
  * ANN recall@10 vs the exact scan (graft.tools.Recall) is recorded for
  * sf0.1 in the parent and sf1 in the child (VERDICT r6 next #5), and
  * the artifact records whether an ONNX runtime is present so the
@@ -71,6 +75,30 @@ object Bench {
     Option(new java.io.File("/proc").list())
       .map(_.count(s => s.nonEmpty && s.forall(_.isDigit))).getOrElse(-1)
 
+  /** Cumulative (busy, steal, total) jiffies from /proc/stat. Steal is
+    * the blind spot loadavg cannot see: this box is a VM, and a noisy
+    * HOST neighbor shows up only as steal time inside the guest — the
+    * r7 final-run investigation caught a pass where every query ran
+    * 3-10x slow while guest loadavg sat at 3.5 on 32 cpus (the same
+    * signature as r6's irreconcilable driver artifact). */
+  private def cpuJiffies(): (Long, Long, Long) =
+    try {
+      val vals = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      val steal = if (vals.length > 7) vals(7) else 0L
+      val idle = vals(3) + (if (vals.length > 4) vals(4) else 0L)
+      (vals.sum - idle - steal, steal, vals.sum)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L, -1L) }
+
+  /** cgroup v2 CPU throttling counter (throttled_usec) — the OTHER
+    * invisible brake: a cpu.max quota squeezes the JVM without any
+    * loadavg or steal signal. */
+  private def throttledUsec(): Long =
+    try scala.io.Source.fromFile("/sys/fs/cgroup/cpu.stat").getLines()
+      .find(_.startsWith("throttled_usec"))
+      .map(_.split("\\s+")(1).toLong).getOrElse(0L)
+    catch { case scala.util.control.NonFatal(_) => -1L }
+
   private def onnxPresent: Boolean =
     try { Class.forName("ai.onnxruntime.OrtEnvironment"); true }
     catch { case _: Throwable => false }
@@ -105,6 +133,9 @@ object Bench {
     spark
   }
 
+  private case class Mark(at: String, load: Double, procs: Int,
+                          busy: Long, steal: Long, total: Long, thrUs: Long)
+
   /** One timing sweep over `qs`: cold (1 rep) then warm (3 consecutive
     * reps per query). Failures are tagged "pass:query" and NEVER folded
     * silently into a (misleadingly faster) total; NonFatal only — an
@@ -113,7 +144,7 @@ object Bench {
   private case class Sweep(cold: Seq[(String, Double)],
                            warm: Seq[(String, Seq[Double])],
                            failures: Seq[String],
-                           marks: Seq[(String, Double, Int)]) {
+                           marks: Seq[Mark]) {
     def warmMed: Seq[(String, Double)] =
       warm.map { case (n, reps) => n -> reps.sorted.apply(reps.size / 2) }
     def warmMin: Seq[(String, Double)] =
@@ -132,6 +163,21 @@ object Bench {
       }
       if (warm.nonEmpty && spready.toDouble / warm.size > 0.2)
         r += s"$tag:warm_spread_${spready}of${warm.size}"
+      // a single 20x rep blowup is load, not variance — two of them
+      // cannot be GC luck
+      val outliers = warm.count { case (_, reps) =>
+        reps.max > 4 * reps.min && reps.max - reps.min > 2.0
+      }
+      if (outliers >= 2) r += s"$tag:rep_outliers_$outliers"
+      // host-neighbor CPU steal between pass boundaries: invisible to
+      // guest loadavg, fatal to wall-clock numbers
+      for (Seq(a, b) <- marks.sliding(2) if a.total >= 0 && b.total > a.total) {
+        val stealPct = (b.steal - a.steal).toDouble / (b.total - a.total)
+        if (stealPct > 0.05)
+          r += f"$tag:steal_${b.at}_${stealPct * 100}%.0fpct"
+        if (a.thrUs >= 0 && b.thrUs - a.thrUs > 1000000L)
+          r += s"$tag:cgroup_throttled_${b.at}"
+      }
       r.toSeq
     }
   }
@@ -140,8 +186,11 @@ object Bench {
                     qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
                     dir: String): Sweep = {
     val failures = scala.collection.mutable.LinkedHashSet[String]()
-    val marks = scala.collection.mutable.ArrayBuffer[(String, Double, Int)]()
-    def mark(label: String): Unit = marks += ((label, load1(), nProcs()))
+    val marks = scala.collection.mutable.ArrayBuffer[Mark]()
+    def mark(label: String): Unit = {
+      val (busy, steal, total) = cpuJiffies()
+      marks += Mark(label, load1(), nProcs(), busy, steal, total, throttledUsec())
+    }
     def time(pass: String, name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -184,8 +233,8 @@ object Bench {
     val detail = s.warm.map { case (n, reps) =>
       "\"" + n + "\":[" + reps.sorted.map(ms).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val marks = s.marks.map { case (l, ld, np) =>
-      s"""{"at":"$l","load1":${ms(ld)},"procs":$np}"""
+    val marks = s.marks.map { m =>
+      s"""{"at":"${m.at}","load1":${ms(m.load)},"procs":${m.procs},"steal":${m.steal},"total":${m.total},"throttled_us":${m.thrUs}}"""
     }.mkString("[", ",", "]")
     val frag =
       s""""sf1_total":${ms(s.coldTotal)},"sf1_warm_total":${ms(s.warmMedTotal)},"sf1_warm_min_total":${ms(s.warmMin.map(_._2).sum)},"sf1_contended":${reasons.nonEmpty},"sf1_contention_reasons":${jsArr(reasons)},"sf1_load_pre":${ms(preLoad)},"sf1_procs_pre":$preProcs,"sf1_failed":${jsArr(s.failures)},"queries_sf1":${js(s.cold)},"queries_sf1_warm":${js(s.warmMed)},"queries_sf1_warm_detail":$detail,"sf1_env_marks":$marks,"recall_sf1":$recall"""
@@ -303,8 +352,8 @@ object Bench {
       val triples = s.warm.map { case (n, reps) =>
         "\"" + n + "\":[" + reps.sorted.map(ms).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val marks = s.marks.map { case (l, ld, np) =>
-        s"""{"at":"$l","load1":${ms(ld)},"procs":$np}"""
+      val marks = s.marks.map { m =>
+        s"""{"at":"${m.at}","load1":${ms(m.load)},"procs":${m.procs},"steal":${m.steal},"total":${m.total},"throttled_us":${m.thrUs}}"""
       }.mkString("[", ",", "]")
       s"""{"queries_warm_detail":$triples,"env_marks":$marks}"""
     }
