@@ -426,6 +426,38 @@ object Dedup {
     componentsStars(p, maxIter, edgesPerPartition)
   }
 
+  /**
+   * Connected components over STRING-keyed pairs — the consumer shape
+   * for [[graft.operators.VectorStore.nearDups]], whose edge ids are
+   * store row ids (uuids / caller strings), not longs. Ids are hashed
+   * to 64-bit keys for the integer component machinery, with a LOUD
+   * injectivity check on this input (one aggregate comparing distinct
+   * ids to distinct hashes — at 2^64 key space a collision needs
+   * billions of ids, but a silent one would merge two unrelated
+   * components, so it fails the job instead). The integer component
+   * label (min member hash) maps back to that member's string id, so
+   * the representative is deterministic for a given id set.
+   *
+   * Returns (id, component_id): every id in any pair, labeled by its
+   * component's representative id.
+   */
+  def componentsByKey(pairs: DataFrame, col1: String = "id1",
+                      col2: String = "id2"): DataFrame = {
+    val ids = pairs.select(col(col1).as("id"))
+      .unionByName(pairs.select(col(col2).as("id"))).distinct()
+    val keyed = ids.withColumn("h", xxhash64(col("id")))
+    val chk = keyed.agg(count(lit(1)), countDistinct(col("h"))).head()
+    require(chk.getLong(0) == chk.getLong(1),
+      s"graft: xxhash64 collision among ${chk.getLong(0)} ids — componentsByKey would merge unrelated components")
+    val hp = pairs.select(xxhash64(col(col1)).as("d1"), xxhash64(col(col2)).as("d2"))
+    val comp = components(hp) // (doc_id, component) over hashes
+    comp
+      .join(keyed.withColumnRenamed("h", "doc_id"), "doc_id")
+      .join(keyed.select(col("h").as("component"), col("id").as("component_id")),
+        "component")
+      .select(col("id"), col("component_id"))
+  }
+
   /** Per-round partition count for the iterative component algorithms:
     * one partition per `edgesPerPartition` edges, floor 4 — a fixture
     * graph iterates over 4 small tasks, a billion-edge graph over ~1000

@@ -1458,6 +1458,14 @@ class VectorStore(spark: SparkSession, val root: String,
     spark.read.parquet(s"$dupRoot/v$v")
   }
 
+  /** Near-dup GROUPS over the committed pair graph: (id, component_id)
+    * for every row that has at least one near-dup, labeled by a
+    * deterministic representative ([[Dedup.componentsByKey]] — the
+    * string-keyed component machinery with a loud hash-injectivity
+    * check). The canonical dedup consumer: keep component_id == id,
+    * drop the rest. */
+  def dupComponents(): DataFrame = Dedup.componentsByKey(nearDups())
+
   /**
    * IVF-PQ search (the FAISS IVFPQ shape): probe pruning like
    * [[searchAnn]], but the probed lists are PRESELECTED by asymmetric

@@ -866,6 +866,12 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.vacuum(0L)
     assert(!v0.exists && v1.exists, "vacuum should reclaim only the superseded dup version")
     assert(store.nearDups().count() == 6)
+    // string-keyed components: the quad collapses to one deterministic
+    // representative; isolated rows don't appear
+    val comps = store.dupComponents().collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(comps.keySet == Set("a", "b", "c", "d"), comps.toString)
+    assert(comps.values.toSet.size == 1, s"one component expected: $comps")
     store.clear()
   }
 
