@@ -19,9 +19,10 @@ import org.apache.spark.sql.SparkSession
  *    PRE-BENCH load is a contention signal — mid-run loadavg is
  *    dominated by our own executors.
  *  - the sf1 validation suite runs in a FRESH FORKED JVM (same JVM
- *    args + classpath as this one, child mode `--child <dir> <out>`),
+ *    args + classpath as this one, child mode `--child sf1 <dir> <out>`),
  *    so sf0.1 shuffle/codegen/GC debris cannot bleed into the scale
- *    numbers; the child writes a JSON fragment the parent splices in.
+ *    numbers; the child writes a line-oriented pass record the parent
+ *    parses and splices in.
  *  - `contended` flags the artifact loudly when any of: pre-bench
  *    loadavg says the machine was already busy, a warm total exceeds
  *    1.5x its cold total (a deterministic suite can only do that under
@@ -32,6 +33,24 @@ import org.apache.spark.sql.SparkSession
  *    never shows in guest loadavg: an r7 pass ran every query 3-10x
  *    slow at guest load1=3.5), or the cgroup throttled the JVM
  *    (`contention_reasons` lists which fired, tagged by pass).
+ *  - RECOVERY, not just detection (VERDICT r7 next #1 — the driver's
+ *    independent runs were load-contaminated two rounds straight, and
+ *    flagging a dirty pass still left the round without a usable
+ *    number): when a pass trips `contended`, the harness waits for the
+ *    machine to go idle (bounded — load1 + a live 2 s steal sample)
+ *    and re-runs that pass, up to 2 retries. Retries run in FORKED
+ *    FRESH JVMs so retry cold stays a true first-touch cold,
+ *    comparable to pass 0 (which is itself a fresh JVM — the bench
+ *    process). The cleanest pass wins (no reasons > fewest reasons >
+ *    lowest warm-median total); every pass's verdict is recorded in
+ *    `sf01_passes` / `sf1_passes` and the retry counts in
+ *    `sf01_retries` / `sf1_retries`, so a still-dirty artifact carries
+ *    the evidence that recovery was attempted and what each attempt saw.
+ *  - the `protocol` field states which number is the cross-round
+ *    comparable (VERDICT r7 next #7): warm-median. Forked-JVM cold
+ *    pays full JVM+codegen+IO first-touch and is NOT comparable to the
+ *    in-JVM cold of rounds ≤6 where 80 sf0.1 queries pre-warmed the
+ *    code cache.
  * ANN recall@10 vs the exact scan (graft.tools.Recall) is recorded for
  * sf0.1 in the parent and sf1 in the child (VERDICT r6 next #5), and
  * the artifact records whether an ONNX runtime is present so the
@@ -54,7 +73,20 @@ object Bench {
     // r6 additions: the new plan shapes whose character changes with
     // volume (broadcast-stats BM25 scan, sharded prefix-sum pack,
     // LUT-projection PQ scan, iterative graph rounds, staged funnel)
-    "text_bm25", "text_pack", "ann_pq", "graph_pagerank", "ev_funnel")
+    "text_bm25", "text_pack", "ann_pq", "graph_pagerank", "ev_funnel",
+    // r7 verdict next #5: the retrieval/ANN family whose plan character
+    // changes with volume (broadcast legs, chunk explosion, probe
+    // fan-out, streamed multi-generation manifest) was unbenched at sf1
+    "hybrid_rrf", "ann_maxsim", "ann_ivf_join", "embed_pool",
+    "hybrid_streamed")
+
+  /** Queries given extra post-sweep reps in the sf1 child so the
+    * artifact records a STEADY-STATE number (VERDICT r7 next #6: the
+    * forked-cold 19.46 s for pipeline_curate vs r6's in-JVM 8.07 s is
+    * codegen warmup by construction — prove it mechanically per round
+    * instead of re-litigating). */
+  private val steadySf1 = Seq("pipeline_curate")
+  private val SteadyReps = 5
 
   // dedup_jaccard / dedup_embedding are the O(n^2) exact-verification
   // baselines for the MinHash / banded-LSH paths; correctness-gated in
@@ -63,6 +95,7 @@ object Bench {
   private val skip = Set("dedup_jaccard", "dedup_embedding")
 
   private val WarmReps = 3
+  private val MaxRetries = 2
 
   // ---- machine-state probes ----
 
@@ -98,6 +131,28 @@ object Bench {
       .find(_.startsWith("throttled_usec"))
       .map(_.split("\\s+")(1).toLong).getOrElse(0L)
     catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** Live steal fraction over a short window — the idle-wait probe.
+    * Cumulative counters can't say whether the host is noisy NOW. */
+  private def stealSamplePct(windowMs: Long): Double = {
+    val (_, s0, t0) = cpuJiffies()
+    Thread.sleep(windowMs)
+    val (_, s1, t1) = cpuJiffies()
+    if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0
+  }
+
+  /** Bounded wait for an idle machine before a retry pass: guest load
+    * below 2 AND a live 2 s steal sample below 2%. Returns whether the
+    * idle condition was met (false = deadline expired; the retry runs
+    * anyway and its own verdict records what it saw). */
+  private def waitForIdle(maxWaitSec: Int): Boolean = {
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    while (System.nanoTime() < deadline) {
+      if (load1() < 2.0 && stealSamplePct(2000) < 0.02) return true
+      Thread.sleep(5000)
+    }
+    false
+  }
 
   private def onnxPresent: Boolean =
     try { Class.forName("ai.onnxruntime.OrtEnvironment"); true }
@@ -216,128 +271,230 @@ object Bench {
       "{}"
     }
 
-  // ---- child mode: the sf1 suite in a fresh JVM ----
+  // ---- pass records: one timed attempt at a suite ----
 
-  /** Writes a brace-less JSON fragment (sf1 keys) to `out`; the parent
-    * splices it into the main line verbatim. */
-  private def childMain(dir: String, out: String): Unit = {
-    val preLoad = load1(); val preProcs = nProcs()
-    val spark = session()
-    try SparkEntry.queries.get("knn_topk").foreach(_(spark, dir).count())
-    catch { case scala.util.control.NonFatal(_) => () }
-    val qs = sf1Suite.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-    val s = sweep(spark, "sf1", qs, dir)
-    val recall = if (sys.env.get("SPARK_GRAFT_SKIP_RECALL").contains("1")) "{}"
-                 else recallJson(spark, dir)
-    val reasons = s.contentionReasons("sf1")
+  /** Everything one pass produced, serialized field-by-field so a
+    * forked child can hand it to the parent without a JSON parser: one
+    * `KEY value` line per field (values are single-line JSON by
+    * construction). */
+  private case class Pass(coldTotal: Double, warmTotal: Double,
+                          warmMinTotal: Double, loadPre: Double,
+                          procsPre: Int, forked: Boolean,
+                          reasons: Seq[String], failedJson: String,
+                          queriesJson: String, queriesWarmJson: String,
+                          warmDetailJson: String, marksJson: String,
+                          recallJson: String, steadyJson: String) {
+    def contended: Boolean = reasons.nonEmpty
+    def summaryJson(idx: Int): String =
+      s"""{"pass":$idx,"forked":$forked,"contended":$contended,"reasons":${jsArr(reasons)},"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"load_pre":${ms(loadPre)}}"""
+    def serialize: String = Seq(
+      "COLD_TOTAL " + ms(coldTotal), "WARM_TOTAL " + ms(warmTotal),
+      "WARM_MIN_TOTAL " + ms(warmMinTotal), "LOAD_PRE " + ms(loadPre),
+      "PROCS_PRE " + procsPre, "FORKED " + forked,
+      "REASONS " + jsArr(reasons), "FAILED " + failedJson,
+      "QUERIES " + queriesJson, "QUERIES_WARM " + queriesWarmJson,
+      "WARM_DETAIL " + warmDetailJson, "MARKS " + marksJson,
+      "RECALL " + recallJson, "STEADY " + steadyJson).mkString("\n")
+  }
+
+  private object Pass {
+    def parse(s: String): Option[Pass] = try {
+      val m = s.linesIterator.filter(_.contains(" ")).map { l =>
+        val i = l.indexOf(' '); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+      Some(Pass(m("COLD_TOTAL").toDouble, m("WARM_TOTAL").toDouble,
+        m("WARM_MIN_TOTAL").toDouble, m("LOAD_PRE").toDouble,
+        m("PROCS_PRE").toInt, m("FORKED").toBoolean,
+        parseArr(m("REASONS")), m("FAILED"), m("QUERIES"),
+        m("QUERIES_WARM"), m("WARM_DETAIL"), m("MARKS"), m("RECALL"),
+        m.getOrElse("STEADY", "{}")))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] child pass parse failed: $e"); None
+    }
+    private def parseArr(j: String): Seq[String] =
+      j.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+  }
+
+  private def passFromSweep(s: Sweep, tag: String, loadPre: Double,
+                            procsPre: Int, forked: Boolean,
+                            recall: String, steady: String): Pass = {
+    // pre-pass load is the one loadavg sample our own work can't
+    // pollute; 32 hot threads on this box is us, 4+ BEFORE we start is
+    // someone else
+    val pre = if (loadPre > 4.0) Seq(s"$tag:pre_load_${ms(loadPre)}") else Nil
     val detail = s.warm.map { case (n, reps) =>
       "\"" + n + "\":[" + reps.sorted.map(ms).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val marks = s.marks.map { m =>
       s"""{"at":"${m.at}","load1":${ms(m.load)},"procs":${m.procs},"steal":${m.steal},"total":${m.total},"throttled_us":${m.thrUs}}"""
     }.mkString("[", ",", "]")
-    val frag =
-      s""""sf1_total":${ms(s.coldTotal)},"sf1_warm_total":${ms(s.warmMedTotal)},"sf1_warm_min_total":${ms(s.warmMin.map(_._2).sum)},"sf1_contended":${reasons.nonEmpty},"sf1_contention_reasons":${jsArr(reasons)},"sf1_load_pre":${ms(preLoad)},"sf1_procs_pre":$preProcs,"sf1_failed":${jsArr(s.failures)},"queries_sf1":${js(s.cold)},"queries_sf1_warm":${js(s.warmMed)},"queries_sf1_warm_detail":$detail,"sf1_env_marks":$marks,"recall_sf1":$recall"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      frag.getBytes("UTF-8"))
-    spark.stop()
+    Pass(s.coldTotal, s.warmMedTotal, s.warmMin.map(_._2).sum, loadPre,
+      procsPre, forked, pre ++ s.contentionReasons(tag),
+      jsArr(s.failures), js(s.cold), js(s.warmMed), detail, marks,
+      recall, steady)
   }
 
-  /** Fork a child JVM with this JVM's own args + classpath, run the sf1
-    * suite there, return the JSON fragment. None on any failure. */
-  private def forkSf1(dir: String): Option[String] = {
+  /** Run one suite pass in THIS JVM (used by pass 0 of the parent, by
+    * every forked child, and by the no-fork fallback). */
+  private def runPass(suite: String, dir: String, forked: Boolean,
+                      withRecall: Boolean): Pass = {
+    val preLoad = load1(); val preProcs = nProcs()
+    val spark = session()
+    // warmup: JIT + codegen + parquet footer caches, untimed
+    try SparkEntry.queries.get("knn_topk").foreach(_(spark, dir).count())
+    catch { case scala.util.control.NonFatal(_) => () }
+    val qs =
+      if (suite == "sf1") sf1Suite.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      else SparkEntry.queries.filter(q => !skip(q._1)).toSeq
+    val s = sweep(spark, suite, qs, dir)
+    val recall = if (withRecall) recallJson(spark, dir) else "{}"
+    // steady-state reps: extra post-sweep runs of the designated
+    // queries, recorded raw — by now codegen/JIT are fully amortized,
+    // so these are the numbers a long-lived cluster session would see
+    val steady =
+      if (suite != "sf1") "{}"
+      else steadySf1.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+        .map { case (n, fn) =>
+          val reps = (1 to SteadyReps).map { _ =>
+            val t0 = System.nanoTime()
+            try fn(spark, dir).count()
+            catch { case scala.util.control.NonFatal(_) => () }
+            (System.nanoTime() - t0) / 1e9
+          }
+          "\"" + n + "\":[" + reps.map(ms).mkString(",") + "]"
+        }.mkString("{", ",", "}")
+    spark.stop()
+    passFromSweep(s, suite, preLoad, preProcs, forked, recall, steady)
+  }
+
+  // ---- child mode: one suite pass in a fresh JVM ----
+
+  private def childMain(suite: String, dir: String, out: String): Unit = {
+    val withRecall = !sys.env.get("SPARK_GRAFT_SKIP_RECALL").contains("1")
+    val p = runPass(suite, dir, forked = true, withRecall = withRecall)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      p.serialize.getBytes("UTF-8"))
+  }
+
+  /** Fork a child JVM with this JVM's own args + classpath, run one
+    * suite pass there, return the parsed record. None on any failure. */
+  private def forkPass(suite: String, dir: String): Option[Pass] = {
     try {
       val javaBin = s"${sys.props("java.home")}/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments
       val cp = sys.props("java.class.path")
-      val frag = java.nio.file.Files.createTempFile("graft_bench_sf1", ".json")
+      val frag = java.nio.file.Files.createTempFile(s"graft_bench_$suite", ".pass")
       val cmd = new java.util.ArrayList[String]()
       cmd.add(javaBin)
       cmd.addAll(jvmArgs)
       cmd.add("-cp"); cmd.add(cp)
-      cmd.add("graft.Bench"); cmd.add("--child"); cmd.add(dir)
-      cmd.add(frag.toString)
-      val log = new java.io.File(
-        sys.env.getOrElse("SPARK_GRAFT_SF1_LOG", "/tmp/graft_bench_sf1_child.log"))
+      cmd.add("graft.Bench"); cmd.add("--child"); cmd.add(suite)
+      cmd.add(dir); cmd.add(frag.toString)
+      val log = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_SF1_LOG",
+        s"/tmp/graft_bench_${suite}_child.log"))
       val p = new ProcessBuilder(cmd)
         .redirectErrorStream(true)
         .redirectOutput(log)
         .start()
       val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { p.destroyForcibly(); System.err.println("[bench] sf1 child timed out"); None }
+      if (!done) { p.destroyForcibly(); System.err.println(s"[bench] $suite child timed out"); None }
       else if (p.exitValue() != 0) {
-        System.err.println(s"[bench] sf1 child exited ${p.exitValue()} (log: $log)")
+        System.err.println(s"[bench] $suite child exited ${p.exitValue()} (log: $log)")
         None
-      } else {
-        val s = new String(java.nio.file.Files.readAllBytes(frag), "UTF-8")
-        if (s.contains("\"sf1_total\"")) Some(s) else None
-      }
+      } else Pass.parse(new String(
+        java.nio.file.Files.readAllBytes(frag), "UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] sf1 fork failed: $e"); None
+      System.err.println(s"[bench] $suite fork failed: $e"); None
     }
   }
 
+  /** The recovery loop (VERDICT r7 next #1): take pass 0, and while the
+    * latest pass is contended and retries remain, wait for idle and
+    * re-run the pass in a fresh forked JVM. Returns (cleanest pass,
+    * all passes in order, retries used). Cleanest = first clean pass,
+    * else fewest reasons, ties broken by lower warm-median total (the
+    * protocol comparable). */
+  private def withRetries(suite: String, dir: String, pass0: Pass): (Pass, Seq[Pass], Int) = {
+    val passes = scala.collection.mutable.ArrayBuffer(pass0)
+    var retries = 0
+    while (passes.last.contended && retries < MaxRetries) {
+      retries += 1
+      val idle = waitForIdle(maxWaitSec = 120)
+      System.err.println(s"[bench] $suite pass ${passes.size - 1} contended " +
+        s"(${passes.last.reasons.mkString(", ")}); retry $retries" +
+        (if (idle) " after idle-wait" else " (idle-wait deadline expired)"))
+      forkPass(suite, dir) match {
+        case Some(p) => passes += p
+        case None =>
+          System.err.println(s"[bench] $suite retry fork failed; keeping existing passes")
+          retries = MaxRetries // fork machinery broken — stop trying
+      }
+    }
+    val best = passes.find(!_.contended).getOrElse(
+      passes.minBy(p => (p.reasons.size, p.warmTotal)))
+    (best, passes.toSeq, retries)
+  }
+
   def main(args: Array[String]): Unit = {
-    if (args.length >= 3 && args(0) == "--child") { childMain(args(1), args(2)); return }
+    if (args.length >= 4 && args(0) == "--child") { childMain(args(1), args(2), args(3)); return }
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val preLoad = load1(); val preProcs = nProcs()
-    val spark = session()
-    // warmup: JIT + codegen + parquet footer caches, untimed
-    try SparkEntry.queries.get("knn_topk").foreach(_(spark, sfDir).count())
-    catch { case scala.util.control.NonFatal(_) => () }
-    val suite = SparkEntry.queries.filter(q => !skip(q._1)).toSeq
-    val s = sweep(spark, "sf01", suite, sfDir)
-    val recall01 = recallJson(spark, sfDir)
+
+    // ---- sf0.1: pass 0 inline (this process IS a fresh JVM), retries
+    // forked so their cold stays first-touch-comparable ----
+    val p0 = runPass("sf01", sfDir, forked = false, withRecall = true)
+    val (s01, passes01, retries01) = withRetries("sf01", sfDir, p0)
 
     // sf1 validation in a FRESH JVM. Only triggered when benching the
     // protocol sf0.1 dir so ad-hoc sf0.01 iteration stays fast; gate on
     // the path's BASENAME (endsWith let a trailing slash silently skip
     // scale validation — ADVICE r4 #5).
-    var sf1Forked = false
-    val sf1Frag: Option[String] =
+    val sf1: Option[(Pass, Seq[Pass], Int)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1")
           || new java.io.File(sfDir).getName != "sf0.1") None
       else {
+        val spark = session()
         val dir = ScaleUp.ensure(spark, sfDir,
           sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
         // release this JVM's executors/heap before the child starts —
         // the fork exists precisely so the scale numbers see a quiet
         // machine
         spark.stop()
-        val forked = forkSf1(dir)
-        sf1Forked = forked.isDefined
-        forked.orElse {
+        val pass0 = forkPass("sf1", dir).getOrElse {
           // fallback: in-process (old behavior), loudly non-forked
           System.err.println("[bench] sf1 falling back to in-JVM run")
-          val sp2 = session()
-          val qs = sf1Suite.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-          val c = sweep(sp2, "sf1", qs, dir)
-          val reasons = c.contentionReasons("sf1")
-          val frag =
-            s""""sf1_total":${ms(c.coldTotal)},"sf1_warm_total":${ms(c.warmMedTotal)},"sf1_warm_min_total":${ms(c.warmMin.map(_._2).sum)},"sf1_contended":${reasons.nonEmpty},"sf1_contention_reasons":${jsArr(reasons)},"sf1_failed":${jsArr(c.failures)},"queries_sf1":${js(c.cold)},"queries_sf1_warm":${js(c.warmMed)},"recall_sf1":{}"""
-          sp2.stop()
-          Some(frag)
+          runPass("sf1", dir, forked = false, withRecall = false)
         }
+        Some(
+          if (!pass0.forked) (pass0, Seq(pass0), 0) // fork machinery broken
+          else withRetries("sf1", dir, pass0))
       }
-    if (!spark.sparkContext.isStopped) spark.stop()
 
     // ---- verdicts ----
-    val reasons = scala.collection.mutable.ArrayBuffer[String]()
-    // pre-bench load is the one loadavg sample our own work can't
-    // pollute; 32 hot threads on this box is us, 4+ BEFORE we start is
-    // someone else
-    if (preLoad > 4.0) reasons += s"pre_load_${ms(preLoad)}"
-    reasons ++= s.contentionReasons("sf01")
-    val sf1Contended = sf1Frag.exists(_.contains("\"sf1_contended\":true"))
-    if (sf1Contended) reasons += "sf1"
+    val sf1Contended = sf1.exists(_._1.contended)
+    val reasons = s01.reasons ++ (if (sf1Contended) Seq("sf1") else Nil)
     val contended = reasons.nonEmpty
+    val passesJson01 = passes01.zipWithIndex
+      .map { case (p, i) => p.summaryJson(i) }.mkString("[", ",", "]")
 
-    val fragStr = sf1Frag.map("," + _).getOrElse(
-      ""","sf1_total":0.000,"sf1_warm_total":0.000,"queries_sf1":{},"queries_sf1_warm":{}""")
+    val protocol = "warm-median (warm_total, sf1_warm_total) is the " +
+      "cross-round comparable; cold is fresh-JVM first-touch " +
+      "(JVM+codegen+IO) for every pass (sf0.1 pass 0 is the bench " +
+      "process itself, retries and all sf1 passes are forked) and is " +
+      "NOT comparable to in-JVM-amortized cold from rounds <= 6"
+
+    val fragStr = sf1 match {
+      case Some((p, passes, retries)) =>
+        val passesJson = passes.zipWithIndex
+          .map { case (q, i) => q.summaryJson(i) }.mkString("[", ",", "]")
+        s""","sf1_total":${ms(p.coldTotal)},"sf1_warm_total":${ms(p.warmTotal)},"sf1_warm_min_total":${ms(p.warmMinTotal)},"sf1_contended":${p.contended},"sf1_contention_reasons":${jsArr(p.reasons)},"sf1_load_pre":${ms(p.loadPre)},"sf1_procs_pre":${p.procsPre},"sf1_retries":$retries,"sf1_passes":$passesJson,"sf1_failed":${p.failedJson},"queries_sf1":${p.queriesJson},"queries_sf1_warm":${p.queriesWarmJson},"queries_sf1_warm_detail":${p.warmDetailJson},"sf1_steady":${p.steadyJson},"sf1_env_marks":${p.marksJson},"recall_sf1":${p.recallJson}"""
+      case None =>
+        ""","sf1_total":0.000,"sf1_warm_total":0.000,"queries_sf1":{},"queries_sf1_warm":{}"""
+    }
     val json =
-      s"""{"metric":"total","value":${ms(s.coldTotal)},"unit":"sec","warm_total":${ms(s.warmMedTotal)},"warm_min_total":${ms(s.warmMin.map(_._2).sum)},"warm_reps":$WarmReps,"contended":$contended,"contention_reasons":${jsArr(reasons.toSeq)},"load_pre_bench":${ms(preLoad)},"procs_pre_bench":$preProcs,"sf1_forked":$sf1Forked,"onnx_runtime":$onnxPresent,"failed":${jsArr(s.failures)},"queries":${js(s.cold)},"queries_warm":${js(s.warmMed)},"recall_sf01":$recall01$fragStr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
     println(json)
     // the stdout line sits mid-tail between sbt [info] noise; the file
     // artifact is machine-readable without scraping the log tail
@@ -348,15 +505,8 @@ object Bench {
       System.err.println(s"[bench] could not write $out: $e") }
     // rich per-query detail: warm min/med/max triples + machine-state
     // marks — the evidence trail for any contended verdict
-    val detail = {
-      val triples = s.warm.map { case (n, reps) =>
-        "\"" + n + "\":[" + reps.sorted.map(ms).mkString(",") + "]"
-      }.mkString("{", ",", "}")
-      val marks = s.marks.map { m =>
-        s"""{"at":"${m.at}","load1":${ms(m.load)},"procs":${m.procs},"steal":${m.steal},"total":${m.total},"throttled_us":${m.thrUs}}"""
-      }.mkString("[", ",", "]")
-      s"""{"queries_warm_detail":$triples,"env_marks":$marks}"""
-    }
+    val detail =
+      s"""{"queries_warm_detail":${s01.warmDetailJson},"env_marks":${s01.marksJson},"sf01_passes":$passesJson01,"sf1_steady":${sf1.map(_._1.steadyJson).getOrElse("{}")}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

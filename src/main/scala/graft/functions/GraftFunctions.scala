@@ -39,6 +39,10 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseQuantizedKernels
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TagSupersetPruning)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TagSupersetPruning
+    }
   }
 
   // ---- Column API (requires register(spark) once per session) ----
@@ -114,5 +118,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       ext.injectFunction((FunctionIdentifier(n), info(n), b))
     }
     ext.injectOptimizerRule(_ => FuseQuantizedKernels)
+    ext.injectOptimizerRule(_ => graft.plans.TagSupersetPruning)
   }
 }

@@ -627,6 +627,15 @@ object Dedup {
     labels.select(col("u").as("doc_id"), col("l").as("component"))
   }
 
+  /** Per-(band, key) bucket width past which the banded self-join
+    * switches from all-pairs-within-bucket to rank-blocked pairing
+    * (VERDICT r7 next #3). Sized well above any organic fixture bucket
+    * (sf0.1: ~125 avg / few-hundred hot across 16 buckets per band), so
+    * the cap changes NOTHING on real corpora and only engages on
+    * degenerate ones (a crawl shard of boilerplate: millions of
+    * near-identical rows hashing to ONE bucket). */
+  val EmbLshBucketCap = 2048
+
   /**
    * Banded sign-LSH embedding near-dup (the 100 TB path): bands x rows
    * hyperplane sign bits; candidate pairs match ALL row-bits of >= 1
@@ -635,28 +644,122 @@ object Dedup {
    * LSH s-curve in the pair similarity (measured against
    * [[embeddingNearDups]] in OperatorSpec); precision is 1.0 because
    * verification applies the same threshold.
+   *
+   * Scale hardening (r8, VERDICT r7 what's-wrong #3): two changes to
+   * the r7 shape, both no-ops on non-degenerate data —
+   *  - the banded exchange carries (band, key, id, rank) ONLY; the
+   *    embeddings join back once per side AFTER the (v1, v2) distinct,
+   *    so each vector crosses the wire twice total instead of `bands`
+   *    times and the cosine kernel runs exactly once per pair (the
+   *    same carry-ids-not-vectors lesson as ann_lsh_join's r7 fix).
+   *  - pair generation inside a bucket is RANK-BLOCKED: members are
+   *    ranked by id, each lands in block floor((rk-1)/cap) plus a guest
+   *    copy in the previous block, and the equi-join key is
+   *    (band, key, block) with a rank-distance filter — every pair
+   *    within rank distance `bucketCap` is found exactly once, pairs
+   *    further apart are not generated AT ALL (the blow-up is avoided
+   *    structurally, not filtered after the fact: a post-join filter
+   *    would still materialize bucket^2 rows inside the join). A
+   *    bucket of width w <= cap produces all pairs (identical to r7);
+   *    a degenerate w > cap bucket produces O(w x cap) chained pairs
+   *    instead of O(w^2) — every member still pairs with its cap
+   *    nearest ranks, so downstream connected components still link
+   *    the whole near-identical clique transitively through the chain.
+   * Overflow is observable via [[bandedBucketOverflow]] — eager
+   * consumers (VectorStore.buildDupGraph) record it loudly.
    */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = EmbDupThreshold,
-                           d: Int = 64): DataFrame = {
+                           d: Int = 64,
+                           bucketCap: Int = EmbLshBucketCap): DataFrame = {
     import graft.functions.GraftFunctions.cosine
+    require(bucketCap >= 2, s"graft: bucketCap $bucketCap must be >= 2")
     // one (band, key) row per vector per band (shared banding —
-    // SimilaritySearch.bandedKeys); a single self-equi-join on
-    // (band, key) replaces per-band joins — one shuffle of bands x n
-    // rows, embeddings carried so verification needs no join-back
-    // against the corpus
+    // SimilaritySearch.bandedKeys), ids only
     val keyed = SimilaritySearch.bandedKeys(
       emb.select(col("vec_id"), col("embedding")), "embedding",
       d, EmbLshBands, EmbLshRows)
-    val l = keyed.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-      col("band"), col("key"))
-    val r = keyed.select(col("vec_id").as("v2"), col("embedding").as("e2"),
-      col("band"), col("key"))
-    // verify INSIDE the band join: only pairs passing the cosine
-    // threshold — not raw band collisions — reach the dedup shuffle
-    l.join(r, Seq("band", "key")).where(col("v1") < col("v2"))
+      .select(col("band"), col("key"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "key").orderBy("vec_id")
+    val ranked = keyed.withColumn("rk", row_number().over(w))
+      .withColumn("blk", floor((col("rk") - 1) / bucketCap))
+    val l = ranked.select(col("band"), col("key"), col("blk"),
+      col("vec_id").as("v1"), col("rk").as("rk1"))
+    // guest copy into the previous block: a pair straddling a block
+    // boundary (blocks b, b+1) meets where the higher-ranked member's
+    // guest copy lands (block b); within-block pairs meet at home.
+    // Each qualifying pair is generated exactly once per band.
+    val rHome = ranked.select(col("band"), col("key"), col("blk"),
+      col("vec_id").as("v2"), col("rk").as("rk2"))
+    val rGuest = rHome.withColumn("blk", col("blk") - 1).where(col("blk") >= 0)
+    val pairs = l.join(rHome.unionByName(rGuest), Seq("band", "key", "blk"))
+      // rank order == id order within a bucket, so rk2 > rk1 <=> v2 > v1
+      .where(col("rk2") > col("rk1") && col("rk2") <= col("rk1") + bucketCap)
+      .select(col("v1"), col("v2")).distinct()
+    // verify AFTER the distinct: cosine is deterministic per pair, so
+    // the result set matches verify-inside-the-join exactly, and each
+    // surviving pair runs the kernel once
+    pairs
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
       .withColumn("sim", cosine(col("e1"), col("e2")))
       .where(col("sim") >= threshold)
       .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim_r"))
-      .distinct()
   }
+
+  /**
+   * Asymmetric banded sign-LSH near-dup: pairs with at least one side
+   * in `newEmb`, verified against `corpus` — the incremental dup-graph
+   * maintenance primitive (VERDICT r7 next #2). After an append, only
+   * (new x all) pairs can be new, so banding the appended rows against
+   * the full corpus banding replaces a full O(corpus x corpus) rebuild
+   * with O(new x corpus-bucket-overlap). Exact identity (uncapped
+   * regime): collision and cosine are pairwise properties, so
+   * pairs(old U new) = pairs(old) U pairsAgainst(new, old U new).
+   *
+   * `newEmb` rows must be a subset of `corpus` (the caller passes the
+   * post-append snapshot as corpus); both sides (vec_id, embedding).
+   * Returns (v1, v2, sim_r) with v1 < v2, deduped.
+   */
+  def embeddingNearDupsLshAgainst(newEmb: DataFrame, corpus: DataFrame,
+                                  threshold: Double = EmbDupThreshold,
+                                  d: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions.cosine
+    val nk = SimilaritySearch.bandedKeys(
+      newEmb.select(col("vec_id"), col("embedding")), "embedding",
+      d, EmbLshBands, EmbLshRows)
+      .select(col("band"), col("key"), col("vec_id").as("nid"))
+    val ck = SimilaritySearch.bandedKeys(
+      corpus.select(col("vec_id"), col("embedding")), "embedding",
+      d, EmbLshBands, EmbLshRows)
+      .select(col("band"), col("key"), col("vec_id").as("cid"))
+    // the small (new) side carries ids through the band join; pairs
+    // canonicalize to v1 < v2 (a new-new pair collides from both
+    // sides — the distinct folds it) and vectors join back once
+    val pairs = nk.join(ck, Seq("band", "key"))
+      .where(col("nid") =!= col("cid"))
+      .select(least(col("nid"), col("cid")).as("v1"),
+        greatest(col("nid"), col("cid")).as("v2"))
+      .distinct()
+    pairs
+      .join(corpus.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(corpus.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .where(col("sim") >= threshold)
+      .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** Count of (band, key) buckets wider than `cap` — the LOUD overflow
+    * signal for the banded family's rank-block cap: zero on organic
+    * corpora, nonzero exactly when [[embeddingNearDupsLsh]] stopped
+    * generating some within-bucket pairs. Eager consumers record it
+    * next to the artifact they commit. */
+  def bandedBucketOverflow(emb: DataFrame, d: Int,
+                           cap: Int = EmbLshBucketCap): Long =
+    SimilaritySearch.bandedKeys(
+      emb.select(col("vec_id"), col("embedding")), "embedding",
+      d, EmbLshBands, EmbLshRows)
+      .groupBy("band", "key").count()
+      .where(col("count") > cap)
+      .count()
 }

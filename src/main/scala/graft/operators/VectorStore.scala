@@ -318,12 +318,45 @@ class VectorStore(spark: SparkSession, val root: String,
     writeBatch(prepareBatch(df), q)
   }
 
-  /** Whether the live store carries the packed codec column; None when
-    * the store has no live rows yet (layout not established). */
+  private val layoutPath = s"$root/_layout.json"
+
+  /** Persisted layout bit (ADVICE r7 #4): whether the store's rows
+    * carry the packed codec column. Inferring it from the live snapshot
+    * broke on a quantized store that was emptied AND fully vacuumed —
+    * the canonical empty-schema fallback has no packed column, so a
+    * subsequent insert(quantize=false) silently converted the store to
+    * unquantized layout and insert(quantize=true) failed with a
+    * misleading message. Written once, AFTER the first successful batch
+    * establishes the layout (so a fully-failed first insert leaves the
+    * layout undecided, exactly as before); never changes thereafter. */
+  private def persistedHasPacked: Option[Boolean] = {
+    val p = new Path(layoutPath)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      Some(s.contains("\"packed\":true"))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def persistHasPacked(packed: Boolean): Unit =
+    if (!fs.exists(new Path(layoutPath))) {
+      val out = fs.create(new Path(layoutPath), true)
+      try out.write(s"""{"packed":$packed}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Whether the store carries the packed codec column; None when the
+    * store has no live rows AND no persisted layout yet. The persisted
+    * bit wins (survives empty+vacuumed states); legacy stores (no
+    * marker) fall back to probing the live snapshot and are upgraded on
+    * their next write. */
   private def storedHasPacked: Option[Boolean] =
-    if (!exists) None
-    else try Some(table().columns.contains("packed"))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+    persistedHasPacked.orElse {
+      if (!exists) None
+      else try Some(table().columns.contains("packed"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
 
   /** Validate + transform an incoming batch WITHOUT writing: id
     * assignment, dimension checks, projected-mode transform, tag
@@ -376,6 +409,7 @@ class VectorStore(spark: SparkSession, val root: String,
     val out = if (hasAnnIndex) out0.localCheckpoint() else out0
     out.write.mode(SaveMode.Append).partitionBy("tag_key", "gen").parquet(dataPath)
     updateManifest(out.select(col("tag_key"), col("tags"), col("gen")).distinct())
+    persistHasPacked(quantize)
     maintainAnnIndex(out)
   }
 
@@ -467,6 +501,7 @@ class VectorStore(spark: SparkSession, val root: String,
     // appends; resurrected overwrites are not).
     if (affected.nonEmpty) fs.delete(new Path(annRoot), true)
     if (!rest.isEmpty) writeBatch(rest.drop("packed"), q)
+    persistHasPacked(q) // no-op when writeBatch already recorded it
   }
 
   /**
@@ -923,6 +958,28 @@ class VectorStore(spark: SparkSession, val root: String,
 
   private val eigenPath = s"$root/eigen.parquet" // analog of eigen.bin
 
+  /**
+   * Register the store for PLAIN SQL with automatic tag-superset
+   * partition pruning (SURVEY §4.1c, VERDICT r7 next #4): a temp view
+   * over the current snapshot plus a manifest-snapshot entry for
+   * [[graft.plans.TagSupersetPruning]], so
+   *
+   *   spark.sql(s"SELECT ... FROM $name WHERE array_contains(tags, 't')")
+   *
+   * reads only the partitions whose tag set is a superset of the
+   * queried tags — the scan shows `PartitionFilters: [tag_key IN ...]`
+   * with no facade call anywhere. Both the view and the pruning
+   * metadata freeze THIS snapshot (the same plan-time resolution as
+   * [[table]]); re-register after writes.
+   */
+  def registerSqlTable(name: String): Unit = {
+    graft.functions.GraftFunctions.register(spark) // kernels + the rule
+    table().createOrReplaceTempView(name)
+    graft.plans.TagSupersetPruning.register(dataPath,
+      manifest().select("tag_key", "tags").collect()
+        .map(r => (r.getString(0), r.getSeq[String](1).toSet)).toSeq)
+  }
+
   /** Projected-mode flag = existence of the stored basis (reference
     * probes eigen.bin, src/db.rs:233-237). */
   def isProjected: Boolean = fs.exists(new Path(eigenPath))
@@ -988,6 +1045,18 @@ class VectorStore(spark: SparkSession, val root: String,
           "graft: completed a crashed projection's basis commit — the store was already projected; not refitting")
       } else fs.delete(eigenStaged, true)
     }
+    // the recovery heuristic above is only sound if k is ALWAYS below
+    // the pre-projection dimension (ADVICE r7 #1: Pca.fit allows
+    // k == d, and a crash after staging a same-dim basis but before the
+    // manifest commit would make a retry read storedDim == stagedK,
+    // "finish" the never-started commit, and leave euclidean scoring
+    // silently wrong on raw data). A same-dim projection is an identity
+    // rotation anyway — reject it AFTER the recovery block so a
+    // genuine post-commit retry (stored dim already == k) still heals.
+    storedDim().foreach(d => require(k < d,
+      s"graft: projectAll k=$k must be strictly below the stored dimension $d" +
+        " (a same-dim projection reduces nothing, and crash recovery" +
+        " distinguishes commit state by k < d)"))
     val model = Pca.fit(table(), "vector", k)
     val proj = Pca.projector(spark, model, "graft_store_project")
     val projected0 = table().withColumn("vector", proj(col("vector")))
@@ -1298,8 +1367,24 @@ class VectorStore(spark: SparkSession, val root: String,
    * bottleneck, use [[searchManyAnn]] — probes prune the scan to
    * ~nprobe/C of the index.
    */
+  /** searchMany's enforced batch ceiling: far above any sane exact
+    * batch, far below anything that could stress a broadcast. */
+  private val MaxExactBatch = 65536L
+
   def searchMany(queries: DataFrame, k: Int = 10,
                  tags: Seq[String] = Nil): DataFrame = {
+    // ENFORCE the batch contract instead of trusting it (VERDICT r7
+    // next #8): the query side broadcasts and the scan streams
+    // |Q| x |store| scores, so a miscalled million-query batch would
+    // OOM the broadcast or run for days — fail loudly with the routing
+    // answer. The count is cheap by the same contract that makes the
+    // broadcast legal.
+    val nq = queries.count()
+    require(nq <= MaxExactBatch,
+      s"graft: searchMany got $nq queries — the exact path broadcasts " +
+        s"the batch and streams |Q| x |store| scores (contract: <= " +
+        s"$MaxExactBatch). Route large batches through searchManyAnn " +
+        "(probe-pruned, corpus never shuffles) instead")
     val snap0 = table()
     // same two-level tag filter as [[search]]: manifest-resolved
     // tag_key IN-list so non-matching PARTITIONS are never read, plus
@@ -1367,9 +1452,17 @@ class VectorStore(spark: SparkSession, val root: String,
       .withColumn("prn", row_number().over(pw))
       .where(col("prn") <= nprobe)
       .select(col("qid"), col("qv"), col("lid"))
+      // pin the probe assignment to ONE evaluation (ADVICE r7 #2): the
+      // IN-list collect below and the broadcast join both consume it,
+      // and a nondeterministic caller plan re-evaluating differently
+      // between the two would probe lists outside the pruned scan —
+      // those candidates would silently vanish. localCheckpoint
+      // materializes the (tiny by contract) probe table once.
+      .localCheckpoint()
     // distinct probed lists: <= |codebook| values from the QUERY side
     // only — a static IN-list beats relying on DPP to reach the scan
-    val probeLids = probed.select("lid").distinct().collect().map(_.getLong(0))
+    val probeLids = probed.select("lid").distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
     val idx = spark.read.parquet(dir)
       .where(col("cid").isin(probeLids: _*)).withColumnRenamed("cid", "lid")
     require(!quantized || idx.columns.contains("packed"),
@@ -1429,22 +1522,95 @@ class VectorStore(spark: SparkSession, val root: String,
       val dim = snap.select(size(col("vector")).as("d")).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(throw new IllegalStateException(
           "graft: buildDupGraph on an empty store"))
-      val pairs = Dedup.embeddingNearDupsLsh(
-        snap.select(col("id").as("vec_id"), col("vector").as("embedding")),
-        threshold, dim)
+      val emb = snap.select(col("id").as("vec_id"), col("vector").as("embedding"))
+      val pairs = Dedup.embeddingNearDupsLsh(emb, threshold, dim)
         .select(col("v1").as("id1"), col("v2").as("id2"), col("sim_r"))
-      val tmp = new Path(s"$root/dup_tmp")
-      fs.delete(tmp, true)
-      pairs.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val rows = snap.count()
-      val out = fs.create(new Path(s"$tmp/_meta.json"), true)
-      out.write(s"""{"threshold":$threshold,"base_rows":$rows}""".getBytes("UTF-8"))
-      out.close()
-      val next = dupVersions().lastOption.map(_ + 1).getOrElse(0)
-      fs.mkdirs(new Path(dupRoot))
-      require(fs.rename(tmp, new Path(s"$dupRoot/v$next")),
-        s"graft: dup-graph commit rename to v$next failed")
+      // LOUD overflow record (VERDICT r7 next #3): buckets wider than
+      // the rank-block cap had some within-bucket pairs withheld — zero
+      // on organic corpora; a boilerplate-heavy shard shows up here
+      // instead of as a silent recall cliff
+      val overflow = Dedup.bandedBucketOverflow(emb, dim)
+      if (overflow > 0)
+        System.err.println(s"[graft] buildDupGraph: $overflow banded-LSH " +
+          s"buckets exceed cap ${Dedup.EmbLshBucketCap} — pair generation " +
+          "was rank-chained inside them (components stay connected; " +
+          "beyond-cap pairs omitted)")
+      commitDupVersion(pairs,
+        s"""{"threshold":$threshold,"base_rows":${snap.count()},"overflow_buckets":$overflow}""")
     }
+
+  private def commitDupVersion(pairs: DataFrame, metaJson: String): Unit = {
+    val tmp = new Path(s"$root/dup_tmp")
+    fs.delete(tmp, true)
+    pairs.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val out = fs.create(new Path(s"$tmp/_meta.json"), true)
+    out.write(metaJson.getBytes("UTF-8"))
+    out.close()
+    val next = dupVersions().lastOption.map(_ + 1).getOrElse(0)
+    fs.mkdirs(new Path(dupRoot))
+    require(fs.rename(tmp, new Path(s"$dupRoot/v$next")),
+      s"graft: dup-graph commit rename to v$next failed")
+  }
+
+  /** The committed dup graph's _meta.json (raw string), newest version. */
+  def dupMeta(): Option[String] = dupVersions().lastOption.flatMap { v =>
+    val p = new Path(s"$dupRoot/v$v/_meta.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString) finally in.close()
+    }
+  }
+
+  private def dupThresholdFromMeta(): Double =
+    dupMeta().flatMap { s =>
+      "\"threshold\":([0-9.eE+-]+)".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+    }.getOrElse(graft.OracleSql.EmbDupThreshold)
+
+  /**
+   * Incremental dup-graph maintenance (VERDICT r7 next #2): after an
+   * append, only (new x all) pairs can be new — band the appended rows
+   * against the FULL corpus banding, union the verified pairs with the
+   * committed graph, commit `dup/v<k+1>`. At 100 TB this is the
+   * lifecycle operation (O(batch x bucket-overlap) per append); the
+   * full [[buildDupGraph]] rebuild is the compaction that also
+   * re-canonicalizes the rank-block cap's chaining.
+   *
+   * `newRows` must carry the appended `id`s (vectors resolve from the
+   * store snapshot — authoritative, and membership-validating: ids not
+   * in the store contribute nothing). Threshold comes from the
+   * committed graph's _meta.json, so increments can never mix
+   * thresholds; _meta.json records the lineage (`updated_from`,
+   * `delta_ids`) for staleness decisions.
+   */
+  def updateDupGraph(newRows: DataFrame): Unit = withWriterLock() {
+    require(!isProjected,
+      "graft: updateDupGraph needs raw-space vectors — maintain the graph before projectAll")
+    val base = dupVersions().lastOption.getOrElse(
+      throw new IllegalStateException(
+        "graft: no dup graph to update — call buildDupGraph() first"))
+    require(newRows.columns.contains("id"),
+      "graft: updateDupGraph takes the appended rows' ids (an 'id' column)")
+    val threshold = dupThresholdFromMeta()
+    val snap = table()
+    val dim = snap.select(size(col("vector")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(throw new IllegalStateException(
+        "graft: updateDupGraph on an empty store"))
+    val corpus = snap.select(col("id").as("vec_id"), col("vector").as("embedding"))
+    val newIds = newRows.select(col("id")).distinct()
+    val newEmb = corpus.join(
+      broadcast(newIds.select(col("id").as("vec_id"))), Seq("vec_id"), "left_semi")
+    val delta = Dedup.embeddingNearDupsLshAgainst(newEmb, corpus, threshold, dim)
+      .select(col("v1").as("id1"), col("v2").as("id2"), col("sim_r"))
+    // committed pairs already verified at the same threshold; max()
+    // dedups a pair seen by both sides (sim_r is deterministic per
+    // pair, so max == first == the one value)
+    val merged = nearDups().unionByName(delta)
+      .groupBy("id1", "id2").agg(max("sim_r").as("sim_r"))
+    val nNew = newIds.count()
+    commitDupVersion(merged,
+      s"""{"threshold":$threshold,"base_rows":${snap.count()},"updated_from":$base,"delta_ids":$nNew}""")
+  }
 
   def hasDupGraph: Boolean = dupVersions().nonEmpty
 

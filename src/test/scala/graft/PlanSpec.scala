@@ -148,6 +148,43 @@ class PlanSpec extends AnyFunSuite {
     store.clear()
   }
 
+  test("plain SQL over a registered store table: tag-superset partition pruning (VERDICT r7 #4)") {
+    val root = Files.createTempDirectory("graft-sqlprune").toString
+    val store = new VectorStore(spark, root)
+    import spark.implicits._
+    store.insert(Seq(
+      ("a", Array(1f, 0f), "x", Seq("t1")),
+      ("b", Array(0.9f, 0.1f), "x2", Seq("t1", "t2")),
+      ("c", Array(0f, 1f), "y", Seq("t2")))
+      .toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>")))
+    store.registerSqlTable("graft_sqlprune_store")
+    // no facade call: a plain SQL predicate on the tags ARRAY must
+    // resolve to tag_key PARTITION pruning via TagSupersetPruning
+    val q = spark.sql(
+      "SELECT id FROM graft_sqlprune_store WHERE array_contains(tags, 't1')")
+    val p = plan(q)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("tag_key"), s"no tag_key partition pruning:\n$scanLine\n${p.take(3000)}")
+    // superset semantics through BOTH paths: {t1} matches tag sets
+    // {t1} and {t1,t2}
+    val sqlIds = q.collect().map(_.getString(0)).toSet
+    val facadeIds = store.search(Seq(1f, 0f), tags = Seq("t1"), k = 10)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(sqlIds == Set("a", "b") && facadeIds == sqlIds, s"$sqlIds vs $facadeIds")
+    // multi-tag conjunction narrows to the {t1,t2} partition
+    val both = spark.sql("SELECT id FROM graft_sqlprune_store WHERE " +
+      "array_contains(tags, 't1') AND array_contains(tags, 't2')")
+    assert(both.collect().map(_.getString(0)).toSet == Set("b"))
+    // unknown tag: no matching set -> pruned to an empty scan
+    assert(spark.sql("SELECT id FROM graft_sqlprune_store WHERE " +
+      "array_contains(tags, 'nope')").count() == 0)
+    // an explicit tag_key predicate is never second-guessed (rule skips)
+    assert(spark.sql("SELECT id FROM graft_sqlprune_store WHERE " +
+      "array_contains(tags, 't1') AND tag_key <> ''").count() == 2)
+    store.clear()
+  }
+
   test("aggregations are partially aggregated map-side (two HashAggregate stages)") {
     val p = plan(SparkEntry.queries("q1_agg")(spark, dir))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))

@@ -875,6 +875,102 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("updateDupGraph: incremental maintenance == full rebuild over an append sequence (VERDICT r7 #2)") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 2f, 3f, 4f), "dup", Seq("t")),
+      ("b", Array(1f, 2f, 3f, 4f), "dup", Seq("t")),
+      ("c", Array(1f, 2f, 3f, 4f), "dup", Seq("t")),
+      ("x", Array(-4f, 3f, -2f, 1f), "solo", Seq("t")),
+      ("y", Array(2f, -1f, 4f, -3f), "solo", Seq("t")))))
+    intercept[IllegalStateException] { store.updateDupGraph(df(Nil).limit(0)) }
+    store.buildDupGraph()
+    def pairSet() = store.nearDups().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // append 1: a fourth clique member + another isolated row; the
+    // incremental update must find all (new x all) pairs
+    store.insert(df(Seq(
+      ("d", Array(1f, 2f, 3f, 4f), "dup too", Seq("t")),
+      ("z", Array(-1f, -2f, 4f, 3f), "solo", Seq("t")))))
+    store.updateDupGraph(df(Seq(
+      ("d", Array(1f, 2f, 3f, 4f), "dup too", Seq("t")),
+      ("z", Array(-1f, -2f, 4f, 3f), "solo", Seq("t")))))
+    assert(pairSet() == Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")), pairSet().toString)
+    // append 2: chain a second increment to prove the sequence composes
+    store.insert(df(Seq(("e", Array(1f, 2f, 3f, 4f), "dup 3", Seq("t")))))
+    store.updateDupGraph(df(Seq(("e", Array(1f, 2f, 3f, 4f), "dup 3", Seq("t")))))
+    val expected = (for {
+      p <- Seq("a", "b", "c", "d", "e"); q <- Seq("a", "b", "c", "d", "e")
+      if p < q
+    } yield (p, q)).toSet
+    assert(pairSet() == expected, pairSet().toString)
+    // the incremental result IS the full rebuild's result
+    val rebuilt = freshStore()
+    rebuilt.insert(store.table().select("id", "vector", "content", "tags"))
+    rebuilt.buildDupGraph()
+    val full = rebuilt.nearDups().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairSet() == full)
+    // lineage recorded: each increment commits the next version with
+    // its provenance
+    val meta = store.dupMeta().getOrElse(fail("no dup meta"))
+    assert(meta.contains("\"updated_from\":1") && meta.contains("\"delta_ids\":1"), meta)
+    assert(new java.io.File(s"${store.root}/dup/v2").exists)
+    rebuilt.clear(); store.clear()
+  }
+
+  test("searchMany enforces its batch ceiling with a routing error (VERDICT r7 #8)") {
+    val store = freshStore()
+    store.insert(df(Seq(("a", Array(1f, 0f), "x", Seq("t")))))
+    val big = spark.range(65537)
+      .select(col("id").as("qid"),
+        array(lit(1f), lit(0f)).cast("array<float>").as("qvec"))
+    val e = intercept[IllegalArgumentException] { store.searchMany(big, k = 1) }
+    assert(e.getMessage.contains("searchManyAnn"), e.getMessage)
+    // at the ceiling itself the contract holds — no error
+    assert(store.searchMany(big.limit(3), k = 1).count() == 3)
+    store.clear()
+  }
+
+  test("projectAll rejects k == stored dimension (ADVICE r7 #1: recovery heuristic soundness)") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f, 0f, 0f), "a", Nil),
+      ("b", Array(0f, 1f, 0f, 0f), "b", Nil),
+      ("c", Array(0f, 0f, 1f, 0f), "c", Nil))))
+    val e = intercept[IllegalArgumentException] { store.projectAll(4) }
+    assert(e.getMessage.contains("strictly below"), e.getMessage)
+    assert(!store.isProjected)
+    store.projectAll(2)
+    assert(store.isProjected)
+    store.clear()
+  }
+
+  test("quantized layout survives an unprobeable snapshot (persisted bit, ADVICE r7 #4)") {
+    val store = freshStore()
+    store.insert(df(Seq(("a", Array(1f, 2f, 3f, 4f), "x", Seq("t")))), quantize = true)
+    assert(new java.io.File(s"${store.root}/_layout.json").exists)
+    // simulate the emptied-and-fully-vacuumed state the advisory
+    // described: no data files left for snapshot probing. Pre-fix,
+    // storedHasPacked fell back to a packed-less canonical schema and a
+    // quantize=false insert silently converted the store's layout.
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmr)
+      f.delete(); ()
+    }
+    rmr(new java.io.File(s"${store.root}/data"))
+    // the persisted layout bit wins: the store stays quantized
+    store.insert(df(Seq(("b", Array(4f, 3f, 2f, 1f), "y", Seq("t")))))
+    assert(store.table().columns.contains("packed"))
+    assert(store.table().where(col("packed").isNull).count() == 0)
+    // and a quantize=true insert is accepted instead of the misleading
+    // "store is not quantized" rejection
+    store.insert(df(Seq(("c", Array(2f, 2f, 2f, 2f), "z", Seq("t")))), quantize = true)
+    assert(store.search(Seq(4f, 3f, 2f, 1f), k = 3, quantized = true).count() == 2)
+    store.clear()
+  }
+
   test("IVF-PQ recall >= 0.8 @ k=10 on the sf0.1 store with fitted books (VERDICT r6 #3)") {
     // the production-scale quality gate: 65k organic driver vectors,
     // per-subspace k-means books fitted by buildAnnIndex, ADC preselect
