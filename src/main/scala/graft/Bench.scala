@@ -280,17 +280,21 @@ object Bench {
   private case class Pass(coldTotal: Double, warmTotal: Double,
                           warmMinTotal: Double, loadPre: Double,
                           procsPre: Int, forked: Boolean,
+                          prewarmSec: Double,
+                          cpuSt: Double, cpuMt: Double,
                           reasons: Seq[String], failedJson: String,
                           queriesJson: String, queriesWarmJson: String,
                           warmDetailJson: String, marksJson: String,
                           recallJson: String, steadyJson: String) {
     def contended: Boolean = reasons.nonEmpty
     def summaryJson(idx: Int): String =
-      s"""{"pass":$idx,"forked":$forked,"contended":$contended,"reasons":${jsArr(reasons)},"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"load_pre":${ms(loadPre)}}"""
+      s"""{"pass":$idx,"forked":$forked,"contended":$contended,"reasons":${jsArr(reasons)},"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"load_pre":${ms(loadPre)},"prewarm_sec":${ms(prewarmSec)},"cpu_st_mbps":${ms(cpuSt)},"cpu_mt_mbps":${ms(cpuMt)}}"""
     def serialize: String = Seq(
       "COLD_TOTAL " + ms(coldTotal), "WARM_TOTAL " + ms(warmTotal),
       "WARM_MIN_TOTAL " + ms(warmMinTotal), "LOAD_PRE " + ms(loadPre),
       "PROCS_PRE " + procsPre, "FORKED " + forked,
+      "PREWARM " + ms(prewarmSec),
+      "CPU_ST " + ms(cpuSt), "CPU_MT " + ms(cpuMt),
       "REASONS " + jsArr(reasons), "FAILED " + failedJson,
       "QUERIES " + queriesJson, "QUERIES_WARM " + queriesWarmJson,
       "WARM_DETAIL " + warmDetailJson, "MARKS " + marksJson,
@@ -305,6 +309,8 @@ object Bench {
       Some(Pass(m("COLD_TOTAL").toDouble, m("WARM_TOTAL").toDouble,
         m("WARM_MIN_TOTAL").toDouble, m("LOAD_PRE").toDouble,
         m("PROCS_PRE").toInt, m("FORKED").toBoolean,
+        m.getOrElse("PREWARM", "0").toDouble,
+        m.getOrElse("CPU_ST", "0").toDouble, m.getOrElse("CPU_MT", "0").toDouble,
         parseArr(m("REASONS")), m("FAILED"), m("QUERIES"),
         m("QUERIES_WARM"), m("WARM_DETAIL"), m("MARKS"), m("RECALL"),
         m.getOrElse("STEADY", "{}")))
@@ -317,7 +323,8 @@ object Bench {
   }
 
   private def passFromSweep(s: Sweep, tag: String, loadPre: Double,
-                            procsPre: Int, forked: Boolean,
+                            procsPre: Int, forked: Boolean, prewarm: Double,
+                            cpuSt: Double, cpuMt: Double,
                             recall: String, steady: String): Pass = {
     // pre-pass load is the one loadavg sample our own work can't
     // pollute; 32 hot threads on this box is us, 4+ BEFORE we start is
@@ -330,9 +337,76 @@ object Bench {
       s"""{"at":"${m.at}","load1":${ms(m.load)},"procs":${m.procs},"steal":${m.steal},"total":${m.total},"throttled_us":${m.thrUs}}"""
     }.mkString("[", ",", "]")
     Pass(s.coldTotal, s.warmMedTotal, s.warmMin.map(_._2).sum, loadPre,
-      procsPre, forked, pre ++ s.contentionReasons(tag),
+      procsPre, forked, prewarm, cpuSt, cpuMt,
+      pre ++ s.contentionReasons(tag),
       jsArr(s.failures), js(s.cold), js(s.warmMed), detail, marks,
       recall, steady)
+  }
+
+  @volatile private var blackhole = 0L
+
+  /** Deterministic CPU throughput probe (MB/s of a fixed 64-bit mixing
+    * loop, single-thread and all-cores): the r8 finding was a UNIFORM
+    * 1.4-1.5x warm inflation across completely untouched queries with
+    * steal/load/throttle counters all clean — the host was simply
+    * slower than during the previous round's window, and nothing in
+    * the artifact could prove it. A per-pass CPU score makes
+    * cross-round comparisons normalizable mechanically: same plans +
+    * lower cpu_mt_mbps = environment, not regression. */
+  private def cpuScore(): (Double, Double) = {
+    val words = 1 << 20 // 8 MB buffer
+    def mix(rounds: Int): Long = {
+      var acc = 0x243F6A8885A308D3L
+      var r = 0
+      while (r < rounds) {
+        var i = 0
+        while (i < words) {
+          acc = java.lang.Long.rotateLeft(acc * 0x9E3779B97F4A7C15L + i, 31)
+          i += 1
+        }
+        r += 1
+      }
+      acc
+    }
+    blackhole ^= mix(2) // JIT warm
+    val mbPerRound = 8.0
+    val t0 = System.nanoTime()
+    blackhole ^= mix(8)
+    val st = 8 * mbPerRound / ((System.nanoTime() - t0) / 1e9)
+    val n = Runtime.getRuntime.availableProcessors
+    val t1 = System.nanoTime()
+    val threads = (0 until n).map { _ =>
+      new Thread(() => { blackhole ^= mix(4); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val mt = n * 4 * mbPerRound / ((System.nanoTime() - t1) / 1e9)
+    (st, mt)
+  }
+
+  /** Stream every file under `dir` through a blackhole so the fixture
+    * sits in the page cache before the cold pass. Without this, "cold"
+    * measures whatever the host's disk happens to do that day — r8
+    * caught a 4-8x uniform sf1 cold inflation (q1_agg 2.2 -> 11.2 s,
+    * steal/load clean) purely because r7's child ran right after
+    * ScaleUp WROTE the fixture (write-through cache) while r8 reused
+    * it with an evicted cache. The protocol number is ENGINE cold
+    * (JVM + codegen + first-touch plan), not the VM's disk; the warm
+    * rounds were never disk-bound either way. Time spent is recorded
+    * per pass (`prewarm_sec`). */
+  private def prewarmFixture(dir: String): Double = {
+    val t0 = System.nanoTime()
+    try {
+      val buf = new Array[Byte](1 << 20)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val in = java.nio.file.Files.newInputStream(p)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] fixture prewarm failed: $e")
+    }
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Run one suite pass in THIS JVM (used by pass 0 of the parent, by
@@ -340,6 +414,8 @@ object Bench {
   private def runPass(suite: String, dir: String, forked: Boolean,
                       withRecall: Boolean): Pass = {
     val preLoad = load1(); val preProcs = nProcs()
+    val (cpuSt, cpuMt) = cpuScore()
+    val prewarm = prewarmFixture(dir)
     val spark = session()
     // warmup: JIT + codegen + parquet footer caches, untimed
     try SparkEntry.queries.get("knn_topk").foreach(_(spark, dir).count())
@@ -365,7 +441,8 @@ object Bench {
           "\"" + n + "\":[" + reps.map(ms).mkString(",") + "]"
         }.mkString("{", ",", "}")
     spark.stop()
-    passFromSweep(s, suite, preLoad, preProcs, forked, recall, steady)
+    passFromSweep(s, suite, preLoad, preProcs, forked, prewarm,
+      cpuSt, cpuMt, recall, steady)
   }
 
   // ---- child mode: one suite pass in a fresh JVM ----
@@ -480,10 +557,12 @@ object Bench {
       .map { case (p, i) => p.summaryJson(i) }.mkString("[", ",", "]")
 
     val protocol = "warm-median (warm_total, sf1_warm_total) is the " +
-      "cross-round comparable; cold is fresh-JVM first-touch " +
-      "(JVM+codegen+IO) for every pass (sf0.1 pass 0 is the bench " +
-      "process itself, retries and all sf1 passes are forked) and is " +
-      "NOT comparable to in-JVM-amortized cold from rounds <= 6"
+      "cross-round comparable; cold is fresh-JVM ENGINE first-touch " +
+      "(JVM+codegen+plan) over a page-cache-prewarmed fixture " +
+      "(prewarm_sec per pass excludes the VM's disk from the number) " +
+      "for every pass (sf0.1 pass 0 is the bench process itself, " +
+      "retries and all sf1 passes are forked) and is NOT comparable " +
+      "to in-JVM-amortized cold from rounds <= 6"
 
     val fragStr = sf1 match {
       case Some((p, passes, retries)) =>
@@ -493,8 +572,14 @@ object Bench {
       case None =>
         ""","sf1_total":0.000,"sf1_warm_total":0.000,"queries_sf1":{},"queries_sf1_warm":{}"""
     }
+    // the executor thread count is part of the protocol: an unset
+    // SPARK_GRAFT_CPUS (default 4) produces a healthy-looking but
+    // 2-8x-slow artifact that no contention detector can flag — record
+    // it so cross-round comparisons can check config equivalence
+    // mechanically
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val json =
-      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
     println(json)
     // the stdout line sits mid-tail between sbt [info] noise; the file
     // artifact is machine-readable without scraping the log tail
