@@ -434,9 +434,15 @@ object Bench {
         .map { case (n, fn) =>
           val reps = (1 to SteadyReps).map { _ =>
             val t0 = System.nanoTime()
-            try fn(spark, dir).count()
-            catch { case scala.util.control.NonFatal(_) => () }
-            (System.nanoTime() - t0) / 1e9
+            // a failed rep records NEGATED elapsed time — a silent ()
+            // here would record time-to-throw as a legitimate (and
+            // implausibly fast) steady number, read cross-round as a
+            // huge improvement
+            val ok =
+              try { fn(spark, dir).count(); true }
+              catch { case scala.util.control.NonFatal(_) => false }
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (ok) sec else -sec
           }
           "\"" + n + "\":[" + reps.map(ms).mkString(",") + "]"
         }.mkString("{", ",", "}")
@@ -454,6 +460,8 @@ object Bench {
       p.serialize.getBytes("UTF-8"))
   }
 
+  private val childCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Fork a child JVM with this JVM's own args + classpath, run one
     * suite pass there, return the parsed record. None on any failure. */
   private def forkPass(suite: String, dir: String): Option[Pass] = {
@@ -469,8 +477,13 @@ object Bench {
       cmd.add("-cp"); cmd.add(cp)
       cmd.add("graft.Bench"); cmd.add("--child"); cmd.add(suite)
       cmd.add(dir); cmd.add(frag.toString)
-      val log = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_SF1_LOG",
-        s"/tmp/graft_bench_${suite}_child.log"))
+      // one log per child attempt: a shared name would truncate the
+      // previous attempt's log — destroying exactly the evidence trail
+      // the recovery loop exists to preserve
+      val attempt = childCount.incrementAndGet()
+      val log = new java.io.File(sys.env.get("SPARK_GRAFT_SF1_LOG")
+        .map(base => s"$base.$suite.$attempt")
+        .getOrElse(s"/tmp/graft_bench_${suite}_child_$attempt.log"))
       val p = new ProcessBuilder(cmd)
         .redirectErrorStream(true)
         .redirectOutput(log)
@@ -495,23 +508,25 @@ object Bench {
     * protocol comparable). */
   private def withRetries(suite: String, dir: String, pass0: Pass): (Pass, Seq[Pass], Int) = {
     val passes = scala.collection.mutable.ArrayBuffer(pass0)
-    var retries = 0
-    while (passes.last.contended && retries < MaxRetries) {
-      retries += 1
+    var forkBroken = false
+    while (passes.last.contended && passes.size <= MaxRetries && !forkBroken) {
       val idle = waitForIdle(maxWaitSec = 120)
       System.err.println(s"[bench] $suite pass ${passes.size - 1} contended " +
-        s"(${passes.last.reasons.mkString(", ")}); retry $retries" +
+        s"(${passes.last.reasons.mkString(", ")}); retry ${passes.size}" +
         (if (idle) " after idle-wait" else " (idle-wait deadline expired)"))
       forkPass(suite, dir) match {
         case Some(p) => passes += p
         case None =>
           System.err.println(s"[bench] $suite retry fork failed; keeping existing passes")
-          retries = MaxRetries // fork machinery broken — stop trying
+          forkBroken = true
       }
     }
     val best = passes.find(!_.contended).getOrElse(
       passes.minBy(p => (p.reasons.size, p.warmTotal)))
-    (best, passes.toSeq, retries)
+    // retries = passes that actually RAN beyond pass 0 — a failed fork
+    // is NOT a retry (overloading the counter made the artifact claim
+    // attempts that never happened)
+    (best, passes.toSeq, passes.size - 1)
   }
 
   def main(args: Array[String]): Unit = {

@@ -694,17 +694,26 @@ object Dedup {
     val rGuest = rHome.withColumn("blk", col("blk") - 1).where(col("blk") >= 0)
     val pairs = l.join(rHome.unionByName(rGuest), Seq("band", "key", "blk"))
       // rank order == id order within a bucket, so rk2 > rk1 <=> v2 > v1
-      .where(col("rk2") > col("rk1") && col("rk2") <= col("rk1") + bucketCap)
+      // for unique ids; the explicit v1 =!= v2 guard keeps DUPLICATE
+      // vec_ids (two physical rows, one id — e.g. a crashed-and-retried
+      // append) from emitting (x, x) self-pairs, matching the r7
+      // v1 < v2 semantics exactly
+      .where(col("rk2") > col("rk1") && col("rk2") <= col("rk1") + bucketCap
+        && col("v1") =!= col("v2"))
       .select(col("v1"), col("v2")).distinct()
     // verify AFTER the distinct: cosine is deterministic per pair, so
     // the result set matches verify-inside-the-join exactly, and each
-    // surviving pair runs the kernel once
+    // surviving pair runs the kernel once per physical row pair. The
+    // trailing distinct exists ONLY for duplicate-id inputs, where the
+    // join-back re-expands one logical pair into several identical
+    // rows (unique-id inputs reach it already distinct — near-free).
     pairs
       .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
       .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
       .withColumn("sim", cosine(col("e1"), col("e2")))
       .where(col("sim") >= threshold)
       .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim_r"))
+      .distinct()
   }
 
   /**
@@ -723,15 +732,27 @@ object Dedup {
    */
   def embeddingNearDupsLshAgainst(newEmb: DataFrame, corpus: DataFrame,
                                   threshold: Double = EmbDupThreshold,
-                                  d: Int = 64): DataFrame = {
+                                  d: Int = 64,
+                                  bucketCap: Int = EmbLshBucketCap): DataFrame = {
     import graft.functions.GraftFunctions.cosine
     val nk = SimilaritySearch.bandedKeys(
       newEmb.select(col("vec_id"), col("embedding")), "embedding",
       d, EmbLshBands, EmbLshRows)
       .select(col("band"), col("key"), col("vec_id").as("nid"))
+    // corpus-side hot-bucket truncation, mirroring the self-join's cap:
+    // without it a boilerplate-heavy append against a degenerate bucket
+    // re-opens the |new| x |bucket| blow-up this family just closed.
+    // Below the cap (every organic corpus) the filter keeps all rows,
+    // so incremental == full holds exactly; above it, the full rebuild
+    // (whose chained pairs keep components connected) is the compaction
+    // that re-canonicalizes.
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "key").orderBy("vec_id")
     val ck = SimilaritySearch.bandedKeys(
       corpus.select(col("vec_id"), col("embedding")), "embedding",
       d, EmbLshBands, EmbLshRows)
+      .withColumn("crk", row_number().over(cw))
+      .where(col("crk") <= bucketCap)
       .select(col("band"), col("key"), col("vec_id").as("cid"))
     // the small (new) side carries ids through the band join; pairs
     // canonicalize to v1 < v2 (a new-new pair collides from both
@@ -747,18 +768,26 @@ object Dedup {
       .withColumn("sim", cosine(col("e1"), col("e2")))
       .where(col("sim") >= threshold)
       .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim_r"))
+      .distinct() // duplicate-id inputs only; see embeddingNearDupsLsh
   }
 
   /** Count of (band, key) buckets wider than `cap` — the LOUD overflow
-    * signal for the banded family's rank-block cap: zero on organic
-    * corpora, nonzero exactly when [[embeddingNearDupsLsh]] stopped
-    * generating some within-bucket pairs. Eager consumers record it
-    * next to the artifact they commit. */
+    * signal for the banded family's caps: zero on organic corpora,
+    * nonzero exactly when a capped path stopped generating some
+    * within-bucket candidates. Pass the SAME cap and band geometry as
+    * the path being checked: `EmbLshBucketCap` + Emb defaults for
+    * [[embeddingNearDupsLsh]]/[[embeddingNearDupsLshAgainst]];
+    * `SimilaritySearch.LshCandCap` + the call's bands/rows for the
+    * LSH join family. Eager consumers record it next to the artifact
+    * they commit (costs one extra linear banding pass — acceptable
+    * once per full rebuild, the rare compaction op). */
   def bandedBucketOverflow(emb: DataFrame, d: Int,
-                           cap: Int = EmbLshBucketCap): Long =
+                           cap: Int = EmbLshBucketCap,
+                           bands: Int = EmbLshBands,
+                           rows: Int = EmbLshRows): Long =
     SimilaritySearch.bandedKeys(
       emb.select(col("vec_id"), col("embedding")), "embedding",
-      d, EmbLshBands, EmbLshRows)
+      d, bands, rows)
       .groupBy("band", "key").count()
       .where(col("count") > cap)
       .count()

@@ -186,7 +186,8 @@ object SimilaritySearch {
     // bucket), and downstream is top-k (k << cap), so engagement only
     // trims degenerate redundancy. Truncation is rank-deterministic
     // (lowest cids survive); overflow is observable via
-    // [[Dedup.bandedBucketOverflow]].
+    // Dedup.bandedBucketOverflow(corpus, d, LshCandCap, bands, rows) —
+    // same cap and band geometry as this join, NOT the Emb defaults.
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "key").orderBy("cid")
     val c = bandedKeys(corpus.select(col("cid"), col("cvec")), "cvec", d, bands, rows)

@@ -975,9 +975,14 @@ class VectorStore(spark: SparkSession, val root: String,
   def registerSqlTable(name: String): Unit = {
     graft.functions.GraftFunctions.register(spark) // kernels + the rule
     table().createOrReplaceTempView(name)
+    // manifest resolved ONCE: the rule keys on this snapshot's exact
+    // generation dirs, so it can never apply this (frozen) tag-set
+    // metadata to a fresh post-write snapshot read
+    val snap = manifest().select("tag_key", "tags", "gen").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toSet, r.getInt(2)))
     graft.plans.TagSupersetPruning.register(dataPath,
-      manifest().select("tag_key", "tags").collect()
-        .map(r => (r.getString(0), r.getSeq[String](1).toSet)).toSeq)
+      snap.map { case (k, _, g) => genDir(k, g) }.toSeq,
+      snap.map { case (k, t, _) => (k, t) }.toSeq)
   }
 
   /** Projected-mode flag = existence of the stored basis (reference
@@ -1377,14 +1382,15 @@ class VectorStore(spark: SparkSession, val root: String,
     // next #8): the query side broadcasts and the scan streams
     // |Q| x |store| scores, so a miscalled million-query batch would
     // OOM the broadcast or run for days — fail loudly with the routing
-    // answer. The count is cheap by the same contract that makes the
-    // broadcast legal.
-    val nq = queries.count()
-    require(nq <= MaxExactBatch,
-      s"graft: searchMany got $nq queries — the exact path broadcasts " +
-        s"the batch and streams |Q| x |store| scores (contract: <= " +
-        s"$MaxExactBatch). Route large batches through searchManyAnn " +
-        "(probe-pruned, corpus never shuffles) instead")
+    // answer. Probe through limit(ceiling + 1) so the check itself is
+    // bounded: a plain count() would fully evaluate an arbitrarily
+    // large (or expensive-upstream) queries plan just to reject it.
+    val probe = queries.limit((MaxExactBatch + 1).toInt).count()
+    require(probe <= MaxExactBatch,
+      s"graft: searchMany got > $MaxExactBatch queries — the exact " +
+        "path broadcasts the batch and streams |Q| x |store| scores. " +
+        "Route large batches through searchManyAnn (probe-pruned, " +
+        "corpus never shuffles) instead")
     val snap0 = table()
     // same two-level tag filter as [[search]]: manifest-resolved
     // tag_key IN-list so non-matching PARTITIONS are never read, plus

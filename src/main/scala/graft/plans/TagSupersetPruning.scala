@@ -50,33 +50,43 @@ import org.apache.spark.sql.types.StringType
  * references `tag_key` — its own output (fixpoint-safe), and also a
  * user's explicit tag_key predicate (never second-guessed).
  *
- * Staleness contract: [[register]] captures the manifest SNAPSHOT at
- * registration time, exactly like the registered view itself freezes
- * the data snapshot ([[graft.operators.VectorStore.registerSqlTable]]
- * resolves live generation dirs at call time). Re-register after
- * writes to see them — the same contract as any snapshot reader.
+ * Staleness safety: [[register]] captures the manifest SNAPSHOT at
+ * registration time and keys it by the EXACT set of generation dirs
+ * that snapshot resolves to — the same dirs the registered view scans.
+ * The rule fires only when a relation's scan roots all belong to that
+ * frozen dir set, so it can never touch a FRESH `table()` read made
+ * after later writes (new generation dirs are not in the set → no
+ * match → no pruning → row-level filters still give correct results;
+ * an earlier draft prefix-matched on dataPath and would have pruned
+ * fresh snapshots with stale metadata — silent wrong results, not
+ * mere view staleness). Re-register after writes to refresh both the
+ * view and its pruning metadata.
  */
 object TagSupersetPruning extends Rule[LogicalPlan] {
 
-  /** dataPath (with trailing slash) -> (tag_key, tag set) snapshot. */
+  private case class Entry(dirs: Set[String], sets: Seq[(String, Set[String])])
+
+  /** dataPath (with trailing slash) -> frozen snapshot entry. */
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Set[String])]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
   private def norm(p: String): String =
     if (p.endsWith("/")) p else p + "/"
 
-  def register(dataPath: String, sets: Seq[(String, Set[String])]): Unit = {
-    registry.put(norm(dataPath), sets); ()
+  def register(dataPath: String, snapshotDirs: Seq[String],
+               sets: Seq[(String, Set[String])]): Unit = {
+    registry.put(norm(dataPath), Entry(snapshotDirs.map(norm).toSet, sets)); ()
   }
 
-  /** The registered store whose dataPath prefixes this relation's
-    * roots, if any (a store's scan roots are its generation dirs
-    * `<dataPath>/tag_key=.../gen=...`). */
+  /** The registered snapshot this relation reads, if its scan roots are
+    * exactly (a subset of) the frozen generation-dir set — a store's
+    * scan roots are gen dirs `<dataPath>/tag_key=.../gen=...`. */
   private def storeFor(rel: HadoopFsRelation): Option[Seq[(String, Set[String])]] = {
-    val roots = rel.location.rootPaths.map(_.toString)
+    val roots = rel.location.rootPaths.map(p => norm(p.toString))
     if (roots.isEmpty) None
     else registry.asScala.collectFirst {
-      case (dataPath, sets) if roots.forall(r => norm(r).startsWith(dataPath)) => sets
+      case (dataPath, e) if roots.forall(r => r.startsWith(dataPath))
+          && roots.forall(e.dirs.contains) => e.sets
     }
   }
 
