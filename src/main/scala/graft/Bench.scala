@@ -148,7 +148,13 @@ object Bench {
   private def waitForIdle(maxWaitSec: Int): Boolean = {
     val deadline = System.nanoTime() + maxWaitSec * 1000000000L
     while (System.nanoTime() < deadline) {
-      if (load1() < 2.0 && stealSamplePct(2000) < 0.02) return true
+      if (load1() < 2.0 && stealSamplePct(2000) < 0.02) {
+        // guest-idle is not host-idle: also require the parallel
+        // capacity the retry pass will actually get (same threshold
+        // as the pass verdict)
+        val (st, mt) = cpuScore()
+        if (st <= 0 || mt / st >= 4.0) return true
+      }
       Thread.sleep(5000)
     }
     false
@@ -330,6 +336,16 @@ object Bench {
     // pollute; 32 hot threads on this box is us, 4+ BEFORE we start is
     // someone else
     val pre = if (loadPre > 4.0) Seq(s"$tag:pre_load_${ms(loadPre)}") else Nil
+    // host oversubscription: the all-cores/single-thread throughput
+    // ratio of the ALU probe is the parallel capacity actually
+    // delivered. Four r8 runs split cleanly — healthy passes measured
+    // 5.9-6.6x, degraded ones 0.75-2.7x (with steal/load/throttle all
+    // silent), and pass cold totals tracked the ratio 1:1. Below 4x on
+    // a 32-vCPU box, wall-clock numbers are the host's, not the
+    // engine's — flag it so the recovery loop re-runs the pass.
+    val ratio = if (cpuSt > 0) cpuMt / cpuSt else Double.MaxValue
+    val cpu = if (ratio < 4.0)
+      Seq(f"$tag:cpu_parallel_$ratio%.1fx") else Nil
     val detail = s.warm.map { case (n, reps) =>
       "\"" + n + "\":[" + reps.sorted.map(ms).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -338,7 +354,7 @@ object Bench {
     }.mkString("[", ",", "]")
     Pass(s.coldTotal, s.warmMedTotal, s.warmMin.map(_._2).sum, loadPre,
       procsPre, forked, prewarm, cpuSt, cpuMt,
-      pre ++ s.contentionReasons(tag),
+      pre ++ cpu ++ s.contentionReasons(tag),
       jsArr(s.failures), js(s.cold), js(s.warmMed), detail, marks,
       recall, steady)
   }

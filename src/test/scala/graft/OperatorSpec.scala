@@ -519,6 +519,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dedup.bandedBucketOverflow(emb, d = 8) == 0) // default cap: no engagement
   }
 
+  test("duplicate vec_ids: no self-pairs, no duplicated pair rows (review r8)") {
+    import spark.implicits._
+    // two physical rows per id (a crashed-and-retried append) must not
+    // produce (x, x) pairs, and the vector join-back must not re-expand
+    // one logical pair into several identical rows
+    val v1 = Array.tabulate(8)(i => (math.sin(i + 1) * 2).toFloat)
+    val emb = Seq(("a", v1), ("a", v1), ("b", v1), ("b", v1))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val rows = Dedup.embeddingNearDupsLsh(emb, threshold = 0.9, d = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("a", "b")), rows.mkString(","))
+    val inc = Dedup.embeddingNearDupsLshAgainst(
+      emb.where(col("vec_id") === "b"), emb, threshold = 0.9, d = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(inc.toSeq == Seq(("a", "b")), inc.mkString(","))
+  }
+
   test("incremental banded near-dups == full rebuild (pairsAgainst union, VERDICT r7 #2)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val old = emb.where(col("vec_id") < 150)

@@ -182,6 +182,23 @@ class PlanSpec extends AnyFunSuite {
     // an explicit tag_key predicate is never second-guessed (rule skips)
     assert(spark.sql("SELECT id FROM graft_sqlprune_store WHERE " +
       "array_contains(tags, 't1') AND tag_key <> ''").count() == 2)
+    // STALENESS SAFETY (review r8): a write AFTER registration adds a
+    // generation dir the frozen registry has never seen — a fresh
+    // snapshot read must NOT be pruned by the stale tag-set metadata
+    // (the registry keys on the snapshot's exact dirs, so the rule
+    // simply doesn't fire). An earlier draft prefix-matched on the
+    // store root and returned ZERO rows here.
+    store.insert(Seq(("d", Array(0.5f, 0.5f), "z", Seq("t3")))
+      .toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>")))
+    val fresh = store.table().where(array_contains(col("tags"), "t3"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(fresh == Set("d"), s"stale pruning dropped fresh rows: $fresh")
+    // re-registering refreshes both the view and the pruning metadata
+    store.registerSqlTable("graft_sqlprune_store")
+    val viaSql = spark.sql("SELECT id FROM graft_sqlprune_store WHERE " +
+      "array_contains(tags, 't3')").collect().map(_.getString(0)).toSet
+    assert(viaSql == Set("d"), viaSql.toString)
     store.clear()
   }
 
