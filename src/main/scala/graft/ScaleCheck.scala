@@ -102,7 +102,50 @@ object ScaleCheck {
     println(s"""{"check":"sf1_ann_pq_recall","recall":$meanRecall,"match":$recallOk,"sec":${(t6 - t5) / 1e9}}""")
 
     store.clear()
+
+    // Incremental dup-graph maintenance at validation scale (VERDICT
+    // r7 next #2): build the committed pair graph on 90% of a 10k-row
+    // sf1 slice, append the remaining 10%, updateDupGraph, and require
+    // the committed pairs to EQUAL a from-scratch rebuild on the full
+    // slice (order-independent fingerprint). The slice is sized for
+    // the UNCAPPED banding regime (full sf1's hottest bucket is 2,440
+    // > EmbLshBucketCap, where the full rebuild's rank-chaining and
+    // the incremental path legitimately diverge — tools.OverflowProbe
+    // measures this); the check asserts zero over-cap buckets so it
+    // can never silently drift into the wrong regime.
+    val t7 = System.nanoTime()
+    val slice = graft.core.Tables.load(spark, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        concat(lit("doc "), col("vec_id")).as("content"),
+        array(lit("dup")).as("tags"))
+    val overCap = graft.operators.Dedup.bandedBucketOverflow(
+      slice.select(col("id").as("vec_id"), col("vector").as("embedding")), 64)
+    val newRows = slice.where(pmod(col("id").cast("long"), lit(10)) === 0)
+    val incRoot = java.nio.file.Files.createTempDirectory("graft-sf1-dup").toString
+    val incStore = new graft.operators.VectorStore(spark, incRoot)
+    incStore.insert(slice.where(pmod(col("id").cast("long"), lit(10)) =!= 0))
+    incStore.buildDupGraph()
+    incStore.insert(newRows)
+    incStore.updateDupGraph(newRows)
+    def dupFp(s: graft.operators.VectorStore): (Long, Long) = {
+      val r = s.nearDups().agg(count(lit(1)),
+        expr("bit_xor(xxhash64(id1, id2, sim_r))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val incFp = dupFp(incStore)
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-sf1-dupfull").toString
+    val fullStore = new graft.operators.VectorStore(spark, fullRoot)
+    fullStore.insert(slice)
+    fullStore.buildDupGraph()
+    val fullFp = dupFp(fullStore)
+    val dupOk = overCap == 0 && incFp == fullFp && incFp._1 > 0
+    val t8 = System.nanoTime()
+    println(s"""{"check":"sf1_incremental_dup_graph","pairs":${incFp._1},"over_cap_buckets":$overCap,"match":$dupOk,"sec":${(t8 - t7) / 1e9}}""")
+    incStore.clear(); fullStore.clear()
+
     spark.stop()
-    if (!ok || !lifecycleOk || !recallOk) sys.exit(1)
+    if (!ok || !lifecycleOk || !recallOk || !dupOk) sys.exit(1)
   }
 }

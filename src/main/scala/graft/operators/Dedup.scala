@@ -629,11 +629,15 @@ object Dedup {
 
   /** Per-(band, key) bucket width past which the banded self-join
     * switches from all-pairs-within-bucket to rank-blocked pairing
-    * (VERDICT r7 next #3). Sized well above any organic fixture bucket
-    * (sf0.1: ~125 avg / few-hundred hot across 16 buckets per band), so
-    * the cap changes NOTHING on real corpora and only engages on
-    * degenerate ones (a crawl shard of boilerplate: millions of
-    * near-identical rows hashing to ONE bucket). */
+    * (VERDICT r7 next #3). Above any sf0.1 bucket (~125 avg,
+    * few-hundred hot across 16 buckets per band — the cap changes
+    * NOTHING there, which is what the oracle rows pin), mildly engaged
+    * at sf1 (measured via tools.OverflowProbe: max width 2,440, 10
+    * buckets past the cap; lsh recall_sf1 held at 0.95 — beyond-cap
+    * pairs are rank-chained, so components stay connected), and the
+    * real target is degenerate corpora (a crawl shard of boilerplate:
+    * millions of near-identical rows hashing to ONE bucket, where
+    * all-pairs is quadratic death). */
   val EmbLshBucketCap = 2048
 
   /**
