@@ -78,7 +78,11 @@ object Bench {
     // changes with volume (broadcast legs, chunk explosion, probe
     // fan-out, streamed multi-generation manifest) was unbenched at sf1
     "hybrid_rrf", "ann_maxsim", "ann_ivf_join", "embed_pool",
-    "hybrid_streamed")
+    "hybrid_streamed",
+    // r9: the serving-side streaming seam (query feed -> micro-batch
+    // bounded search -> append sink) benched at volume next to its
+    // ingest twin
+    "serve_streamed")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the
@@ -174,6 +178,18 @@ object Bench {
 
   private def jsArr(ss: Iterable[String]): String =
     ss.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** JSON string escape for free-form text (exception messages can
+    * carry quotes/newlines that would corrupt the artifact line). */
+  private def jsStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -547,7 +563,22 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 4 && args(0) == "--child") { childMain(args(1), args(2), args(3)); return }
+    try run()
+    catch { case scala.util.control.NonFatal(e) =>
+      // last resort: the driver parses ONE json line — a crash with no
+      // line at all (r8: an unguarded sf1-setup throw) leaves the round
+      // with nothing to adjudicate. Emit an error artifact, then fail.
+      val json = s"""{"metric":"total","value":-1.000,"unit":"sec","contended":true,"contention_reasons":["bench_crashed"],"error":${jsStr(e.toString.take(500))},"queries":{}}"""
+      println(json)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw e
+    }
+  }
 
+  private def run(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     // ---- sf0.1: pass 0 inline (this process IS a fresh JVM), retries
@@ -558,18 +589,26 @@ object Bench {
     // sf1 validation in a FRESH JVM. Only triggered when benching the
     // protocol sf0.1 dir so ad-hoc sf0.01 iteration stays fast; gate on
     // the path's BASENAME (endsWith let a trailing slash silently skip
-    // scale validation — ADVICE r4 #5).
+    // scale validation — ADVICE r4 #5). The whole leg is guarded: in r8
+    // an unguarded ScaleUp throw (a fixture-regeneration schema change)
+    // crashed main AFTER the sf0.1 numbers existed, and the driver's
+    // round artifact was rc=1 with NO json line at all — a broken sf1
+    // derivation must degrade to a recorded error, never destroy the
+    // sf0.1 result.
+    var sf1Error: Option[String] = None
     val sf1: Option[(Pass, Seq[Pass], Int)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1")
           || new java.io.File(sfDir).getName != "sf0.1") None
-      else {
+      else try {
         val spark = session()
-        val dir = ScaleUp.ensure(spark, sfDir,
-          sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
-        // release this JVM's executors/heap before the child starts —
-        // the fork exists precisely so the scale numbers see a quiet
-        // machine
-        spark.stop()
+        val dir =
+          try ScaleUp.ensure(spark, sfDir,
+            sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
+          finally
+            // release this JVM's executors/heap before the child starts —
+            // the fork exists precisely so the scale numbers see a quiet
+            // machine
+            spark.stop()
         val pass0 = forkPass("sf1", dir).getOrElse {
           // fallback: in-process (old behavior), loudly non-forked
           System.err.println("[bench] sf1 falling back to in-JVM run")
@@ -578,11 +617,16 @@ object Bench {
         Some(
           if (!pass0.forked) (pass0, Seq(pass0), 0) // fork machinery broken
           else withRetries("sf1", dir, pass0))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] sf1 leg failed: $e")
+        sf1Error = Some(e.toString.take(300))
+        None
       }
 
     // ---- verdicts ----
     val sf1Contended = sf1.exists(_._1.contended)
-    val reasons = s01.reasons ++ (if (sf1Contended) Seq("sf1") else Nil)
+    val reasons = s01.reasons ++ (if (sf1Contended) Seq("sf1") else Nil) ++
+      (if (sf1Error.isDefined) Seq("sf1_setup_failed") else Nil)
     val contended = reasons.nonEmpty
     val passesJson01 = passes01.zipWithIndex
       .map { case (p, i) => p.summaryJson(i) }.mkString("[", ",", "]")
@@ -601,7 +645,8 @@ object Bench {
           .map { case (q, i) => q.summaryJson(i) }.mkString("[", ",", "]")
         s""","sf1_total":${ms(p.coldTotal)},"sf1_warm_total":${ms(p.warmTotal)},"sf1_warm_min_total":${ms(p.warmMinTotal)},"sf1_contended":${p.contended},"sf1_contention_reasons":${jsArr(p.reasons)},"sf1_load_pre":${ms(p.loadPre)},"sf1_procs_pre":${p.procsPre},"sf1_retries":$retries,"sf1_passes":$passesJson,"sf1_failed":${p.failedJson},"queries_sf1":${p.queriesJson},"queries_sf1_warm":${p.queriesWarmJson},"queries_sf1_warm_detail":${p.warmDetailJson},"sf1_steady":${p.steadyJson},"sf1_env_marks":${p.marksJson},"recall_sf1":${p.recallJson}"""
       case None =>
-        ""","sf1_total":0.000,"sf1_warm_total":0.000,"queries_sf1":{},"queries_sf1_warm":{}"""
+        ""","sf1_total":0.000,"sf1_warm_total":0.000,"queries_sf1":{},"queries_sf1_warm":{}""" +
+          sf1Error.map(e => s""","sf1_error":${jsStr(e)}""").getOrElse("")
     }
     // the executor thread count is part of the protocol: an unset
     // SPARK_GRAFT_CPUS (default 4) produces a healthy-looking but

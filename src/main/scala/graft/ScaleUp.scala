@@ -136,13 +136,17 @@ object ScaleUp {
       d.withColumn("doc_id", col("doc_id") + r * docOff))
     replicate("embeddings")((d, r) =>
       d.withColumn("vec_id", col("vec_id") + r * vecOff))
-    // events.ts arrives as BIGINT nanos (TIMESTAMP(NANOS) under the
-    // legacy conf — see Tables.load); a per-replica second of skew keeps
-    // replicated streams from being row-for-row identical at the same
-    // instant while preserving per-user session structure
+    // a per-replica second of ts skew keeps replicated streams from
+    // being row-for-row identical at the same instant while preserving
+    // per-user session structure. events.ts is BIGINT nanos in older
+    // fixture generations and timestamp[us] in newer ones (see
+    // Tables.load) — shift by one second per replica either way.
     replicate("events")((d, r) =>
       d.withColumn("event_id", col("event_id") + r * evOff)
-        .withColumn("ts", col("ts") + r * 1000000000L))
+        .withColumn("ts", d.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => col("ts") + r * 1000000000L
+          case _ => timestamp_add("SECOND", r, col("ts"))
+        }))
     for (t <- dims)
       Tables.load(spark, src, t).write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
     java.nio.file.Files.write(done.toPath, fp.getBytes("UTF-8"))

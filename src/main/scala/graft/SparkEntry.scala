@@ -139,6 +139,47 @@ object SparkEntry {
       })
   }
 
+  /** The serving-side twin of [[streamedStoreRoot]]: a store over the
+    * embeddings corpus (vec_id >= 8, zero-padded string ids so string
+    * order == numeric order for tie-breaks) QUERIED through the
+    * Structured Streaming retrieval layer — the 8 query vectors arrive
+    * as a two-file stream with maxFilesPerTrigger=1, every micro-batch
+    * runs one bounded exact batch search ([[graft.operators.VectorStore
+    * .serveStream]]), and results append to a parquet sink. The
+    * serve_streamed oracle row gates feed -> micro-batch search ->
+    * append sink end-to-end against the same DuckDB brute-force ground
+    * truth as knn_multiquery. Built once per (session, dir); same
+    * staleness contract as [[dupPairsCache]]. Returns the results dir. */
+  private val serveResultsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def servedResultsDir(s: SparkSession, dir: String): String = {
+    serveResultsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    serveResultsCache.computeIfAbsent((s, dir),
+      { _ =>
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_serve_stream").toString
+        val emb = Tables.load(s, dir, "embeddings")
+        val corpus = emb.where(col("vec_id") >= 8)
+          .select(format_string("%012d", col("vec_id")).as("id"),
+            col("embedding").as("vector"),
+            format_string("%012d", col("vec_id")).as("content"),
+            array(lit("served")).as("tags"))
+        val store = new graft.operators.VectorStore(s, s"$root/store")
+        store.insert(corpus)
+        val queries = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val feedDir = s"$root/feed"
+        queries.where(col("qid") < 4).coalesce(1).write.parquet(feedDir)
+        queries.where(col("qid") >= 4).coalesce(1)
+          .write.mode("append").parquet(feedDir)
+        val feed = s.readStream.schema(queries.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        store.serveStream(feed, s"$root/out", k = 5, exact = true,
+          queryName = "graft_serve_entry").awaitTermination()
+        s"$root/out/results"
+      })
+  }
+
   /** A VectorStore over the fixture's vector table, registered for
     * PLAIN SQL via [[graft.operators.VectorStore.registerSqlTable]] —
     * the judge-facing proof (VERDICT r7 next #4) that a SQL user who
@@ -950,6 +991,18 @@ object SparkEntry {
           col("rrf_score"), col("n_legs"))
     }),
 
+    // the store as a Structured Streaming RETRIEVAL layer (the query
+    // side of hybrid_streamed's ingest seam): the knn_multiquery query
+    // set arrives as a micro-batched stream, each trigger runs one
+    // bounded exact batch search, results append to a parquet sink —
+    // oracle = the same brute-force SQL as knn_multiquery
+    "serve_streamed" -> ((s, dir) => {
+      registered(s)
+      s.read.parquet(servedResultsDir(s, dir))
+        .select(col("qid"), col("rank"), col("id").cast("long").as("cid"))
+        .orderBy("qid", "rank")
+    }),
+
     // sequence packing: documents -> fixed-token-budget training
     // sequences via a SHARDED prefix sum (driver-side span offsets +
     // per-shard windows) — the oracle computes the same integers with
@@ -1182,6 +1235,11 @@ object SparkEntry {
 
       "knn_multiquery" -> multiQuerySql,
       "knn_multiquery_heap" -> multiQuerySql,
+      // the streamed serving layer returns the same 8x top-5 as the
+      // brute-force oracle: store ids are the zero-padded vec_ids, so
+      // the exact batch search's (sim DESC, id ASC) string tie-break
+      // is the oracle's (sim DESC, cid ASC)
+      "serve_streamed" -> multiQuerySql,
 
       "ann_lsh" -> {
         val bucket = OracleSql.lshBucketSql("embedding", 64)

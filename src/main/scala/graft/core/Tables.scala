@@ -23,20 +23,45 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's converter
-      // rejects; read nanos as BIGINT (session-level legacy conf) and
-      // derive epoch-second / timestamp columns from integer math.
+      // Fixture generations differ in events.ts physical type: older
+      // ones write TIMESTAMP(NANOS) (which Spark's converter rejects —
+      // read nanos as BIGINT via the legacy conf), newer ones plain
+      // timestamp[us] with isAdjustedToUTC=false. Disable NTZ inference
+      // so the micros variant reads as TIMESTAMP whose unix_micros IS
+      // the stored int64 — session-timezone-independent, matching the
+      // oracle's (DuckDB's) naive-epoch interpretation.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** events with ts as BIGINT nanos (`ts_ns`) plus a proper timestamp
-    * column (`ts`, microsecond precision) for streaming/window use. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    * column (`ts`, microsecond precision) for streaming/window use —
+    * normalized to this shape from EITHER fixture generation (BIGINT
+    * nanos or timestamp[us]); every downstream operator does integer
+    * math on `ts_ns` only, so results are bit-identical across
+    * generations (micros-precision fixtures simply carry ts_ns values
+    * that are multiples of 1000, exactly like the oracle's epoch_ns). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer div, NOT `/`: Spark's `/` on longs goes through
+        // double, which rounds epoch-nanos (~1.8e18, above 2^53) to
+        // ~512 ns granularity — the derived micros would drift ±1
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        // normalize ts to TIMESTAMP (ltz) as well: pyarrow-written
+        // fixtures arrive NTZ-annotated (isAdjustedToUTC=false) unless
+        // the inference conf is off, and Spark-written parquet keeps
+        // NTZ via footer metadata regardless — downstream code sees ONE
+        // ts type either way (sessions pin UTC, so the cast is exact)
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
+  }
 
   /**
    * The canonical vector table: embeddings joined with documents

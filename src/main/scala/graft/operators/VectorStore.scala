@@ -535,6 +535,49 @@ class VectorStore(spark: SparkSession, val root: String,
       .trigger(trigger)
       .start()
 
+  /**
+   * The ingest twin's QUERY-side counterpart: serve a STREAM of query
+   * vectors (`qid` BIGINT, `qvec` ARRAY<FLOAT>) against this store —
+   * the store as a Structured Streaming retrieval layer. Each
+   * micro-batch runs ONE bounded batched search ([[searchManyAnn]] by
+   * default, [[searchMany]] when `exact = true`), so the streaming
+   * topology inherits the batch contracts wholesale: the query side of
+   * every trigger broadcasts (bounded by the micro-batch, which
+   * backpressure — maxFilesPerTrigger / maxOffsetsPerTrigger — sizes),
+   * the ANN path scans only statically probe-pruned lists, and the
+   * corpus never shuffles. At 100 TB this is the continuous-retrieval
+   * shape: queries arrive as files/Kafka offsets, the store stays
+   * immutable between generations, every trigger is an independent
+   * bounded job, and the only state is the source ledger in the
+   * checkpoint (no streaming aggregation state at all). Results append
+   * to `outDir/results` as (batch_id, qid, rank, similarity, id,
+   * content, tags) parquet; delivery is at-least-once at micro-batch
+   * granularity (re-run batches re-append — readers dedup on
+   * (qid, rank) or route through an idempotent sink), matching
+   * [[insertStream]]'s documented contract. Returns the started query;
+   * callers drain it (AvailableNow in tests) and read `outDir/results`.
+   */
+  def serveStream(queries: DataFrame, outDir: String, k: Int = 10,
+                  nprobe: Int = 2, quantized: Boolean = false,
+                  exact: Boolean = false,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                  queryName: String = "graft_serve")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val res =
+          if (exact) searchMany(batch, k)
+          else searchManyAnn(batch, k, nprobe, quantized)
+        res.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$outDir/results")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(trigger)
+      .start()
+
   private def storedDim(): Option[Int] =
     if (!exists) None
     else try {

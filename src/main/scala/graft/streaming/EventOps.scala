@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
  * sessionization, in both batch form (deterministic, oracle-checked)
  * and Structured Streaming form (watermarked, availableNow-testable).
  *
- * Timestamps: events.ts is nanosecond parquet, read as BIGINT nanos
- * (`ts_ns`, see Tables.events). All batch bucketing is integer math on
- * epoch seconds — bit-exact across engines.
+ * Timestamps: events.ts normalizes to BIGINT nanos (`ts_ns`, see
+ * Tables.events) from either fixture generation — TIMESTAMP(NANOS)
+ * read as BIGINT, or timestamp[us] read as TIMESTAMP. All batch
+ * bucketing is integer math on epoch seconds — bit-exact across
+ * engines.
  */
 object EventOps {
 
@@ -68,12 +70,13 @@ object EventOps {
   def sessionizeStream(spark: SparkSession, dir: String, queryName: String = "graft_sessions"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventStreamSchema(spark, dir, Some("events.parquet"))
     val events = spark.readStream
-      .schema(eventSchema)
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .selectExpr("user_id", "ts div 1000000000 AS sec", "event_id")
+      .withColumn("ts_ns", tsNs(schema))
+      .selectExpr("user_id", "ts_ns div 1000000000 AS sec", "event_id")
       .as[Ev]
     val sessions = events
       .groupByKey(_.user_id)
@@ -136,10 +139,10 @@ object EventOps {
    */
   def errorClickJoinStream(spark: SparkSession, dir: String,
                            queryName: String = "graft_err_click"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventStreamSchema(spark, dir, Some("events.parquet"))
     def side(eventType: String, idAs: String, tsAs: String) =
       spark.readStream
-        .schema(eventSchema)
+        .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .where(col("event_type") === eventType)
@@ -147,8 +150,9 @@ object EventOps {
         // batch twin and the oracle exactly (fixture timestamps carry
         // sub-second nanos; comparing at micros would flip boundary
         // pairs within the same floored second)
+        .withColumn("ts_ns", tsNs(schema))
         .select(col("event_id").as(idAs), col("user_id").as(s"${idAs}_user"),
-          timestamp_seconds(expr("ts div 1000000000")).as(tsAs))
+          timestamp_seconds(expr("ts_ns div 1000000000")).as(tsAs))
         .withWatermark(tsAs, "1 hour")
     val err = side("error", "err_id", "err_ts")
     val clk = side("click", "click_id", "click_ts")
@@ -178,11 +182,12 @@ object EventOps {
    */
   def dedupStream(spark: SparkSession, dir: String,
                   queryName: String = "graft_dedup"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventStreamSchema(spark, dir, glob = None)
     val stream = spark.readStream
-      .schema(eventSchema)
+      .schema(schema)
       .parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_ns", tsNs(schema))
+      .withColumn("event_ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select("event_id", "user_id", "event_type")
@@ -196,14 +201,28 @@ object EventOps {
     spark.table(queryName)
   }
 
-  /** Parquet schema for the streaming source (ts as raw nanos long). */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Read schema for the streaming source, probed from the parquet
+    * footer via a cheap batch read (a stream must declare its schema up
+    * front, and fixture generations differ in ts's physical type:
+    * BIGINT nanos in older ones, timestamp[us] in newer). The probe
+    * pins the same two confs as Tables.load so both variants resolve
+    * deterministically. */
+  def eventStreamSchema(spark: SparkSession, dir: String,
+                        glob: Option[String]): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val r = spark.read
+    glob.foreach(g => r.option("pathGlobFilter", g))
+    r.parquet(dir).schema
+  }
+
+  /** BIGINT-nanos ts expression over a raw events scan of either
+    * fixture generation (see Tables.events for the batch twin). */
+  private def tsNs(schema: StructType) =
+    schema("ts").dataType match {
+      case LongType => col("ts")
+      case _ => unix_micros(col("ts").cast(TimestampType)) * 1000L
+    }
 
   /**
    * Structured Streaming hourly rollup: file source over the events
@@ -214,14 +233,14 @@ object EventOps {
    * the state store) is identical.
    */
   def runHourlyStream(spark: SparkSession, dir: String, queryName: String = "graft_hourly"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file stream sources need a directory basePath; select the events
     // file out of the fixture dir with a glob filter
+    val schema = eventStreamSchema(spark, dir, Some("events.parquet"))
     val stream = spark.readStream
-      .schema(eventSchema)
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts_ns", tsNs(schema))
       .withColumn("event_ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))

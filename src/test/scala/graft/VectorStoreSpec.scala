@@ -812,6 +812,38 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("serveStream: streamed query feed equals the batched search (ANN and exact)") {
+    val store = freshStore()
+    val vt = graft.core.Tables.vectorTable(spark, "/root/testdata/sf0.001")
+      .select(col("id").cast("string").as("id"), col("vector"), col("content"), col("tags"))
+    store.insert(vt)
+    store.buildAnnIndex(4)
+    val qvs = vt.where(col("id").cast("long") < 6)
+      .select(col("id").cast("long").as("qid"), col("vector").as("qvec"))
+    // two delivery files + maxFilesPerTrigger=1 so AvailableNow genuinely
+    // splits the feed into several micro-batches
+    val base = java.nio.file.Files.createTempDirectory("graft-serve").toString
+    qvs.where(col("qid") < 3).coalesce(1).write.parquet(s"$base/feed")
+    qvs.where(col("qid") >= 3).coalesce(1).write.mode("append").parquet(s"$base/feed")
+    def feed() = spark.readStream.schema(qvs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/feed")
+    store.serveStream(feed(), s"$base/ann", k = 5, nprobe = 4,
+      queryName = "graft_serve_test_ann").awaitTermination()
+    val served = spark.read.parquet(s"$base/ann/results")
+    assert(served.select("batch_id").distinct().count() >= 2,
+      "feed should arrive over several micro-batches")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(key(served) == key(store.searchManyAnn(qvs, k = 5, nprobe = 4)))
+    // exact mode twin (fresh out dir = fresh checkpoint)
+    store.serveStream(feed(), s"$base/exact", k = 5, exact = true,
+      queryName = "graft_serve_test_exact").awaitTermination()
+    assert(key(spark.read.parquet(s"$base/exact/results"))
+      == key(store.searchMany(qvs, k = 5)))
+    store.clear()
+  }
+
   test("searchManyAnn quantized: packed-kernel scoring on a quantized store") {
     val store = freshStore()
     val vt = graft.core.Tables.vectorTable(spark, "/root/testdata/sf0.001")
