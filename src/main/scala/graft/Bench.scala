@@ -74,6 +74,9 @@ object Bench {
     // volume (broadcast-stats BM25 scan, sharded prefix-sum pack,
     // LUT-projection PQ scan, iterative graph rounds, staged funnel)
     "text_bm25", "text_pack", "ann_pq", "graph_pagerank", "ev_funnel",
+    // r9: cohort retention at volume (two map-combinable aggs + one
+    // per-user join — the distinct-then-min shape changes with row count)
+    "ev_retention",
     // r7 verdict next #5: the retrieval/ANN family whose plan character
     // changes with volume (broadcast legs, chunk explosion, probe
     // fan-out, streamed multi-generation manifest) was unbenched at sf1

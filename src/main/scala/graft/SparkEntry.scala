@@ -708,12 +708,23 @@ object SparkEntry {
         .orderBy("cohort_d", "day_offset")
     }),
 
+    // aggregate BELOW the join: revenue is a pure lineitem aggregate
+    // keyed on the join key, so the partial agg collapses ~4 line items
+    // per order map-side and the exchange carries |orders| narrow rows
+    // instead of |lineitem| wide ones; orders then contributes only an
+    // FK-existence check (left semi — no payload columns cross the
+    // wire). Catalyst cannot push an agg through a join on its own, and
+    // at 100 TB the difference is the whole shuffle. Result-identical
+    // to the join-first shape (inner join on the group key preserves
+    // per-order row groups exactly).
     "q3_top_revenue" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val l = Tables.load(s, dir, "lineitem")
-      o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"))
+      l.groupBy(col("l_orderkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey").as("o_orderkey"), col("revenue"))
         .orderBy(desc("revenue"), asc("o_orderkey"))
         .limit(10)
     }),

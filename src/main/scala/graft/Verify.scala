@@ -16,11 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage).take(400)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +40,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // failures manifest: a query that throws leaves NO parquet dir, and
+    // the driver's compare silently drops missing entries from the
+    // round's correctness report (r8: the events fixture-schema change
+    // vanished 7 rows with zero `err` entries — nobody saw it until the
+    // key sets were diffed by hand). An explicit artifact plus a loud
+    // final line makes a silent shrink impossible.
+    val fjson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), fjson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} of ${SparkEntry.queries.size} " +
+        s"queries FAILED (missing from the correctness report!): " +
+        failed.keys.mkString(", "))
+    else
+      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries dumped")
     spark.stop()
   }
 }
