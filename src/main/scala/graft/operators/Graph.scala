@@ -42,6 +42,14 @@ object Graph {
   def pagerankInt(pairs: DataFrame, iters: Int = 10,
                   broadcastThreshold: Long = 1000000L): DataFrame = {
     require(iters >= 0, s"graft: negative iterations ($iters)")
+    // threshold check on the PAIR count (each pair = 2 directed edges):
+    // the driver branch must decide BEFORE building the distributed
+    // union+distinct — the old shape counted the distinct directed
+    // edges and then collected them, executing the distinct shuffle
+    // twice per call just to hand the driver a list it can dedup itself
+    val nPairs = pairs.count()
+    if (2 * nPairs <= broadcastThreshold)
+      return pagerankLocal(pairs.sparkSession, pairs, iters)
     val raw = pairs.select(col("d1").as("u"), col("d2").as("v"))
       .unionByName(pairs.select(col("d2").as("u"), col("d1").as("v")))
       .distinct()
@@ -51,8 +59,6 @@ object Graph {
     // pre-partition on the join key ONCE and localCheckpoint preserves
     // that partitioning, so each round shuffles only the rank side
     val nEdges = raw.count()
-    if (nEdges <= broadcastThreshold)
-      return pagerankLocal(pairs.sparkSession, raw, iters)
     val width = math.max(2L, math.min(
       pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong,
       nEdges / 1000000L + 1)).toInt
@@ -77,20 +83,56 @@ object Graph {
   }
 
   /** Driver-side branch: the same integer recurrence over collected
-    * edges (KB-to-MB scale below the threshold — the graph, not the
-    * corpus, and near-dup graphs are sparse). */
+    * PAIRS (KB-to-MB scale below the threshold — the graph, not the
+    * corpus, and near-dup graphs are sparse). One collect of the
+    * undirected pair list; direction expansion, dedup, and the
+    * iteration all run on primitive index arrays — the boxed-Map
+    * version of this loop was the entire cost of the sf1 pagerank
+    * bench row (5.9 s/rep, rep spread 15 ms: pure repeated driver CPU,
+    * ~4.5M boxed hash operations per iteration). */
   private def pagerankLocal(spark: org.apache.spark.sql.SparkSession,
-                            edges: DataFrame, iters: Int): DataFrame = {
+                            pairs: DataFrame, iters: Int): DataFrame = {
     import spark.implicits._
-    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val deg: Map[Long, Long] =
-      es.groupBy(_._1).map { case (u, a) => (u, a.length.toLong) }
-    var rank: Map[Long, Long] = deg.map { case (u, _) => (u, PrScale) }
-    for (_ <- 1 to iters) {
-      val s = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
-      for ((u, v) <- es) s(v) += rank(u) / deg(u)
-      rank = s.map { case (n, sm) => (n, 150000L + 850L * sm / 1000L) }.toMap
+    val ps = pairs.select(col("d1"), col("d2")).collect()
+    // node index: long id -> dense int
+    val idx = new java.util.HashMap[Long, Integer]()
+    def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue()
+      else { val i = idx.size(); idx.put(x, i); i }
     }
-    rank.toSeq.toDF("node", "pr")
+    // directed edges, deduped on the packed (u, v) index pair — the
+    // driver-side equivalent of the distributed branch's
+    // union-both-directions + DISTINCT (pair lists may carry either
+    // orientation; a self-pair yields the single directed self-edge
+    // in both shapes)
+    val seen = new java.util.HashSet[Long]()
+    val us = new scala.collection.mutable.ArrayBuilder.ofInt
+    val vs = new scala.collection.mutable.ArrayBuilder.ofInt
+    for (r <- ps) {
+      val a = id(r.getLong(0)); val b = id(r.getLong(1))
+      val e1 = a.toLong << 32 | (b.toLong & 0xffffffffL)
+      if (seen.add(e1)) { us += a; vs += b }
+      val e2 = b.toLong << 32 | (a.toLong & 0xffffffffL)
+      if (seen.add(e2)) { us += b; vs += a }
+    }
+    val ua = us.result(); val va = vs.result()
+    val n = idx.size()
+    val deg = new Array[Long](n)
+    var i = 0
+    while (i < ua.length) { deg(ua(i)) += 1; i += 1 }
+    var rank = Array.fill(n)(PrScale)
+    for (_ <- 1 to iters) {
+      val s = new Array[Long](n)
+      i = 0
+      while (i < ua.length) { s(va(i)) += rank(ua(i)) / deg(ua(i)); i += 1 }
+      var j = 0
+      val next = new Array[Long](n)
+      while (j < n) { next(j) = 150000L + 850L * s(j) / 1000L; j += 1 }
+      rank = next
+    }
+    val ids = new Array[Long](n)
+    idx.forEach((k, v) => ids(v.intValue()) = k)
+    ids.indices.map(i2 => (ids(i2), rank(i2))).toDF("node", "pr")
   }
 }
