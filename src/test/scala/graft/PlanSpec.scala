@@ -202,6 +202,20 @@ class PlanSpec extends AnyFunSuite {
     store.clear()
   }
 
+  test("q3 aggregates BELOW the join: one agg exchange, keys-only semi join, top-k heap") {
+    val p = plan(SparkEntry.queries("q3_top_revenue")(spark, dir))
+    // the revenue agg groups on the lineitem side's own key — lineitem
+    // never crosses the wire at full width
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // orders contributes only its key column to the existence check
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"), p.take(3000))
+    // exactly one shuffle exchange (partial -> final agg); the semi
+    // side broadcasts at this scale
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"$shuffles shuffle exchanges:\n" + p.take(3000))
+  }
+
   test("aggregations are partially aggregated map-side (two HashAggregate stages)") {
     val p = plan(SparkEntry.queries("q1_agg")(spark, dir))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
