@@ -841,6 +841,14 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       queryName = "graft_serve_test_exact").awaitTermination()
     assert(key(spark.read.parquet(s"$base/exact/results"))
       == key(store.searchMany(qvs, k = 5)))
+    // restart with the SAME checkpoint: the source ledger has committed
+    // every feed file, so a re-drain serves nothing new and the result
+    // set does not duplicate (the resume contract a long-lived serving
+    // deployment relies on)
+    val before = spark.read.parquet(s"$base/exact/results").count()
+    store.serveStream(feed(), s"$base/exact", k = 5, exact = true,
+      queryName = "graft_serve_test_exact2").awaitTermination()
+    assert(spark.read.parquet(s"$base/exact/results").count() == before)
     store.clear()
   }
 
