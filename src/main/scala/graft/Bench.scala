@@ -85,7 +85,12 @@ object Bench {
     // r9: the serving-side streaming seam (query feed -> micro-batch
     // bounded search -> append sink) benched at volume next to its
     // ingest twin
-    "serve_streamed")
+    "serve_streamed",
+    // r9: SemDeDup at the paper's regime (k scales with n, so cluster
+    // width — and with it the window and the rank-blocked candidate
+    // join — stays bounded as volume grows); the fixed-k oracle variant
+    // dedup_semantic is benched at sf0.1 with the rest of the suite
+    "dedup_semantic_scaled")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

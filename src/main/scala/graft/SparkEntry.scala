@@ -508,6 +508,30 @@ object SparkEntry {
       Dedup.embeddingNearDupsLsh(Tables.load(s, dir, "embeddings")).orderBy("v1", "v2")
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup —
+    // within-cluster cosine pairs only, keep the member farthest from
+    // its centroid per dup group. Fixed seed-row codebook here (like
+    // ann_ivf) so assignment is oracle-reproducible; production swaps
+    // in SimilaritySearch.kmeansCentroids.
+    "dedup_semantic" -> ((s, dir) => {
+      registered(s)
+      Dedup.semanticDedup(Tables.load(s, dir, "embeddings")).orderBy("vec_id")
+    }),
+
+    // SemDeDup at the paper's production regime: k scales with the
+    // corpus so cluster width stays ~TargetClusterWidth as n grows and
+    // the within-cluster pair space stays LINEAR in n. k is
+    // data-dependent, so no fixed-codebook oracle SQL can express it —
+    // driver records the weaker rows-only check; the oracle-pinned
+    // fixed-k variant above carries the hash gate for the operator.
+    "dedup_semantic_scaled" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val k = math.max(16L, math.min(4096L,
+        emb.count() / Dedup.SemTargetClusterWidth)).toInt
+      Dedup.semanticDedup(emb, nCentroids = k).orderBy("vec_id")
+    }),
+
     // exact-substring duplication: docs sharing a verbatim 8-token run
     // with any other doc (the suffix-array dedup family by rolling hash)
     "dedup_substring" -> ((s, dir) =>
@@ -1594,6 +1618,38 @@ object SparkEntry {
            |SELECT v1, v2, round(sim, 4) AS sim_r FROM s
            |WHERE sim >= ${OracleSql.EmbDupThreshold} ORDER BY v1, v2""".stripMargin
       },
+
+      // SemDeDup: same seed-row codebook + argmin assignment as ann_ivf,
+      // within-cluster pairs only, recursive-CTE components (the
+      // dedup_clusters pattern), keep = ORDER BY centroid-dist DESC
+      "dedup_semantic" ->
+        s"""WITH RECURSIVE cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id, c.cid, ${OracleSql.euclidean("e.embedding", "c.cv")} AS dist
+           |       FROM embeddings e, cent c),
+           |asg AS (SELECT vec_id, cid, dist FROM
+           |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn FROM ad) WHERE rn = 1),
+           |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+           |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |      JOIN embeddings eb ON eb.vec_id = b.vec_id
+           |      WHERE ${OracleSql.cosine("ea.embedding", "eb.embedding")} >= ${OracleSql.EmbDupThreshold}),
+           |e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p),
+           |n AS (SELECT DISTINCT u FROM e),
+           |lab(u, l) AS (
+           |  SELECT u, u FROM n
+           |  UNION
+           |  SELECT e.u, lab.l FROM e JOIN lab ON e.v = lab.u
+           |),
+           |comp AS (SELECT u AS doc_id, min(l) AS component FROM lab GROUP BY u),
+           |m AS (SELECT c.doc_id, c.component, a.dist FROM comp c JOIN asg a ON a.vec_id = c.doc_id),
+           |k AS (SELECT doc_id, component, dist,
+           |        row_number() OVER (PARTITION BY component ORDER BY dist DESC, doc_id) rn,
+           |        count(*) OVER (PARTITION BY component) cnt FROM m)
+           |SELECT vec_id, CAST(1 AS BIGINT) AS group_sz FROM embeddings
+           |WHERE vec_id NOT IN (SELECT doc_id FROM comp)
+           |UNION ALL
+           |SELECT doc_id AS vec_id, CAST(cnt AS BIGINT) AS group_sz FROM k WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin,
 
       // sign-invariant integer PCA facts (identity-constants on this
       // side because the eigenbasis is not SQL-reproducible) PLUS a

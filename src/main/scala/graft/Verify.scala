@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names — dump only those
+    // (iteration aid; the driver always runs the 2-arg full dump)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)       => (s, o, None)
+      case Array(s, o, sel)  => (s, o, Some(sel.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +22,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = only.map(sel => SparkEntry.queries.view.filterKeys(sel).toMap)
+      .getOrElse(SparkEntry.queries)
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -38,6 +45,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // failures manifest: a query that throws leaves NO parquet dir, and
@@ -50,11 +58,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"), fjson)
     if (failed.nonEmpty)
-      System.err.println(s"[verify] ${failed.size} of ${SparkEntry.queries.size} " +
+      System.err.println(s"[verify] ${failed.size} of ${selected.size} " +
         s"queries FAILED (missing from the correctness report!): " +
         failed.keys.mkString(", "))
     else
-      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries dumped")
+      System.err.println(s"[verify] all ${selected.size} queries dumped")
     spark.stop()
   }
 }

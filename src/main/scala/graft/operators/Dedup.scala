@@ -795,4 +795,109 @@ object Dedup {
       .groupBy("band", "key").count()
       .where(col("count") > cap)
       .count()
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
+   * within a cluster, and keep one member per semantic-dup group — the
+   * k-means-bucketed alternative to sign-LSH banding
+   * ([[embeddingNearDupsLsh]]) from the published web-scale pipelines.
+   * Complements, not replaces, the LSH family: clustering buckets by
+   * global geometry (coarse regions), banding by randomized projections
+   * (probabilistic recall at any similarity), and both verify with the
+   * same exact cosine threshold.
+   *
+   * Keep policy follows the paper: within a dup group, the member
+   * FARTHEST from its cluster centroid survives (the paper keeps
+   * low-centroid-similarity examples as the informative ones), ties by
+   * min id. Returns (vec_id, group_sz) of survivors — group_sz 1 for
+   * docs in no dup group, else the size of the group the survivor
+   * represents.
+   *
+   * `centroids` defaults to the fixed seed-row codebook (rows with
+   * vec_id < nCentroids — deterministic and oracle-reproducible, like
+   * [[SimilaritySearch.ivfSearch]]); production passes
+   * [[SimilaritySearch.kmeansCentroids]], which changes recall, not
+   * shape.
+   *
+   * Scale shape (100 TB): assignment is the broadcast-codebook argmin
+   * expression — a projection over the scan, zero shuffle. Candidate
+   * pairs form per cluster through the same rank-blocked home/guest
+   * join as the banded LSH buckets (the cluster is the bucket): a
+   * cluster of width w <= clusterCap yields all within-cluster pairs,
+   * a degenerate cluster yields O(w x clusterCap) chained pairs that
+   * keep the group connected instead of O(w^2). Verification joins
+   * vectors back once per side AFTER the candidate distinct, so the
+   * cosine kernel runs once per pair. Components + keep-selection
+   * operate on the dup graph only (tiny next to the corpus); the
+   * surviving-singleton set is one left-anti join against it.
+   *
+   * At scale, k must GROW with the corpus ([[SemTargetClusterWidth]]):
+   * each cluster is one window partition (one task) and one candidate
+   * bucket, so a fixed k at growing n concentrates work; k = n/width
+   * keeps both linear. The codebook stays driver-side metadata up to
+   * ~10^4 centroids (the paper's regime); past that, assignment
+   * switches from the plan-constant argmin expression to a broadcast
+   * join — same shape [[SimilaritySearch.ivfAssign]] would take.
+   */
+  /** Target mean cluster width for the scaled SemDeDup configuration
+    * (k = n / width): keeps the per-cluster window and the rank-blocked
+    * pair join bounded as the corpus grows — the paper runs the same
+    * regime (clusters stay O(10^4) while n grows to web scale). */
+  val SemTargetClusterWidth = 256L
+
+  def semanticDedup(emb: DataFrame, nCentroids: Int = 16,
+                    threshold: Double = EmbDupThreshold,
+                    centroids: Option[DataFrame] = None,
+                    clusterCap: Int = EmbLshBucketCap): DataFrame = {
+    import graft.functions.GraftFunctions.cosine
+    require(clusterCap >= 2, s"graft: clusterCap $clusterCap must be >= 2")
+    val cent = centroids.getOrElse(
+      emb.where(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    val codebook = SimilaritySearch.collectCodebook(cent)
+    val asg = emb.select(col("vec_id"),
+      SimilaritySearch.nearestCentroidStruct(col("embedding"), codebook).as("a"))
+      .select(col("vec_id"), col("a").getField("cid").as("cid"),
+        col("a").getField("dist").as("cdist"))
+    // rank-blocked within-cluster candidates (see embeddingNearDupsLsh
+    // for the block/guest construction — here with cid as the bucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy("vec_id")
+    val ranked = asg.select("cid", "vec_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("blk", floor((col("rk") - 1) / clusterCap))
+    val l = ranked.select(col("cid"), col("blk"),
+      col("vec_id").as("v1"), col("rk").as("rk1"))
+    val rHome = ranked.select(col("cid"), col("blk"),
+      col("vec_id").as("v2"), col("rk").as("rk2"))
+    val rGuest = rHome.withColumn("blk", col("blk") - 1).where(col("blk") >= 0)
+    val cand = l.join(rHome.unionByName(rGuest), Seq("cid", "blk"))
+      .where(col("rk2") > col("rk1") && col("rk2") <= col("rk1") + clusterCap
+        && col("v1") =!= col("v2"))
+      .select("v1", "v2").distinct()
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .where(col("sim") >= threshold)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+      .distinct() // duplicate-id inputs only; see embeddingNearDupsLsh
+    // pairs never cross clusters, so components stay within-cluster
+    val comp = components(pairs)
+    val members = comp
+      .join(asg.select(col("vec_id").as("doc_id"), col("cdist")), Seq("doc_id"))
+    val kw = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("cdist").desc, col("doc_id"))
+    val keeps = members
+      .withColumn("rn", row_number().over(kw))
+      .withColumn("group_sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")))
+      .where(col("rn") === 1)
+      .select(col("doc_id").as("vec_id"), col("group_sz"))
+    val singletons = emb.select("vec_id")
+      .join(comp.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("group_sz", lit(1L))
+    singletons.unionByName(keeps)
+  }
 }

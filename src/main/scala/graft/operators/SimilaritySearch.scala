@@ -243,7 +243,14 @@ object SimilaritySearch {
    * keep the lowest cid — same ordering the oracle's
    * row_number() OVER (ORDER BY dist, cid) produces.
    */
-  def nearestCentroid(vec: Column, codebook: Seq[(Long, Seq[Float])]): Column = {
+  def nearestCentroid(vec: Column, codebook: Seq[(Long, Seq[Float])]): Column =
+    nearestCentroidStruct(vec, codebook).getField("cid")
+
+  /** Full (cid, dist) assignment struct — same fold as
+    * [[nearestCentroid]], for callers that also need the distance to
+    * the assigned centroid (e.g. the SemDeDup keep policy, which ranks
+    * a dup group by centroid distance). */
+  def nearestCentroidStruct(vec: Column, codebook: Seq[(Long, Seq[Float])]): Column = {
     val cents = array(codebook.sortBy(_._1).map { case (cid, cv) =>
       struct(lit(cid).as("cid"), vecLit(cv).as("cv"))
     }: _*)
@@ -255,7 +262,7 @@ object SimilaritySearch {
         when(d < acc.getField("dist"),
           struct(c.getField("cid").as("cid"), d.as("dist")))
           .otherwise(acc)
-      }).getField("cid")
+      })
   }
 
   /** IVF assignment: (vec_id, cid, embedding) with the expression-based

@@ -806,6 +806,71 @@ class OperatorSpec extends AnyFunSuite {
     assert(sc(2L) > sc(1L), sc.toString)
   }
 
+  test("semantic dedup: planted clusters, paper keep policy, assignment tie-break") {
+    import spark.implicits._
+    // centroid-seed rows 0 (e_x) and 1 (e_y); a 3-dup group near c0
+    // (which captures row 0 itself: cosine((1,0,0,0),(1,.1,0,0)) ~ .995),
+    // a 2-dup group near c1, and a singleton equidistant from both
+    // centroids (tie must go to the LOWER cid, matching the oracle's
+    // ORDER BY dist, cid)
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (10L, Array(1f, 0.1f, 0f, 0f)), (11L, Array(1f, 0.2f, 0f, 0f)),
+      (12L, Array(1f, 0.3f, 0f, 0f)),
+      (20L, Array(0f, 1f, 0.5f, 0f)),
+      (30L, Array(0f, 0f, 0f, 1f)))
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Dedup.semanticDedup(emb, nCentroids = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // keepers are the members FARTHEST from their centroid: 12 (dist .3)
+    // for group {0,10,11,12}, 20 (dist .5) for group {1,20}; 30 survives
+    // as a singleton
+    assert(out == Set((12L, 4L), (20L, 2L), (30L, 1L)), out.toString)
+  }
+
+  test("semantic dedup: group sizes partition the corpus; cap is a no-op when not engaged") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val out = Dedup.semanticDedup(emb)
+    // every corpus row is accounted for exactly once across the groups
+    assert(out.agg(sum("group_sz")).head().getLong(0) == emb.count())
+    assert(out.select("vec_id").distinct().count() == out.count())
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set(out) == set(Dedup.semanticDedup(emb, clusterCap = 1000000)))
+    // dup groups exist on the fixture (the 14 exact near-dup pairs
+    // include within-cluster ones), so the operator is not vacuous
+    assert(out.count() < emb.count())
+  }
+
+  test("semantic dedup: degenerate cluster chains through the cap to ONE group") {
+    import spark.implicits._
+    // 100 copies of one vector: all land in the cluster of seed row 0;
+    // rank-blocked candidates are O(n x cap), and the chain must still
+    // connect the whole clique into one group whose keeper is the min
+    // id (all centroid-dists equal -> id tie-break)
+    val v = Array.tabulate(4)(i => (math.cos(i + 1) * 2).toFloat)
+    val emb = (0L until 100L).map(i => (i, v)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Dedup.semanticDedup(emb, nCentroids = 1, clusterCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 100L)), out.toString)
+  }
+
+  test("semantic dedup scaled: k tracks corpus size and keeps the partition invariant") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val out = SparkEntry.queries("dedup_semantic_scaled")(spark, "/root/testdata/sf0.01")
+    assert(out.agg(sum("group_sz")).head().getLong(0) == emb.count())
+  }
+
+  test("semantic dedup: fitted k-means centroids preserve the partition invariant") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = graft.operators.SimilaritySearch.kmeansCentroids(
+      emb.select(col("embedding")), k = 4)
+    val out = Dedup.semanticDedup(emb, centroids = Some(cents))
+    assert(out.agg(sum("group_sz")).head().getLong(0) == emb.count())
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
