@@ -796,6 +796,12 @@ object Dedup {
       .where(col("count") > cap)
       .count()
 
+  /** Target mean cluster width for the scaled SemDeDup configuration
+    * (k = n / width): keeps the per-cluster window and the rank-blocked
+    * pair join bounded as the corpus grows — the paper runs the same
+    * regime (clusters stay O(10^4) while n grows to web scale). */
+  val SemTargetClusterWidth = 256L
+
   /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
    * arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
@@ -826,11 +832,18 @@ object Dedup {
    * join as the banded LSH buckets (the cluster is the bucket): a
    * cluster of width w <= clusterCap yields all within-cluster pairs,
    * a degenerate cluster yields O(w x clusterCap) chained pairs that
-   * keep the group connected instead of O(w^2). Verification joins
-   * vectors back once per side AFTER the candidate distinct, so the
-   * cosine kernel runs once per pair. Components + keep-selection
-   * operate on the dup graph only (tiny next to the corpus); the
-   * surviving-singleton set is one left-anti join against it.
+   * keep the group connected instead of O(w^2). UNLIKE the LSH family,
+   * vectors ride the bucket join and cosine is scored INLINE: LSH
+   * candidates are rare (ids-only banding + join-back wins there), but
+   * here every within-cluster rank-neighbor pair is a candidate —
+   * n x width/2 of them — and a candidate-sized exchange (distinct +
+   * two vector join-backs) would dominate the job, while the carried
+   * vectors cost one corpus-sized window shuffle that the ranking
+   * needs anyway. The assignment projection is checkpointed so the
+   * argmin fold runs ONCE (the keep policy re-reads cdist after
+   * components). Components + keep-selection operate on the dup graph
+   * only (tiny next to the corpus); the surviving-singleton set is one
+   * left-anti join against it.
    *
    * At scale, k must GROW with the corpus ([[SemTargetClusterWidth]]):
    * each cluster is one window partition (one task) and one candidate
@@ -840,12 +853,6 @@ object Dedup {
    * switches from the plan-constant argmin expression to a broadcast
    * join — same shape [[SimilaritySearch.ivfAssign]] would take.
    */
-  /** Target mean cluster width for the scaled SemDeDup configuration
-    * (k = n / width): keeps the per-cluster window and the rank-blocked
-    * pair join bounded as the corpus grows — the paper runs the same
-    * regime (clusters stay O(10^4) while n grows to web scale). */
-  val SemTargetClusterWidth = 256L
-
   def semanticDedup(emb: DataFrame, nCentroids: Int = 16,
                     threshold: Double = EmbDupThreshold,
                     centroids: Option[DataFrame] = None,
@@ -856,31 +863,35 @@ object Dedup {
       emb.where(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
     val codebook = SimilaritySearch.collectCodebook(cent)
-    val asg = emb.select(col("vec_id"),
+    // one argmin pass total, materialized LAZILY on first use (an eager
+    // checkpoint pays a separate materialization job that dominates at
+    // small scale; no checkpoint at all re-runs the assignment under
+    // every self-join branch at large scale) and shared by the
+    // bucket-join sides and the post-components keep policy
+    val asg = emb.select(col("vec_id"), col("embedding"),
       SimilaritySearch.nearestCentroidStruct(col("embedding"), codebook).as("a"))
-      .select(col("vec_id"), col("a").getField("cid").as("cid"),
+      .select(col("vec_id"), col("embedding"),
+        col("a").getField("cid").as("cid"),
         col("a").getField("dist").as("cdist"))
+      .localCheckpoint(false)
     // rank-blocked within-cluster candidates (see embeddingNearDupsLsh
-    // for the block/guest construction — here with cid as the bucket)
+    // for the block/guest construction — here with cid as the bucket,
+    // and vectors CARRIED so cosine scores inline in the join output
+    // instead of re-joining a candidate-sized pair list)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cid").orderBy("vec_id")
-    val ranked = asg.select("cid", "vec_id")
+    val ranked = asg.select("cid", "vec_id", "embedding")
       .withColumn("rk", row_number().over(w))
       .withColumn("blk", floor((col("rk") - 1) / clusterCap))
     val l = ranked.select(col("cid"), col("blk"),
-      col("vec_id").as("v1"), col("rk").as("rk1"))
+      col("vec_id").as("v1"), col("rk").as("rk1"), col("embedding").as("e1"))
     val rHome = ranked.select(col("cid"), col("blk"),
-      col("vec_id").as("v2"), col("rk").as("rk2"))
+      col("vec_id").as("v2"), col("rk").as("rk2"), col("embedding").as("e2"))
     val rGuest = rHome.withColumn("blk", col("blk") - 1).where(col("blk") >= 0)
-    val cand = l.join(rHome.unionByName(rGuest), Seq("cid", "blk"))
+    val pairs = l.join(rHome.unionByName(rGuest), Seq("cid", "blk"))
       .where(col("rk2") > col("rk1") && col("rk2") <= col("rk1") + clusterCap
         && col("v1") =!= col("v2"))
-      .select("v1", "v2").distinct()
-    val pairs = cand
-      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
-      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
-      .withColumn("sim", cosine(col("e1"), col("e2")))
-      .where(col("sim") >= threshold)
+      .where(cosine(col("e1"), col("e2")) >= threshold)
       .select(col("v1").as("d1"), col("v2").as("d2"))
       .distinct() // duplicate-id inputs only; see embeddingNearDupsLsh
     // pairs never cross clusters, so components stay within-cluster
