@@ -213,6 +213,14 @@ object Bench {
       // sf1 8.8 s "warm" vs 2.5 s steady) — r5's "uniform 1.4x
       // warm-pass slowdown" was this, not machine noise
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // let AQE swap a sort-merge join for a shuffled hash join when
+      // every post-shuffle build partition fits this bound — both sort
+      // passes disappear. No suite query hits SMJ at current scales
+      // (AQE's runtime stats broadcast even q3's 1.5M-key semi join),
+      // but past the broadcast ceiling this is the next-best shape and
+      // the conversion stays per-partition-bounded, so no unbounded
+      // hash map is ever built.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

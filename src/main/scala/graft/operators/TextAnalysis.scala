@@ -20,7 +20,28 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  def typeCount(text: Column): Column = size(array_distinct(tokens(text)))
+  def typeCount(text: Column): Column = typeCountFrom(tokens(text))
+
+  /**
+   * Tokenization is the expensive pass (a regex extraction over the
+   * whole document), and Catalyst cannot common-subexpression-eliminate
+   * it across the interpreted higher-order functions the counts are
+   * built from — a naive multi-stat projection re-tokenizes per stat
+   * (measured 5.2 s for quality+langId over sf1's 50k docs vs 0.9 s
+   * bound). The `*From` builders therefore take an ALREADY-TOKENIZED
+   * array column; [[stats]] binds it once in a separate projection
+   * level (CollapseProject keeps the level because the producing
+   * expression is non-cheap and multiply referenced), and the
+   * single-column helpers bind it with a one-element transform()
+   * lambda. Values are identical to tokenizing inline — oracle hashes
+   * do not move.
+   */
+  def typeCountFrom(ws: Column): Column = size(array_distinct(ws))
+
+  /** Bind `tokens(text)` once and build `f` over it: a one-element
+    * transform() whose lambda variable IS the let-binding. */
+  private def withToks(text: Column)(f: Column => Column): Column =
+    element_at(transform(array(tokens(text)), ws => f(ws)), 1)
 
   /** Characters that are neither lowercase alnum nor space (after
     * lowercasing) — punctuation-ish. */
@@ -30,7 +51,10 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "and", "of", "in", "to")
 
   def stopwordCount(text: Column): Column =
-    size(filter(tokens(text), w => w.isin(stopwords: _*)))
+    stopwordCountFrom(tokens(text))
+
+  def stopwordCountFrom(ws: Column): Column =
+    size(filter(ws, w => w.isin(stopwords: _*)))
 
   /** BPE-ish sub-token count: alpha runs, digit runs, and isolated
     * non-alnum-non-space marks each count as one token. */
@@ -40,10 +64,12 @@ object TextAnalysis {
   /** Deterministic quality score in [0,1]: length saturation, type/token
     * ratio, and stopword presence — integer-derived, so cross-engine
     * bit-stable. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val nTyp = typeCount(text).cast("double")
-    val nStop = stopwordCount(text).cast("double")
+  def qualityScore(text: Column): Column = withToks(text)(qualityScoreFrom)
+
+  def qualityScoreFrom(ws: Column): Column = {
+    val nTok = size(ws).cast("double")
+    val nTyp = typeCountFrom(ws).cast("double")
+    val nStop = stopwordCountFrom(ws).cast("double")
     val lenScore = least(lit(1.0), nTok / 100.0)
     val diversity = when(nTok > 0, nTyp / nTok).otherwise(0.0)
     val stopScore = least(lit(1.0), nStop / 5.0)
@@ -63,15 +89,23 @@ object TextAnalysis {
     * branch, so "first match wins" needs no accumulator comparison (a
     * forward fold compared `acc === "und"` on its first step, a
     * trivially-true predicate the analyzer warns about on every run). */
-  def langId(text: Column): Column = {
-    val ws = tokens(text)
-    val scores = langMarkers.map { case (lang, ms) =>
-      lang -> size(filter(ws, w => w.isin(ms: _*)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
-      when(sc === best && sc > 0, lit(lang)).otherwise(acc)
-    }
+  def langId(text: Column): Column = withToks(text)(langIdFrom)
+
+  def langIdFrom(ws: Column): Column = {
+    // bind the 4 marker counts once (an sc array) before the cascade:
+    // inlined, each count appears ~5x across best/cascade — 20
+    // interpreted filter() passes per row instead of 4
+    val scoreArr = array(langMarkers.map { case (_, ms) =>
+      size(filter(ws, w => w.isin(ms: _*)))
+    }: _*)
+    element_at(transform(array(scoreArr), sc => {
+      val best = array_max(sc)
+      langMarkers.zipWithIndex.reverse.foldLeft(lit("und")) {
+        case (acc, ((lang, _), i)) =>
+          when(element_at(sc, i + 1) === best && element_at(sc, i + 1) > 0,
+            lit(lang)).otherwise(acc)
+      }
+    }), 1)
   }
 
   /** Rolling-hash fingerprint over the lowercased text: fold of
@@ -267,16 +301,21 @@ object TextAnalysis {
   }
 
   /** Full stats projection over a documents table. */
-  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
-      col(idCol),
-      tokenCount(col(textCol)).as("n_tokens"),
-      typeCount(col(textCol)).as("n_types"),
-      length(col(textCol)).as("n_chars"),
-      punctCount(col(textCol)).as("n_punct"),
-      stopwordCount(col(textCol)).as("n_stop"),
-      bpeishTokenCount(col(textCol)).as("n_bpeish"),
-      qualityScore(col(textCol)).as("quality"),
-      langId(col(textCol)).as("pred_lang"),
-      fingerprint(textCol).as("fp"))
+  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // tokenize ONCE in a lower projection level (see the *From scaladoc)
+    val ws = col("__graft_toks")
+    docs
+      .select(col(idCol), col(textCol), tokens(col(textCol)).as("__graft_toks"))
+      .select(
+        col(idCol),
+        size(ws).as("n_tokens"),
+        typeCountFrom(ws).as("n_types"),
+        length(col(textCol)).as("n_chars"),
+        punctCount(col(textCol)).as("n_punct"),
+        stopwordCountFrom(ws).as("n_stop"),
+        bpeishTokenCount(col(textCol)).as("n_bpeish"),
+        qualityScoreFrom(ws).as("quality"),
+        langIdFrom(ws).as("pred_lang"),
+        fingerprint(textCol).as("fp"))
+  }
 }

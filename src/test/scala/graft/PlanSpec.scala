@@ -17,6 +17,22 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("text stats tokenizes once: single regexp pass bound in a lower projection") {
+    // tokenization is the expensive regex pass and Catalyst cannot CSE
+    // it across interpreted higher-order functions — TextAnalysis.stats
+    // binds it in a separate projection level that CollapseProject must
+    // KEEP (it does, because the producer is non-cheap and multiply
+    // referenced). If a future Spark version or refactor collapses it,
+    // every stats consumer re-tokenizes per stat (measured 5.2 s vs
+    // 0.9 s for lang+quality over sf1) and this gate fails.
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = graft.operators.TextAnalysis.stats(docs)
+      .select("doc_id", "pred_lang", "quality")
+      .queryExecution.optimizedPlan.toString
+    val regexCount = "regexp_extract_all".r.findAllIn(p).size
+    assert(regexCount == 1, s"expected ONE tokenization, found $regexCount:\n${p.take(2000)}")
+  }
+
   test("single-query knn plans as TakeOrderedAndProject (bounded heap, no shuffle sort)") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
