@@ -421,7 +421,15 @@ object Dedup {
                  broadcastThreshold: Long = 1000000L,
                  edgesPerPartition: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val p = checkpointed(pairs.select(col("d1"), col("d2")))
+    val sel = pairs.select(col("d1"), col("d2"))
+    // an already-persisted pair graph (e.g. the suite's shared dup-pair
+    // cache) needs no lineage cut here — the count, the union-find
+    // collect, and the iterative rounds all read the cached blocks;
+    // checkpointing it AGAIN would materialize a fresh copy on every
+    // call (one eager job per consumer per rep)
+    val p =
+      if (pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE) sel
+      else checkpointed(sel)
     if (p.count() <= broadcastThreshold) return componentsLocal(spark, p)
     componentsStars(p, maxIter, edgesPerPartition)
   }
