@@ -90,7 +90,12 @@ object Bench {
     // width — and with it the window and the rank-blocked candidate
     // join — stays bounded as volume grows); the fixed-k oracle variant
     // dedup_semantic is benched at sf0.1 with the rest of the suite
-    "dedup_semantic_scaled")
+    "dedup_semantic_scaled",
+    // r9 continued: DSIR importance selection (broadcast bucket-weight
+    // table + one corpus shingle pass — the histogram build and the
+    // scoring probe both scale with volume) and dedup-on-ingest (the
+    // per-trigger store-probe anti-join's cost is volume-dependent)
+    "text_dsir", "ingest_dedup")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

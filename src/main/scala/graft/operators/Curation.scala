@@ -155,6 +155,61 @@ object Curation {
       .select(col(idCol), col(domainCol))
   }
 
+  /**
+   * DSIR-style data selection (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling", arXiv:2302.03169):
+   * rank raw-corpus documents by how much their hashed n-gram
+   * distribution looks like a TARGET domain sample, then keep the top
+   * `k`. Features are the word-bigram shingle codes shared with the
+   * dedup family ([[Dedup.shingleOccurrences]] — occurrences, not the
+   * distinct set: DSIR is a bag-of-ngrams model), hashed into `buckets`
+   * buckets by `code % buckets`.
+   *
+   * Scoring is the exact-arithmetic monotone stand-in for the paper's
+   * log-likelihood ratio (the same discipline as [[TextAnalysis.lmScore]]
+   * vs log-perplexity and keywords' integer idf — no ln, no float,
+   * cross-engine bit-stable): each bucket carries the add-one-smoothed
+   * frequency ratio `w_b = (c_target_b + 1) * 1e6 div (c_raw_b + 1)`,
+   * and a document's score is the MEAN bucket weight over its shingle
+   * positions (`sum(w_b) div n_shingles` — length-normalized, so long
+   * boilerplate cannot outscore a short on-domain doc). Docs with < 2
+   * tokens have no shingles and never surface, mirroring the paper's
+   * featureless-document drop. Returns the top `k` as
+   * (doc_id, n_sh, score_pm), score desc / id asc.
+   *
+   * Scale shape (100 TB): the target sample is small by definition and
+   * its bucket histogram is AT MOST `buckets` rows; the raw histogram is
+   * the same size after one map-side-combinable corpus aggregate. The
+   * weight table therefore BROADCASTS at any corpus size, scoring is a
+   * stateless hash-probe projection over the corpus shingle stream plus
+   * one partial-agg groupBy(doc_id), and the final top-k is
+   * TakeOrderedAndProject — no corpus-sized shuffle of anything but the
+   * (doc_id, partial-sum) rows, no second corpus pass beyond the
+   * histogram build.
+   */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, buckets: Int = 256,
+                 k: Int = 100, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && k > 0,
+      s"graft: need positive buckets/k (got $buckets, $k)")
+    val rOcc = Dedup.shingleOccurrences(corpus, idCol, textCol)
+      .select(col("doc_id"), (col("code") % buckets).as("b"))
+    val tC = Dedup.shingleOccurrences(target, idCol, textCol)
+      .select((col("code") % buckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val rC = rOcc.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val w = rC.join(tC, Seq("b"), "left")
+      .select(col("b"),
+        expr("(coalesce(c_t, 0L) + 1L) * 1000000L div (c_r + 1L)").as("w_pm"))
+    rOcc.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), sum(col("w_pm")).as("w_sum"))
+      .select(col("doc_id"), col("n_sh"),
+        expr("w_sum div n_sh").as("score_pm"))
+      .orderBy(desc("score_pm"), asc("doc_id"))
+      .limit(k)
+  }
+
   def tokenBudgetSharded(docs: DataFrame, budgetPerLang: Long = 2000L,
                          shards: Int = 16): DataFrame = {
     require(shards >= 1 && budgetPerLang >= shards,

@@ -536,6 +536,73 @@ class VectorStore(spark: SparkSession, val root: String,
       .start()
 
   /**
+   * Content-deduplicating append: drop rows whose `content` already
+   * exists in the store or earlier in the same batch, then insert the
+   * survivors. Within a batch the survivor is the MIN-`id` row of each
+   * content group (deterministic when the caller supplies ids; with
+   * auto-assigned uuids the survivor is arbitrary among identical
+   * contents — fine when dup rows are identical, documented otherwise);
+   * across batches the FIRST batch to carry a content wins (streaming
+   * causality — a later, smaller id cannot retroactively replace an
+   * already-committed row).
+   *
+   * Scale shape (100 TB): the store is NEVER shuffled. The
+   * already-present probe broadcasts the batch's distinct contents into
+   * a LEFT SEMI scan of the store (column-pruned to `content`), and the
+   * resulting dup set — at most batch-sized — broadcasts back into the
+   * batch-side anti join. Per-trigger cost is one narrow store column
+   * scan; a production deployment amortizes that with a content-hash
+   * partition index (the same manifest machinery as tag_key), which
+   * turns the probe into a pruned scan of the colliding partitions.
+   */
+  def insertDedup(df: DataFrame, quantize: Boolean = false): Unit =
+    withWriterLock() {
+      require(df.columns.contains("content"),
+        "graft: insertDedup needs a content column to dedup on")
+      val inBatch =
+        if (df.columns.contains("id")) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("content")).orderBy(col("id"))
+          df.withColumn("__graft_rn", row_number().over(w))
+            .where(col("__graft_rn") === 1).drop("__graft_rn")
+        } else df.dropDuplicates("content")
+      val fresh =
+        if (exists) {
+          val dupContents = table()
+            .join(broadcast(inBatch.select("content").distinct()),
+              Seq("content"), "left_semi")
+            .select("content").distinct()
+          inBatch.join(broadcast(dupContents), Seq("content"), "left_anti")
+        } else inBatch
+      if (!fresh.isEmpty) insertLocked(fresh, quantize)
+    }
+
+  /**
+   * Dedup-on-ingest: [[insertStream]] with exact content deduplication
+   * at the micro-batch boundary — the streaming form of the exact-dedup
+   * family (each trigger runs [[insertDedup]], so the store only ever
+   * accumulates first-seen contents). Delivery stays at-least-once at
+   * micro-batch granularity, but unlike plain insertStream a REPLAYED
+   * batch is idempotent by construction: its contents are already in
+   * the store, so the anti join drops every row. No streaming
+   * aggregation state anywhere — the store itself is the dedup state,
+   * which is what makes the operator restart-safe without watermarks
+   * (Spark's own streaming dropDuplicates keeps unbounded key state in
+   * the state store; here the committed manifest IS that state).
+   */
+  def insertStreamDedup(stream: DataFrame, quantize: Boolean = false,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                        checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => insertDedup(batch, quantize))
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(s"$root/_checkpoints/ingest_dedup"))
+      .trigger(trigger)
+      .start()
+
+  /**
    * The ingest twin's QUERY-side counterpart: serve a STREAM of query
    * vectors (`qid` BIGINT, `qvec` ARRAY<FLOAT>) against this store —
    * the store as a Structured Streaming retrieval layer. Each

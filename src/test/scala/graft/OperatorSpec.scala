@@ -224,6 +224,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(anyLang.map(_._2).size > 1, s"expected >1 language at quality 0.3: $anyLang")
   }
 
+  test("DSIR selection ranks on-domain docs first, length-normalized, featureless dropped") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val target = Seq(
+      (0L, "alpha beta alpha beta alpha beta"),
+      (1L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta alpha beta"),             // fully on-domain
+      (11L, "alpha beta zulu xray zulu xray"),    // mixed
+      (12L, "zulu xray yankee zulu xray yankee"), // off-domain
+      (13L, "single")                             // < 2 tokens: no features
+    ).toDF("doc_id", "text")
+    val out = Curation.dsirSelect(corpus, target, buckets = 256, k = 10).collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids.head == 10L, s"on-domain doc should rank first: $ids")
+    assert(!ids.contains(13L), "featureless doc must not surface")
+    val scores = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(10L) > scores(11L) && scores(11L) > scores(12L),
+      s"scores not monotone with on-domain fraction: $scores")
+    // k truncates deterministically (score desc, id asc)
+    val top2 = Curation.dsirSelect(corpus, target, buckets = 256, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == ids.take(2))
+  }
+
   test("chunking covers every token exactly; no chunk is a subset of its predecessor") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -306,6 +306,44 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("insertStreamDedup: min-id survivor within a batch, first arrival wins across batches") {
+    import org.apache.spark.sql.types._
+    val store = freshStore()
+    val src = Files.createTempDirectory("graft-ingest-dedup").toString
+    def deliver(rows: Seq[(String, Array[Float], String, Seq[String])]): Unit =
+      df(rows).coalesce(1).write.mode("append").parquet(src)
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType, containsNull = true)),
+      StructField("content", StringType),
+      StructField("tags", ArrayType(StringType, containsNull = true))))
+    def drain(): Unit = store.insertStreamDedup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)).awaitTermination()
+    // batch 1: "dup" arrives twice in one batch — min id z5 survives
+    deliver(Seq(
+      ("z9", Array(1f, 0f), "dup", Seq("live")),
+      ("z5", Array(1f, 0f), "dup", Seq("live")),
+      ("a1", Array(0f, 1f), "uniq", Seq("live"))))
+    Thread.sleep(1100) // distinct file mtimes => deterministic batch order
+    // batch 2: a SMALLER id for "dup" arrives later — streaming
+    // causality: the committed z5 row must not be replaced
+    deliver(Seq(
+      ("a0", Array(1f, 1f), "dup", Seq("live")),
+      ("b2", Array(0f, 1f), "fresh", Seq("live"))))
+    drain()
+    val got = store.table().select("id", "content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("z5", "dup"), ("a1", "uniq"), ("b2", "fresh")), s"got $got")
+    // replayed content is idempotent: a later file re-carrying "dup"
+    // adds nothing (same checkpoint — only the new file is processed)
+    Thread.sleep(1100)
+    deliver(Seq(("c0", Array(1f, 0f), "dup", Seq("live"))))
+    drain()
+    assert(store.table().count() == 3)
+    store.clear()
+  }
+
   test("null tags normalize to the empty tag set (no null tag_key ever written)") {
     val store = freshStore()
     store.insert(Seq(("n1", Array(1f, 0f), "nx"))
