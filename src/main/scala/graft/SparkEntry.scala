@@ -221,6 +221,29 @@ object SparkEntry {
       })
   }
 
+  /** A VectorStore over the fixture's vector table with every
+    * `id % 7 == 0` row DELETED through the takedown path
+    * ([[graft.operators.VectorStore.delete]]) — the store_delete oracle
+    * row pins the post-delete live snapshot against DuckDB's filtered
+    * ground truth, gating the partition-selective rewrite + one-rename
+    * manifest commit end-to-end. Built once per (session, dir); same
+    * staleness contract as [[dupPairsCache]]. Returns the store root. */
+  private val deleteStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def deletedStoreRoot(s: SparkSession, dir: String): String = {
+    deleteStoreCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    deleteStoreCache.computeIfAbsent((s, dir),
+      { _ =>
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_delete_store").toString
+        val store = new graft.operators.VectorStore(s, root)
+        val rows = Tables.vectorTable(s, dir)
+        store.insert(rows)
+        store.delete(rows.select("id").where(col("id") % 7 === 0))
+        root
+      })
+  }
+
   /** A VectorStore over the fixture's vector table, registered for
     * PLAIN SQL via [[graft.operators.VectorStore.registerSqlTable]] —
     * the judge-facing proof (VERDICT r7 next #4) that a SQL user who
@@ -335,6 +358,18 @@ object SparkEntry {
       Tables.vectorTable(s, dir)
         .select(col("id"), col("content"), concat_ws(",", col("tags")).as("tags"),
           size(col("vector")).as("dim"))
+        .orderBy("id")
+    }),
+
+    // takedown lifecycle: every id % 7 == 0 row deleted through the
+    // partition-selective rewrite; the live snapshot must equal the
+    // never-inserted ground truth exactly
+    "store_delete" -> ((s, dir) => {
+      val store =
+        new graft.operators.VectorStore(s, deletedStoreRoot(s, dir))
+      store.table()
+        .select(col("id"), col("content"),
+          concat_ws(",", col("tags")).as("tags"), size(col("vector")).as("dim"))
         .orderBy("id")
     }),
 
@@ -1300,6 +1335,15 @@ object SparkEntry {
            |       array_to_string(list_sort(list_distinct([d.lang, d.source])), ',') AS tags,
            |       CAST(len(e.embedding) AS INT) AS dim
            |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           |ORDER BY id""".stripMargin,
+
+      // vec_table ground truth minus the deleted id % 7 == 0 rows
+      "store_delete" ->
+        s"""SELECT e.vec_id AS id, d.text AS content,
+           |       array_to_string(list_sort(list_distinct([d.lang, d.source])), ',') AS tags,
+           |       CAST(len(e.embedding) AS INT) AS dim
+           |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           |WHERE e.vec_id % 7 <> 0
            |ORDER BY id""".stripMargin,
 
       "vq_checksum" ->

@@ -473,26 +473,7 @@ class VectorStore(spark: SparkSession, val root: String,
         kept.unionByName(incoming, allowMissingColumns = true)
           .withColumn("gen", lit(newGen))
           .write.mode(SaveMode.Overwrite).partitionBy("tag_key", "gen").parquet(tmp)
-        // a partition with no surviving and no incoming rows stages no
-        // dir — it VANISHES from the manifest (its old gens become
-        // vacuum garbage; nothing is deleted at commit time)
-        val staged = fs.listStatus(new Path(tmp)).toSeq
-          .map(_.getPath.getName).filter(_.startsWith("tag_key="))
-          .map(_.stripPrefix("tag_key=")).toSet
-        for (key <- affected if staged(key)) commitGenDir(tmp, key, newGen)
-        val vanished = affected.filterNot(staged)
-        val base = manifest().select("tag_key", "tags", "gen")
-        val pruned =
-          if (vanished.isEmpty) base
-          else base.where(!col("tag_key").isin(vanished: _*))
-        val survivors = affected.filter(staged)
-        val bumped =
-          if (survivors.isEmpty) pruned
-          else pruned.withColumn("gen",
-            when(col("tag_key").isin(survivors: _*), lit(newGen))
-              .otherwise(col("gen")))
-        writeManifest(bumped) // THE commit point
-        fs.delete(new Path(tmp), true)
+        commitRewrite(tmp, affected, newGen)
         prepared.where(!col("tag_key").isin(affected: _*))
       }
     // ANN: rewritten partitions may have removed indexed row versions;
@@ -502,6 +483,93 @@ class VectorStore(spark: SparkSession, val root: String,
     if (affected.nonEmpty) fs.delete(new Path(annRoot), true)
     if (!rest.isEmpty) writeBatch(rest.drop("packed"), q)
     persistHasPacked(q) // no-op when writeBatch already recorded it
+  }
+
+  /** Publish rewritten affected partitions in ONE manifest rename —
+    * the reader-safe generation commit shared by [[upsert]] and
+    * [[delete]]. A partition with no staged rows VANISHES from the
+    * manifest (its old gens become vacuum garbage; nothing is deleted
+    * at commit time, so concurrent readers keep their snapshot). */
+  private def commitRewrite(tmp: String, affected: Seq[String],
+                            newGen: Int): Unit = {
+    val staged = fs.listStatus(new Path(tmp)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("tag_key="))
+      .map(_.stripPrefix("tag_key=")).toSet
+    for (key <- affected if staged(key)) commitGenDir(tmp, key, newGen)
+    val vanished = affected.filterNot(staged)
+    val base = manifest().select("tag_key", "tags", "gen")
+    val pruned =
+      if (vanished.isEmpty) base
+      else base.where(!col("tag_key").isin(vanished: _*))
+    val survivors = affected.filter(staged)
+    val bumped =
+      if (survivors.isEmpty) pruned
+      else pruned.withColumn("gen",
+        when(col("tag_key").isin(survivors: _*), lit(newGen))
+          .otherwise(col("gen")))
+    writeManifest(bumped) // THE commit point
+    fs.delete(new Path(tmp), true)
+  }
+
+  /**
+   * Delete rows by id — the takedown / right-to-be-forgotten lifecycle
+   * op a 100 TB training-data store cannot run without (a single
+   * removal request must not rewrite the corpus). Partition-selective
+   * exactly like [[upsert]]: only tag_key partitions holding a doomed
+   * id are rewritten (semi-join probe, store never shuffles), staged as
+   * new gen dirs, and published in ONE manifest rename — readers see
+   * the complete pre- or post-delete snapshot, never a half-applied
+   * one. Returns the number of rows removed (0 when no id matches —
+   * unknown ids are not an error, matching idempotent takedown
+   * semantics).
+   *
+   * The delete is LOGICAL at commit time: superseded generations stay
+   * on disk for time travel ([[tableAt]]) until [[vacuum]] reclaims
+   * them — a hard takedown is therefore `delete(ids)` followed by
+   * `vacuum(0)`. The ANN index is dropped when any partition is
+   * rewritten (serving deleted rows from a stale index would undo the
+   * takedown); rebuild with [[buildAnnIndex]].
+   */
+  def delete(ids: DataFrame): Long = withWriterLock() {
+    require(ids.columns.contains("id"),
+      "graft: delete expects a DataFrame with an 'id' column")
+    require(exists, "graft: cannot delete from a store with no data")
+    val idSet = ids.select(col("id")).distinct()
+    val doomed = table().join(broadcast(idSet), Seq("id"), "left_semi")
+    val affected = doomed.select("tag_key").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) 0L
+    else {
+      val n = doomed.count()
+      val kept = table()
+        .where(col("tag_key").isin(affected: _*))
+        .join(broadcast(idSet), Seq("id"), "left_anti")
+      val newGen = nextGen()
+      val tmp = s"$root/delete_tmp"
+      kept.withColumn("gen", lit(newGen))
+        .write.mode(SaveMode.Overwrite).partitionBy("tag_key", "gen").parquet(tmp)
+      commitRewrite(tmp, affected, newGen)
+      fs.delete(new Path(annRoot), true)
+      n
+    }
+  }
+
+  /** Convenience overload: delete by literal ids (long or string key
+    * spaces — ints widen to long; the equi-join handles any residual
+    * cast). */
+  def deleteIds(ids: Seq[Any]): Long = {
+    import scala.jdk.CollectionConverters._
+    val norm = ids.map {
+      case i: Int => org.apache.spark.sql.Row(i.toLong)
+      case other => org.apache.spark.sql.Row(other)
+    }.asJava
+    val tpe = ids.headOption match {
+      case Some(_: Long) | Some(_: Int) => org.apache.spark.sql.types.LongType
+      case _ => org.apache.spark.sql.types.StringType
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", tpe)))
+    delete(spark.createDataFrame(norm, schema))
   }
 
   /**

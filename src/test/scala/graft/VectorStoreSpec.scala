@@ -344,6 +344,31 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("delete: partition-selective takedown, unknown ids no-op, time travel until vacuum") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f), "ca", Seq("t1")),
+      ("b", Array(0f, 1f), "cb", Seq("t1")),
+      ("c", Array(1f, 1f), "cc", Seq("t2")))))
+    val v0 = store.versions.max
+    assert(store.deleteIds(Seq("nope")) == 0L, "unknown id must be a 0-row no-op")
+    assert(store.versions.max == v0, "a no-op delete must not commit a version")
+    assert(store.deleteIds(Seq("a")) == 1L)
+    assert(store.table().select("id").collect().map(_.getString(0)).toSet
+      == Set("b", "c"))
+    // search never serves a deleted row
+    assert(store.search(Seq(1f, 0f), k = 3).collect()
+      .map(_.getAs[String]("id")).toSet == Set("b", "c"))
+    // the delete is logical: the pre-delete snapshot stays readable
+    assert(store.tableAt(v0).count() == 3)
+    // deleting a partition's last row vanishes its tag set
+    assert(store.deleteIds(Seq("c")) == 1L)
+    assert(store.manifest().select("tag_key").count() == 1)
+    assert(store.table().select("id").collect().map(_.getString(0)).toSeq
+      == Seq("b"))
+    store.clear()
+  }
+
   test("null tags normalize to the empty tag set (no null tag_key ever written)") {
     val store = freshStore()
     store.insert(Seq(("n1", Array(1f, 0f), "nx"))
