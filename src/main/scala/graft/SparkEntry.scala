@@ -629,6 +629,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style rule-based quality filter: per-rule integer
+    // measurements + composite verdict (thresholds adapted to
+    // fixture-scale docs: the paper's 50-word floor assumes web pages)
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.load(s, dir, "documents"),
+        minWords = 20, minStopHits = 1).orderBy("doc_id")),
+
     // DSIR importance resampling: docs 0-24 stand in for the target
     // domain sample, the rest is the raw corpus; top-100 by hashed
     // bucket-ratio score (broadcast weight table, one corpus pass)
@@ -1586,6 +1593,28 @@ object SparkEntry {
            |FROM corp JOIN bm USING (code)
            |GROUP BY doc_id HAVING count(*) >= 1
            |ORDER BY doc_id""".stripMargin,
+
+      // Gopher rules mirror: mean word length x100, alphabetic-word
+      // fraction permille, distinct stop-word hits — all integer div
+      "text_gopher" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(ws) AS BIGINT) AS n_words,
+           |  CAST(len(array_to_string(ws, '')) AS BIGINT) AS n_tok_chars,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+           |  CAST(len(list_intersect(list_distinct(ws),
+           |    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+           |  FROM t)
+           |SELECT doc_id, n_words,
+           |  CAST(CASE WHEN n_words > 0 THEN n_tok_chars * 100 // n_words ELSE 0 END AS BIGINT) AS mean_wlen_c,
+           |  CAST(CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words ELSE 0 END AS BIGINT) AS alpha_pm,
+           |  stop_hits,
+           |  CAST(CASE WHEN n_words >= 20 AND n_words <= 100000
+           |    AND (CASE WHEN n_words > 0 THEN n_tok_chars * 100 // n_words ELSE 0 END) BETWEEN 300 AND 1000
+           |    AND (CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words ELSE 0 END) >= 800
+           |    AND stop_hits >= 1 THEN 1 ELSE 0 END AS INT) AS passes
+           |FROM m ORDER BY doc_id""".stripMargin,
 
       // DSIR stand-in score: add-one-smoothed target/raw bucket-count
       // ratio (x1e6, integer div), mean over the doc's shingle stream

@@ -300,6 +300,58 @@ object TextAnalysis {
         expr("s_sum div n_bi").as("rarity_pm"))
   }
 
+  /** The Gopher stop-word list (Rae et al. 2021, Appendix A.1.1): a doc
+    * passes the stop-word rule when at least `minStopHits` DISTINCT
+    * members appear. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style rule-based quality filter (Rae et al. 2021, "Scaling
+   * Language Models: ... Gopher", Appendix A.1.1 — the published
+   * heuristic family MassiveWeb was cleaned with; C4/RefinedWeb use
+   * close variants): word-count bounds, mean-word-length band,
+   * minimum alphabetic-word fraction, and the stop-word test. Emits the
+   * per-rule measurements plus the composite verdict so a pipeline can
+   * audit WHICH rule rejected a doc (the published filters are applied
+   * as a cascade; debugging one needs the per-rule columns).
+   *
+   * All measurements are integers (mean word length x100, alphabetic
+   * fraction permille — both integer division), so results are
+   * cross-engine bit-stable. Thresholds are parameters because the
+   * paper's bounds (50..100k words) assume web pages; fixture-scale
+   * docs need smaller floors.
+   *
+   * Plan shape: a stateless projection over the corpus scan that
+   * tokenizes ONCE per row (the [[stats]] binding discipline) — no
+   * shuffle, linear at 100 TB.
+   */
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLenC: Int = 300, maxMeanLenC: Int = 1000,
+                  minAlphaPm: Int = 800, minStopHits: Int = 2,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = col("__graft_toks")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__graft_toks"))
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        length(array_join(ws, "")).cast("long").as("n_tok_chars"),
+        size(filter(ws, w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(ws),
+          array(gopherStopwords.map(lit): _*))).cast("long").as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        expr("CASE WHEN n_words > 0 THEN n_tok_chars * 100 div n_words ELSE 0 END")
+          .as("mean_wlen_c"),
+        expr("CASE WHEN n_words > 0 THEN n_alpha * 1000 div n_words ELSE 0 END")
+          .as("alpha_pm"),
+        col("stop_hits"))
+      .withColumn("passes",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_wlen_c") >= minMeanLenC && col("mean_wlen_c") <= maxMeanLenC &&
+          col("alpha_pm") >= minAlphaPm &&
+          col("stop_hits") >= minStopHits).cast("int"))
+  }
+
   /** Full stats projection over a documents table. */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // tokenize ONCE in a lower projection level (see the *From scaladoc)

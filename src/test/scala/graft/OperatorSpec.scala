@@ -224,6 +224,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(anyLang.map(_._2).size > 1, s"expected >1 language at quality 0.3: $anyLang")
   }
 
+  test("Gopher rules: each rule rejects independently; verdict composes") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs near rivers daily"),
+      (2L, "a b"),                             // word-count floor
+      (3L, "1 2 3 4 5 6"),                     // no alphabetic words
+      (4L, ("supercalifragilistic " * 6).trim) // mean word length too long
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 5, minStopHits = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("passes") == 1)
+    assert(out(2L).getAs[Int]("passes") == 0)
+    assert(out(3L).getAs[Int]("passes") == 0 && out(3L).getAs[Long]("alpha_pm") == 0L)
+    assert(out(4L).getAs[Int]("passes") == 0 && out(4L).getAs[Long]("mean_wlen_c") > 1000L)
+  }
+
   test("DSIR selection ranks on-domain docs first, length-normalized, featureless dropped") {
     import spark.implicits._
     import graft.operators.Curation
