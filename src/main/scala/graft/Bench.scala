@@ -102,7 +102,12 @@ object Bench {
     * forked-cold 19.46 s for pipeline_curate vs r6's in-JVM 8.07 s is
     * codegen warmup by construction — prove it mechanically per round
     * instead of re-litigating). */
-  private val steadySf1 = Seq("pipeline_curate")
+  private val steadySf1 = Seq("pipeline_curate",
+    // r9 continued: the two queries whose r9 sf1 warm medians ran well
+    // above their QueryLoop steady states (8.1 s vs ~2.5, 7.9 s vs
+    // ~4.1) — record steady per round so warm-pass outliers are
+    // attributable to run-order/codegen effects, not plan regressions
+    "text_bm25", "q3_top_revenue")
   private val SteadyReps = 5
 
   // dedup_jaccard / dedup_embedding are the O(n^2) exact-verification

@@ -26,7 +26,9 @@ object GraftFunctions {
       "graft_hash_counts" -> (e => HashEmbedCounts(e(0), e(1))),
       "graft_hash_embed" -> (e => HashEmbed(e(0), e(1))),
       "graft_cosine_f32" -> (e => CosineSimilarityF32(e(0), e(1))),
-      "graft_euclidean_f32" -> (e => EuclideanDistanceF32(e(0), e(1)))
+      "graft_euclidean_f32" -> (e => EuclideanDistanceF32(e(0), e(1))),
+      "graft_shingle_codes" -> (e => ShingleBigramCodes(e(0))),
+      "graft_ngram_codes" -> (e => WordNgramCodes(e(0), e(1)))
     )
 
   /** Register all graft functions + optimizer rules on the session

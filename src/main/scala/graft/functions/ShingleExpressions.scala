@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass word-shingle kernels for the dedup/text family
+ * (MinHash/SimHash/Jaccard shingles, n-gram decontamination and
+ * substring-dup codes, DSIR features, LM scoring).
+ *
+ * Why an expression and not Column composition: the original
+ * `transform(ws, w -> wcode(w))` form runs through Spark's
+ * higher-order-function interpreter — per word it evaluates an
+ * expression TREE of rpad + 4x(ascii∘substring), each allocating
+ * intermediate UTF8Strings. Measured at sf1 (2.7M tokens): 4.2 s for
+ * the shingle stream vs 0.7 s for the bare tokenizer — the wcode
+ * interpretation dominated every shingle-family cold path. These
+ * kernels tokenize and pack in ONE compiled pass per row (the
+ * HashEmbedKernel lesson, VERDICT r1) and run inside whole-stage
+ * codegen. Values are bit-identical to the Column form (same regex,
+ * same charAt/space-pad arithmetic — `UTF8String.toLowerCase` is
+ * Spark's own `lower()`), so every oracle hash in the family is
+ * unchanged; the full parity drive gates that.
+ */
+object ShingleKernel {
+  private val TokenRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  /** Word code: first 4 chars (space-padded) packed base-128 —
+    * identical to Dedup.wcode / OracleSql.wcode / HashEmbedKernel. */
+  private def wcode(w: String): Long = {
+    @inline def ch(i: Int): Long = if (i < w.length) w.charAt(i).toLong else 32L
+    ch(0) * 2097152L + ch(1) * 16384L + ch(2) * 128L + ch(3)
+  }
+
+  private def wcodes(text: UTF8String): Array[Long] = {
+    val s = text.toLowerCase.toString
+    val m = TokenRe.matcher(s)
+    val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+    buf.sizeHint(64)
+    while (m.find()) buf += wcode(m.group())
+    buf.result()
+  }
+
+  /** Word-bigram shingle codes, one per position in order
+    * (wc_i * 2^28 + wc_{i+1}); empty below 2 tokens. */
+  def bigramCodes(text: UTF8String): ArrayData = {
+    val wc = wcodes(text)
+    if (wc.length < 2) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](wc.length - 1)
+      var i = 0
+      while (i < out.length) { out(i) = wc(i) * 268435456L + wc(i + 1); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Rolling-hash word n-gram codes, one per window position
+    * (fold (acc*131 + wc) mod p — mirror of OracleSql.ngramCte);
+    * empty below n tokens. */
+  def ngramCodes(text: UTF8String, n: Int, p: Long): ArrayData = {
+    val wc = wcodes(text)
+    if (wc.length < n) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](wc.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        var acc = 0L
+        var j = 0
+        while (j < n) { acc = (acc * 131L + wc(i + j)) % p; j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** graft_shingle_codes(text) -> ARRAY<LONG> word-bigram shingle codes
+  * (occurrences, positional order). */
+case class ShingleBigramCodes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got $t")
+  }
+
+  protected override def nullSafeEval(t: Any): Any =
+    ShingleKernel.bigramCodes(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleKernel.bigramCodes($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_ngram_codes(text, n) -> ARRAY<LONG> rolling-hash word n-gram
+  * codes (occurrences, positional order; mod OracleSql.FingerprintP). */
+case class WordNgramCodes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, int literal n), got ($l, $r)")
+    }
+
+  protected override def nullSafeEval(t: Any, n: Any): Any =
+    ShingleKernel.ngramCodes(t.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int], graft.OracleSql.FingerprintP)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.ShingleKernel.ngramCodes($t, $n, " +
+        s"${graft.OracleSql.FingerprintP}L);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

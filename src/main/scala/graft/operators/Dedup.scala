@@ -56,32 +56,23 @@ object Dedup {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  /** Word code: first 4 chars (space-padded) packed base-128. */
-  def wcode(w: Column): Column = {
-    val p = rpad(w, 4, " ")
-    ascii(substring(p, 1, 1)).cast("long") * 2097152L +
-      ascii(substring(p, 2, 1)).cast("long") * 16384L +
-      ascii(substring(p, 3, 1)).cast("long") * 128L +
-      ascii(substring(p, 4, 1)).cast("long")
-  }
-
   /** (doc_id, code) word-bigram shingle OCCURRENCES (one row per
-    * position — repetition analysis needs the multiplicities). The
-    * per-word code array materializes ONCE per doc before the window
-    * transform — the windowed form would re-run wcode's string ops per
-    * overlapping window (the r1 HOF re-eval lesson; values are
-    * identical either way, so the oracle is unaffected). */
+    * position — repetition analysis needs the multiplicities). Codes
+    * come from the codegen'd [[graft.functions.ShingleKernel]] (one
+    * compiled tokenize+pack pass per row); the Column-form equivalent
+    * (tokens -> per-word rpad/ascii pack -> windowed pairing) is pinned
+    * as a KernelSpec equivalence test and mirrored by
+    * OracleSql.shingleOccCte. */
   def shingleOccurrences(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    val ws = tokens(col(textCol))
-    docs
-      .select(col(idCol).as("doc_id"), ws.as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(col("doc_id"), transform(col("ws"), w => wcode(w)).as("wcs"))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("wcs")) - 1),
-          i => element_at(col("wcs"), i) * 268435456L +
-            element_at(col("wcs"), i + 1))).as("code"))
+    // codegen'd single-pass kernel (tokenize + pack in one compiled
+    // loop — see ShingleKernel: the interpreted HOF form cost 4.2 s vs
+    // 0.7 s at sf1 and dominated every shingle-family cold path);
+    // values bit-identical to the Column form, parity-gated. explode
+    // of the empty array preserves the old `size(ws) >= 2` row filter.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      explode(call_function("graft_shingle_codes", col(textCol))).as("code"))
   }
 
   /** (doc_id, code) DISTINCT word-bigram shingles (set semantics — the
@@ -100,17 +91,11 @@ object Dedup {
   def ngramCodes(docs: DataFrame, n: Int,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, "graft: n-gram width must be >= 1")
-    val ws = tokens(col(textCol))
-    docs
-      .select(col(idCol).as("doc_id"), ws.as("ws"))
-      .where(size(col("ws")) >= n)
-      // word codes materialize once per doc (see shingles)
-      .select(col("doc_id"), transform(col("ws"), w => wcode(w)).as("wcs"))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("wcs")) - (n - 1)),
-          i => (0 until n).foldLeft(lit(0L): Column) { (acc, j) =>
-            (acc * 131L + element_at(col("wcs"), i + lit(j))) % FingerprintP
-          })).as("code"))
+    // codegen'd single-pass kernel (see shingleOccurrences)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      explode(call_function("graft_ngram_codes",
+        col(textCol), lit(n))).as("code"))
       .distinct()
   }
 

@@ -16,6 +16,50 @@ class KernelSpec extends AnyFunSuite {
   private def evalD(c: org.apache.spark.sql.Column): Double =
     spark.range(1).select(c.as("v")).head().getDouble(0)
 
+  test("shingle kernel == Column-form shingling (bigram pack + rolling-hash n-grams)") {
+    import graft.operators.Dedup
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "a bb ccc dddd eeeee ff0 9 x"), // 1-5 char words, digits
+      (2L, "one two"),                     // exactly 2 tokens
+      (3L, "single"),                      // below the bigram floor
+      (4L, ""),                            // no tokens
+      (5L, "The QUICK the quick-the")      // case folding + punctuation split
+    ).toDF("doc_id", "text")
+    // the retired Column form, reconstructed inline as the spec
+    def wcodeCol(w: org.apache.spark.sql.Column) = {
+      val p = rpad(w, 4, " ")
+      ascii(substring(p, 1, 1)).cast("long") * 2097152L +
+        ascii(substring(p, 2, 1)).cast("long") * 16384L +
+        ascii(substring(p, 3, 1)).cast("long") * 128L +
+        ascii(substring(p, 4, 1)).cast("long")
+    }
+    val ws = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val legacyBi = docs.select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), transform(col("ws"), w => wcodeCol(w)).as("wcs"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("wcs")) - 1),
+          i => element_at(col("wcs"), i) * 268435456L +
+            element_at(col("wcs"), i + 1))).as("code"))
+    assert(pairs(Dedup.shingleOccurrences(docs)) == pairs(legacyBi))
+    val n = 3
+    val legacyN = docs.select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), transform(col("ws"), w => wcodeCol(w)).as("wcs"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("wcs")) - (n - 1)),
+          i => (0 until n).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+            (acc, j) => (acc * 131L + element_at(col("wcs"), i + lit(j))) %
+              graft.OracleSql.FingerprintP
+          })).as("code"))
+      .distinct()
+    assert(pairs(Dedup.ngramCodes(docs, n)) == pairs(legacyN))
+    assert(pairs(Dedup.shingleOccurrences(docs)).nonEmpty)
+  }
+
   test("cosine golden values (reference src/similarity.rs:45-85)") {
     assert(math.abs(evalD(cosine(vec(1, 2, 3), vec(3, 2, 1))) - 0.7142857) < 1e-3)
     assert(math.abs(evalD(cosine(vec(1, 2, 3), vec(1, 2, 3))) - 1.0) < 1e-6)
