@@ -479,8 +479,16 @@ class VectorStore(spark: SparkSession, val root: String,
     // ANN: rewritten partitions may have removed indexed row versions;
     // serving resurrected content would break last-write-wins. Drop the
     // index (stale-by-missing-new-rows is the documented contract for
-    // appends; resurrected overwrites are not).
-    if (affected.nonEmpty) fs.delete(new Path(annRoot), true)
+    // appends; resurrected overwrites are not). The dup graph drops
+    // too: overwritten ids may have NEW vectors, so their committed
+    // pairs are invalid in both directions AND new pairs may be
+    // missing — unlike delete (where surviving pairs stay valid and
+    // the graph is pruned), no filter can repair an overwrite; rebuild
+    // with buildDupGraph.
+    if (affected.nonEmpty) {
+      fs.delete(new Path(annRoot), true)
+      fs.delete(new Path(dupRoot), true)
+    }
     if (!rest.isEmpty) writeBatch(rest.drop("packed"), q)
     persistHasPacked(q) // no-op when writeBatch already recorded it
   }
@@ -528,7 +536,13 @@ class VectorStore(spark: SparkSession, val root: String,
    * them — a hard takedown is therefore `delete(ids)` followed by
    * `vacuum(0)`. The ANN index is dropped when any partition is
    * rewritten (serving deleted rows from a stale index would undo the
-   * takedown); rebuild with [[buildAnnIndex]].
+   * takedown); rebuild with [[buildAnnIndex]]. The committed dup graph
+   * is PRUNED instead: pairs between surviving rows stay valid (their
+   * vectors did not change), so a new `dup/v<k+1>` without any
+   * doomed-id pair commits alongside — [[nearDups]]/[[dupComponents]]
+   * can never serve a deleted id. (A crash between the two commits
+   * leaves the old graph current; its `_meta.json` lineage lacks the
+   * `deleted_ids` record, making the staleness detectable.)
    */
   def delete(ids: DataFrame): Long = withWriterLock() {
     require(ids.columns.contains("id"),
@@ -550,6 +564,60 @@ class VectorStore(spark: SparkSession, val root: String,
         .write.mode(SaveMode.Overwrite).partitionBy("tag_key", "gen").parquet(tmp)
       commitRewrite(tmp, affected, newGen)
       fs.delete(new Path(annRoot), true)
+      if (dupVersions().nonEmpty) {
+        val pruned = nearDups()
+          .join(broadcast(idSet.select(col("id").as("id1"))), Seq("id1"), "left_anti")
+          .join(broadcast(idSet.select(col("id").as("id2"))), Seq("id2"), "left_anti")
+          .select("id1", "id2", "sim_r") // USING joins front the keys
+        commitDupVersion(pruned,
+          s"""{"threshold":${dupThresholdFromMeta()},"pruned_from":${dupVersions().last},"deleted_ids":$n}""")
+      }
+      n
+    }
+  }
+
+  /**
+   * Tag-scoped takedown: remove every row whose tag set is a SUPERSET
+   * of `tags` — "drop this source/license/crawl from the corpus", the
+   * other removal request a 100 TB training-data store actually gets.
+   * Because the store partitions by tag_key, the doomed rows are whole
+   * partitions: the commit is a manifest prune (ONE rename — the same
+   * reader-safe point as every other commit), no row is rewritten and
+   * no partition is even scanned beyond a narrow count + id projection
+   * (row count for the return value, ids for the dup-graph prune) —
+   * O(affected partitions) metadata work at any corpus size. Old
+   * generations stay for [[tableAt]] time travel until [[vacuum]]
+   * (hard takedown = deleteByTags + vacuum(0)); ANN index drops, dup
+   * graph prunes, both exactly like [[delete]].
+   */
+  def deleteByTags(tags: Seq[String]): Long = withWriterLock() {
+    require(tags.nonEmpty,
+      "graft: deleteByTags with no tags would drop the whole store — use clear()")
+    require(exists, "graft: cannot delete from a store with no data")
+    val norm = tags.distinct.sorted
+    val affected = manifest().select("tag_key", "tags").collect()
+      .filter(r => norm.forall(t => r.getSeq[String](1).contains(t)))
+      .map(_.getString(0)).toSeq
+    if (affected.isEmpty) 0L
+    else {
+      val doomed = table().where(col("tag_key").isin(affected: _*))
+      val n = doomed.count()
+      val doomedIds = doomed.select(col("id")).distinct()
+      writeManifest(manifest().select("tag_key", "tags", "gen")
+        .where(!col("tag_key").isin(affected: _*))) // THE commit point
+      fs.delete(new Path(annRoot), true)
+      if (dupVersions().nonEmpty) {
+        // NO broadcast hint: a dropped source can be corpus-scale, so
+        // the doomed-id side is not bounded the way delete(ids)'s
+        // caller-supplied set is — Spark broadcasts when it fits and
+        // hash-joins otherwise (the pair table is the small side)
+        val pruned = nearDups()
+          .join(doomedIds.select(col("id").as("id1")), Seq("id1"), "left_anti")
+          .join(doomedIds.select(col("id").as("id2")), Seq("id2"), "left_anti")
+          .select("id1", "id2", "sim_r")
+        commitDupVersion(pruned,
+          s"""{"threshold":${dupThresholdFromMeta()},"pruned_from":${dupVersions().last},"deleted_ids":$n}""")
+      }
       n
     }
   }

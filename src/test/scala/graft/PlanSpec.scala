@@ -33,6 +33,19 @@ class PlanSpec extends AnyFunSuite {
     assert(regexCount == 1, s"expected ONE tokenization, found $regexCount:\n${p.take(2000)}")
   }
 
+  test("text_dsir: broadcast weight probe, bounded top-k, no cartesian/global sort") {
+    // the bucket-weight table is <= buckets rows and must BROADCAST at
+    // any corpus size; the final top-k must stay a bounded heap — a
+    // shuffled weight join or a range-partitioned global sort here
+    // would not survive a 100 TB corpus
+    val p = plan(SparkEntry.queries("text_dsir")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort snuck in:\n" + p.take(3000))
+  }
+
   test("single-query knn plans as TakeOrderedAndProject (bounded heap, no shuffle sort)") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

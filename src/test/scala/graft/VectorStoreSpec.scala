@@ -978,6 +978,53 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("delete prunes the dup graph; upsert drops it (no takedown leak through pairs)") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 2f, 3f, 4f), "dup", Seq("t")),
+      ("b", Array(1f, 2f, 3f, 4f), "dup", Seq("t")),
+      ("c", Array(1f, 2f, 3f, 4f), "dup", Seq("t")),
+      ("x", Array(-4f, 3f, -2f, 1f), "solo", Seq("t")))))
+    store.buildDupGraph()
+    assert(store.nearDups().count() == 3) // (a,b) (a,c) (b,c)
+    // takedown of b: every pair touching b vanishes, (a,c) survives
+    assert(store.deleteIds(Seq("b")) == 1L)
+    val pruned = store.nearDups().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("a", "c")), pruned.toString)
+    assert(store.dupMeta().exists(_.contains("\"deleted_ids\":1")),
+      store.dupMeta().toString)
+    // an overwrite invalidates pairs both ways: the graph drops whole
+    store.upsert(df(Seq(("a", Array(-4f, 3f, -2f, 1f), "now solo", Seq("t")))))
+    assert(!store.hasDupGraph, "upsert must drop the dup graph")
+    intercept[IllegalStateException] { store.nearDups() }
+    store.clear()
+  }
+
+  test("deleteByTags: whole-partition takedown is a manifest prune; superset semantics") {
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f), "ca", Seq("crawl1", "en")),
+      ("b", Array(0f, 1f), "cb", Seq("crawl1")),
+      ("c", Array(1f, 1f), "cc", Seq("crawl2", "en")))))
+    val v0 = store.versions.max
+    assert(store.deleteByTags(Seq("nope")) == 0L, "unknown tag must be a no-op")
+    // superset semantics: only the (crawl1, en) partition holds both
+    assert(store.deleteByTags(Seq("crawl1", "en")) == 1L)
+    assert(store.table().select("id").collect().map(_.getString(0)).toSet
+      == Set("b", "c"))
+    // drop the rest of crawl1
+    assert(store.deleteByTags(Seq("crawl1")) == 1L)
+    assert(store.table().select("id").collect().map(_.getString(0)).toSet
+      == Set("c"))
+    assert(store.search(Seq(0f, 1f), k = 3).collect()
+      .map(_.getAs[String]("id")).toSet == Set("c"))
+    // logical until vacuum: the pre-delete snapshot stays readable
+    assert(store.tableAt(v0).count() == 3)
+    assert(store.manifest().count() == 1)
+    store.clear()
+  }
+
   test("updateDupGraph: incremental maintenance == full rebuild over an append sequence (VERDICT r7 #2)") {
     val store = freshStore()
     store.insert(df(Seq(
