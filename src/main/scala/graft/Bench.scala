@@ -95,7 +95,11 @@ object Bench {
     // table + one corpus shingle pass — the histogram build and the
     // scoring probe both scale with volume) and dedup-on-ingest (the
     // per-trigger store-probe anti-join's cost is volume-dependent)
-    "text_dsir", "ingest_dedup")
+    "text_dsir", "ingest_dedup",
+    // duplicate-span removal: the dup-code table is vocab-scale on a
+    // replicated corpus (every 8-gram duplicated), so the join-back
+    // and the per-doc coverage rebuild both change character at volume
+    "dedup_substring_clean")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

@@ -614,6 +614,13 @@ object SparkEntry {
       Dedup.substringDups(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // the transform half of the substring-dedup family: every token
+    // covered by a cross-doc duplicated 8-gram is dropped and the doc
+    // rebuilt from the survivors (positional codes -> coverage filter)
+    "dedup_substring_clean" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // the composed curation job: language + quality filters + near-dup
     // canonicalization in one plan (see Curation scaladoc for policy)
     "pipeline_curate" -> ((s, dir) =>
@@ -1633,6 +1640,32 @@ object SparkEntry {
            |       GROUP BY o.doc_id)
            |SELECT doc_id, n_sh, CAST(w_sum // n_sh AS BIGINT) AS score_pm
            |FROM sc ORDER BY score_pm DESC, doc_id LIMIT 100""".stripMargin,
+
+      // positional 8-gram occurrences -> cross-doc dup codes -> indexed
+      // coverage filter -> rebuilt text (1-based DuckDB lambda index,
+      // 0-based stored positions — the i-1 bridges them)
+      "dedup_substring_clean" -> {
+        val code = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+          s"(($acc * 131 + ${OracleSql.wcode(s"ws[i+$j]")}) % ${OracleSql.FingerprintP})"
+        }
+        s"""WITH tok AS (SELECT doc_id,
+           |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+           |occ AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, $code AS code
+           |        FROM tok, UNNEST(range(1, len(ws) - 6)) AS u(i) WHERE len(ws) >= 8),
+           |dup AS (SELECT code FROM (SELECT DISTINCT doc_id, code FROM occ)
+           |        GROUP BY code HAVING count(*) > 1),
+           |dp AS (SELECT doc_id, list(pos) AS dps FROM occ JOIN dup USING (code)
+           |       GROUP BY doc_id),
+           |c AS (SELECT t.doc_id, t.ws, coalesce(d.dps, CAST([] AS INT[])) AS dps
+           |      FROM tok t LEFT JOIN dp d USING (doc_id)),
+           |k AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+           |        list_filter(ws, (x, i) ->
+           |          len(list_filter(dps, p -> p <= i - 1 AND i - 1 <= p + 7)) = 0) AS kept
+           |      FROM c)
+           |SELECT doc_id, n_tok, CAST(n_tok - len(kept) AS BIGINT) AS n_removed,
+           |       coalesce(array_to_string(kept, ' '), '') AS cleaned
+           |FROM k ORDER BY doc_id""".stripMargin
+      },
 
       // cross-doc duplicated 8-gram codes per doc (ngr is DISTINCT per
       // (doc, code), so count(*) per code = #docs sharing the span)

@@ -142,6 +142,55 @@ object Dedup {
       .where(col("n_dup_spans") >= minSpans)
   }
 
+  /**
+   * Exact duplicate-span REMOVAL — the transform half of the
+   * suffix-array dedup family ([[substringDups]] is the detector):
+   * every token covered by a word `n`-gram that appears in more than
+   * one document is dropped, and the document is rebuilt from the
+   * survivors (Lee et al. 2022 remove the duplicated spans themselves;
+   * span membership via the rolling-hash codes). Returns
+   * (doc_id, n_tok, n_removed, cleaned) — cleaned is the surviving
+   * tokens joined by single spaces (tokens are already lowercase, so
+   * downstream shingling/fingerprinting treats it as a normal text
+   * column).
+   *
+   * Plan shape (100 TB): one kernel pass emits positional n-gram codes
+   * (posexplode); the cross-doc dup-code table derives from a
+   * distinct + count agg (hash join back on `code` — NOT broadcast by
+   * construction: on a boilerplate-heavy crawl the dup-code table is
+   * vocab-scale); per-doc dup positions collapse to one bounded array
+   * (collect_list ≤ doc length — order irrelevant, coverage is a
+   * predicate over the set); the rebuild is a stateless projection
+   * with an indexed filter. No window, no self-join, no corpus-sized
+   * shuffle beyond the (doc, position-array) rows.
+   */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 8,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(n >= 1, "graft: span width must be >= 1")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val occ = docs.select(col(idCol).as("doc_id"),
+      posexplode(call_function("graft_ngram_codes", col(textCol), lit(n))))
+      .toDF("doc_id", "pos", "code")
+    val dup = occ.select("doc_id", "code").distinct()
+      .groupBy("code").agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1).select("code")
+    val dupPos = occ.join(dup, Seq("code"))
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("dps"))
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("dps"), array().cast("array<integer>")).as("dps"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tok"),
+        filter(col("ws"), (_, i) =>
+          !exists(col("dps"), p => p <= i && i <= p + (n - 1))).as("kept"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("cleaned"))
+  }
+
   /** MinHash signatures (doc_id, m0..m15): one groupBy with 16 partial
     * min aggregates — map-side combined, 16 longs per doc shuffled. */
   def minhashSignatures(sh: DataFrame): DataFrame = {

@@ -224,6 +224,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(anyLang.map(_._2).size > 1, s"expected >1 language at quality 0.3: $anyLang")
   }
 
+  test("duplicate-span removal drops exactly the covered tokens, both directions") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"alpha $shared omega"),
+      (2L, s"beta gamma $shared"),
+      (3L, "unrelated words here completely"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((10L, 8L, "alpha omega")), out(1L).toString)
+    assert(out(2L) == ((10L, 8L, "beta gamma")), out(2L).toString)
+    assert(out(3L) == ((4L, 0L, "unrelated words here completely")))
+    assert(out(4L) == ((2L, 0L, "short doc")), "sub-n docs pass through")
+  }
+
   test("Gopher rules: each rule rejects independently; verdict composes") {
     import spark.implicits._
     import graft.operators.TextAnalysis
