@@ -169,16 +169,24 @@ object Dedup {
                            textCol: String = "text"): DataFrame = {
     require(n >= 1, "graft: span width must be >= 1")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // pinned: occ feeds both the dup-code aggregate and the join-back —
+    // unpinned, each consumer re-runs the corpus kernel pass (the
+    // dsirSelect lesson; lazy checkpoint so the first consumer
+    // materializes and the second reads blocks)
     val occ = docs.select(col(idCol).as("doc_id"),
       posexplode(call_function("graft_ngram_codes", col(textCol), lit(n))))
       .toDF("doc_id", "pos", "code")
+      .localCheckpoint(false)
     val dup = occ.select("doc_id", "code").distinct()
       .groupBy("code").agg(count(lit(1)).as("nd"))
       .where(col("nd") > 1).select("code")
     val dupPos = occ.join(dup, Seq("code"))
       .groupBy("doc_id").agg(collect_list(col("pos")).as("dps"))
     docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      // null text behaves as empty (n_tok 0, cleaned "") instead of
+      // surfacing size(null) = -1
+      .select(col(idCol).as("doc_id"),
+        coalesce(tokens(col(textCol)), array().cast("array<string>")).as("ws"))
       .join(dupPos, Seq("doc_id"), "left")
       .select(col("doc_id"), col("ws"),
         coalesce(col("dps"), array().cast("array<integer>")).as("dps"))

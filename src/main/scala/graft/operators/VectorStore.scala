@@ -267,14 +267,43 @@ class VectorStore(spark: SparkSession, val root: String,
   }
 
   /** Join the current per-partition gen onto a prepared batch so
-    * appends land in the LIVE gen dir (new tag sets start at gen 0).
-    * The manifest is KB-scale driver metadata; the join broadcasts. */
+    * appends land in the LIVE gen dir. A tag set ABSENT from the
+    * manifest must NOT default to gen 0: its partition dir may still
+    * hold superseded or taken-down generations awaiting vacuum
+    * (deleteByTags, an upsert that vanished the partition, a crashed
+    * writer), and appending into such a dir would RESURRECT every old
+    * row the moment the manifest re-lists that (key, gen). Absent keys
+    * instead revive at (their max on-disk gen + 1) — an O(new-keys)
+    * listing at driver-metadata scale; keys with no dir at all start
+    * at gen 0 as before. The manifest is KB-scale driver metadata; the
+    * join broadcasts. */
   private def withGen(prepared: DataFrame): DataFrame =
     if (!manifestExists) prepared.withColumn("gen", lit(0))
-    else prepared
-      .join(broadcast(manifest().select(col("tag_key"), col("gen"))),
-        Seq("tag_key"), "left")
-      .withColumn("gen", coalesce(col("gen"), lit(0)))
+    else {
+      val live = manifest().select("tag_key", "gen").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      val absent = prepared.select("tag_key").distinct().collect()
+        .map(_.getString(0)).filterNot(live.contains)
+      val revive = absent.map { k =>
+        val dir = new Path(s"$dataPath/tag_key=$k")
+        val g =
+          if (!fs.exists(dir)) 0
+          else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt)
+            .foldLeft(-1)(math.max) + 1
+        (k, g)
+      }
+      val genRows = (live.toSeq ++ revive).map { case (k, g) => Row(k, g) }
+      val genDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(genRows.toList, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tag_key",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("gen",
+            org.apache.spark.sql.types.IntegerType))))
+      prepared.join(broadcast(genDf), Seq("tag_key"), "left")
+        .withColumn("gen", coalesce(col("gen"), lit(0)))
+    }
 
   /** Commit one rewritten partition generation: rename the staged gen
     * dir into the partition dir. An existing target can only be an
@@ -549,12 +578,15 @@ class VectorStore(spark: SparkSession, val root: String,
       "graft: delete expects a DataFrame with an 'id' column")
     require(exists, "graft: cannot delete from a store with no data")
     val idSet = ids.select(col("id")).distinct()
-    val doomed = table().join(broadcast(idSet), Seq("id"), "left_semi")
-    val affected = doomed.select("tag_key").distinct()
+    val affected = table().join(broadcast(idSet), Seq("id"), "left_semi")
+      .select("tag_key").distinct()
       .collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) 0L
     else {
-      val n = doomed.count()
+      // scope the count to the affected partitions — the full-store
+      // probe above already paid the one unavoidable discovery scan
+      val n = table().where(col("tag_key").isin(affected: _*))
+        .join(broadcast(idSet), Seq("id"), "left_semi").count()
       val kept = table()
         .where(col("tag_key").isin(affected: _*))
         .join(broadcast(idSet), Seq("id"), "left_anti")
@@ -702,14 +734,24 @@ class VectorStore(spark: SparkSession, val root: String,
           df.withColumn("__graft_rn", row_number().over(w))
             .where(col("__graft_rn") === 1).drop("__graft_rn")
         } else df.dropDuplicates("content")
-      val fresh =
+      // null-SAFE content equality (<=>): plain join equality skips
+      // nulls, which would let one null-content row accumulate per
+      // batch while the within-batch window (which groups nulls) did
+      // dedup them — an asymmetry, not a policy.
+      val fresh0 =
         if (exists) {
           val dupContents = table()
-            .join(broadcast(inBatch.select("content").distinct()),
-              Seq("content"), "left_semi")
-            .select("content").distinct()
-          inBatch.join(broadcast(dupContents), Seq("content"), "left_anti")
+            .join(broadcast(inBatch.select(col("content").as("__c")).distinct()),
+              col("content") <=> col("__c"), "left_semi")
+            .select(col("content").as("__c")).distinct()
+          inBatch.join(broadcast(dupContents),
+            col("content") <=> col("__c"), "left_anti")
         } else inBatch
+      // pin: without it, every downstream action (isEmpty, the dim
+      // aggregate, the write, the manifest projection) re-runs the
+      // store-probe joins — ~4 narrow store scans per trigger instead
+      // of the documented one
+      val fresh = if (exists) fresh0.localCheckpoint(false) else fresh0
       if (!fresh.isEmpty) insertLocked(fresh, quantize)
     }
 
@@ -946,7 +988,7 @@ class VectorStore(spark: SparkSession, val root: String,
         fs.delete(new Path(deltaPathFor(v)), true)
       }
     }
-    for (t <- Seq("upsert_tmp", "data_compact_tmp", "data_tmp",
+    for (t <- Seq("upsert_tmp", "delete_tmp", "data_compact_tmp", "data_tmp",
       "manifest_tmp.parquet", "ann_tmp", "dup_tmp", "eigen_tmp.parquet")) {
       val p = new Path(s"$root/$t")
       if (fs.exists(p) && expired(p)) fs.delete(p, true)

@@ -1025,6 +1025,23 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("reinsert after takedown does not resurrect old rows (absent keys revive past on-disk gens)") {
+    val store = freshStore()
+    store.insert(df(Seq(("a", Array(1f, 0f), "old", Seq("crawl")))))
+    assert(store.deleteByTags(Seq("crawl")) == 1L)
+    // the doomed gen dir is still on disk (vacuum hasn't run); a
+    // gen-0 default here would append into it and resurrect row "a"
+    store.insert(df(Seq(("b", Array(0f, 1f), "new", Seq("crawl")))))
+    val got = store.table().select("id").collect().map(_.getString(0)).toSet
+    assert(got == Set("b"), s"taken-down rows resurrected: $got")
+    // same machinery for a delete() that vanishes the partition
+    assert(store.deleteIds(Seq("b")) == 1L)
+    store.insert(df(Seq(("c", Array(1f, 1f), "newer", Seq("crawl")))))
+    assert(store.table().select("id").collect().map(_.getString(0)).toSet
+      == Set("c"))
+    store.clear()
+  }
+
   test("updateDupGraph: incremental maintenance == full rebuild over an append sequence (VERDICT r7 #2)") {
     val store = freshStore()
     store.insert(df(Seq(
