@@ -99,7 +99,10 @@ object Bench {
     // duplicate-span removal: the dup-code table is vocab-scale on a
     // replicated corpus (every 8-gram duplicated), so the join-back
     // and the per-doc coverage rebuild both change character at volume
-    "dedup_substring_clean")
+    "dedup_substring_clean",
+    // Matryoshka prefix retrieval: the coarse pass reads a 4x-narrower
+    // vector slice — its benefit IS a volume effect
+    "ann_matryoshka")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

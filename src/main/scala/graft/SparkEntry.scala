@@ -280,6 +280,19 @@ object SparkEntry {
       rankTop(scoredAgainst(s, dir, 0L), 10).select(col("rank"), col("vec_id"))
     }),
 
+    // Matryoshka prefix retrieval: coarse-rank on the first 16 of 64
+    // dims (prefix cosine — 4x less vector I/O at the scan), exact
+    // full-vector re-rank of the 50 survivors
+    "ann_matryoshka" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      SimilaritySearch.matryoshkaTopK(
+        emb.where(col("vec_id") =!= 0).select(col("vec_id"), col("embedding")),
+        q)
+    }),
+
     // #16 with similarity values surfaced (numeric-parity check)
     "knn_scores" -> ((s, dir) => {
       registered(s)
@@ -1299,6 +1312,24 @@ object SparkEntry {
            |s AS (SELECT e.vec_id, $cosQ AS sim FROM embeddings e, q WHERE e.vec_id <> 0)
            |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
            |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      // prefix cosine preselect (first 16 dims) -> exact re-rank; the
+      // pre_sim doubles are the same sequential folds on both engines,
+      // so the refine-50 survivor set is identical
+      "ann_matryoshka" -> {
+        val cosPre = OracleSql.cosine(
+          "list_slice(e.embedding, 1, 16)", "list_slice(q.qv, 1, 16)")
+        val cosFull = OracleSql.cosine("c.embedding", "q.qv")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |s AS (SELECT e.vec_id, e.embedding, $cosPre AS pre_sim
+           |      FROM embeddings e, q WHERE e.vec_id <> 0),
+           |c AS (SELECT vec_id, embedding FROM
+           |      (SELECT *, row_number() OVER (ORDER BY pre_sim DESC, vec_id) rn FROM s)
+           |      WHERE rn <= 50),
+           |f AS (SELECT c.vec_id, $cosFull AS sim FROM c, q)
+           |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+           |FROM f ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      },
 
       "knn_scores" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -495,6 +495,39 @@ object SimilaritySearch {
     }
   }
 
+  /**
+   * Matryoshka prefix retrieval (Kusupati et al. 2022, "Matryoshka
+   * Representation Learning", arXiv:2205.13147): MRL-trained embeddings
+   * carry most of their signal in a PREFIX of the dimensions, so the
+   * scale move is coarse-rank on the first `dims` components (reading
+   * dims/d of the vector bytes at the scan: 4x less I/O at d/4), then
+   * exact full-vector re-rank of the `refineK` survivors — the same
+   * preselect+refine topology as [[pqSearchVec]], with the prefix slice
+   * as the compressed representation instead of PQ codes. Cosine is
+   * computed on the slice (prefix norms differ from full norms, so the
+   * prefix score is a genuine approximation — exactly the published
+   * trade-off; on non-MRL embeddings recall at small `dims` degrades,
+   * which [[graft.tools.Recall]]-style measurement surfaces rather than
+   * hides). Both stages end in TakeOrderedAndProject — no shuffle, no
+   * window over the corpus.
+   */
+  def matryoshkaTopK(corpus: DataFrame, qv: Seq[Float], dims: Int = 16,
+                     k: Int = 10, refineK: Int = 50): DataFrame = {
+    require(dims >= 1 && dims <= qv.length,
+      s"graft: prefix dims $dims outside 1..${qv.length}")
+    require(refineK >= k, s"graft: refineK $refineK must be >= k $k")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val pre = corpus
+      .withColumn("pre_sim",
+        cosine(slice(col("embedding"), 1, dims), vecLit(qv.take(dims))))
+    val coarse = TopK.topKRanked(pre, refineK,
+      Seq(desc("pre_sim"), asc("vec_id")))
+    val exact = coarse.drop("rank", "pre_sim")
+      .withColumn("sim", cosine(col("embedding"), vecLit(qv)))
+    TopK.topKRanked(exact, k, Seq(desc("sim"), asc("vec_id")))
+      .select(col("rank"), col("vec_id"))
+  }
+
   // ---- store-integrated IVF index: cid as a partition column ----
 
   /** Materialize the corpus partitioned by assigned centroid: at 100 TB

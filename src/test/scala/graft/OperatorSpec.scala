@@ -224,6 +224,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(anyLang.map(_._2).size > 1, s"expected >1 language at quality 0.3: $anyLang")
   }
 
+  test("matryoshka prefix retrieval: full-width prefix == exact; all-refine == exact") {
+    import graft.functions.GraftFunctions
+    import graft.operators.SimilaritySearch
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val corpus = emb.where(col("vec_id") =!= 0).select(col("vec_id"), col("embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val exact = ids(TopK.topKRanked(
+      corpus.withColumn("sim",
+        GraftFunctions.cosine(col("embedding"), GraftFunctions.vecLit(q))),
+      10, Seq(desc("sim"), asc("vec_id"))).select(col("rank"), col("vec_id")))
+    // prefix = full width => the coarse ranking IS the exact ranking
+    assert(ids(SimilaritySearch.matryoshkaTopK(corpus, q, dims = q.length,
+      k = 10, refineK = 10)) == exact)
+    // narrow prefix with refineK = |corpus| => the refine stage restores exactness
+    val n = corpus.count().toInt
+    assert(ids(SimilaritySearch.matryoshkaTopK(corpus, q, dims = 16,
+      k = 10, refineK = n)) == exact)
+  }
+
   test("duplicate-span removal drops exactly the covered tokens, both directions") {
     import spark.implicits._
     val shared = "one two three four five six seven eight"
