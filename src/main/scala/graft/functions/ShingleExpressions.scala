@@ -112,7 +112,14 @@ case class WordNgramCodes(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (_: StringType, IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // n is foldable, so validate it HERE (analysis time): the SQL
+        // surface (graft_ngram_codes) has no Scala-side n >= 1 guard,
+        // and n <= 0 would silently yield all-zero codes (ADVICE r9 #2)
+        right.eval() match {
+          case n: Integer if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case n => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName needs n >= 1, got $n")
+        }
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (string, int literal n), got ($l, $r)")
     }

@@ -282,8 +282,23 @@ class VectorStore(spark: SparkSession, val root: String,
     else {
       val live = manifest().select("tag_key", "gen").collect()
         .map(r => (r.getString(0), r.getInt(1))).toMap
-      val absent = prepared.select("tag_key").distinct().collect()
-        .map(_.getString(0)).filterNot(live.contains)
+      // Revival can only apply to a key whose partition DIR survives
+      // outside the manifest (deleteByTags, vanished upsert partition,
+      // crashed writer). One driver listing of the data root detects
+      // whether any such orphan exists; in the common no-orphan case
+      // every manifest-absent key has no dir, gen 0 is correct, and the
+      // per-batch distinct job + per-key listings are skipped entirely
+      // (ADVICE r9 #4) — the broadcast join's coalesce(gen, 0) fallback
+      // already encodes that fast path.
+      val orphanDirsExist = fs.exists(new Path(dataPath)) &&
+        fs.listStatus(new Path(dataPath)).exists { st =>
+          val n = st.getPath.getName
+          n.startsWith("tag_key=") && !live.contains(n.stripPrefix("tag_key="))
+        }
+      val absent =
+        if (!orphanDirsExist) Array.empty[String]
+        else prepared.select("tag_key").distinct().collect()
+          .map(_.getString(0)).filterNot(live.contains)
       val revive = absent.map { k =>
         val dir = new Path(s"$dataPath/tag_key=$k")
         val g =
@@ -656,17 +671,23 @@ class VectorStore(spark: SparkSession, val root: String,
 
   /** Convenience overload: delete by literal ids (long or string key
     * spaces — ints widen to long; the equi-join handles any residual
-    * cast). */
+    * cast). Element types are validated up front: a mixed or
+    * unsupported Seq (ADVICE r9 #1) would otherwise build a mislabeled
+    * schema and die later in an opaque encoder/ClassCastException. */
   def deleteIds(ids: Seq[Any]): Long = {
     import scala.jdk.CollectionConverters._
+    val allIntegral = ids.forall(i => i.isInstanceOf[Int] || i.isInstanceOf[Long])
+    val allString = ids.forall(_.isInstanceOf[String])
+    require(ids.isEmpty || allIntegral || allString,
+      "graft: deleteIds needs all-Int/Long or all-String ids, got types " +
+        ids.map(_.getClass.getSimpleName).distinct.sorted.mkString("[", ", ", "]"))
     val norm = ids.map {
       case i: Int => org.apache.spark.sql.Row(i.toLong)
       case other => org.apache.spark.sql.Row(other)
     }.asJava
-    val tpe = ids.headOption match {
-      case Some(_: Long) | Some(_: Int) => org.apache.spark.sql.types.LongType
-      case _ => org.apache.spark.sql.types.StringType
-    }
+    val tpe =
+      if (allIntegral && ids.nonEmpty) org.apache.spark.sql.types.LongType
+      else org.apache.spark.sql.types.StringType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", tpe)))
     delete(spark.createDataFrame(norm, schema))
@@ -699,9 +720,30 @@ class VectorStore(spark: SparkSession, val root: String,
     stream.writeStream
       .foreachBatch((batch: DataFrame, _: Long) => insert(batch, quantize))
       .option("checkpointLocation",
-        checkpointLocation.getOrElse(s"$root/_checkpoints/ingest"))
+        checkpointLocation.getOrElse(
+          s"$root/_checkpoints/ingest_${sourceCheckpointKey(stream)}"))
       .trigger(trigger)
       .start()
+
+  /** Stable per-source checkpoint key (ADVICE r9 #3): two DIFFERENT
+    * sources draining into the same store must not share offsets — a
+    * fixed default dir silently replayed stream B against stream A's
+    * ledger. The key hashes the stream's CANONICALIZED logical plan
+    * (expression ids normalized, so the same source definition maps to
+    * the same key across restarts — resume still works) with any
+    * residual JVM identity hashes (`@1a2b3c`) stripped, since those
+    * would break cross-restart stability the other way. Callers with
+    * several streams over the SAME source still need explicit
+    * `checkpointLocation`s — the plan cannot distinguish them. */
+  private def sourceCheckpointKey(stream: DataFrame): String = {
+    // analyzed, not logical: the unresolved plan prints "paths: 1
+    // provided" for every file source — every stream would collide
+    val desc = stream.queryExecution.analyzed.canonicalized.toString
+      .replaceAll("@[0-9a-fA-F]+", "")
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(desc.getBytes("UTF-8"))
+    d.take(6).map(b => f"$b%02x").mkString
+  }
 
   /**
    * Content-deduplicating append: drop rows whose `content` already
@@ -776,7 +818,8 @@ class VectorStore(spark: SparkSession, val root: String,
     stream.writeStream
       .foreachBatch((batch: DataFrame, _: Long) => insertDedup(batch, quantize))
       .option("checkpointLocation",
-        checkpointLocation.getOrElse(s"$root/_checkpoints/ingest_dedup"))
+        checkpointLocation.getOrElse(
+          s"$root/_checkpoints/ingest_dedup_${sourceCheckpointKey(stream)}"))
       .trigger(trigger)
       .start()
 

@@ -140,4 +140,17 @@ class KernelSpec extends AnyFunSuite {
     val row = df.select(pack(col("v")).as("p")).select("p.data").head()
     assert(row.getAs[Array[Byte]](0).length == 1024) // vs 4096 raw
   }
+
+  test("graft_ngram_codes rejects n < 1 at analysis time on the SQL surface (ADVICE r9 #2)") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(1L -> "one two three").toDF("doc_id", "text")
+      .createOrReplaceTempView("ngram_guard_docs")
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_ngram_codes(text, 0) FROM ngram_guard_docs").collect())
+    assert(e.getMessage.contains("n >= 1"), s"wrong error: ${e.getMessage}")
+    // n = 1 stays legal (per-word rolling hash)
+    val ok = spark.sql("SELECT graft_ngram_codes(text, 1) AS c FROM ngram_guard_docs")
+      .head().getSeq[Long](0)
+    assert(ok.length == 3)
+  }
 }

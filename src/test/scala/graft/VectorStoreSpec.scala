@@ -1297,4 +1297,51 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
     assert(!store.exists)
   }
+
+  test("deleteIds rejects mixed or unsupported element types up front (ADVICE r9 #1)") {
+    val store = freshStore()
+    store.insert(df(Seq(("a", Array(1f, 2f), "x", Nil))))
+    val mixed = intercept[IllegalArgumentException](store.deleteIds(Seq(1, "a")))
+    assert(mixed.getMessage.contains("graft"), s"opaque failure: ${mixed.getMessage}")
+    val bad = intercept[IllegalArgumentException](store.deleteIds(Seq(1.5)))
+    assert(bad.getMessage.contains("graft"))
+    store.clear()
+  }
+
+  test("default stream checkpoints are per-source: same source stable, different source distinct (ADVICE r9 #3)") {
+    import org.apache.spark.sql.types._
+    val store = freshStore()
+    val srcA = Files.createTempDirectory("graft-ckpt-a").toString
+    val srcB = Files.createTempDirectory("graft-ckpt-b").toString
+    def deliver(dir: String, rows: Seq[(String, Array[Float], String, Seq[String])]): Unit =
+      df(rows).coalesce(1).write.mode("append").parquet(dir)
+    deliver(srcA, Seq(("a1", Array(1f, 0f), "ca", Seq("s"))))
+    deliver(srcB, Seq(("b1", Array(0f, 1f), "cb", Seq("s"))))
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType, containsNull = true)),
+      StructField("content", StringType),
+      StructField("tags", ArrayType(StringType, containsNull = true))))
+    def ckptDirs(): Set[String] = {
+      val d = new java.io.File(s"${store.root}/_checkpoints")
+      if (!d.exists) Set.empty else d.listFiles().map(_.getName).toSet
+    }
+    store.insertStream(spark.readStream.schema(schema).parquet(srcA))
+      .awaitTermination()
+    val afterA = ckptDirs()
+    assert(afterA.size == 1, s"expected one checkpoint dir, got $afterA")
+    // same source re-started: checkpoint key must be STABLE (resume
+    // keeps working) — no new dir, and the already-committed file is
+    // not replayed into a duplicate append
+    store.insertStream(spark.readStream.schema(schema).parquet(srcA))
+      .awaitTermination()
+    assert(ckptDirs() == afterA, "same source must reuse its checkpoint")
+    assert(store.table().count() == 1, "replay against the resumed ledger duplicated rows")
+    // a different source gets its own ledger
+    store.insertStream(spark.readStream.schema(schema).parquet(srcB))
+      .awaitTermination()
+    assert(ckptDirs().size == 2, s"distinct sources must not share a checkpoint: ${ckptDirs()}")
+    assert(store.table().count() == 2)
+    store.clear()
+  }
 }
