@@ -28,7 +28,8 @@ object GraftFunctions {
       "graft_cosine_f32" -> (e => CosineSimilarityF32(e(0), e(1))),
       "graft_euclidean_f32" -> (e => EuclideanDistanceF32(e(0), e(1))),
       "graft_shingle_codes" -> (e => ShingleBigramCodes(e(0))),
-      "graft_ngram_codes" -> (e => WordNgramCodes(e(0), e(1)))
+      "graft_ngram_codes" -> (e => WordNgramCodes(e(0), e(1))),
+      "graft_term_counts" -> (e => TermCounts(e(0), e(1)))
     )
 
   /** Register all graft functions + optimizer rules on the session

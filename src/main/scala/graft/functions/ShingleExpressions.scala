@@ -58,6 +58,24 @@ object ShingleKernel {
     }
   }
 
+  /** One-pass term-frequency counts: tokenize (same lowercase + regex
+    * as [[bigramCodes]]) and bucket each token against the term->index
+    * map. Returns [n_tokens, tf_0, ..., tf_{T-1}] — the document
+    * length rides along so BM25 needs no second tokenize. */
+  def termCounts(text: UTF8String,
+                 terms: java.util.HashMap[String, Integer], n: Int): ArrayData = {
+    val out = new Array[Long](n + 1)
+    val m = TokenRe.matcher(text.toLowerCase.toString)
+    var total = 0L
+    while (m.find()) {
+      total += 1L
+      val idx = terms.get(m.group())
+      if (idx ne null) out(idx.intValue() + 1) += 1L
+    }
+    out(0) = total
+    new GenericArrayData(out)
+  }
+
   /** Rolling-hash word n-gram codes, one per window position
     * (fold (acc*131 + wc) mod p — mirror of OracleSql.ngramCte);
     * empty below n tokens. */
@@ -132,6 +150,69 @@ case class WordNgramCodes(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (t, n) =>
       s"${ev.value} = graft.functions.ShingleKernel.ngramCodes($t, $n, " +
         s"${graft.OracleSql.FingerprintP}L);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_term_counts(text, terms) -> ARRAY<LONG>
+  * [n_tokens, tf(terms[0]), ..., tf(terms[T-1])] in ONE compiled
+  * tokenize pass per row.
+  *
+  * Why: the per-term Column form — T x size(filter(ws, w = t)) — runs
+  * through Spark's higher-order-function INTERPRETER: T expression-tree
+  * walks over the token array per document (the measured 9x shingle
+  * lesson, VERDICT r9 What's-wrong #2). Here the term set (foldable —
+  * a query's terms are plan constants) compiles to one hash map probed
+  * once per token, so BM25 scoring costs one pass regardless of T and
+  * arbitrary runtime query strings stay cheap. */
+case class TermCounts(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_term_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, ArrayType(_: StringType, _)) if right.foldable =>
+        // terms are foldable: validate the SET here (analysis time).
+        // Duplicates would silently count each token toward only ONE
+        // of the duplicate slots (map semantics) — reject instead.
+        right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName needs a non-null terms array")
+          case a: ArrayData =>
+            val n = a.numElements()
+            if (n == 0)
+              TypeCheckResult.TypeCheckFailure(s"$prettyName needs at least one term")
+            else if ((0 until n).exists(a.isNullAt))
+              TypeCheckResult.TypeCheckFailure(s"$prettyName terms must not contain null")
+            else if ((0 until n).map(a.getUTF8String(_).toString).distinct.size != n)
+              TypeCheckResult.TypeCheckFailure(s"$prettyName terms must be distinct")
+            else TypeCheckResult.TypeCheckSuccess
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, array<string> literal terms), got ($l, $r)")
+    }
+
+  /** term -> slot index, built once at plan time from the foldable
+    * terms literal and shipped to executors as a task constant. */
+  @transient private lazy val termMap: java.util.HashMap[String, Integer] = {
+    val a = right.eval().asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[String, Integer](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { m.put(a.getUTF8String(i).toString, i); i += 1 }
+    m
+  }
+
+  protected override def nullSafeEval(t: Any, ts: Any): Any =
+    ShingleKernel.termCounts(t.asInstanceOf[UTF8String], termMap, termMap.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("graftTermMap", termMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.ShingleKernel.termCounts($t, $mapRef, ${termMap.size});")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -141,6 +141,38 @@ class KernelSpec extends AnyFunSuite {
     assert(row.getAs[Array[Byte]](0).length == 1024) // vs 4096 raw
   }
 
+  test("term-counts kernel == Column-form per-term filter counts (r9 #2)") {
+    import graft.operators.Dedup
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "The vector MERGE merge filter x9 vector"), // repeats + case
+      (2L, "merge-filter,vector"),                     // punctuation splits
+      (3L, "nothing relevant here"),                   // zero hits
+      (4L, ""),                                        // no tokens
+      (5L, "vector vector vector")                     // single-term pileup
+    ).toDF("doc_id", "text")
+    val terms = Seq("vector", "merge", "filter", "x9", "absent")
+    val kernel = docs.select(col("doc_id"),
+      call_function("graft_term_counts",
+        col("text"), array(terms.map(lit): _*)).as("tc")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val legacy = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
+      .select(col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
+        terms.map(t => size(filter(col("ws"), w => w === lit(t))).cast("long").as(s"c_$t")): _*)
+      .collect()
+      .map(r => (r.getLong(0), (1 to terms.size + 1).map(r.getLong).toSeq)).toMap
+    assert(kernel == legacy, s"kernel $kernel vs column-form $legacy")
+    // analysis-time term-set validation: duplicates and empties rejected
+    val dup = intercept[org.apache.spark.sql.AnalysisException](
+      docs.select(call_function("graft_term_counts",
+        col("text"), array(lit("a"), lit("a")))).collect())
+    assert(dup.getMessage.contains("distinct"), dup.getMessage)
+    val empty = intercept[org.apache.spark.sql.AnalysisException](
+      docs.select(call_function("graft_term_counts",
+        col("text"), array().cast("array<string>"))).collect())
+    assert(empty.getMessage.contains("at least one"), empty.getMessage)
+  }
+
   test("graft_ngram_codes rejects n < 1 at analysis time on the SQL surface (ADVICE r9 #2)") {
     graft.functions.GraftFunctions.register(spark)
     Seq(1L -> "one two three").toDF("doc_id", "text")

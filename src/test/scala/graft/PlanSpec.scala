@@ -287,6 +287,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("bm25 token work is ONE kernel pass per scan — no interpreted HOF lambdas (r9 #2)") {
+    // the per-term size(filter(ws, w = t)) form ran T interpreted
+    // lambda walks over the token array per doc; the kernel path must
+    // show exactly one graft_term_counts per corpus scan (stats pass +
+    // scoring pass = 2) and ZERO higher-order lambdas anywhere
+    for (q <- Seq("text_bm25", "text_bm25_query")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      val kernels = "graft_term_counts".r.findAllIn(p).size
+      assert(kernels == 2, s"$q: expected 2 kernel passes, found $kernels:\n${p.take(3000)}")
+      assert(!p.contains("lambdafunction"),
+        s"$q: interpreted HOF lambda in the hot path:\n${p.take(3000)}")
+    }
+  }
+
   test("ann_ivf_join: probes broadcast onto argmin-assigned corpus (no cartesian)") {
     val p = plan(SparkEntry.queries("ann_ivf_join")(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
