@@ -269,6 +269,25 @@ object SparkEntry {
       })
   }
 
+  /** A [[graft.operators.SimilaritySearch.buildPrefixIndex]] layout
+    * over the fixture embeddings (16-dim prefix), built once per
+    * (session, dir) — the ann_matryoshka row's coarse pass scans it
+    * instead of the raw table so column pruning skips the full
+    * vectors. Same staleness contract as [[dupPairsCache]]. */
+  private val prefixIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def prefixIndexPath(s: SparkSession, dir: String): String = {
+    prefixIndexCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    prefixIndexCache.computeIfAbsent((s, dir),
+      { _ =>
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_prefix_idx").toString + "/idx"
+        SimilaritySearch.buildPrefixIndex(
+          Tables.load(s, dir, "embeddings"), dims = 16, path)
+        path
+      })
+  }
+
   // ---------------------------------------------------------------
   // the operator inventory (SURVEY.md §2 + extension scope)
   // ---------------------------------------------------------------
@@ -280,17 +299,20 @@ object SparkEntry {
       rankTop(scoredAgainst(s, dir, 0L), 10).select(col("rank"), col("vec_id"))
     }),
 
-    // Matryoshka prefix retrieval: coarse-rank on the first 16 of 64
-    // dims (prefix cosine — 4x less vector I/O at the scan), exact
-    // full-vector re-rank of the 50 survivors
+    // Matryoshka prefix retrieval over the PHYSICAL prefix column
+    // (VERDICT r9 #1): coarse-rank scans only (vec_id, vec_prefix) —
+    // the full 64-dim vectors are column-pruned away and only the 50
+    // survivors' rows read them back (id IN-list, row-group pruned) —
+    // then exact full-vector re-rank. Same results as the index-free
+    // matryoshkaTopK (the stored prefix IS the slice; OperatorSpec
+    // pins the equality), so the oracle SQL is unchanged.
     "ann_matryoshka" -> ((s, dir) => {
       registered(s)
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      SimilaritySearch.matryoshkaTopK(
-        emb.where(col("vec_id") =!= 0).select(col("vec_id"), col("embedding")),
-        q)
+      SimilaritySearch.matryoshkaIndexTopK(
+        s, prefixIndexPath(s, dir), q, excludeId = Some(0L))
     }),
 
     // #16 with similarity values surfaced (numeric-parity check)

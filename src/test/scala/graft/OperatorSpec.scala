@@ -244,6 +244,20 @@ class OperatorSpec extends AnyFunSuite {
     val n = corpus.count().toInt
     assert(ids(SimilaritySearch.matryoshkaTopK(corpus, q, dims = 16,
       k = 10, refineK = n)) == exact)
+    // the PHYSICAL-prefix-column index path returns the identical
+    // result at every config (the stored prefix IS the slice) — this
+    // is what keeps the ann_matryoshka oracle row valid after the
+    // coarse scan stopped reading the embedding column (r9 #1)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-mat-idx").toString + "/idx"
+    SimilaritySearch.buildPrefixIndex(emb, dims = 16, idxPath)
+    assert(ids(SimilaritySearch.matryoshkaIndexTopK(spark, idxPath, q,
+      dims = 16, k = 10, refineK = 50, excludeId = Some(0L)))
+      == ids(SimilaritySearch.matryoshkaTopK(corpus, q, dims = 16, k = 10, refineK = 50)))
+    // dims mismatch against the stored width fails loudly
+    val e = intercept[IllegalArgumentException](
+      SimilaritySearch.matryoshkaIndexTopK(spark, idxPath, q, dims = 8))
+    assert(e.getMessage.contains("graft"), e.getMessage)
   }
 
   test("duplicate-span removal drops exactly the covered tokens, both directions") {

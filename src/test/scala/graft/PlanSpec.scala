@@ -302,6 +302,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshka coarse scan reads ONLY the prefix column; refine pushes the id IN-list (r9 #1)") {
+    import graft.operators.SimilaritySearch
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-mat").toString + "/idx"
+    SimilaritySearch.buildPrefixIndex(emb, dims = 16, path)
+    val idx = spark.read.parquet(path)
+    // coarse: the whole point of the physical column — the 64-dim
+    // embedding bytes must NOT be in the scan schema
+    val coarse = SimilaritySearch.matryoshkaCoarse(
+      idx.where(col("vec_id") =!= 0), q, dims = 16, refineK = 50)
+    val cp = coarse.queryExecution.executedPlan.toString
+    val cSchema = "ReadSchema: struct<[^>]*>".r.findFirstIn(cp).getOrElse("")
+    assert(cSchema.contains("vec_prefix") && !cSchema.contains("embedding:"),
+      s"coarse scan still reads full vectors: $cSchema\n${cp.take(2000)}")
+    // refine: full query's returned plan is the refine stage (coarse
+    // ids resolved driver-side) — id IN-list reaches PushedFilters so
+    // vec_id-sorted files prune row groups
+    val full = SparkEntry.queries("ann_matryoshka")(spark, dir)
+    val fp = full.queryExecution.executedPlan.toString
+    assert(fp.contains("PushedFilters: [") && fp.contains("In(vec_id"),
+      s"refine id list not pushed:\n${fp.take(3000)}")
+  }
+
   test("ann_ivf_join: probes broadcast onto argmin-assigned corpus (no cartesian)") {
     val p = plan(SparkEntry.queries("ann_ivf_join")(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
