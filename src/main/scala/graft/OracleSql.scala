@@ -312,6 +312,42 @@ object OracleSql {
     s"CASE ${conds.mkString(" ")} ELSE 'und' END"
   }
 
+  // ---- SemDeDup shared SQL tail ----
+
+  /** The SemDeDup tail CTEs, shared by the flat and hierarchical
+    * oracle rows: given upstream CTEs defining `asg(vec_id, cid, dist)`,
+    * form within-cluster cosine pairs, recursive-CTE components (the
+    * dedup_clusters pattern), and the farthest-from-centroid keep
+    * policy. Mirrors Dedup.semanticFromAssignment operation for
+    * operation. */
+  def semanticKeepChain: String =
+    s"""p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+       |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |      WHERE ${cosine("ea.embedding", "eb.embedding")} >= $EmbDupThreshold),
+       |e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p),
+       |n AS (SELECT DISTINCT u FROM e),
+       |lab(u, l) AS (
+       |  SELECT u, u FROM n
+       |  UNION
+       |  SELECT e.u, lab.l FROM e JOIN lab ON e.v = lab.u
+       |),
+       |comp AS (SELECT u AS doc_id, min(l) AS component FROM lab GROUP BY u),
+       |m AS (SELECT c.doc_id, c.component, a.dist FROM comp c JOIN asg a ON a.vec_id = c.doc_id),
+       |k AS (SELECT doc_id, component, dist,
+       |        row_number() OVER (PARTITION BY component ORDER BY dist DESC, doc_id) rn,
+       |        count(*) OVER (PARTITION BY component) cnt FROM m)""".stripMargin
+
+  /** Final select paired with [[semanticKeepChain]]: untouched
+    * singletons at group_sz 1 plus each dup group's survivor. */
+  def semanticFinalSelect: String =
+    """SELECT vec_id, CAST(1 AS BIGINT) AS group_sz FROM embeddings
+      |WHERE vec_id NOT IN (SELECT doc_id FROM comp)
+      |UNION ALL
+      |SELECT doc_id AS vec_id, CAST(cnt AS BIGINT) AS group_sz FROM k WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   // ---- BM25 full-text + hybrid rank-fusion constants ----
 
   /** BM25 term-saturation and length-normalization parameters (the

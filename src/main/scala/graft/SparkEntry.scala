@@ -630,17 +630,20 @@ object SparkEntry {
     }),
 
     // SemDeDup at the paper's production regime: k scales with the
-    // corpus so cluster width stays ~TargetClusterWidth as n grows and
-    // the within-cluster pair space stays LINEAR in n. k is
-    // data-dependent, so no fixed-codebook oracle SQL can express it —
-    // driver records the weaker rows-only check; the oracle-pinned
-    // fixed-k variant above carries the hash gate for the operator.
+    // corpus (k = n/width keeps cluster width ~constant and the
+    // within-cluster pair space LINEAR in n), and assignment is the
+    // HIERARCHICAL two-level path (r9 #4b) — only the ceil(sqrt(k))
+    // coarse centroids are driver metadata, so the codebook stays
+    // broadcastable at any corpus size. k is computed in SQL on the
+    // oracle side too (a scalar subquery over count(*)), and the
+    // oracle mirrors the coarse probe + fine argmin, so this row is
+    // HASH-gated (r9 #4a closed), not rows-only.
     "dedup_semantic_scaled" -> ((s, dir) => {
       registered(s)
       val emb = Tables.load(s, dir, "embeddings")
       val k = math.max(16L, math.min(4096L,
         emb.count() / Dedup.SemTargetClusterWidth)).toInt
-      Dedup.semanticDedup(emb, nCentroids = k).orderBy("vec_id")
+      Dedup.semanticDedupHierarchical(emb, nCentroids = k).orderBy("vec_id")
     }),
 
     // exact-substring duplication: docs sharing a verbatim 8-token run
@@ -1873,28 +1876,41 @@ object SparkEntry {
            |       FROM embeddings e, cent c),
            |asg AS (SELECT vec_id, cid, dist FROM
            |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn FROM ad) WHERE rn = 1),
-           |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
-           |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
-           |      JOIN embeddings ea ON ea.vec_id = a.vec_id
-           |      JOIN embeddings eb ON eb.vec_id = b.vec_id
-           |      WHERE ${OracleSql.cosine("ea.embedding", "eb.embedding")} >= ${OracleSql.EmbDupThreshold}),
-           |e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p),
-           |n AS (SELECT DISTINCT u FROM e),
-           |lab(u, l) AS (
-           |  SELECT u, u FROM n
-           |  UNION
-           |  SELECT e.u, lab.l FROM e JOIN lab ON e.v = lab.u
-           |),
-           |comp AS (SELECT u AS doc_id, min(l) AS component FROM lab GROUP BY u),
-           |m AS (SELECT c.doc_id, c.component, a.dist FROM comp c JOIN asg a ON a.vec_id = c.doc_id),
-           |k AS (SELECT doc_id, component, dist,
-           |        row_number() OVER (PARTITION BY component ORDER BY dist DESC, doc_id) rn,
-           |        count(*) OVER (PARTITION BY component) cnt FROM m)
-           |SELECT vec_id, CAST(1 AS BIGINT) AS group_sz FROM embeddings
-           |WHERE vec_id NOT IN (SELECT doc_id FROM comp)
-           |UNION ALL
-           |SELECT doc_id AS vec_id, CAST(cnt AS BIGINT) AS group_sz FROM k WHERE rn = 1
-           |ORDER BY vec_id""".stripMargin,
+           |${OracleSql.semanticKeepChain}
+           |${OracleSql.semanticFinalSelect}""".stripMargin,
+
+      // SemDeDup at scale, HASH-gated (r9 #4a): k = n/width is a
+      // scalar subquery over count(*) — computed in SQL, same
+      // greatest/least clamp as the Spark entry — and assignment
+      // mirrors the hierarchical path: coarse cell probe (top-nprobe
+      // by dist, ccid), fine argmin within the probed cells' fine
+      // centroids, same tail as dedup_semantic.
+      "dedup_semantic_scaled" -> {
+        def eu(a: String, b: String) = OracleSql.euclidean(a, b)
+        val kExpr = s"greatest(16, least(4096, count(*) // ${Dedup.SemTargetClusterWidth}))"
+        s"""WITH RECURSIVE
+           |kk AS (SELECT CAST($kExpr AS BIGINT) AS kval,
+           |              CAST(ceil(sqrt(CAST($kExpr AS DOUBLE))) AS BIGINT) AS cval
+           |       FROM embeddings),
+           |fc AS (SELECT vec_id AS fcid, embedding AS fv FROM embeddings, kk WHERE vec_id < kk.kval),
+           |cc AS (SELECT fcid AS ccid, fv AS cv FROM fc, kk WHERE fcid < kk.cval),
+           |f2c AS (SELECT ccid, fcid, fv FROM (
+           |   SELECT c.ccid, f.fcid, f.fv,
+           |          row_number() OVER (PARTITION BY f.fcid ORDER BY ${eu("f.fv", "c.cv")}, c.ccid) rn
+           |   FROM fc f, cc c) WHERE rn = 1),
+           |pr AS (SELECT vec_id, ccid FROM (
+           |   SELECT e2.vec_id, c.ccid,
+           |          row_number() OVER (PARTITION BY e2.vec_id ORDER BY ${eu("e2.embedding", "c.cv")}, c.ccid) rn
+           |   FROM embeddings e2, cc c) WHERE rn <= ${Dedup.SemNprobe}),
+           |ad AS (SELECT e2.vec_id, f.fcid, ${eu("e2.embedding", "f.fv")} AS dist
+           |       FROM embeddings e2 JOIN pr ON pr.vec_id = e2.vec_id
+           |       JOIN f2c f ON f.ccid = pr.ccid),
+           |asg AS (SELECT vec_id, fcid AS cid, dist FROM (
+           |   SELECT vec_id, fcid, dist,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, fcid) rn FROM ad) WHERE rn = 1),
+           |${OracleSql.semanticKeepChain}
+           |${OracleSql.semanticFinalSelect}""".stripMargin
+      },
 
       // sign-invariant integer PCA facts (identity-constants on this
       // side because the eigenbasis is not SQL-reproducible) PLUS a

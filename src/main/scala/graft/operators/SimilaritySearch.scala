@@ -265,6 +265,20 @@ object SimilaritySearch {
       })
   }
 
+  /** The nprobe nearest centroid ids as a PER-ROW expression over the
+    * broadcast codebook (the column-side sibling of [[probeCids]], for
+    * callers whose "query" is every corpus row — hierarchical SemDeDup
+    * assignment): sort (dist, cid) structs ascending (ties on cid,
+    * mirroring the oracle's ORDER BY dist, cid) and take nprobe.
+    * Still a projection — no join, no shuffle. */
+  def nearestCentroidsProbe(vec: Column, codebook: Seq[(Long, Seq[Float])],
+                            nprobe: Int): Column = {
+    val cents = array(codebook.sortBy(_._1).map { case (cid, cv) =>
+      struct(euclidean(vec, vecLit(cv)).as("dist"), lit(cid).as("cid"))
+    }: _*)
+    transform(slice(array_sort(cents), 1, nprobe), c => c.getField("cid"))
+  }
+
   /** IVF assignment: (vec_id, cid, embedding) with the expression-based
     * argmin — a pure projection over the scan, zero shuffle. */
   def ivfAssign(emb: DataFrame, codebook: Seq[(Long, Seq[Float])]): DataFrame =

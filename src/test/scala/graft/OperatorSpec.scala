@@ -957,6 +957,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.agg(sum("group_sz")).head().getLong(0) == emb.count())
   }
 
+  test("hierarchical SemDeDup with exhaustive probe == flat assignment (r9 #4b)") {
+    // nprobe >= C makes the coarse probe cover every cell, so the fine
+    // argmin sees every fine centroid — assignment (and therefore the
+    // whole operator) must EQUAL the flat broadcast-codebook path,
+    // tie-breaks included. This is the machinery-correctness gate for
+    // the two-level path; sub-exhaustive nprobe is the standard IVF
+    // approximation and is pinned by the mirrored oracle SQL instead.
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val k = 16
+      val c = math.ceil(math.sqrt(k.toDouble)).toInt
+      assert(set(Dedup.semanticDedupHierarchical(emb, nCentroids = k, nprobe = c))
+        == set(Dedup.semanticDedup(emb, nCentroids = k)), s"mismatch at $dir")
+    }
+    // partition invariant holds at the default (sub-exhaustive) nprobe
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val h = Dedup.semanticDedupHierarchical(emb, nCentroids = 16)
+    assert(h.agg(sum("group_sz")).head().getLong(0) == emb.count())
+  }
+
   test("semantic dedup: fitted k-means centroids preserve the partition invariant") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = graft.operators.SimilaritySearch.kmeansCentroids(

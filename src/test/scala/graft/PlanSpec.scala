@@ -346,7 +346,8 @@ class PlanSpec extends AnyFunSuite {
   test("r6 query family: no CartesianProduct anywhere") {
     for (n <- Seq("text_keywords", "text_lm_score", "ev_funnel", "ann_maxsim",
                   "hybrid_rrf", "text_pack", "text_shards", "pipeline_prepare",
-                  "embed_pool", "graph_pagerank", "dedup_semantic")) {
+                  "embed_pool", "graph_pagerank", "dedup_semantic",
+                  "dedup_semantic_scaled", "text_bm25_query")) {
       val p = plan(SparkEntry.queries(n)(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$n:\n${p.take(2000)}")
     }
