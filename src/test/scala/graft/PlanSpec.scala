@@ -302,6 +302,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup-ingest probe statically prunes to the batch's content buckets (r9 #3)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-cidx").toString
+    val store = new VectorStore(spark, root)
+    val rows = (0 until 40).map(i =>
+      (f"r$i%03d", Array(i.toFloat, 1f), s"content-$i", Seq("t")))
+    store.insertDedup(rows.toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>")))
+    // prime the sidecar (first insertDedup on the then-empty store
+    // skipped the probe)
+    store.insertDedup(Seq(("rx", Array(9f, 9f), "content-x", Seq("t")))
+      .toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>")))
+    assert(store.contentIdxValid)
+    // a one-content batch probes ONE bucket: the sidecar scan must show
+    // a cbucket partition filter (static pruning), not a full read
+    val batchHashes = Seq("content-5").toDF("c")
+      .select(coalesce(sha2(col("c"), 256), lit("__graft_null__")).as("chash"))
+    val p = store.contentIdxProbe(batchHashes)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && "cbucket.* IN ".r.findFirstIn(p).isDefined
+        || p.contains("cbucket#"),
+      s"no cbucket partition pruning in probe plan:\n${p.take(3000)}")
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("cbucket"), s"partition filter missing cbucket: $pf\n${p.take(2000)}")
+    store.clear()
+  }
+
   test("matryoshka coarse scan reads ONLY the prefix column; refine pushes the id IN-list (r9 #1)") {
     import graft.operators.SimilaritySearch
     graft.functions.GraftFunctions.register(spark)

@@ -1298,6 +1298,39 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!store.exists)
   }
 
+  test("content-fingerprint sidecar: exact dedup across inserts, deletes, and plain appends (r9 #3)") {
+    val store = freshStore()
+    def idsOf() = store.table().select("id").collect().map(_.getString(0)).toSet
+    store.insertDedup(df(Seq(
+      ("a", Array(1f, 0f), "ca", Nil),
+      ("b", Array(0f, 1f), "cb", Nil))))
+    // second trigger: dup content dropped, fresh kept; sidecar is live
+    store.insertDedup(df(Seq(
+      ("b2", Array(0f, 1f), "cb", Nil),
+      ("c", Array(1f, 1f), "cc", Nil))))
+    assert(idsOf() == Set("a", "b", "c"))
+    assert(store.contentIdxValid, "sidecar should be live after insertDedup")
+    // a PLAIN insert must fold into the live sidecar (writeBatch hook):
+    // its content then dedups on the next insertDedup trigger
+    store.insert(df(Seq(("d", Array(1f, 2f), "cd", Nil))))
+    store.insertDedup(df(Seq(
+      ("d2", Array(1f, 2f), "cd", Nil),
+      ("e", Array(2f, 1f), "ce", Nil))))
+    assert(idsOf() == Set("a", "b", "c", "d", "e"))
+    // deletion invalidates (the sidecar cannot subtract); the content
+    // becomes insertable again — exactly the live-store semantics
+    assert(store.deleteIds(Seq("c")) == 1L)
+    assert(!store.contentIdxValid, "delete must invalidate the sidecar")
+    store.insertDedup(df(Seq(("c9", Array(1f, 1f), "cc", Nil))))
+    assert(idsOf() == Set("a", "b", "d", "e", "c9"))
+    assert(store.contentIdxValid, "probe rebuilds the sidecar")
+    // null contents stay null-SAFE: exactly one null row ever
+    store.insertDedup(df(Seq(("n1", Array(3f, 0f), null, Nil))))
+    store.insertDedup(df(Seq(("n2", Array(0f, 3f), null, Nil))))
+    assert(idsOf() == Set("a", "b", "d", "e", "c9", "n1"))
+    store.clear()
+  }
+
   test("deleteIds rejects mixed or unsupported element types up front (ADVICE r9 #1)") {
     val store = freshStore()
     store.insert(df(Seq(("a", Array(1f, 2f), "x", Nil))))
