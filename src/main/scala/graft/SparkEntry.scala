@@ -288,6 +288,25 @@ object SparkEntry {
       })
   }
 
+  /** The drained [[graft.streaming.EventOps.runHourlyLateStream]] sink
+    * for a fixture dir, built once per (session, dir) — the stream
+    * drains twice through one checkpoint, so reps must reuse the
+    * committed result rather than re-staging. Same staleness contract
+    * as [[dupPairsCache]]. */
+  private val hourlyLateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def hourlyLateResult(s: SparkSession, dir: String): DataFrame = {
+    hourlyLateCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val out = hourlyLateCache.computeIfAbsent((s, dir),
+      { _ =>
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_ev_late").toString
+        graft.streaming.EventOps.runHourlyLateStream(s, dir, work)
+        s"$work/out"
+      })
+    s.read.parquet(out)
+  }
+
   // ---------------------------------------------------------------
   // the operator inventory (SURVEY.md §2 + extension scope)
   // ---------------------------------------------------------------
@@ -818,6 +837,14 @@ object SparkEntry {
 
     "ev_hourly" -> ((s, dir) =>
       EventOps.hourlyRollup(Tables.events(s, dir))),
+
+    // the WATERMARK path end-to-end (r9 next #7): append-mode hourly
+    // rollup over a two-arrival staging — closed-window late rows
+    // dropped, open-window late rows accepted, only finalized windows
+    // emitted. See EventOps.runHourlyLateStream for the construction
+    // that makes the surviving set exactly "hours [L-6h, L-2h]".
+    "ev_hourly_late" -> ((s, dir) =>
+      hourlyLateResult(s, dir).orderBy("hour_epoch", "event_type")),
 
     "ev_sessions" -> ((s, dir) =>
       EventOps.sessionize(Tables.events(s, dir))),
@@ -1981,6 +2008,21 @@ object SparkEntry {
         s"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
            |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // the late-data stream's surviving set: with L = the final hour
+      // with data, the watermark mechanics leave exactly the full
+      // rollup of hours [L-6h, L-2h] in the sink (older windows were
+      // closed when their rows arrived -> dropped; held-back L-2h rows
+      // arrived late but open -> counted; hours above L-2h never
+      // finalize before the stream ends -> unemitted)
+      "ev_hourly_late" ->
+        s"""WITH hb AS (SELECT (max(CAST(floor(epoch(ts)) AS BIGINT)) // 3600) * 3600 AS lhour FROM events),
+           |r AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
+           |             event_type, value FROM events)
+           |SELECT hour_epoch, event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+           |FROM r, hb
+           |WHERE hour_epoch >= lhour - 6 * 3600 AND hour_epoch <= lhour - 2 * 3600
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "ev_sessions" ->
         s"""WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

@@ -87,6 +87,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(one.length == 4)
   }
 
+  test("late-data hourly stream: closed-window lates dropped, open-window lates counted, only finalized windows emitted") {
+    // the stream's sink must equal the batch rollup of EXACTLY hours
+    // [L-6h, L-2h]: anything else means a watermark behavior broke
+    // (see runHourlyLateStream's construction)
+    val work = java.nio.file.Files.createTempDirectory("graft-ev-late-spec").toString
+    val got = graft.streaming.EventOps.runHourlyLateStream(spark, dir, work)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val hourNs = 3600L * 1000000000L
+    val ev = Tables.events(spark, dir)
+    val lHour = ev.agg(max(expr(s"ts_ns div $hourNs"))).head().getLong(0) * 3600L
+    val expected = EventOps.hourlyRollup(
+      ev.where(expr(s"(ts_ns div $hourNs) * 3600").between(lHour - 6 * 3600, lHour - 2 * 3600)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, s"stream ${got.size} rows vs expected ${expected.size}")
+    assert(got.nonEmpty)
+    // the held-back (late-but-open-window) rows ARE in the counts:
+    // hour L-2h totals must match the full fixture for that hour
+    val q = lHour - 2 * 3600
+    assert(got.filter(_._1 == q).map(_._3).sum ==
+      ev.where(expr(s"(ts_ns div $hourNs) * 3600") === q).count())
+  }
+
   test("streaming hourly rollup equals batch rollup (availableNow drain)") {
     val batch = EventOps.hourlyRollup(Tables.events(spark, dir))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
