@@ -29,7 +29,9 @@ object GraftFunctions {
       "graft_euclidean_f32" -> (e => EuclideanDistanceF32(e(0), e(1))),
       "graft_shingle_codes" -> (e => ShingleBigramCodes(e(0))),
       "graft_ngram_codes" -> (e => WordNgramCodes(e(0), e(1))),
-      "graft_term_counts" -> (e => TermCounts(e(0), e(1)))
+      "graft_term_counts" -> (e => TermCounts(e(0), e(1))),
+      "graft_nearest_centroid" -> (e => NearestCentroidExpr(e(0), e(1), e(2))),
+      "graft_probe_centroids" -> (e => ProbeCentroidsExpr(e(0), e(1), e(2), e(3)))
     )
 
   /** Register all graft functions + optimizer rules on the session

@@ -246,24 +246,18 @@ object SimilaritySearch {
   def nearestCentroid(vec: Column, codebook: Seq[(Long, Seq[Float])]): Column =
     nearestCentroidStruct(vec, codebook).getField("cid")
 
-  /** Full (cid, dist) assignment struct — same fold as
+  /** Full (cid, dist) assignment struct — same fold semantics as
     * [[nearestCentroid]], for callers that also need the distance to
     * the assigned centroid (e.g. the SemDeDup keep policy, which ranks
-    * a dup group by centroid distance). */
-  def nearestCentroidStruct(vec: Column, codebook: Seq[(Long, Seq[Float])]): Column = {
-    val cents = array(codebook.sortBy(_._1).map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), vecLit(cv).as("cv"))
-    }: _*)
-    aggregate(
-      cents,
-      struct(lit(-1L).as("cid"), lit(Double.PositiveInfinity).as("dist")),
-      (acc, c) => {
-        val d = euclidean(vec, c.getField("cv"))
-        when(d < acc.getField("dist"),
-          struct(c.getField("cid").as("cid"), d.as("dist")))
-          .otherwise(acc)
-      })
-  }
+    * a dup group by centroid distance). Since r10 this is the
+    * codegen'd [[graft.functions.CentroidKernel]] argmin — ONE
+    * compiled pass over a task-constant codebook instead of the
+    * k-element interpreted `aggregate()` HOF fold (bit-identical
+    * values and tie-breaks; every consumer is oracle-hash-gated). */
+  def nearestCentroidStruct(vec: Column, codebook: Seq[(Long, Seq[Float])]): Column =
+    call_function("graft_nearest_centroid", asVec(vec),
+      array(codebook.map(c => lit(c._1)): _*),
+      array(codebook.map(c => vecLit(c._2)): _*))
 
   /** The nprobe nearest centroid ids as a PER-ROW expression over the
     * broadcast codebook (the column-side sibling of [[probeCids]], for
@@ -272,12 +266,11 @@ object SimilaritySearch {
     * mirroring the oracle's ORDER BY dist, cid) and take nprobe.
     * Still a projection — no join, no shuffle. */
   def nearestCentroidsProbe(vec: Column, codebook: Seq[(Long, Seq[Float])],
-                            nprobe: Int): Column = {
-    val cents = array(codebook.sortBy(_._1).map { case (cid, cv) =>
-      struct(euclidean(vec, vecLit(cv)).as("dist"), lit(cid).as("cid"))
-    }: _*)
-    transform(slice(array_sort(cents), 1, nprobe), c => c.getField("cid"))
-  }
+                            nprobe: Int): Column =
+    call_function("graft_probe_centroids", asVec(vec),
+      array(codebook.map(c => lit(c._1)): _*),
+      array(codebook.map(c => vecLit(c._2)): _*),
+      lit(nprobe))
 
   /** IVF assignment: (vec_id, cid, embedding) with the expression-based
     * argmin — a pure projection over the scan, zero shuffle. */

@@ -141,6 +141,63 @@ class KernelSpec extends AnyFunSuite {
     assert(row.getAs[Array[Byte]](0).length == 1024) // vs 4096 raw
   }
 
+  test("centroid kernels == retired HOF fold (argmin + probe, ties to lowest cid)") {
+    import graft.operators.SimilaritySearch
+    graft.functions.GraftFunctions.register(spark)
+    // codebook with a DUPLICATE centroid (cids 3 and 1 share a vector)
+    // so the tie-break is exercised, plus an unsorted cid order so the
+    // kernel's own ascending sort is load-bearing
+    val codebook: Seq[(Long, Seq[Float])] = Seq(
+      (3L, Seq(1f, 0f, 0f)), (0L, Seq(0f, 1f, 0f)),
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.5f, 0.5f, 0f)))
+    val vecs = Seq(
+      Seq(0.9f, 0.1f, 0f), Seq(0f, 0.99f, 0.1f), Seq(0.5f, 0.5f, 0.01f),
+      Seq(1f, 0f, 0f), // exact tie between cids 1 and 3 -> keep 1
+      Seq(-1f, -1f, -1f))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+      .withColumn("v", col("v").cast("array<float>"))
+    // the retired interpreted fold, reconstructed inline as the spec
+    def legacyStruct(vec: org.apache.spark.sql.Column) = {
+      val cents = array(codebook.sortBy(_._1).map { case (cid, cv) =>
+        struct(lit(cid).as("cid"), vecLit(cv).as("cv"))
+      }: _*)
+      aggregate(
+        cents,
+        struct(lit(-1L).as("cid"), lit(Double.PositiveInfinity).as("dist")),
+        (acc, c) => {
+          val d = euclidean(col("v"), c.getField("cv"))
+          when(d < acc.getField("dist"),
+            struct(c.getField("cid").as("cid"), d.as("dist")))
+            .otherwise(acc)
+        })
+    }
+    val got = df.select(
+      SimilaritySearch.nearestCentroidStruct(col("v"), codebook).as("a"))
+      .select(col("a.cid"), col("a.dist")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val legacy = df.select(legacyStruct(col("v")).as("a"))
+      .select(col("a.cid"), col("a.dist")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == legacy, s"kernel $got vs legacy $legacy")
+    assert(got(3)._1 == 1L, "equal-dist tie must keep the lowest cid")
+    // probe: top-nprobe by (dist, cid) == the sort-based Column form
+    for (np <- Seq(1, 2, 4, 9)) {
+      val gotP = df.select(SimilaritySearch.nearestCentroidsProbe(
+        col("v"), codebook, np).as("p")).collect().map(_.getSeq[Long](0)).toSeq
+      val legacyP = df.select({
+        val cents = array(codebook.sortBy(_._1).map { case (cid, cv) =>
+          struct(euclidean(col("v"), vecLit(cv)).as("dist"), lit(cid).as("cid"))
+        }: _*)
+        transform(slice(array_sort(cents), 1, np), c => c.getField("cid")).as("p")
+      }).collect().map(_.getSeq[Long](0)).toSeq
+      assert(gotP == legacyP, s"nprobe=$np: kernel $gotP vs legacy $legacyP")
+    }
+    // probe(1) head == argmin cid
+    val p1 = df.select(SimilaritySearch.nearestCentroidsProbe(col("v"), codebook, 1).as("p"))
+      .collect().map(_.getSeq[Long](0).head).toSeq
+    assert(p1 == got.map(_._1))
+  }
+
   test("term-counts kernel == Column-form per-term filter counts (r9 #2)") {
     import graft.operators.Dedup
     graft.functions.GraftFunctions.register(spark)
