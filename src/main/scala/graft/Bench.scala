@@ -100,9 +100,14 @@ object Bench {
     // replicated corpus (every 8-gram duplicated), so the join-back
     // and the per-doc coverage rebuild both change character at volume
     "dedup_substring_clean",
-    // Matryoshka prefix retrieval: the coarse pass reads a 4x-narrower
-    // vector slice — its benefit IS a volume effect
-    "ann_matryoshka")
+    // Matryoshka prefix retrieval: since r10 the coarse pass scans the
+    // physical vec_prefix column only — the 4x I/O cut IS a volume
+    // effect (cold pays the one-time index build)
+    "ann_matryoshka",
+    // r10: the watermark path at volume — append-mode finalization,
+    // closed-window late drops and state size all scale with the event
+    // count (cold pays the two-arrival staging; warm reads the sink)
+    "ev_hourly_late")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the
