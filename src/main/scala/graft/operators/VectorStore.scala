@@ -46,7 +46,8 @@ import graft.functions.GraftFunctions
  */
 class VectorStore(spark: SparkSession, val root: String,
                   writerLockTimeoutMs: Long = 600000L,
-                  dppRouteThreshold: Int = 10000) {
+                  dppRouteThreshold: Int = 10000,
+                  contentIdxMinBytes: Long = 256L * 1024 * 1024) {
   GraftFunctions.register(spark)
   import GraftFunctions._
 
@@ -789,6 +790,18 @@ class VectorStore(spark: SparkSession, val root: String,
   private val contentIdxData = s"$contentIdxDir/data"
   private def contentIdxMarker = new Path(s"$contentIdxDir/_OK")
 
+  /** Threshold gate (measured r10): below `contentIdxMinBytes` of
+    * store data the OLD direct content probe is cheaper than the
+    * sidecar's per-trigger maintenance (a 64-partition append + pruned
+    * read per micro-batch tripled the fixture-scale ingest build),
+    * while at the scale the sidecar exists for the full-store scan it
+    * replaces dominates everything. One driver FS call; both probe
+    * paths are exact, so crossing the threshold mid-life is safe — the
+    * first over-threshold trigger just pays the rebuild. */
+  private def contentIdxWorthwhile: Boolean =
+    try fs.getContentSummary(new Path(dataPath)).getLength >= contentIdxMinBytes
+    catch { case _: java.io.IOException => false }
+
   private def chashCol(c: Column): Column =
     coalesce(sha2(c, 256), lit("__graft_null__"))
 
@@ -864,7 +877,7 @@ class VectorStore(spark: SparkSession, val root: String,
             .where(col("__graft_rn") === 1).drop("__graft_rn")
         } else df.dropDuplicates("content")
       val fresh0 =
-        if (exists) {
+        if (exists && (contentIdxValid || contentIdxWorthwhile)) {
           if (!contentIdxValid) rebuildContentIdx()
           val withH = inBatch.withColumn("__graft_chash", chashCol(col("content")))
           // pinned: read by the bucket collect, the semi-join probe,
@@ -876,6 +889,16 @@ class VectorStore(spark: SparkSession, val root: String,
           withH.join(broadcast(dupHashes),
               col("__graft_chash") === col("chash"), "left_anti")
             .drop("__graft_chash")
+        } else if (exists) {
+          // sub-threshold store: the direct null-SAFE content probe
+          // (one narrow column-pruned scan — cheaper than sidecar
+          // upkeep until the store outgrows contentIdxMinBytes)
+          val dupContents = table()
+            .join(broadcast(inBatch.select(col("content").as("__c")).distinct()),
+              col("content") <=> col("__c"), "left_semi")
+            .select(col("content").as("__c")).distinct()
+          inBatch.join(broadcast(dupContents),
+            col("content") <=> col("__c"), "left_anti")
         } else inBatch
       // pin: without it, every downstream action (isEmpty, the dim
       // aggregate, the write, the manifest projection) re-runs the

@@ -305,7 +305,7 @@ class PlanSpec extends AnyFunSuite {
   test("dedup-ingest probe statically prunes to the batch's content buckets (r9 #3)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-plan-cidx").toString
-    val store = new VectorStore(spark, root)
+    val store = new VectorStore(spark, root, contentIdxMinBytes = 0L)
     val rows = (0 until 40).map(i =>
       (f"r$i%03d", Array(i.toFloat, 1f), s"content-$i", Seq("t")))
     store.insertDedup(rows.toDF("id", "vector", "content", "tags")

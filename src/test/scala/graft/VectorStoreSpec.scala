@@ -1299,7 +1299,12 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("content-fingerprint sidecar: exact dedup across inserts, deletes, and plain appends (r9 #3)") {
-    val store = freshStore()
+    // contentIdxMinBytes = 0 forces the sidecar path on a tiny store
+    // (production gates it on store size — sub-threshold stores use
+    // the direct probe, covered by the streaming dedup specs)
+    val store = new VectorStore(spark,
+      Files.createTempDirectory("graft-store").toString,
+      contentIdxMinBytes = 0L)
     def idsOf() = store.table().select("id").collect().map(_.getString(0)).toSet
     store.insertDedup(df(Seq(
       ("a", Array(1f, 0f), "ca", Nil),
