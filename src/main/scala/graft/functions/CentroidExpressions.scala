@@ -47,8 +47,12 @@ object CentroidKernel {
       throw new IllegalArgumentException(
         s"graft: vector dimension ${vec.numElements()} does not match centroid dimension $d")
 
-  /** (cid, dist) of the nearest centroid. */
+  /** (cid, dist) of the nearest centroid. An EMPTY codebook yields
+    * (-1, Infinity) — the retired HOF fold's initial accumulator —
+    * rather than tripping the d=0 dimension check. */
   def nearest(vec: ArrayData, flat: Array[Float], cids: Array[Long], d: Int): InternalRow = {
+    if (cids.length == 0)
+      return new GenericInternalRow(Array[Any](-1L, Double.PositiveInfinity))
     checkDim(vec, d)
     var bestCid = -1L
     var bestDist = Double.PositiveInfinity
@@ -65,6 +69,7 @@ object CentroidKernel {
     * a bounded insertion-select over the codebook, one pass. */
   def probe(vec: ArrayData, flat: Array[Float], cids: Array[Long],
             d: Int, nprobe: Int): ArrayData = {
+    if (cids.length == 0) return new GenericArrayData(Array.emptyLongArray)
     checkDim(vec, d)
     val n = math.min(nprobe, cids.length)
     val bd = new Array[Double](n)

@@ -537,6 +537,12 @@ object SimilaritySearch {
    */
   def buildPrefixIndex(emb: DataFrame, dims: Int, path: String): Unit = {
     require(dims >= 1, s"graft: prefix dims $dims must be >= 1")
+    // slice() would silently CLAMP dims > d and build a full-width
+    // "prefix" — fail loudly instead (one head probe at build time)
+    emb.select(size(col("embedding"))).limit(1).collect().headOption.foreach { r =>
+      require(dims <= r.getInt(0),
+        s"graft: prefix dims $dims exceeds embedding dimension ${r.getInt(0)}")
+    }
     emb.select(col("vec_id"),
         slice(col("embedding"), 1, dims).as("vec_prefix"), col("embedding"))
       .sortWithinPartitions("vec_id")
@@ -568,6 +574,8 @@ object SimilaritySearch {
                           dims: Int = 16, k: Int = 10, refineK: Int = 50,
                           excludeId: Option[Long] = None): DataFrame = {
     require(refineK >= k, s"graft: refineK $refineK must be >= k $k")
+    require(dims >= 1 && dims <= qv.length,
+      s"graft: prefix dims $dims outside 1..${qv.length}")
     graft.functions.GraftFunctions.register(spark)
     val idx = spark.read.parquet(path)
     val stored = idx.select(size(col("vec_prefix"))).limit(1).collect()

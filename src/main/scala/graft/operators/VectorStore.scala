@@ -451,13 +451,17 @@ class VectorStore(spark: SparkSession, val root: String,
     // are bounded; the store, not the batch, is the 100 TB side) and
     // both writes read the same rows.
     val out0 = withGen(finalizeBatch(prepared, quantize))
-    val out = if (hasAnnIndex) out0.localCheckpoint() else out0
+    // a live sidecar adds a third consumer of the batch plan (data
+    // write + manifest distinct + fingerprint append) — pin for it
+    // exactly as for the ANN maintenance case (review-pass r10 #4)
+    val idxLive0 = contentIdxValid
+    val out = if (hasAnnIndex || idxLive0) out0.localCheckpoint() else out0
     // content-sidecar marker dance: EVERY appending path (insert,
     // insertDedup survivors, streams) adds contents, so a live sidecar
     // must fold the batch in or go invalid — a crash between the data
     // write and the sidecar append leaves the marker off, forcing a
     // rebuild instead of a silently incomplete index
-    val idxLive = contentIdxValid
+    val idxLive = idxLive0
     if (idxLive) fs.delete(contentIdxMarker, false)
     out.write.mode(SaveMode.Append).partitionBy("tag_key", "gen").parquet(dataPath)
     updateManifest(out.select(col("tag_key"), col("tags"), col("gen")).distinct())
@@ -741,9 +745,22 @@ class VectorStore(spark: SparkSession, val root: String,
       .foreachBatch((batch: DataFrame, _: Long) => insert(batch, quantize))
       .option("checkpointLocation",
         checkpointLocation.getOrElse(
-          s"$root/_checkpoints/ingest_${sourceCheckpointKey(stream)}"))
+          defaultCheckpoint("ingest", stream)))
       .trigger(trigger)
       .start()
+
+  /** Default checkpoint dir: per-source derived key, EXCEPT that a
+    * store already carrying the pre-r10 fixed-name ledger keeps it —
+    * switching an existing single-stream deployment to the derived
+    * name would abandon its offsets and replay the whole source into
+    * duplicate appends (review-pass r10 #1). Grandfathered stores
+    * stay single-ledger (the documented pre-r10 contract); new stores
+    * get per-source isolation. */
+  private def defaultCheckpoint(kind: String, stream: DataFrame): String = {
+    val legacy = s"$root/_checkpoints/$kind"
+    if (fs.exists(new Path(legacy))) legacy
+    else s"${legacy}_${sourceCheckpointKey(stream)}"
+  }
 
   /** Stable per-source checkpoint key (ADVICE r9 #3): two DIFFERENT
     * sources draining into the same store must not share offsets — a
@@ -837,10 +854,23 @@ class VectorStore(spark: SparkSession, val root: String,
     * batch-bounded) that are already present. Exposed for the plan
     * gate — the sidecar scan must show cbucket PartitionFilters, i.e.
     * it reads ONLY the batch's buckets. */
+  /** Sidecar scan with the schema DECLARED: a sidecar rebuilt from an
+    * emptied store has no files to infer from (zero-row partitioned
+    * write), and schema inference would throw where an empty index is
+    * the correct answer. */
+  private def contentIdxTable(): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("chash",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cbucket",
+          org.apache.spark.sql.types.IntegerType))))
+      .parquet(contentIdxData)
+
   private[graft] def contentIdxProbe(batchHashes: DataFrame): DataFrame = {
     val buckets = batchHashes.select(cbucketCol(col("chash")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(contentIdxData)
+    contentIdxTable()
       .where(col("cbucket").isin(buckets: _*))
       .join(broadcast(batchHashes), Seq("chash"), "left_semi")
       .select("chash").distinct()
@@ -929,7 +959,7 @@ class VectorStore(spark: SparkSession, val root: String,
       .foreachBatch((batch: DataFrame, _: Long) => insertDedup(batch, quantize))
       .option("checkpointLocation",
         checkpointLocation.getOrElse(
-          s"$root/_checkpoints/ingest_dedup_${sourceCheckpointKey(stream)}"))
+          defaultCheckpoint("ingest_dedup", stream)))
       .trigger(trigger)
       .start()
 
@@ -1159,7 +1189,7 @@ class VectorStore(spark: SparkSession, val root: String,
       if (nFiles > ContentIdxBuckets * 4) {
         fs.delete(contentIdxMarker, false)
         val tmp = s"$root/contentidx_tmp"
-        spark.read.parquet(contentIdxData)
+        contentIdxTable()
           .select("chash", "cbucket").distinct()
           .write.mode(SaveMode.Overwrite).partitionBy("cbucket").parquet(tmp)
         fs.delete(new Path(contentIdxData), true)

@@ -294,6 +294,18 @@ object EventOps {
     val hcol = expr(s"ts_ns div $hourNs") * hourNs
     val holdback = (hcol === lHour - 2 * hourNs) && (col("user_id") % 5 === 0)
     val onTime = (hcol >= lHour - 6 * hourNs) && (hcol < lHour) && !holdback
+    // CONSTRUCTION PRECONDITION (review-pass r10 #2): the whole
+    // "closed windows drop lates / hour L-2h stays open" invariant
+    // needs arrival 1's max event to land in hour L-1h — then the
+    // drain-1 watermark sits inside hour L-2h, below every old
+    // window's end and above none of the held-back hour's. A sparse
+    // fixture (no on-time rows in hour L-1h) would silently ACCEPT
+    // old lates instead; fail loudly so the oracle can never drift.
+    val maxOnTimeNs = ev.where(onTime).agg(max("ts_ns")).head().getLong(0)
+    require(maxOnTimeNs / hourNs == maxNs / hourNs - 1,
+      s"graft: late-stream construction needs on-time data in the hour before " +
+        s"the final hour (fixture gap: max on-time hour ${maxOnTimeNs / hourNs}, " +
+        s"final hour ${maxNs / hourNs})")
     val staging = s"$work/staging"
     val out = s"$work/out"
     val ckpt = s"$work/ckpt"

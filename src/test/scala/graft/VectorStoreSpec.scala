@@ -1336,6 +1336,30 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("sidecar survives an EMPTIED store: rebuild from zero live rows, then dedup normally") {
+    // delete-all leaves the data dir (old gens await vacuum) with an
+    // empty live snapshot; the rebuild writes a zero-row sidecar and
+    // the probe must read it as EMPTY, not die on schema inference
+    val store = new VectorStore(spark,
+      Files.createTempDirectory("graft-store").toString,
+      contentIdxMinBytes = 0L)
+    store.insertDedup(df(Seq(
+      ("a", Array(1f, 0f), "ca", Nil), ("b", Array(0f, 1f), "cb", Nil))))
+    store.insertDedup(df(Seq(("c", Array(1f, 1f), "cc", Nil)))) // sidecar live
+    assert(store.contentIdxValid)
+    assert(store.deleteIds(Seq("a", "b", "c")) == 3L)
+    // next trigger: rebuild over the EMPTY live snapshot, everything
+    // is fresh (deleted contents are re-insertable)
+    store.insertDedup(df(Seq(
+      ("a2", Array(1f, 0f), "ca", Nil), ("d", Array(2f, 0f), "cd", Nil))))
+    assert(store.table().select("id").collect().map(_.getString(0)).toSet
+      == Set("a2", "d"))
+    // and the rebuilt sidecar keeps deduping
+    store.insertDedup(df(Seq(("d2", Array(2f, 0f), "cd", Nil))))
+    assert(store.table().count() == 2)
+    store.clear()
+  }
+
   test("deleteIds rejects mixed or unsupported element types up front (ADVICE r9 #1)") {
     val store = freshStore()
     store.insert(df(Seq(("a", Array(1f, 2f), "x", Nil))))
@@ -1381,5 +1405,17 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ckptDirs().size == 2, s"distinct sources must not share a checkpoint: ${ckptDirs()}")
     assert(store.table().count() == 2)
     store.clear()
+    // GRANDFATHERING (review-pass r10 #1): a store already carrying
+    // the pre-r10 fixed-name ledger keeps it — else its offsets would
+    // be abandoned and the whole source replayed into duplicates
+    val store2 = freshStore()
+    assert(new java.io.File(s"${store2.root}/_checkpoints").mkdirs())
+    assert(new java.io.File(s"${store2.root}/_checkpoints/ingest").mkdirs())
+    store2.insertStream(spark.readStream.schema(schema).parquet(srcA))
+      .awaitTermination()
+    val dirs2 = new java.io.File(s"${store2.root}/_checkpoints").listFiles().map(_.getName).toSet
+    assert(dirs2 == Set("ingest"), s"legacy ledger must be reused, got $dirs2")
+    assert(store2.table().count() == 1)
+    store2.clear()
   }
 }
