@@ -107,7 +107,11 @@ object Bench {
     // r10: the watermark path at volume — append-mode finalization,
     // closed-window late drops and state size all scale with the event
     // count (cold pays the two-arrival staging; warm reads the sink)
-    "ev_hourly_late")
+    "ev_hourly_late",
+    // r10: NEAR-dup dedup-on-ingest — in-batch banding/components and
+    // the signature-sidecar probe both change character with volume
+    // (cold pays the two-arrival staged store build)
+    "ingest_neardedup")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

@@ -48,6 +48,17 @@ object OracleSql {
   /** Word-bigram Jaccard threshold for "near duplicate". */
   val JaccardThreshold = 0.7
 
+  /** Signature-agreement floor for the STREAMING near-dup policy
+    * (dedup-on-ingest): two docs are near-dups when >= this many of
+    * their MinHashK signature slots agree. The slot-agreement fraction
+    * is the standard unbiased MinHash estimator of Jaccard, so 12/16
+    * = ceil(K * JaccardThreshold) is the estimator-level analogue of
+    * the batch family's exact-Jaccard >= 0.7 verify. Chosen over exact
+    * Jaccard for the ingest path because verification then needs ONLY
+    * the signature sidecar — never the stored text — which is what
+    * keeps a 100 TB store's per-trigger probe bounded. */
+  val NearDupSigAgreeMin = 12
+
   /** SimHash signature width: 62 bits, composed of two independent
     * 31-bit hashes h1 + h2 * 2^31 (bits 0..30 from h1, 31..61 from h2).
     * 62 — not 64 — because BOTH engines do checked int64 arithmetic

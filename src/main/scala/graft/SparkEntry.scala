@@ -221,6 +221,48 @@ object SparkEntry {
       })
   }
 
+  /** A VectorStore populated through the NEAR-dup dedup-on-ingest
+    * streaming path ([[graft.operators.VectorStore.insertStreamNearDedup]]):
+    * arrival 1 is the whole fixture corpus (organic near-dups collapse
+    * in-batch to min-id survivors), arrival 2 replays docs 0-39 as
+    * replicas (ids + 1e6, SAME text — identical signatures, so the
+    * oracle can mirror them through the originals' signature table)
+    * drained through the same checkpoint. The ingest_neardedup oracle
+    * row checks the final store against DuckDB's full mirror: banded
+    * candidates -> >= NearDupSigAgreeMin slot agreement -> recursive
+    * components -> min-id keep, then the cross-arrival probe against
+    * arrival-1 survivors. Built once per (session, dir). */
+  private val nearDedupStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def nearDedupIngestStoreRoot(s: SparkSession, dir: String): String = {
+    nearDedupStoreCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    nearDedupStoreCache.computeIfAbsent((s, dir),
+      { _ =>
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ingest_neardedup").toString
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .select(col("doc_id"), col("embedding"), col("text"))
+        def rows(d: org.apache.spark.sql.DataFrame) =
+          d.select(format_string("d%09d", col("doc_id")).as("id"),
+            col("embedding").as("vector"), col("text").as("content"),
+            array(lit("ingest")).as("tags"))
+        val staging = s"$root/staging"
+        val store = new graft.operators.VectorStore(s, s"$root/store")
+        val schema = rows(base).schema
+        def drain(): Unit = store.insertStreamNearDedup(
+          s.readStream.schema(schema).parquet(staging)).awaitTermination()
+        rows(base).coalesce(1).write.mode("append").parquet(staging)
+        drain()
+        rows(base.where(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+          .coalesce(1).write.mode("append").parquet(staging)
+        drain()
+        s"$root/store"
+      })
+  }
+
   /** A VectorStore over the fixture's vector table with every
     * `id % 7 == 0` row DELETED through the takedown path
     * ([[graft.operators.VectorStore.delete]]) — the store_delete oracle
@@ -1218,6 +1260,20 @@ object SparkEntry {
       store.table()
         .select(col("id"), TextAnalysis.fingerprint("content").as("fp"))
         .orderBy("id")
+    }),
+
+    // NEAR-dup dedup-on-ingest (the fuzzy sibling of ingest_dedup):
+    // the store accumulates only docs that are not MinHash near-dups
+    // (band match + >= 12/16 signature-slot agreement) of anything
+    // stored or of a surviving smaller-id row in their own batch; the
+    // oracle mirrors banding, agreement, components, min-id keep and
+    // the cross-arrival probe exactly
+    "ingest_neardedup" -> ((s, dir) => {
+      val store =
+        new graft.operators.VectorStore(s, nearDedupIngestStoreRoot(s, dir))
+      store.table()
+        .select(expr("CAST(substring(id, 2) AS BIGINT)").as("vec_id"))
+        .orderBy("vec_id")
     }),
 
     // sequence packing: documents -> fixed-token-budget training
@@ -2308,6 +2364,55 @@ object SparkEntry {
            |SELECT printf('d%09d', CAST(min(doc_id) AS BIGINT)) AS id,
            |       CAST(min(fp) AS BIGINT) AS fp
            |FROM f GROUP BY text ORDER BY id""".stripMargin,
+
+      // NEAR-dup ingest: full mirror of the streaming policy over the
+      // two staged arrivals. Arrival 2's replicas carry the SAME text
+      // as docs 0-39, so their signatures are the originals' rows in
+      // `mh` — everything derives from one signature table.
+      "ingest_neardedup" -> {
+        val agree = (0 until OracleSql.MinHashK)
+          .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH RECURSIVE ${OracleSql.shingleCte},
+           |${OracleSql.minhashCte},
+           |${OracleSql.lshCandidatesCte},
+           |ver AS (SELECT c.d1, c.d2 FROM cand c
+           |        JOIN mh a ON a.doc_id = c.d1 JOIN mh b ON b.doc_id = c.d2
+           |        WHERE $agree >= ${OracleSql.NearDupSigAgreeMin}),
+           |e1 AS (SELECT d1 AS u, d2 AS v FROM ver UNION SELECT d2, d1 FROM ver),
+           |n1 AS (SELECT DISTINCT u FROM e1),
+           |lab1(u, l) AS (
+           |  SELECT u, u FROM n1
+           |  UNION
+           |  SELECT e1.u, lab1.l FROM e1 JOIN lab1 ON e1.v = lab1.u
+           |),
+           |comp1 AS (SELECT u AS doc_id, min(l) AS c FROM lab1 GROUP BY u),
+           |surv1 AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp1)
+           |          UNION ALL SELECT doc_id FROM comp1 WHERE doc_id = c),
+           |ver2 AS (SELECT d1, d2 FROM ver WHERE d1 < 40 AND d2 < 40),
+           |e2 AS (SELECT d1 AS u, d2 AS v FROM ver2 UNION SELECT d2, d1 FROM ver2),
+           |n2 AS (SELECT DISTINCT u FROM e2),
+           |lab2(u, l) AS (
+           |  SELECT u, u FROM n2
+           |  UNION
+           |  SELECT e2.u, lab2.l FROM e2 JOIN lab2 ON e2.v = lab2.u
+           |),
+           |comp2 AS (SELECT u AS doc_id, min(l) AS c FROM lab2 GROUP BY u),
+           |surv2 AS (SELECT doc_id FROM documents
+           |          WHERE doc_id < 40 AND doc_id NOT IN (SELECT doc_id FROM comp2)
+           |          UNION ALL SELECT doc_id FROM comp2 WHERE doc_id = c),
+           |versym AS (SELECT d1, d2 FROM ver UNION SELECT d2, d1 FROM ver),
+           |drop2 AS (SELECT doc_id FROM surv2
+           |          WHERE doc_id IN (SELECT doc_id FROM surv1)
+           |            AND doc_id IN (SELECT doc_id FROM mh)
+           |          UNION
+           |          SELECT v.d1 FROM versym v JOIN surv1 s ON s.doc_id = v.d2
+           |          WHERE v.d1 IN (SELECT doc_id FROM surv2)),
+           |final AS (SELECT doc_id AS vec_id FROM surv1
+           |          UNION ALL
+           |          SELECT doc_id + 1000000 FROM surv2
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM drop2))
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM final ORDER BY vec_id""".stripMargin
+      },
 
       "text_pack" ->
         s"""WITH pdoc AS (SELECT doc_id,

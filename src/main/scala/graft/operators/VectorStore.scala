@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+import graft.OracleSql
 
 /**
  * The engine facade: a tag-partitioned embedding store with top-k
@@ -454,21 +455,26 @@ class VectorStore(spark: SparkSession, val root: String,
     // a live sidecar adds a third consumer of the batch plan (data
     // write + manifest distinct + fingerprint append) — pin for it
     // exactly as for the ANN maintenance case (review-pass r10 #4)
-    val idxLive0 = contentIdxValid
-    val out = if (hasAnnIndex || idxLive0) out0.localCheckpoint() else out0
-    // content-sidecar marker dance: EVERY appending path (insert,
-    // insertDedup survivors, streams) adds contents, so a live sidecar
-    // must fold the batch in or go invalid — a crash between the data
-    // write and the sidecar append leaves the marker off, forcing a
-    // rebuild instead of a silently incomplete index
-    val idxLive = idxLive0
+    val idxLive = contentIdxValid
+    val nearLive = nearIdxValid
+    val out = if (hasAnnIndex || idxLive || nearLive) out0.localCheckpoint() else out0
+    // sidecar marker dance (content fingerprints AND near-dup
+    // signatures): EVERY appending path adds contents, so a live
+    // sidecar must fold the batch in or go invalid — a crash between
+    // the data write and a sidecar append leaves that marker off,
+    // forcing a rebuild instead of a silently incomplete index
     if (idxLive) fs.delete(contentIdxMarker, false)
+    if (nearLive) fs.delete(nearIdxMarker, false)
     out.write.mode(SaveMode.Append).partitionBy("tag_key", "gen").parquet(dataPath)
     updateManifest(out.select(col("tag_key"), col("tags"), col("gen")).distinct())
     persistHasPacked(quantize)
     if (idxLive) {
       appendContentIdx(out)
       fs.create(contentIdxMarker, true).close()
+    }
+    if (nearLive) {
+      appendNearIdx(out)
+      fs.create(nearIdxMarker, true).close()
     }
     maintainAnnIndex(out)
   }
@@ -506,6 +512,7 @@ class VectorStore(spark: SparkSession, val root: String,
     // fingerprint sidecar cannot subtract, so it goes invalid here and
     // rebuilds on the next insertDedup
     invalidateContentIdx()
+    invalidateNearIdx()
     // the store's layout wins over the flag: appending packed-less rows
     // to a quantized store would null the codec for the new rows, and
     // appending packed rows to an unquantized store would produce a
@@ -625,8 +632,9 @@ class VectorStore(spark: SparkSession, val root: String,
       val kept = table()
         .where(col("tag_key").isin(affected: _*))
         .join(broadcast(idSet), Seq("id"), "left_anti")
-      // removals: the fingerprint sidecar cannot subtract — invalidate
+      // removals: the sidecars cannot subtract — invalidate both
       invalidateContentIdx()
+      invalidateNearIdx()
       val newGen = nextGen()
       val tmp = s"$root/delete_tmp"
       kept.withColumn("gen", lit(newGen))
@@ -672,8 +680,9 @@ class VectorStore(spark: SparkSession, val root: String,
       val doomed = table().where(col("tag_key").isin(affected: _*))
       val n = doomed.count()
       val doomedIds = doomed.select(col("id")).distinct()
-      // removals: the fingerprint sidecar cannot subtract — invalidate
+      // removals: the sidecars cannot subtract — invalidate both
       invalidateContentIdx()
+      invalidateNearIdx()
       writeManifest(manifest().select("tag_key", "tags", "gen")
         .where(!col("tag_key").isin(affected: _*))) // THE commit point
       fs.delete(new Path(annRoot), true)
@@ -937,6 +946,186 @@ class VectorStore(spark: SparkSession, val root: String,
       if (!fresh.isEmpty) insertLocked(fresh, quantize)
     }
 
+  // ---- NEAR-dup (MinHash) dedup-on-ingest: the FUZZY twin of the
+  // exact content sidecar. Policy: two docs are near-dups when an LSH
+  // band of their MinHash signatures matches AND >= NearDupSigAgreeMin
+  // of the 16 slots agree (the estimator-level analogue of the batch
+  // family's exact-Jaccard verify — see OracleSql.NearDupSigAgreeMin
+  // for why signatures, not text, verify at ingest). The sidecar holds
+  // one row per live (doc, band): the band's 4 slots (the match key)
+  // plus the full 16-slot signature (the verifier), partitioned by a
+  // 64-way bucket of s0 so a trigger's probe statically prunes to the
+  // batch's buckets. Same exactness contract as the content sidecar:
+  // marker dance on every append, invalidation on removal, rebuild =
+  // one store shingle pass. ----
+
+  private val nearIdxDir = s"$root/neardupidx"
+  private val nearIdxData = s"$nearIdxDir/data"
+  private def nearIdxMarker = new Path(s"$nearIdxDir/_OK")
+  private[graft] def nearIdxValid: Boolean = fs.exists(nearIdxMarker)
+  private def invalidateNearIdx(): Unit = {
+    fs.delete(new Path(nearIdxDir), true); ()
+  }
+
+  /** (doc_id = store id, m0..m15) MinHash signatures over `content`
+    * (docs below the 2-token shingle floor have no row and can never
+    * be near-dups — they always pass). */
+  private[graft] def sigsOf(rows: DataFrame): DataFrame =
+    graft.operators.Dedup.minhashSignatures(
+      graft.operators.Dedup.shingles(rows, "id", "content"))
+
+  private def mSlots: Seq[String] = (0 until OracleSql.MinHashK).map(i => s"m$i")
+
+  /** One row per (doc, band): (band, s0..s3 match key, m0..m15). */
+  private[graft] def bandRowsOf(sigs: DataFrame): DataFrame = {
+    val bandCol = explode(array((0 until OracleSql.LshBands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until OracleSql.LshRows).map(r =>
+          col(s"m${b * OracleSql.LshRows + r}").as(s"s$r")): _*)
+    }: _*))
+    sigs.select(col("doc_id") +: mSlots.map(col) :+ bandCol.as("bk"): _*)
+      .select(Seq(col("doc_id"), col("bk.band").as("band")) ++
+        (0 until OracleSql.LshRows).map(r => col(s"bk.s$r").as(s"s$r")) ++
+        mSlots.map(col): _*)
+      .withColumn("bbucket", pmod(col("s0"), lit(ContentIdxBuckets.toLong)).cast("int"))
+  }
+
+  /** Sidecar scan with the schema declared (same empty-store rationale
+    * as [[contentIdxTable]]). */
+  private def nearIdxTable(): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = Seq(StructField("band", IntegerType)) ++
+      (0 until OracleSql.LshRows).map(r => StructField(s"s$r", LongType)) ++
+      mSlots.map(m => StructField(m, LongType)) :+
+      StructField("bbucket", IntegerType)
+    spark.read.schema(StructType(fields)).parquet(nearIdxData)
+  }
+
+  private def rebuildNearIdx(): Unit = {
+    fs.delete(new Path(nearIdxDir), true)
+    bandRowsOf(sigsOf(table().select(col("id"), col("content"))))
+      .drop("doc_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("bbucket").parquet(nearIdxData)
+    fs.create(nearIdxMarker, true).close()
+  }
+
+  private def appendNearIdx(batch: DataFrame): Unit =
+    bandRowsOf(sigsOf(batch.select(col("id"), col("content"))))
+      .drop("doc_id")
+      .write.mode(SaveMode.Append).partitionBy("bbucket").parquet(nearIdxData)
+
+  /** Batch ids that near-dup a STORED doc: batch band rows probe the
+    * bucket-pruned sidecar on the band key, agreement >= the floor
+    * verifies. Exposed for the plan gate (the sidecar scan must show
+    * bbucket PartitionFilters). */
+  private[graft] def nearIdxProbe(batchBands: DataFrame): DataFrame = {
+    val buckets = batchBands.select(col("bbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val bb = batchBands.select(Seq(col("doc_id"), col("band")) ++
+      (0 until OracleSql.LshRows).map(r => col(s"s$r")) ++
+      mSlots.map(m => col(m).as(s"b$m")): _*)
+    val agree = mSlots.map(m =>
+      when(col(m) === col(s"b$m"), 1).otherwise(0)).reduce(_ + _)
+    nearIdxTable()
+      .where(col("bbucket").isin(buckets: _*))
+      .join(broadcast(bb),
+        Seq("band") ++ (0 until OracleSql.LshRows).map(r => s"s$r"))
+      .where(agree >= OracleSql.NearDupSigAgreeMin)
+      .select(col("doc_id").as("id")).distinct()
+  }
+
+  /**
+   * NEAR-dup-deduplicating append: drop batch rows whose content is a
+   * MinHash near-dup (band match + signature agreement) of a stored
+   * doc or of a surviving smaller-id row in the same batch, then
+   * insert the survivors. Within a batch, verified near-dup pairs form
+   * components and the MIN-id member of each component survives (the
+   * SemDeDup/minhash family keep convention; ids are required — the
+   * policy is id-ordered). Exact duplicates are near-dups at 16/16
+   * agreement, EXCEPT docs below the 2-token shingle floor, which have
+   * no signature and always pass — compose with [[insertDedup]] when
+   * exact dedup of trivial contents matters.
+   *
+   * Scale shape (100 TB): the store is never scanned per trigger — the
+   * probe touches only the signature sidecar, statically pruned to the
+   * batch's buckets, and signatures (not text) verify. In-batch work
+   * (signatures, banding, components, one batch-wide rank window) is
+   * bounded by the trigger size.
+   */
+  def insertNearDedup(df: DataFrame, quantize: Boolean = false): Unit =
+    withWriterLock() {
+      require(df.columns.contains("content"),
+        "graft: insertNearDedup needs a content column to dedup on")
+      require(df.columns.contains("id"),
+        "graft: insertNearDedup needs caller-assigned ids (the in-batch" +
+          " survivor policy is min-id per near-dup component)")
+      val mh = sigsOf(df).localCheckpoint(false)
+      // in-batch: banded candidates -> agreement verify -> components
+      val cand = graft.operators.Dedup.lshCandidates(mh)
+      val a = mh.select(col("doc_id").as("d1") +:
+        mSlots.map(m => col(m).as(s"a$m")): _*)
+      val b = mh.select(col("doc_id").as("d2") +:
+        mSlots.map(m => col(m).as(s"b$m")): _*)
+      val agree = mSlots.map(m =>
+        when(col(s"a$m") === col(s"b$m"), 1).otherwise(0)).reduce(_ + _)
+      val verified = cand.join(a, Seq("d1")).join(b, Seq("d2"))
+        .where(agree >= OracleSql.NearDupSigAgreeMin)
+        .select("d1", "d2")
+      // components need long ids: dense rank over the batch's ids (one
+      // batch-wide window — bounded by the trigger)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val idx = mh.select("doc_id")
+        .withColumn("nid", row_number().over(w).cast("long"))
+        .localCheckpoint(false)
+      val p = verified
+        .join(idx.select(col("doc_id").as("d1"), col("nid").as("n1")), Seq("d1"))
+        .join(idx.select(col("doc_id").as("d2"), col("nid").as("n2")), Seq("d2"))
+        .select(col("n1").as("d1"), col("n2").as("d2"))
+      // ascending rank preserves id order, so min-nid == min-id; the
+      // non-survivor nids map back to string ids for the anti join
+      val dropIds = graft.operators.Dedup.components(p)
+        .select(col("doc_id").as("cn"), col("component"))
+        .where(col("cn") =!= col("component"))
+        .join(idx, col("cn") === col("nid"))
+        .select(col("doc_id").as("__drop_id"))
+      val inBatch = df.join(broadcast(dropIds),
+        col("id") === col("__drop_id"), "left_anti")
+      // vs store: signature-sidecar probe, bucket-pruned
+      val fresh =
+        if (exists) {
+          if (!nearIdxValid) rebuildNearIdx()
+          val survSigs = mh.join(broadcast(dropIds),
+            mh("doc_id") === col("__drop_id"), "left_anti")
+          val dup = nearIdxProbe(bandRowsOf(survSigs))
+          inBatch.join(broadcast(dup.select(col("id").as("__dup_id"))),
+              col("id") === col("__dup_id"), "left_anti")
+            .localCheckpoint(false) // pin: same multi-consumer rationale as insertDedup
+        } else inBatch
+      if (!fresh.isEmpty) insertLocked(fresh, quantize)
+    }
+
+  /**
+   * Near-dup dedup-on-ingest: [[insertStream]] with MinHash near-dup
+   * deduplication at the micro-batch boundary — the FUZZY sibling of
+   * [[insertStreamDedup]] (that one drops exact content repeats; this
+   * one drops paraphrase-grade repeats by banded signatures). The
+   * committed signature sidecar is the dedup state: no streaming key
+   * state, and a replayed batch is idempotent (its survivors' bands
+   * are already committed, so every row re-drops).
+   */
+  def insertStreamNearDedup(stream: DataFrame, quantize: Boolean = false,
+                            trigger: org.apache.spark.sql.streaming.Trigger =
+                              org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                            checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => insertNearDedup(batch, quantize))
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(
+          defaultCheckpoint("ingest_neardedup", stream)))
+      .trigger(trigger)
+      .start()
+
   /**
    * Dedup-on-ingest: [[insertStream]] with exact content deduplication
    * at the micro-batch boundary — the streaming form of the exact-dedup
@@ -1173,7 +1362,7 @@ class VectorStore(spark: SparkSession, val root: String,
     }
     for (t <- Seq("upsert_tmp", "delete_tmp", "data_compact_tmp", "data_tmp",
       "manifest_tmp.parquet", "ann_tmp", "dup_tmp", "eigen_tmp.parquet",
-      "contentidx_tmp")) {
+      "contentidx_tmp", "neardupidx_tmp")) {
       val p = new Path(s"$root/$t")
       if (fs.exists(p) && expired(p)) fs.delete(p, true)
     }
@@ -1196,6 +1385,26 @@ class VectorStore(spark: SparkSession, val root: String,
         require(fs.rename(new Path(tmp), new Path(contentIdxData)),
           "graft: contentidx compaction rename failed")
         fs.create(contentIdxMarker, true).close()
+      }
+    }
+    // near-dup signature sidecar: same small-files compaction (dup band
+    // rows from replayed appends also fold away — distinct is safe:
+    // probe semantics are set-membership on (band, key, signature))
+    if (nearIdxValid) {
+      val it = fs.listFiles(new Path(nearIdxData), true)
+      var nFiles = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+      }
+      if (nFiles > ContentIdxBuckets * 4) {
+        fs.delete(nearIdxMarker, false)
+        val tmp = s"$root/neardupidx_tmp"
+        nearIdxTable().distinct()
+          .write.mode(SaveMode.Overwrite).partitionBy("bbucket").parquet(tmp)
+        fs.delete(new Path(nearIdxData), true)
+        require(fs.rename(new Path(tmp), new Path(nearIdxData)),
+          "graft: neardupidx compaction rename failed")
+        fs.create(nearIdxMarker, true).close()
       }
     }
     // superseded ANN index versions (rebuilds leave v<k> behind so

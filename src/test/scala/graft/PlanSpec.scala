@@ -328,6 +328,42 @@ class PlanSpec extends AnyFunSuite {
     store.clear()
   }
 
+  test("near-dup ingest probe statically prunes to the batch's signature buckets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-nidx").toString
+    val store = new VectorStore(spark, root)
+    val texts = (0 until 30).map(i =>
+      s"document number $i talks about topic $i with enough distinct words " +
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i to shingle properly")
+    store.insertNearDedup(texts.zipWithIndex.map { case (t, i) =>
+      (f"p$i%03d", Array(i.toFloat, 1f), t, Seq("t")) }
+      .toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>")))
+    // second batch primes the sidecar (first ran against an empty store)
+    store.insertNearDedup(Seq(("px", Array(9f, 9f),
+      "a fresh unrelated sentence about tide pools and barnacles", Seq("t")))
+      .toDF("id", "vector", "content", "tags")
+      .withColumn("vector", col("vector").cast("array<float>")))
+    assert(store.nearIdxValid)
+    // a one-doc batch probes at most LshBands buckets: the sidecar scan
+    // must show a bbucket partition filter (static pruning), not a
+    // full read
+    val probeRows = Seq(("q1", "completely different words about mountain trails and cedar"))
+      .toDF("id", "content")
+    val p = store.nearIdxProbe(store.bandRowsOf(store.sigsOf(probeRows)))
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("bbucket") && (pf.contains(" IN ") || pf.contains("=")),
+      s"no bbucket partition pruning in probe plan: '$pf'\n${p.take(3000)}")
+    // and the probe stays semantically live through the public path
+    val before = store.table().count()
+    store.insertNearDedup(probeRows
+      .withColumn("vector", array(lit(1f), lit(2f)).cast("array<float>"))
+      .withColumn("tags", array(lit("t"))))
+    assert(store.table().count() == before + 1)
+    store.clear()
+  }
+
   test("matryoshka coarse scan reads ONLY the prefix column; refine pushes the id IN-list (r9 #1)") {
     import graft.operators.SimilaritySearch
     graft.functions.GraftFunctions.register(spark)

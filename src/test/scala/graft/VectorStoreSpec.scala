@@ -1336,6 +1336,76 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("near-dup dedup-on-ingest: banded signature policy in-batch, cross-batch, and after deletes") {
+    val store = freshStore()
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles watch a vector database merge stream batches under " +
+      "heavy filter pressure near the sorted column store"
+    val tweaked = base.replace("seventeen", "nineteen") // one-word edit: near-dup
+    val other = "completely unrelated text about cooking pasta with garlic " +
+      "butter sage and parmesan finished with a splash of lemon juice and " +
+      "cracked pepper served beside roasted tomatoes on warm plates"
+    def row(id: String, c: String) = (id, Array(1f, 0f), c, Seq.empty[String])
+    def idsOf() = store.table().select("id").collect().map(_.getString(0)).toSet
+    // in-batch: exact-dup (16/16 agreement) + one-word near-dup both
+    // collapse to the min id; the unrelated doc passes
+    store.insertNearDedup(df(Seq(
+      row("a", base), row("b", base), row("c", tweaked), row("d", other))))
+    assert(idsOf() == Set("a", "d"), idsOf().toString)
+    // cross-batch: a later near-dup of a STORED doc drops, fresh text inserts
+    val skyText = "morning fog lifts from the silver harbor while gulls trace " +
+      "slow circles above rusted cranes and sleeping container ships wait " +
+      "for the tide to turn beneath a pale wide sky"
+    store.insertNearDedup(df(Seq(row("e", tweaked), row("f", skyText))))
+    assert(idsOf() == Set("a", "d", "f"), idsOf().toString)
+    assert(store.nearIdxValid)
+    // plain insert folds into the live signature sidecar (writeBatch hook)
+    val fresh = "a third corpus about sailing across cold northern seas " +
+      "with patched canvas sails and a stubborn wooden rudder that creaks"
+    store.insert(df(Seq(row("g", fresh))))
+    store.insertNearDedup(df(Seq(row("h", fresh.replace("stubborn", "ancient")))))
+    assert(idsOf() == Set("a", "d", "f", "g"), idsOf().toString)
+    // deletion invalidates; the freed content family is insertable again
+    assert(store.deleteIds(Seq("a")) == 1L)
+    assert(!store.nearIdxValid)
+    store.insertNearDedup(df(Seq(row("i", base))))
+    assert(idsOf() == Set("d", "f", "g", "i"), idsOf().toString)
+    // below the 2-token shingle floor: no signature, always passes
+    store.insertNearDedup(df(Seq(row("s1", "hello"))))
+    store.insertNearDedup(df(Seq(row("s2", "hello"))))
+    assert(idsOf().contains("s1") && idsOf().contains("s2"))
+    store.clear()
+  }
+
+  test("insertStreamNearDedup: replayed batches are idempotent (signature sidecar is the state)") {
+    import org.apache.spark.sql.types._
+    val store = freshStore()
+    val src = Files.createTempDirectory("graft-neardedup-stream").toString
+    val t1 = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles watch a vector database merge stream batches under " +
+      "heavy filter pressure near the sorted column store"
+    df(Seq(("n1", Array(1f, 0f), t1, Seq("s")),
+      ("n2", Array(0f, 1f), t1.replace("turtles", "tortoises"), Seq("s"))))
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType, containsNull = true)),
+      StructField("content", StringType),
+      StructField("tags", ArrayType(StringType, containsNull = true))))
+    def drain(): Unit = store.insertStreamNearDedup(
+      spark.readStream.schema(schema).parquet(src)).awaitTermination()
+    drain()
+    assert(store.table().count() == 1) // n2 is a near-dup of n1 in-batch
+    // replay the SAME file through a fresh checkpoint: idempotent via
+    // the committed sidecar, not via offsets
+    store.insertStreamNearDedup(
+      spark.readStream.schema(schema).parquet(src),
+      checkpointLocation = Some(s"${store.root}/_checkpoints/replay_test"))
+      .awaitTermination()
+    assert(store.table().count() == 1, "replayed batch must drop every row")
+    store.clear()
+  }
+
   test("sidecar survives an EMPTIED store: rebuild from zero live rows, then dedup normally") {
     // delete-all leaves the data dir (old gens await vacuum) with an
     // empty live snapshot; the rebuild writes a zero-row sidecar and
