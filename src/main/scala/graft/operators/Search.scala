@@ -99,20 +99,29 @@ object Search {
    * corpus.
    *
    * queries: (q_idx, qe) — a handful of chunk vectors, broadcast;
-   * corpus: (id, e) — one row per document chunk. Per-position maxes
-   * are a map-side-combinable (id, q_idx) aggregation over the
-   * broadcast-joined chunk stream; the per-document sum is INTEGER
-   * (floor(1e6 * max)) so accumulation order can never move a score.
-   * Returns (rank, id, msim) for the top k.
+   * corpus: (id, e) — one row per document chunk. The query set is
+   * bounded by construction, so the per-(doc, query) maxes PIVOT into
+   * one conditional-max column per query chunk and the whole scoring
+   * is a SINGLE map-side-combinable groupBy(id) — one shuffle, where
+   * the groupBy(id, q_idx) -> groupBy(id) chain paid two. The
+   * per-document sum is INTEGER (floor(1e6 * max)) so accumulation
+   * order can never move a score. Returns (rank, id, msim) for the
+   * top k.
    */
   def maxSimTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val qIdxs = queries.select(col("q_idx").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    require(qIdxs.nonEmpty, "graft: maxsim needs at least one query chunk")
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("sim", graft.functions.GraftFunctions.cosine(col("e"), col("qe")))
-      .groupBy(col("id"), col("q_idx"))
-      .agg(max(col("sim")).as("mx"))
-      .groupBy(col("id"))
-      .agg(sum(floor(col("mx") * lit(1000000.0)).cast("long")).as("msim"))
-    TopK.topKRanked(scored, k, Seq(desc("msim"), asc("id")))
+    val perQueryMax = qIdxs.map(q =>
+      max(when(col("q_idx") === q, col("sim"))).as(s"mx_$q"))
+    val msim = qIdxs.map(q =>
+      floor(col(s"mx_$q") * lit(1000000.0)).cast("long")).reduce(_ + _)
+    val summed = scored.groupBy(col("id"))
+      .agg(perQueryMax.head, perQueryMax.tail: _*)
+      .select(col("id"), msim.as("msim"))
+    TopK.topKRanked(summed, k, Seq(desc("msim"), asc("id")))
       .select(col("rank"), col("id"), col("msim"))
   }
 
