@@ -169,11 +169,30 @@ object OracleSql {
 
   /** DuckDB CTE list producing the MinHash signature table `mh`
     * (doc_id, m0..m15) on top of `shing`. */
-  def minhashCte: String = {
+  def minhashCte: String = minhashCteNamed("mh")
+
+  /** [[minhashCte]] with a caller-chosen CTE name (the near-dup ingest
+    * oracle layers pseudo-signatures on top and wants the union to own
+    * the `mh` name the downstream banding CTEs reference). */
+  def minhashCteNamed(name: String): String = {
     val mins = (0 until MinHashK).map { i =>
       s"min((${MinHashA(i)}*(code % $MinHashP) + ${MinHashB(i)}) % $MinHashP) AS m$i"
     }.mkString(", ")
-    s"mh AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id)"
+    s"$name AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id)"
+  }
+
+  /** DuckDB CTE: fingerprint-derived PSEUDO-signatures for docs below
+    * the 2-token shingle floor (mirror of VectorStore.fullSigsOf) —
+    * identical trivial contents agree 16/16, different fingerprints
+    * differ in every slot. Needs `mhr` (real sigs); yields `mh`. */
+  def pseudoSigCte: String = {
+    val slots = (0 until MinHashK).map { i =>
+      s"(${MinHashA(i)}*((${fingerprintSql("coalesce(text, '__graft_null__')")}) % $MinHashP) + ${MinHashB(i)}) % $MinHashP AS m$i"
+    }.mkString(", ")
+    s"""mh AS (SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15 FROM mhr
+       |       UNION ALL
+       |       SELECT doc_id, $slots FROM documents
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM mhr))""".stripMargin
   }
 
   /** DuckDB fragment: LSH candidate pairs (d1 < d2) from `mh` — union of

@@ -2373,7 +2373,8 @@ object SparkEntry {
         val agree = (0 until OracleSql.MinHashK)
           .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
         s"""WITH RECURSIVE ${OracleSql.shingleCte},
-           |${OracleSql.minhashCte},
+           |${OracleSql.minhashCteNamed("mhr")},
+           |${OracleSql.pseudoSigCte},
            |${OracleSql.lshCandidatesCte},
            |ver AS (SELECT c.d1, c.d2 FROM cand c
            |        JOIN mh a ON a.doc_id = c.d1 JOIN mh b ON b.doc_id = c.d2
@@ -2400,13 +2401,11 @@ object SparkEntry {
            |surv2 AS (SELECT doc_id FROM documents
            |          WHERE doc_id < 40 AND doc_id NOT IN (SELECT doc_id FROM comp2)
            |          UNION ALL SELECT doc_id FROM comp2 WHERE doc_id = c),
-           |versym AS (SELECT d1, d2 FROM ver UNION SELECT d2, d1 FROM ver),
            |drop2 AS (SELECT doc_id FROM surv2
            |          WHERE doc_id IN (SELECT doc_id FROM surv1)
-           |            AND doc_id IN (SELECT doc_id FROM mh)
            |          UNION
-           |          SELECT v.d1 FROM versym v JOIN surv1 s ON s.doc_id = v.d2
-           |          WHERE v.d1 IN (SELECT doc_id FROM surv2)),
+           |          SELECT v.u FROM e1 v JOIN surv1 s ON s.doc_id = v.v
+           |          WHERE v.u IN (SELECT doc_id FROM surv2)),
            |final AS (SELECT doc_id AS vec_id FROM surv1
            |          UNION ALL
            |          SELECT doc_id + 1000000 FROM surv2

@@ -116,8 +116,12 @@ object Search {
       .withColumn("sim", graft.functions.GraftFunctions.cosine(col("e"), col("qe")))
     val perQueryMax = qIdxs.map(q =>
       max(when(col("q_idx") === q, col("sim"))).as(s"mx_$q"))
+    // coalesce each term: the retired sum() aggregate SKIPPED null
+    // per-query maxes (a null query embedding nulls its cosines), and
+    // Column `+` would instead null the whole document score
     val msim = qIdxs.map(q =>
-      floor(col(s"mx_$q") * lit(1000000.0)).cast("long")).reduce(_ + _)
+      coalesce(floor(col(s"mx_$q") * lit(1000000.0)).cast("long"), lit(0L)))
+      .reduce(_ + _)
     val summed = scored.groupBy(col("id"))
       .agg(perQueryMax.head, perQueryMax.tail: _*)
       .select(col("id"), msim.as("msim"))

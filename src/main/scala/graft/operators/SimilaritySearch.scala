@@ -538,10 +538,20 @@ object SimilaritySearch {
   def buildPrefixIndex(emb: DataFrame, dims: Int, path: String): Unit = {
     require(dims >= 1, s"graft: prefix dims $dims must be >= 1")
     // slice() would silently CLAMP dims > d and build a full-width
-    // "prefix" — fail loudly instead (one head probe at build time)
-    emb.select(size(col("embedding"))).limit(1).collect().headOption.foreach { r =>
-      require(dims <= r.getInt(0),
-        s"graft: prefix dims $dims exceeds embedding dimension ${r.getInt(0)}")
+    // "prefix" — fail loudly instead. One narrow aggregate over the
+    // corpus (the build writes everything anyway): the MIN width
+    // catches ragged rows the old first-row probe missed, and nulls
+    // are rejected rather than NPE'ing (review-pass r10 #8)
+    val probe = emb.agg(
+      min(size(col("embedding"))).as("mn"),
+      sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("nulls")).head()
+    require(probe.isNullAt(0) || probe.getLong(1) == 0L,
+      s"graft: prefix index input has ${probe.getLong(1)} null embeddings")
+    probe match {
+      case r if !r.isNullAt(0) =>
+        require(dims <= r.getInt(0),
+          s"graft: prefix dims $dims exceeds minimum embedding dimension ${r.getInt(0)}")
+      case _ => // empty corpus: nothing to clamp
     }
     emb.select(col("vec_id"),
         slice(col("embedding"), 1, dims).as("vec_prefix"), col("embedding"))

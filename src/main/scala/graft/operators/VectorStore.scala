@@ -767,8 +767,16 @@ class VectorStore(spark: SparkSession, val root: String,
     * get per-source isolation. */
   private def defaultCheckpoint(kind: String, stream: DataFrame): String = {
     val legacy = s"$root/_checkpoints/$kind"
-    if (fs.exists(new Path(legacy))) legacy
-    else s"${legacy}_${sourceCheckpointKey(stream)}"
+    val derived = s"${legacy}_${sourceCheckpointKey(stream)}"
+    // DERIVED wins when it exists: a store that already committed
+    // offsets under the per-source name must never fall back to a
+    // stale legacy ledger left beside it (that replays the source —
+    // review-pass r10 #2). Only a store whose SOLE ledger is the
+    // legacy fixed name keeps it; additional sources against such a
+    // store need explicit checkpointLocation (documented above).
+    if (fs.exists(new Path(derived))) derived
+    else if (fs.exists(new Path(legacy))) legacy
+    else derived
   }
 
   /** Stable per-source checkpoint key (ADVICE r9 #3): two DIFFERENT
@@ -968,11 +976,33 @@ class VectorStore(spark: SparkSession, val root: String,
   }
 
   /** (doc_id = store id, m0..m15) MinHash signatures over `content`
-    * (docs below the 2-token shingle floor have no row and can never
-    * be near-dups — they always pass). */
+    * for docs AT OR ABOVE the 2-token shingle floor. */
   private[graft] def sigsOf(rows: DataFrame): DataFrame =
     graft.operators.Dedup.minhashSignatures(
       graft.operators.Dedup.shingles(rows, "id", "content"))
+
+  /** [[sigsOf]] plus PSEUDO-signatures for docs below the shingle
+    * floor: 16 affine maps (the MinHash constants) of the mirrored
+    * rolling-hash content fingerprint. Identical trivial contents get
+    * identical pseudo-signatures (16/16 agreement — exact dedup);
+    * different fingerprints differ in EVERY slot (affine maps mod P
+    * are injective in fp), so nothing else ever matches. This is what
+    * makes a replayed below-floor row idempotent (review-pass r10 #1):
+    * without it, no-signature docs re-inserted on replay and broke the
+    * documented idempotence contract AND id uniqueness. Null content
+    * maps through the same sentinel as the content sidecar. */
+  private[graft] def fullSigsOf(rows: DataFrame): DataFrame = {
+    val real = sigsOf(rows)
+    val pseudo = rows
+      .join(real.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .withColumn("__fp_src", coalesce(col("content"), lit("__graft_null__")))
+      .withColumn("__fp", graft.operators.TextAnalysis.fingerprint("__fp_src"))
+      .select(col("id").as("doc_id") +:
+        (0 until OracleSql.MinHashK).map(i =>
+          ((lit(OracleSql.MinHashA(i)) * (col("__fp") % OracleSql.MinHashP)
+            + lit(OracleSql.MinHashB(i))) % OracleSql.MinHashP).as(s"m$i")): _*)
+    real.unionByName(pseudo)
+  }
 
   private def mSlots: Seq[String] = (0 until OracleSql.MinHashK).map(i => s"m$i")
 
@@ -1003,16 +1033,32 @@ class VectorStore(spark: SparkSession, val root: String,
 
   private def rebuildNearIdx(): Unit = {
     fs.delete(new Path(nearIdxDir), true)
-    bandRowsOf(sigsOf(table().select(col("id"), col("content"))))
+    bandRowsOf(fullSigsOf(table().select(col("id"), col("content"))))
       .drop("doc_id")
       .write.mode(SaveMode.Overwrite).partitionBy("bbucket").parquet(nearIdxData)
     fs.create(nearIdxMarker, true).close()
   }
 
-  private def appendNearIdx(batch: DataFrame): Unit =
-    bandRowsOf(sigsOf(batch.select(col("id"), col("content"))))
+  /** Per-batch sidecar append. `insertNearDedup` threads its already-
+    * computed survivor signatures through [[pendingNearSigs]] so the
+    * hot streaming path does not shingle the batch twice (review-pass
+    * r10 #6); other append paths (plain insert into a near-indexed
+    * store) compute them here. */
+  private def appendNearIdx(batch: DataFrame): Unit = {
+    val sigs = pendingNearSigs match {
+      case Some(pre) => pre.join(
+        broadcast(batch.select(col("id")).distinct()),
+        pre("doc_id") === col("id"), "left_semi")
+      case None => fullSigsOf(batch.select(col("id"), col("content")))
+    }
+    bandRowsOf(sigs)
       .drop("doc_id")
       .write.mode(SaveMode.Append).partitionBy("bbucket").parquet(nearIdxData)
+  }
+
+  /** Set (under the writer lock) by insertNearDedup around its
+    * insertLocked call; consumed by [[appendNearIdx]]. */
+  private var pendingNearSigs: Option[DataFrame] = None
 
   /** Batch ids that near-dup a STORED doc: batch band rows probe the
     * bucket-pruned sidecar on the band key, agreement >= the floor
@@ -1042,9 +1088,15 @@ class VectorStore(spark: SparkSession, val root: String,
    * components and the MIN-id member of each component survives (the
    * SemDeDup/minhash family keep convention; ids are required — the
    * policy is id-ordered). Exact duplicates are near-dups at 16/16
-   * agreement, EXCEPT docs below the 2-token shingle floor, which have
-   * no signature and always pass — compose with [[insertDedup]] when
-   * exact dedup of trivial contents matters.
+   * agreement; docs below the 2-token shingle floor carry a
+   * fingerprint-derived PSEUDO-signature ([[fullSigsOf]]), so trivial
+   * contents dedup EXACTLY (and replays stay idempotent) while never
+   * fuzzy-matching anything. Policy note: the two stages run in
+   * sequence — in-batch components collapse to the min id FIRST, then
+   * the survivor probes the store; if the survivor store-drops, its
+   * whole in-batch component is dropped for that trigger (the content
+   * family is already represented in the store — conservative by
+   * design, and the oracle mirrors the same order).
    *
    * Scale shape (100 TB): the store is never scanned per trigger — the
    * probe touches only the signature sidecar, statically pruned to the
@@ -1059,7 +1111,7 @@ class VectorStore(spark: SparkSession, val root: String,
       require(df.columns.contains("id"),
         "graft: insertNearDedup needs caller-assigned ids (the in-batch" +
           " survivor policy is min-id per near-dup component)")
-      val mh = sigsOf(df).localCheckpoint(false)
+      val mh = fullSigsOf(df).localCheckpoint(false)
       // in-batch: banded candidates -> agreement verify -> components
       val cand = graft.operators.Dedup.lshCandidates(mh)
       val a = mh.select(col("doc_id").as("d1") +:
@@ -1101,7 +1153,9 @@ class VectorStore(spark: SparkSession, val root: String,
               col("id") === col("__dup_id"), "left_anti")
             .localCheckpoint(false) // pin: same multi-consumer rationale as insertDedup
         } else inBatch
-      if (!fresh.isEmpty) insertLocked(fresh, quantize)
+      pendingNearSigs = Some(mh)
+      try { if (!fresh.isEmpty) insertLocked(fresh, quantize) }
+      finally pendingNearSigs = None
     }
 
   /**

@@ -301,10 +301,12 @@ object EventOps {
     // window's end and above none of the held-back hour's. A sparse
     // fixture (no on-time rows in hour L-1h) would silently ACCEPT
     // old lates instead; fail loudly so the oracle can never drift.
-    val maxOnTimeNs = ev.where(onTime).agg(max("ts_ns")).head().getLong(0)
-    require(maxOnTimeNs / hourNs == maxNs / hourNs - 1,
+    val maxOnTimeRow = ev.where(onTime).agg(max("ts_ns")).head()
+    require(!maxOnTimeRow.isNullAt(0) &&
+        maxOnTimeRow.getLong(0) / hourNs == maxNs / hourNs - 1,
       s"graft: late-stream construction needs on-time data in the hour before " +
-        s"the final hour (fixture gap: max on-time hour ${maxOnTimeNs / hourNs}, " +
+        s"the final hour (fixture gap: max on-time hour " +
+        s"${if (maxOnTimeRow.isNullAt(0)) "NONE" else (maxOnTimeRow.getLong(0) / hourNs).toString}, " +
         s"final hour ${maxNs / hourNs})")
     val staging = s"$work/staging"
     val out = s"$work/out"

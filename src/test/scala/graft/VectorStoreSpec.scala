@@ -1370,10 +1370,15 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!store.nearIdxValid)
     store.insertNearDedup(df(Seq(row("i", base))))
     assert(idsOf() == Set("d", "f", "g", "i"), idsOf().toString)
-    // below the 2-token shingle floor: no signature, always passes
+    // below the 2-token shingle floor: the fingerprint pseudo-signature
+    // dedups EXACT trivial contents (and keeps replays idempotent —
+    // review-pass r10 #1) while never fuzzy-matching anything
     store.insertNearDedup(df(Seq(row("s1", "hello"))))
-    store.insertNearDedup(df(Seq(row("s2", "hello"))))
-    assert(idsOf().contains("s1") && idsOf().contains("s2"))
+    store.insertNearDedup(df(Seq(row("s2", "hello"), row("s3", "goodbye"))))
+    assert(idsOf().contains("s1") && !idsOf().contains("s2") && idsOf().contains("s3"))
+    // and a trivial content never matches a shingled doc or vice versa
+    store.insertNearDedup(df(Seq(row("s4", "fox"))))
+    assert(idsOf().contains("s4"))
     store.clear()
   }
 
