@@ -543,15 +543,18 @@ object SimilaritySearch {
     // catches ragged rows the old first-row probe missed, and nulls
     // are rejected rather than NPE'ing (review-pass r10 #8)
     val probe = emb.agg(
+      count(lit(1)).as("n"),
       min(size(col("embedding"))).as("mn"),
       sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("nulls")).head()
-    require(probe.isNullAt(0) || probe.getLong(1) == 0L,
-      s"graft: prefix index input has ${probe.getLong(1)} null embeddings")
-    probe match {
-      case r if !r.isNullAt(0) =>
-        require(dims <= r.getInt(0),
-          s"graft: prefix dims $dims exceeds minimum embedding dimension ${r.getInt(0)}")
-      case _ => // empty corpus: nothing to clamp
+    // Row count first: count(*) distinguishes the empty corpus (fine,
+    // nothing to validate) from the ALL-null one, where min(size) is
+    // also null and the old null-min escape hatch silently wrote null
+    // vec_prefix rows (ADVICE r10 #1)
+    if (probe.getLong(0) > 0L) {
+      require(probe.getLong(2) == 0L,
+        s"graft: prefix index input has ${probe.getLong(2)} null embeddings")
+      require(dims <= probe.getInt(1),
+        s"graft: prefix dims $dims exceeds minimum embedding dimension ${probe.getInt(1)}")
     }
     emb.select(col("vec_id"),
         slice(col("embedding"), 1, dims).as("vec_prefix"), col("embedding"))
@@ -588,10 +591,17 @@ object SimilaritySearch {
       s"graft: prefix dims $dims outside 1..${qv.length}")
     graft.functions.GraftFunctions.register(spark)
     val idx = spark.read.parquet(path)
-    val stored = idx.select(size(col("vec_prefix"))).limit(1).collect()
-      .headOption.map(_.getInt(0))
-    require(stored.contains(dims),
-      s"graft: index at $path stores a ${stored.getOrElse(0)}-dim prefix, query asked $dims")
+    // Validate the stored width over the WHOLE index, not one sampled
+    // row: min==max==dims catches a corrupt mixed-width index the old
+    // limit(1) probe waved through, and an EMPTY index is a legitimate
+    // empty result, not a confusing "0-dim prefix" require (ADVICE
+    // r10 #3). One narrow aggregate over the prefix column only.
+    val widths = idx.agg(min(size(col("vec_prefix"))).as("mn"),
+      max(size(col("vec_prefix"))).as("mx")).head()
+    if (widths.isNullAt(0))
+      return spark.range(0).select(col("id").as("rank"), col("id").as("vec_id"))
+    require(widths.getInt(0) == dims && widths.getInt(1) == dims,
+      s"graft: index at $path stores ${widths.getInt(0)}..${widths.getInt(1)}-dim prefixes, query asked $dims")
     val base = excludeId.map(id => idx.where(col("vec_id") =!= id)).getOrElse(idx)
     val ids = matryoshkaCoarse(base, qv, dims, refineK)
       .select("vec_id").collect().map(_.getLong(0)).toSeq

@@ -736,14 +736,22 @@ class VectorStore(spark: SparkSession, val root: String,
    * awaitTermination() drains the backlog and stops; a production feed
    * uses Trigger.ProcessingTime (exercised in VectorStoreSpec).
    *
-   * Offsets checkpoint under `<root>/_checkpoints/ingest` by default
-   * (override per feed with `checkpointLocation` — one directory per
-   * source), so a restarted stream resumes from committed offsets
-   * instead of replaying the whole source into duplicate appends
-   * (ADVICE r2 #3; insert is not idempotent by id). Delivery is
-   * at-least-once at micro-batch granularity: a crash between the
-   * insert and the offset commit re-runs that one batch on restart —
-   * exactly-once would need an idempotent (upsert-by-id) sink.
+   * Offsets checkpoint under a per-source derived directory by default
+   * (`<root>/_checkpoints/ingest_<source-key>`), so a restarted stream
+   * resumes from committed offsets instead of replaying the whole
+   * source into duplicate appends (ADVICE r2 #3; insert is not
+   * idempotent by id), and two DIFFERENT sources never share a ledger.
+   * Two caveats (ADVICE r10 #2): a store created before the per-source
+   * scheme keeps its legacy fixed-name ledger for the ONE stream that
+   * owns it — starting any ADDITIONAL source against such a store
+   * requires an explicit `checkpointLocation` (the default would adopt
+   * the legacy ledger and cross-talk offsets; the adoption is logged).
+   * And several streams over the SAME source definition are
+   * indistinguishable by plan — those always need explicit
+   * per-stream `checkpointLocation`s. Delivery is at-least-once at
+   * micro-batch granularity: a crash between the insert and the offset
+   * commit re-runs that one batch on restart — exactly-once would need
+   * an idempotent (upsert-by-id) sink.
    */
   def insertStream(stream: DataFrame, quantize: Boolean = false,
                    trigger: org.apache.spark.sql.streaming.Trigger =
@@ -775,8 +783,20 @@ class VectorStore(spark: SparkSession, val root: String,
     // legacy fixed name keeps it; additional sources against such a
     // store need explicit checkpointLocation (documented above).
     if (fs.exists(new Path(derived))) derived
-    else if (fs.exists(new Path(legacy))) legacy
-    else derived
+    else if (fs.exists(new Path(legacy))) {
+      // Audible, not silent (ADVICE r10 #2): this source has never
+      // committed under its derived key, so it may be a SECOND source
+      // adopting the single pre-r10 ledger — which replays/skips
+      // offsets that belong to the original stream. Legitimate for the
+      // one grandfathered stream; anything else must pass an explicit
+      // checkpointLocation.
+      System.err.println(s"[graft] $kind stream is adopting the legacy " +
+        s"shared checkpoint $legacy (no per-source ledger $derived yet). " +
+        "If this store drains MORE than one source, pass an explicit " +
+        "checkpointLocation per source — sharing the legacy ledger " +
+        "cross-talks their offsets.")
+      legacy
+    } else derived
   }
 
   /** Stable per-source checkpoint key (ADVICE r9 #3): two DIFFERENT

@@ -308,6 +308,15 @@ object EventOps {
         s"the final hour (fixture gap: max on-time hour " +
         s"${if (maxOnTimeRow.isNullAt(0)) "NONE" else (maxOnTimeRow.getLong(0) / hourNs).toString}, " +
         s"final hour ${maxNs / hourNs})")
+    // Symmetric boundary edge (ADVICE r10 #4): if maxTs sat EXACTLY on
+    // an hour boundary, the drain-2 watermark would equal the end of
+    // window [L-2h, L-1h) and its finalization would hinge on Spark's
+    // >=-vs-> watermark comparison — which the closed-form oracle does
+    // not model. Measure-zero with ns-resolution fixtures, but assert
+    // it so an aligned fixture fails loudly instead of hash-flaking.
+    require(maxNs % hourNs != 0L,
+      s"graft: late-stream construction needs maxTs off the hour boundary " +
+        s"(maxTs $maxNs is exactly hour ${maxNs / hourNs})")
     val staging = s"$work/staging"
     val out = s"$work/out"
     val ckpt = s"$work/ckpt"

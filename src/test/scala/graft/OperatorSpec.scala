@@ -109,6 +109,26 @@ class OperatorSpec extends AnyFunSuite {
       ev.where(expr(s"(ts_ns div $hourNs) * 3600") === q).count())
   }
 
+  test("late-data stream construction rejects an hour-aligned maxTs fixture") {
+    // ADVICE r10 #4: if maxTs sits exactly ON an hour boundary the
+    // drain-2 watermark equals a window end and finalization hinges on
+    // Spark's >=/> comparison, which the closed-form oracle doesn't
+    // model — the construction must fail loudly, not hash-flake
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ev-aligned").toString
+    Seq(
+      (1L, 1L, "click", 1.0, 6 * hourNs + hourNs / 2), // on-time, hour L-1
+      (2L, 2L, "click", 1.0, 3 * hourNs + 7L),         // mid-range filler
+      (3L, 3L, "click", 1.0, 7 * hourNs)                // maxTs EXACTLY hour-aligned
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.parquet(s"$tmp/events.parquet")
+    val work = java.nio.file.Files.createTempDirectory("graft-ev-aligned-wk").toString
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.EventOps.runHourlyLateStream(spark, tmp, work))
+    assert(e.getMessage.contains("hour boundary"), e.getMessage)
+  }
+
   test("streaming hourly rollup equals batch rollup (availableNow drain)") {
     val batch = EventOps.hourlyRollup(Tables.events(spark, dir))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
@@ -280,6 +300,24 @@ class OperatorSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       SimilaritySearch.matryoshkaIndexTopK(spark, idxPath, q, dims = 8))
     assert(e.getMessage.contains("graft"), e.getMessage)
+    // ADVICE r10 #1: an ALL-null corpus must fail loudly, not slip
+    // through the empty-corpus escape hatch into a null-prefix index
+    val nullPath = java.nio.file.Files
+      .createTempDirectory("graft-mat-null").toString + "/idx"
+    val allNull = emb.select(col("vec_id"),
+      lit(null).cast("array<float>").as("embedding"))
+    val eNull = intercept[IllegalArgumentException](
+      SimilaritySearch.buildPrefixIndex(allNull, dims = 16, nullPath))
+    assert(eNull.getMessage.contains("null embeddings"), eNull.getMessage)
+    // ADVICE r10 #3: an EMPTY index is an empty result, not a
+    // "0-dim prefix" require failure
+    val emptyPath = java.nio.file.Files
+      .createTempDirectory("graft-mat-empty").toString + "/idx"
+    SimilaritySearch.buildPrefixIndex(emb.where(lit(false)), dims = 16, emptyPath)
+    val emptyRes = SimilaritySearch.matryoshkaIndexTopK(spark, emptyPath, q,
+      dims = 16, k = 10, refineK = 50)
+    assert(emptyRes.collect().isEmpty)
+    assert(emptyRes.columns.toSeq == Seq("rank", "vec_id"))
   }
 
   test("duplicate-span removal drops exactly the covered tokens, both directions") {
