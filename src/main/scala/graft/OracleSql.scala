@@ -123,6 +123,14 @@ object OracleSql {
   val ShardP: Long = 1000003L
   val ShardA: Long = 2654435761L
 
+  /** ev_range_join fixture policy: every `Mod`-th event opens a
+    * 37-minute "deploy" window; events inside a window attribute to
+    * that deploy. 37 min deliberately misaligns with both the 15-min
+    * join buckets and the hour grid, so interval edges cross bucket
+    * boundaries and the exact-range refine is load-bearing. */
+  val RangeJoinDeployMod: Long = 977L
+  val RangeJoinDeployWinUs: Long = 37L * 60L * 1000000L
+
   /** DuckDB fragment: the shard of an id column, mirror of
     * Curation.tokenBudgetSharded's shard expression. */
   def shardSql(idCol: String, shards: Int): String =

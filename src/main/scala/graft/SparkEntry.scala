@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Packing, Pca, Search, SimilaritySearch, TextAnalysis, TopK}
+import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Packing, Pca, RangeJoin, Search, SimilaritySearch, TextAnalysis, TopK}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1088,6 +1088,26 @@ object SparkEntry {
         .select(col("event_id"), col("click_id"),
           (col("sec") - col("click_sec")).as("gap_s"))
         .orderBy("event_id")
+    }),
+
+    // Range (interval) join — per-deploy impact rollup. Deterministic
+    // "deploy" markers (every 977th event) open a 37-minute window;
+    // every event landing in a window is attributed to that deploy.
+    // The interval predicate runs as RangeJoin's bucketed EQUI-join
+    // (15-min buckets, ~3-4 per interval) — never a nested-loop plan
+    // (PlanSpec gate)
+    "ev_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("us", expr("ts_ns div 1000"))
+      val deploys = ev.where(col("event_id") % OracleSql.RangeJoinDeployMod === 0)
+        .select(col("event_id").as("deploy_id"), col("us").as("s_us"),
+          (col("us") + lit(OracleSql.RangeJoinDeployWinUs)).as("e_us"))
+      RangeJoin.pointInInterval(
+          ev.select("event_id", "event_type", "us"), deploys,
+          "us", "s_us", "e_us", bucketWidth = 900L * 1000000L)
+        .groupBy("deploy_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+        .orderBy("deploy_id")
     }),
 
     // embed-and-insert path (reference src/db.rs:101-114) with the
@@ -2232,6 +2252,16 @@ object SparkEntry {
            |SELECT e.event_id, c.click_id, e.sec - c.csec AS gap_s
            |FROM err e ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.sec >= c.csec
            |ORDER BY e.event_id""".stripMargin,
+
+      "ev_range_join" ->
+        s"""WITH d AS (SELECT event_id AS deploy_id, epoch_us(ts) AS s_us
+           |           FROM events WHERE event_id % ${OracleSql.RangeJoinDeployMod} = 0)
+           |SELECT d.deploy_id, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+           |FROM d JOIN events e
+           |  ON epoch_us(e.ts) >= d.s_us
+           | AND epoch_us(e.ts) < d.s_us + ${OracleSql.RangeJoinDeployWinUs}
+           |GROUP BY 1 ORDER BY deploy_id""".stripMargin,
 
       "embed_hash" ->
         s"""WITH ${OracleSql.hashEmbedCtes(64)}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Range (interval) join: pair every point row with every interval row
+ * whose `[start, end)` contains the point, optionally under equi-keys.
+ *
+ * Spark has no range-join operator: a bare `ON p >= s AND p < e`
+ * predicate plans as BroadcastNestedLoopJoin (or a cartesian) — O(L·R)
+ * work that is fine for a 100-row dimension and fatal for two fact
+ * tables. This is the standard bucketed rewrite: every interval is
+ * exploded to the fixed-width buckets it overlaps, points map to their
+ * single bucket, and the join becomes a hash EQUI-join on
+ * (keys…, bucket) followed by the exact range filter. Each qualifying
+ * (point, interval) pair is produced exactly once — the point's bucket
+ * appears exactly once in the interval's bucket list — so no dedup
+ * pass is needed.
+ *
+ * Scale shape: one shuffle keyed by (keys…, bucket); the interval side
+ * is replicated by `len/width + 1` per row, so pick `bucketWidth` near
+ * the typical interval length (replication ~2×). Hot buckets are
+ * ordinary equi-join skew — AQE's skew-join split applies, which it
+ * never would to a nested-loop plan. Catalyst still broadcasts the
+ * exploded interval side when it is small, so the dimension-table case
+ * keeps its broadcast plan; the rewrite only removes the O(L·R) cliff.
+ */
+object RangeJoin {
+
+  /**
+   * @param points      point side; all its columns are emitted
+   * @param intervals   interval side; all its columns except
+   *                    `startCol`/`endCol` helper buckets are emitted
+   * @param pointCol    numeric point column on `points`
+   * @param startCol    numeric inclusive start column on `intervals`
+   * @param endCol      numeric exclusive end column on `intervals`;
+   *                    empty (`end <= start`) intervals match nothing
+   * @param bucketWidth positive bucket width in the point column's units
+   * @param keys        optional equi-keys present on both sides
+   */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"graft: bucketWidth $bucketWidth must be positive")
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"graft: non-key columns ${overlap.mkString(", ")} exist on both sides; rename first")
+
+    // Exact integer floorDiv: `floor(x / w)` round-trips through
+    // double, which mangles epoch-nanos (~1.8e18 > 2^53), and `div`
+    // alone truncates toward zero, mis-bucketing negative coordinates.
+    // x - pmod(x, w) is an exact multiple of w, so its `div` is both
+    // exact and floor-directed — all-integer arithmetic. (Column./ is
+    // double division; SQL `div` needs expr over a staged column.)
+    val w = bucketWidth
+    def floorDivExpr(c: String): String = s"(($c - pmod($c, ${w}L)) div ${w}L)"
+
+    val ivs = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__s", col(startCol).cast("long"))
+      .withColumn("__e1", col(endCol).cast("long") - 1)
+      .withColumn("__bkt", explode(sequence(
+        expr(floorDivExpr("__s")), expr(floorDivExpr("__e1")))))
+      .drop("__s", "__e1")
+    val pts = points
+      .withColumn("__p", col(pointCol).cast("long"))
+      .withColumn("__bkt", expr(floorDivExpr("__p")))
+      .drop("__p")
+
+    pts.join(ivs, (keys :+ "__bkt").toSeq)
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bkt")
+  }
+}

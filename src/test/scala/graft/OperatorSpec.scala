@@ -1047,6 +1047,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.agg(sum("group_sz")).head().getLong(0) == emb.count())
   }
 
+  test("bucketed range join == naive range join, incl. negative/boundary/overlap edges") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // points straddling bucket boundaries, negatives, exact interval
+    // edges (start inclusive, end exclusive)
+    val pts = Seq((1L, -21L), (2L, -10L), (3L, -1L), (4L, 0L), (5L, 7L),
+      (6L, 10L), (7L, 19L), (8L, 20L), (9L, 35L), (10L, 99L))
+      .toDF("pid", "x")
+    val ivs = Seq(
+      (100L, -25L, -9L),  // negative-coordinate interval
+      (101L, -2L, 12L),   // crosses zero and two bucket edges
+      (102L, 10L, 20L),   // bucket-aligned edges: 20 must be OUT
+      (103L, 15L, 40L),   // overlaps 102 — points 7, 8(? 20 in [15,40)) match both/one
+      (104L, 50L, 50L),   // empty: end == start, matches nothing
+      (105L, 60L, 55L))   // inverted: matches nothing
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, ivs, "x", "s", "e", bucketWidth = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.join(ivs, col("x") >= col("s") && col("x") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"got $got\nnaive $naive")
+    assert(got.contains((1L, 100L)) && got.contains((3L, 101L)) &&
+      got.contains((4L, 101L)), "negative/zero-crossing edges missing")
+    assert(!got.exists(_._2 == 104L) && !got.exists(_._2 == 105L))
+    assert(got.contains((6L, 102L)) && !got.contains((8L, 102L)),
+      "start must be inclusive, end exclusive")
+    assert(got.contains((8L, 103L)) && got.contains((7L, 103L)))
+    // equi-keys restrict matching; epoch-ns-scale coordinates stay exact
+    // (the floorDiv must not round-trip through double)
+    val big = 1800000000000000000L // ~2^60.6, above double's 2^53 exactness
+    val kp = Seq(("a", 1L, big + 1L), ("b", 2L, big + 1L)).toDF("k", "pid", "x")
+    val ki = Seq(("a", 10L, big, big + 2L)).toDF("k", "iid", "s", "e")
+    val kres = RangeJoin.pointInInterval(kp, ki, "x", "s", "e",
+        bucketWidth = 900L * 1000000000L, keys = Seq("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kres == Set((1L, 10L)), s"keyed join got $kres")
+    // non-key column collision fails loudly
+    val e = intercept[IllegalArgumentException](RangeJoin.pointInInterval(
+      pts.withColumn("s", lit(1L)), ivs, "x", "s", "e", 10L))
+    assert(e.getMessage.contains("graft"), e.getMessage)
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -496,4 +496,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("graft_cosine")),
       p.take(3000))
   }
+
+  test("range join plans as an equi hash join on buckets, never a nested loop") {
+    // a bare interval predicate plans as BroadcastNestedLoopJoin —
+    // O(points x intervals) work that dies when the interval side is a
+    // fact table. The bucketed rewrite must keep it a HASH equi-join
+    // (broadcast or shuffled, both fine; AQE skew-split applies to
+    // either) with the exact range refine on top
+    val p = plan(SparkEntry.queries("ev_range_join")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashJoin"), p.take(3000))
+  }
 }
