@@ -857,6 +857,17 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("tok")).limit(50)),
 
+    // EXACT heavy hitters over the token stream, CMS-accelerated: the
+    // sketch pass shrinks the shuffle/agg state to candidate keys only
+    // (see Sketch.heavyHitters). phi is dyadic (1/32) so the oracle's
+    // decimal ceil(phi*n) and the JVM's double ceil agree exactly
+    "text_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Sketch.heavyHitters(
+          Tables.load(s, dir, "documents")
+            .select(explode(Dedup.tokens(col("text"))).as("tok")),
+          "tok", phi = 0.03125)
+        .orderBy("tok")),
+
     // ---- multimodal plumbing (stubbed decode; real distribution) ----
 
     "mm_features" -> ((s, dir) => {
@@ -1930,6 +1941,14 @@ object SparkEntry {
            |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
            |  FROM documents)
            |GROUP BY 1 ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+      "text_heavy_hitters" ->
+        s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           |             FROM documents)
+           |SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok
+           |GROUP BY 1
+           |HAVING count(*) >= ceil(0.03125 * (SELECT count(*) FROM tok))
+           |ORDER BY tok""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH ${OracleSql.shingleCte},

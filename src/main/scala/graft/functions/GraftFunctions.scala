@@ -31,7 +31,8 @@ object GraftFunctions {
       "graft_ngram_codes" -> (e => WordNgramCodes(e(0), e(1))),
       "graft_term_counts" -> (e => TermCounts(e(0), e(1))),
       "graft_nearest_centroid" -> (e => NearestCentroidExpr(e(0), e(1), e(2))),
-      "graft_probe_centroids" -> (e => ProbeCentroidsExpr(e(0), e(1), e(2), e(3)))
+      "graft_probe_centroids" -> (e => ProbeCentroidsExpr(e(0), e(1), e(2), e(3))),
+      "graft_cms_estimate" -> (e => CmsEstimateExpr(e(0), e(1)))
     )
 
   /** Register all graft functions + optimizer rules on the session
@@ -82,6 +83,10 @@ object GraftFunctions {
   /** A float-array literal column for a query vector. */
   def vecLit(v: Seq[Float]): Column =
     array(v.map(x => lit(x)): _*).cast("array<float>")
+
+  /** CMS point estimate of `key` against a driver-collected sketch. */
+  def cmsEstimate(key: Column, sketch: Array[Byte]): Column =
+    call_function("graft_cms_estimate", key, lit(sketch))
 }
 
 /**

@@ -242,4 +242,34 @@ class KernelSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(ok.length == 3)
   }
+
+  test("cms estimate kernel: never underestimates, exact on skewed keys, analysis guards") {
+    // hash-compat canary: the probe reads the SAME UTF-8 bytes the
+    // count_min_sketch aggregate added — if the routes ever drifted,
+    // estimates would be effectively random cell sums and the
+    // >= exact-count property below would break on the rare keys
+    graft.functions.GraftFunctions.register(spark)
+    val keys = (Seq.fill(500)("alpha") ++ Seq.fill(120)("beta") ++
+      (0 until 300).map(i => s"rare_$i")).toDF("k")
+    val row = keys.agg(
+      count_min_sketch(col("k"), lit(0.001), lit(0.99), lit(42)).as("cms")).head()
+    val bytes = row.getAs[Array[Byte]](0)
+    val est = keys.groupBy("k").agg(count(lit(1)).as("n"))
+      .withColumn("est", cmsEstimate(col("k"), bytes))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.forall { case (_, n, e) => e >= n },
+      s"underestimate: ${est.filter { case (_, n, e) => e < n }.take(5).toSeq}")
+    // at this eps/width the fixture estimates are exact for the heavy keys
+    assert(est.filter(_._1 == "alpha").head._3 == 500L)
+    assert(est.filter(_._1 == "beta").head._3 == 120L)
+    // analysis-time guards: corrupt sketch bytes and a non-binary arg
+    Seq("x").toDF("k").createOrReplaceTempView("cms_guard")
+    val bad = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_cms_estimate(k, CAST('junk' AS BINARY)) FROM cms_guard")
+        .collect())
+    assert(bad.getMessage.contains("deserialize"), bad.getMessage)
+    val wrong = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_cms_estimate(k, 7) FROM cms_guard").collect())
+    assert(wrong.getMessage.contains("binary literal sketch"), wrong.getMessage)
+  }
 }

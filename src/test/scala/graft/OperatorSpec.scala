@@ -1089,6 +1089,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft"), e.getMessage)
   }
 
+  test("CMS heavy hitters == naive groupBy-HAVING, incl. empty input and phi guard") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    // skewed synthetic keys: two heavy, a mid key straddling the
+    // threshold, and a long rare tail that the naive plan would shuffle
+    val keys = (Seq.fill(400)("hot") ++ Seq.fill(90)("warm") ++ Seq.fill(25)("mid") ++
+      (0 until 200).map(i => s"tail_$i")).toDF("k")
+    def naive(phi: Double) = {
+      val n = keys.count()
+      val t = math.ceil(phi * n).toLong
+      keys.groupBy("k").agg(count(lit(1)).as("n")).where(col("n") >= t)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    for (phi <- Seq(0.5, 0.125, 0.03125, 0.01)) {
+      val got = Sketch.heavyHitters(keys, "k", phi)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == naive(phi), s"phi=$phi: $got vs ${naive(phi)}")
+    }
+    // tiny eps-width sketch: more false candidates, still exact output
+    val coarse = Sketch.heavyHitters(keys, "k", 0.125, eps = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(coarse == naive(0.125), s"coarse sketch broke exactness: $coarse")
+    val empty = Sketch.heavyHitters(keys.where(lit(false)), "k", 0.125)
+    assert(empty.collect().isEmpty && empty.columns.toSeq == Seq("k", "n"))
+    val e = intercept[IllegalArgumentException](Sketch.heavyHitters(keys, "k", 1.0))
+    assert(e.getMessage.contains("graft"), e.getMessage)
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

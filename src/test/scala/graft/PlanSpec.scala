@@ -508,4 +508,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("HashJoin"), p.take(3000))
   }
+
+  test("heavy hitters: CMS candidate filter sits BELOW the aggregation, in codegen") {
+    // the whole point of the sketch pass is that non-candidate rows
+    // die before the partial agg and the exchange — if the filter ever
+    // floats above the aggregate, the plan degrades to the naive
+    // all-distinct-keys shuffle it exists to avoid
+    val df = SparkEntry.queries("text_heavy_hitters")(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen stages render
+    // AQE prints "== Initial Plan ==" after the final plan — index
+    // ordering is only meaningful within the final section
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("graft_cms_estimate"), p.take(3000))
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    val cms = p.indexOf("graft_cms_estimate")
+    assert(lastAgg >= 0 && cms > lastAgg,
+      "cms filter is not below the aggregation:\n" + p.take(3000))
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("graft_cms_estimate")),
+      "cms probe fell out of whole-stage codegen:\n" + p.take(3000))
+  }
 }
