@@ -735,6 +735,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // semantic (embedding-space) decontamination: benchmark = every
+    // 97th vector, collected driver-side (eval sets are bounded) and
+    // shipped as a task constant into the codegen'd max-cosine probe —
+    // the corpus pass is a pure projection+filter, zero shuffle
+    "decontaminate_semantic" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val bench = emb.where(col("vec_id") % 97 === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      Curation.decontaminateSemantic(
+          emb.where(col("vec_id") % 97 =!= 0), bench, tau = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // Gopher-style rule-based quality filter: per-rule integer
     // measurements + composite verdict (thresholds adapted to
     // fixture-scale docs: the paper's 50-word floor assumes web pages)
@@ -1776,6 +1790,19 @@ object SparkEntry {
            |FROM corp JOIN bm USING (code)
            |GROUP BY doc_id HAVING count(*) >= 1
            |ORDER BY doc_id""".stripMargin,
+
+      "decontaminate_semantic" ->
+        s"""WITH b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings
+           |           WHERE vec_id % 97 = 0),
+           |s AS (SELECT c.vec_id, b.bid,
+           |             ${OracleSql.cosine("c.embedding", "b.be")} AS sim
+           |      FROM embeddings c, b WHERE c.vec_id % 97 <> 0),
+           |r AS (SELECT vec_id, bid, sim,
+           |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bid) AS rn
+           |      FROM s)
+           |SELECT vec_id, bid AS bench_id, round(sim, 4) AS sim_r
+           |FROM r WHERE rn = 1 AND sim >= 0.35
+           |ORDER BY vec_id""".stripMargin,
 
       // Gopher rules mirror: mean word length x100, alphabetic-word
       // fraction permille, distinct stop-word hits — all integer div

@@ -91,6 +91,35 @@ object CentroidKernel {
     }
     new GenericArrayData(bc.take(filled).asInstanceOf[Array[Long]])
   }
+
+  /** (id, sim) of the MOST-cosine-similar reference vector — the
+    * semantic-decontamination probe. Per candidate this is the exact
+    * [[CosineSimilarity]] fold (sequential i, f32 -> f64 dot/nx/ny,
+    * sqrt at the end), compared with strict `>` over candidates in
+    * ASCENDING id order so ties keep the lowest id. An EMPTY reference
+    * set yields (-1, -Infinity). */
+  def maxCosine(vec: ArrayData, flat: Array[Float], ids: Array[Long], d: Int): InternalRow = {
+    if (ids.length == 0)
+      return new GenericInternalRow(Array[Any](-1L, Double.NegativeInfinity))
+    checkDim(vec, d)
+    var bestId = -1L
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < ids.length) {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      val off = c * d
+      while (i < d) {
+        val xi = vec.getFloat(i).toDouble
+        val yi = flat(off + i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      val sim = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny))
+      if (sim > best) { best = sim; bestId = ids(c) }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestId, best))
+  }
 }
 
 /** Shared validation for the centroid expressions: (vec array<float>,
@@ -214,4 +243,36 @@ case class ProbeCentroidsExpr(vec: Expression, cidsArg: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(vec = f, cidsArg = s, centsArg = t, nprobeArg = q)
+}
+
+/** graft_max_cosine(vec, ids, refs) -> STRUCT<bid: BIGINT, sim: DOUBLE>
+  * — the nearest reference vector by COSINE over a task-constant
+  * reference matrix (semantic decontamination's per-row probe: no
+  * join, no shuffle, one compiled pass). Ties keep the lowest id. */
+case class MaxCosineExpr(vec: Expression, cidsArg: Expression, centsArg: Expression)
+    extends TernaryExpression with CentroidArgs {
+  override def first: Expression = vec
+  override def second: Expression = cidsArg
+  override def third: Expression = centsArg
+  override def dataType: DataType = StructType(Seq(
+    StructField("bid", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_max_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkCentroidArgs(prettyName)
+
+  protected override def nullSafeEval(v: Any, c: Any, m: Any): Any =
+    CentroidKernel.maxCosine(v.asInstanceOf[ArrayData], flatCents, cidArr, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("graftRefs", flatCents, "float[]")
+    val idRef = ctx.addReferenceObj("graftRefIds", cidArr, "long[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"${ev.value} = graft.functions.CentroidKernel.maxCosine($v, $flatRef, $idRef, $dim);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(vec = f, cidsArg = s, centsArg = t)
 }

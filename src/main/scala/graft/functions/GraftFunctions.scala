@@ -32,7 +32,8 @@ object GraftFunctions {
       "graft_term_counts" -> (e => TermCounts(e(0), e(1))),
       "graft_nearest_centroid" -> (e => NearestCentroidExpr(e(0), e(1), e(2))),
       "graft_probe_centroids" -> (e => ProbeCentroidsExpr(e(0), e(1), e(2), e(3))),
-      "graft_cms_estimate" -> (e => CmsEstimateExpr(e(0), e(1)))
+      "graft_cms_estimate" -> (e => CmsEstimateExpr(e(0), e(1))),
+      "graft_max_cosine" -> (e => MaxCosineExpr(e(0), e(1), e(2)))
     )
 
   /** Register all graft functions + optimizer rules on the session

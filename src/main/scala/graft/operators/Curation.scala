@@ -82,6 +82,38 @@ object Curation {
   }
 
   /**
+   * SEMANTIC decontamination — the embedding-space sibling of
+   * [[decontaminate]]: corpus vectors whose max cosine similarity to
+   * ANY benchmark vector reaches `tau` are flagged as likely eval-set
+   * leakage (paraphrase-grade contamination that shares no literal
+   * n-gram). Returns (vec_id, bench_id, sim_r) — the closest benchmark
+   * member (ties to the lowest id) and the rounded similarity.
+   *
+   * Scale shape: benchmark suites are BOUNDED (an eval set is
+   * thousands of vectors, the corpus is the 100 TB side), so the
+   * benchmark rides into the plan as a task constant inside the
+   * codegen'd `graft_max_cosine` kernel — the corpus pass is a pure
+   * projection + filter: no join, no shuffle, nothing corpus-sized
+   * moves, and the filter runs inside whole-stage codegen at scan
+   * speed. Per-row cost O(B·d), one compiled loop.
+   */
+  def decontaminateSemantic(corpus: DataFrame,
+      benchmark: Seq[(Long, Seq[Float])], tau: Double): DataFrame = {
+    require(tau > -1.0 && tau <= 1.0, s"graft: tau $tau outside (-1, 1]")
+    require(benchmark.nonEmpty, "graft: empty benchmark set")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .select(col("vec_id"),
+        call_function("graft_max_cosine",
+          graft.functions.GraftFunctions.asVec(col("embedding")),
+          array(benchmark.map(b => lit(b._1)): _*),
+          array(benchmark.map(b => graft.functions.GraftFunctions.vecLit(b._2)): _*)).as("m"))
+      .where(col("m.sim") >= tau)
+      .select(col("vec_id"), col("m.bid").as("bench_id"),
+        round(col("m.sim"), 4).as("sim_r"))
+  }
+
+  /**
    * Per-language token-budget selection (training-mix construction):
    * docs in deterministic doc_id order accumulate until the language's
    * token budget is reached; returns (lang, doc_id, cum_tokens) of the

@@ -272,4 +272,32 @@ class KernelSpec extends AnyFunSuite {
       spark.sql("SELECT graft_cms_estimate(k, 7) FROM cms_guard").collect())
     assert(wrong.getMessage.contains("binary literal sketch"), wrong.getMessage)
   }
+
+  test("max-cosine kernel == Column-form per-reference max; ties keep lowest id") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val bench = Seq(
+      (3L, vecs(5)._2),   // duplicated reference vector under two ids:
+      (9L, vecs(5)._2),   // a querying row equal to it must report id 3
+      (11L, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        call_function("graft_max_cosine", asVec(col("embedding")),
+          array(bench.map(b => lit(b._1)): _*),
+          array(bench.map(b => vecLit(b._2)): _*)).as("m"))
+      .select(col("vec_id"), col("m.bid"), col("m.sim"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // Column-form expectation: max over explicit per-reference cosines
+    val colForm = vecs.map { case (id, _) =>
+      val sims = bench.map { case (bid, bv) =>
+        (bid, df.where(col("vec_id") === id)
+          .select(cosine(col("embedding"), vecLit(bv))).head().getDouble(0))
+      }
+      val best = sims.maxBy { case (bid, s) => (s, -bid) }
+      (id, best)
+    }.toMap
+    assert(got == colForm, s"${got.toSeq.diff(colForm.toSeq).take(3)}")
+    assert(got(5L)._1 == 3L, s"tie must keep lowest id, got ${got(5L)}")
+  }
 }

@@ -527,4 +527,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("graft_cms_estimate")),
       "cms probe fell out of whole-stage codegen:\n" + p.take(3000))
   }
+
+  test("semantic decontamination is a pure projection+filter: zero exchanges") {
+    // the benchmark set rides as a task constant inside the kernel —
+    // if a join or aggregation (and with them an Exchange) ever
+    // appears here, the corpus is being shuffled to compare against a
+    // bounded eval set
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val bench = emb.where(col("vec_id") % 97 === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val df = graft.operators.Curation.decontaminateSemantic(
+      emb.where(col("vec_id") % 97 =!= 0), bench, tau = 0.35)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Exchange"), "corpus shuffle snuck in:\n" + p.take(3000))
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("graft_max_cosine")),
+      "max-cosine probe fell out of whole-stage codegen:\n" + p.take(3000))
+  }
 }
