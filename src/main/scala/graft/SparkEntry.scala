@@ -882,6 +882,21 @@ object SparkEntry {
           "tok", phi = 0.03125)
         .orderBy("tok")),
 
+    // corpus topic map: zero-shuffle centroid assignment of doc
+    // embeddings (seed-row codebook, the ann_ivf convention) joined to
+    // per-cluster size + top doc-frequency tokens
+    "text_cluster" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val codebook = emb.where(col("vec_id") < 16)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val asg = SimilaritySearch.ivfAssign(emb, codebook)
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      TextAnalysis.topicClusters(Tables.load(s, dir, "documents"), asg)
+        .orderBy("cid")
+    }),
+
     // ---- multimodal plumbing (stubbed decode; real distribution) ----
 
     "mm_features" -> ((s, dir) => {
@@ -1976,6 +1991,32 @@ object SparkEntry {
            |GROUP BY 1
            |HAVING count(*) >= ceil(0.03125 * (SELECT count(*) FROM tok))
            |ORDER BY tok""".stripMargin,
+
+      "text_cluster" ->
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id AS doc_id, c.cid,
+           |              ${OracleSql.euclidean("e.embedding", "c.cv")} AS dist
+           |       FROM embeddings e, cent c),
+           |asg AS (SELECT doc_id, cid FROM (
+           |          SELECT doc_id, cid,
+           |                 row_number() OVER (PARTITION BY doc_id ORDER BY dist, cid) AS rn
+           |          FROM ad) WHERE rn = 1),
+           |tok AS (SELECT doc_id,
+           |               unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+           |        FROM documents),
+           |tf AS (SELECT a.cid, t.tok, count(*) AS n
+           |       FROM asg a JOIN tok t USING (doc_id) GROUP BY 1, 2),
+           |rk AS (SELECT cid, tok,
+           |              row_number() OVER (PARTITION BY cid ORDER BY n DESC, tok) AS rn
+           |       FROM tf),
+           |tt AS (SELECT cid, concat_ws(',',
+           |              max(CASE WHEN rn = 1 THEN tok END),
+           |              max(CASE WHEN rn = 2 THEN tok END),
+           |              max(CASE WHEN rn = 3 THEN tok END)) AS top_toks
+           |       FROM rk WHERE rn <= 3 GROUP BY 1),
+           |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_docs FROM asg GROUP BY 1)
+           |SELECT sz.cid, sz.n_docs, coalesce(tt.top_toks, '') AS top_toks
+           |FROM sz LEFT JOIN tt USING (cid) ORDER BY cid""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH ${OracleSql.shingleCte},

@@ -370,4 +370,36 @@ object TextAnalysis {
         langIdFrom(ws).as("pred_lang"),
         fingerprint(textCol).as("fp"))
   }
+
+  /**
+   * Topic summaries over a clustered corpus (the "corpus map" a
+   * curation team reads before deciding mixture weights): given a
+   * (doc_id, cid) assignment — typically [[SimilaritySearch.ivfAssign]]
+   * over doc embeddings, a zero-shuffle projection — emit per cluster
+   * its size and the `topK` tokens by DOCUMENT frequency
+   * (ties alphabetical), comma-joined.
+   *
+   * Scale shape: one equi-join of tokens to the assignment on doc_id
+   * (co-locatable by bucketing both by id), one partial-agg
+   * groupBy(cid, tok) whose exchange carries (clusters x vocab)
+   * partials — corpus size drops out after the map-side combine — and
+   * a rank window partitioned by cid that rewrites to WindowGroupLimit
+   * (per-group bounded heap, no full sort retention). The final
+   * pivot-to-columns agg touches C rows.
+   */
+  def topicClusters(docs: DataFrame, asg: DataFrame, topK: Int = 3): DataFrame = {
+    require(topK >= 1 && topK <= 16, s"graft: topK $topK outside 1..16")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(desc("n"), asc("tok"))
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val rk = tok.join(asg.select("doc_id", "cid"), "doc_id")
+      .groupBy("cid", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
+    val slots = (1 to topK).map(i => max(when(col("rn") === i, col("tok"))))
+    val sz = asg.groupBy("cid").agg(count(lit(1)).as("n_docs"))
+    sz.join(rk.groupBy("cid").agg(concat_ws(",", slots: _*).as("top_toks")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("n_docs"), coalesce(col("top_toks"), lit("")).as("top_toks"))
+  }
 }

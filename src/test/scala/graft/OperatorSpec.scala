@@ -1117,6 +1117,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft"), e.getMessage)
   }
 
+  test("topic clusters: doc-frequency top tokens, alpha ties, tokenless clusters") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta alpha alpha"), // within-doc repeats count ONCE (doc frequency)
+      (2L, "beta gamma"),
+      (3L, "beta delta"),
+      (4L, "zeta eta theta iota")).toDF("doc_id", "text")
+    // cid 20 has docs with no document rows -> empty top_toks
+    val asg = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 11L),
+      (8L, 20L), (9L, 20L)).toDF("doc_id", "cid")
+    val got = TextAnalysis.topicClusters(docs, asg, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // cluster 10: beta df=3; alpha/gamma/delta df=1 tie -> alphabetical
+    assert(got == Set((10L, 3L, "beta,alpha"), (11L, 1L, "eta,iota"),
+      (20L, 2L, "")), got.toString)
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -545,4 +545,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("graft_max_cosine")),
       "max-cosine probe fell out of whole-stage codegen:\n" + p.take(3000))
   }
+
+  test("topic clusters: rank window rewrites to WindowGroupLimit, no cartesian") {
+    val p = plan(SparkEntry.queries("text_cluster")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      "top-k per cluster retains the full per-group sort:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
 }
