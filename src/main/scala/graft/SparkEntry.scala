@@ -920,6 +920,13 @@ object SparkEntry {
     "ev_hourly" -> ((s, dir) =>
       EventOps.hourlyRollup(Tables.events(s, dir))),
 
+    // sliding-window rollup (1 h windows every 15 min): the native
+    // window() replication — 4 windows per event into the partial agg,
+    // identical plan shape in batch and streaming (stream twin
+    // spec-pinned equal in OperatorSpec)
+    "ev_sliding" -> ((s, dir) =>
+      EventOps.slidingRollup(Tables.events(s, dir))),
+
     // the WATERMARK path end-to-end (r9 next #7): append-mode hourly
     // rollup over a two-arrival staging — closed-window late rows
     // dropped, open-window late rows accepted, only finalized windows
@@ -2171,6 +2178,17 @@ object SparkEntry {
         s"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
            |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // sliding windows, closed form: an event at second `sec` lands in
+      // exactly the 4 slide-aligned 1 h windows starting at
+      // (sec//900 - k)*900, k = 0..3
+      "ev_sliding" ->
+        s"""WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value
+           |           FROM events),
+           |x AS (SELECT ((sec // 900) - k) * 900 AS win_epoch, event_type, value
+           |      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+           |SELECT win_epoch, event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+           |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // the late-data stream's surviving set: with L = the final hour
       // with data, the watermark mechanics leave exactly the full

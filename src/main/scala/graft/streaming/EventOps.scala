@@ -29,6 +29,23 @@ object EventOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .orderBy(col("hour_epoch"), col("event_type"))
 
+  /** SLIDING-window rollup per event_type (1 h windows every 15 min —
+    * the trending/rate view a monitoring surface reads): Spark's native
+    * `window(ts, "1 hour", "15 minutes")`, which replicates each event
+    * into its window/slide = 4 overlapping windows BEFORE the partial
+    * agg — so the exchange carries per-(window, type) partials, 4x the
+    * tumbling rollup's, never 4x the events. Batch and streaming share
+    * this exact plan shape ([[runSlidingStream]] is the stream twin;
+    * spec-pinned equal). */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros(expr("ts_ns div 1000")))
+      .groupBy(window(col("event_ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(unix_timestamp(col("window.start")).as("win_epoch"),
+        col("event_type"), col("n"), col("sum_v"))
+      .orderBy(col("win_epoch"), col("event_type"))
+
   /** Gap-based sessionization (gap > 30 min splits): per (user, session)
     * event count and duration in seconds. Shuffles once on user_id;
     * within-partition window sort only. */
@@ -247,6 +264,34 @@ object EventOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(
         (unix_timestamp(col("window.start"))).as("hour_epoch"),
+        col("event_type"), col("n"), col("sum_v"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Streaming twin of [[slidingRollup]]: watermarked sliding-window
+    * agg, complete mode, availableNow drain (the OperatorSpec pins
+    * stream == batch). Each event updates 4 window states; the state
+    * store holds (windows x types), not events. */
+  def runSlidingStream(spark: SparkSession, dir: String,
+                       queryName: String = "graft_sliding"): DataFrame = {
+    val schema = eventStreamSchema(spark, dir, Some("events.parquet"))
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_ns", tsNs(schema))
+      .withColumn("event_ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(unix_timestamp(col("window.start")).as("win_epoch"),
         col("event_type"), col("n"), col("sum_v"))
     val q = stream.writeStream
       .outputMode("complete")

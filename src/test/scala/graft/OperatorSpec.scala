@@ -137,6 +137,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming sliding rollup equals batch sliding rollup; 4 windows per event") {
+    val batchDf = EventOps.slidingRollup(Tables.events(spark, dir))
+    val batch = batchDf
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val stream = EventOps.runSlidingStream(spark, dir, "graft_sliding_test")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(stream == batch)
+    // replication invariant: total n across windows = 4x the events
+    assert(batch.toSeq.map(_._3).sum == 4L * Tables.events(spark, dir).count())
+  }
+
   test("k-means IVF: nprobe=4 of 8 clusters recalls most of brute-force top-10") {
     import graft.operators.SimilaritySearch
     val emb = Tables.load(spark, dir, "embeddings")
