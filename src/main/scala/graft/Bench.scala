@@ -111,7 +111,13 @@ object Bench {
     // r10: NEAR-dup dedup-on-ingest — in-batch banding/components and
     // the signature-sidecar probe both change character with volume
     // (cold pays the two-arrival staged store build)
-    "ingest_neardedup")
+    "ingest_neardedup",
+    // r11: the bucketed range join (interval replication + hash join +
+    // range refine — replication factor and bucket skew are volume
+    // effects), CMS heavy hitters (sketch pass + candidate filter vs
+    // distinct-key growth), and the sliding rollup (4x window
+    // replication into the partial agg)
+    "ev_range_join", "text_heavy_hitters", "ev_sliding")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

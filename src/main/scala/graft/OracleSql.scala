@@ -131,6 +131,11 @@ object OracleSql {
   val RangeJoinDeployMod: Long = 977L
   val RangeJoinDeployWinUs: Long = 37L * 60L * 1000000L
 
+  /** Cross-corpus id offset: benchmark doc ids shift above every
+    * corpus id so one shingle/signature namespace carries both sides
+    * of a cross-dedup (the minhash decontamination probe). */
+  val CrossDocOffset: Long = 1000000000L
+
   /** DuckDB fragment: the shard of an id column, mirror of
     * Curation.tokenBudgetSharded's shard expression. */
   def shardSql(idCol: String, shards: Int): String =
@@ -146,15 +151,22 @@ object OracleSql {
     * from `documents` — derived from [[shingleOccCte]] exactly like
     * Dedup.shingles = shingleOccurrences.distinct(), so the occurrence
     * and set forms can never diverge. */
-  def shingleCte: String =
-    s"""$shingleOccCte, shing AS (SELECT DISTINCT doc_id, code FROM shocc)""".stripMargin
+  def shingleCte: String = shingleCteOver("documents")
+
+  /** [[shingleCte]] over a caller-chosen source relation (the
+    * cross-corpus decontamination oracle shingles a UNION of corpus
+    * and offset benchmark docs). */
+  def shingleCteOver(table: String): String =
+    s"""${shingleOccCteOver(table)}, shing AS (SELECT DISTINCT doc_id, code FROM shocc)""".stripMargin
 
   /** DuckDB CTE producing (doc_id, code) word-bigram shingle
     * OCCURRENCES (no DISTINCT — mirror of Dedup.shingleOccurrences,
     * for repetition analysis). */
-  def shingleOccCte: String =
+  def shingleOccCte: String = shingleOccCteOver("documents")
+
+  def shingleOccCteOver(table: String): String =
     s"""tokO AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM $table
        |), shocc AS (
        |  SELECT doc_id, ${wcode("ws[i]")}*268435456 + ${wcode("ws[i+1]")} AS code
        |  FROM tokO, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2

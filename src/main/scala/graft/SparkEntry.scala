@@ -735,6 +735,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // MinHash decontamination: near-dup (not just literal-overlap)
+    // benchmark leakage via banded-LSH candidates + exact Jaccard
+    // verify — the benchmark's band keys broadcast, the corpus is
+    // never self-joined
+    "decontaminate_minhash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.decontaminateMinhash(
+        docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25))
+        .orderBy("doc_id")
+    }),
+
     // semantic (embedding-space) decontamination: benchmark = every
     // 97th vector, collected driver-side (eval sets are bounded) and
     // shipped as a task constant into the codegen'd max-cosine probe —
@@ -1023,6 +1034,23 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // Bloom-accelerated exact semi join: lineitems of high-value
+    // orders. The driver-built bloom on the order keys pre-filters the
+    // lineitem side BELOW its exchange (plan gate); the exact semi join
+    // then removes the fpp sliver — bit-identical to the plain form
+    "q_bloom_semi" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val hot = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.operators.Sketch.bloomSemiJoin(li, hot, "l_orderkey",
+          expectedItems = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_anti" -> ((s, dir) => {
       val c = Tables.load(s, dir, "customer")
       val o = Tables.load(s, dir, "orders")
@@ -1137,6 +1165,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of: first click at-or-after each error (next-event
+    // attribution) — the symmetric sibling of ev_asof, same one-shuffle
+    // union+window shape
+    "ev_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("sec", expr("ts_ns div 1000000000"))
+      val err = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "sec")
+      val clk = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("sec").as("csec"))
+        .agg(max("event_id").as("click_id"))
+        .withColumn("click_sec", col("csec"))
+        .select("user_id", "csec", "click_id", "click_sec")
+      AsOfJoin.forward(err, clk, Seq("user_id"), "sec", "csec")
+        .select(col("event_id"), col("click_id"),
+          (col("click_sec") - col("sec")).as("gap_s"))
+        .orderBy("event_id")
+    }),
+
     // Range (interval) join — per-deploy impact rollup. Deterministic
     // "deploy" markers (every 977th event) open a 37-minute window;
     // every event landing in a window is attributed to that deploy.
@@ -1247,6 +1293,19 @@ object SparkEntry {
           col("exact").as("exact_parts"),
           (expr("abs(approx - exact) * 1000 div exact") < 50)
             .cast("int").as("approx_ok"))),
+
+    // EXACT quantiles without a global sort: sketch-bracket + bounded
+    // TakeOrdered rank select (Sketch.exactQuantile) — the 100 TB
+    // exact-percentile path; dyadic p so ceil(p*n) is engine-agnostic
+    "q_percentile_2pass" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val Seq(p25, p50, p75) = Seq(0.25, 0.5, 0.75).map(p =>
+        graft.operators.Sketch.exactQuantile(li, "l_extendedprice", p).get)
+      s.range(1).select(
+        round(lit(p25), 2).as("p25"),
+        round(lit(p50), 2).as("p50"),
+        round(lit(p75), 2).as("p75"))
+    }),
 
     "q_multi_join" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
@@ -1813,6 +1872,27 @@ object SparkEntry {
            |GROUP BY doc_id HAVING count(*) >= 1
            |ORDER BY doc_id""".stripMargin,
 
+      "decontaminate_minhash" -> {
+        val off = OracleSql.CrossDocOffset
+        s"""WITH du AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25
+           |            UNION ALL
+           |            SELECT doc_id + $off, text FROM documents WHERE doc_id < 25),
+           |${OracleSql.shingleCteOver("du")},
+           |${OracleSql.minhashCte},
+           |${OracleSql.lshCandidatesCte},
+           |${OracleSql.jaccardCte},
+           |x AS (SELECT j.d1 AS doc_id, j.d2 - $off AS bench_id, j.j
+           |      FROM jac j JOIN (SELECT DISTINCT d1, d2 FROM cand) c
+           |        ON j.d1 = c.d1 AND j.d2 = c.d2
+           |      WHERE j.d1 < $off AND j.d2 >= $off
+           |        AND j.j >= ${OracleSql.JaccardThreshold}),
+           |r AS (SELECT doc_id, bench_id, j,
+           |             row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, bench_id) AS rn
+           |      FROM x)
+           |SELECT doc_id, bench_id, round(j, 4) AS jac_r
+           |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      },
+
       "decontaminate_semantic" ->
         s"""WITH b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings
            |           WHERE vec_id % 97 = 0),
@@ -2246,6 +2326,15 @@ object SparkEntry {
            |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      "q_bloom_semi" ->
+        s"""SELECT l_returnflag, count(*) AS n,
+           |       round(sum(l_quantity), 2) AS sum_qty
+           |FROM lineitem l
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_orderkey = l.l_orderkey
+           |                AND o.o_totalprice > 400000)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "q_anti" ->
         s"""SELECT count(*) AS n_without_orders FROM customer c
            |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
@@ -2358,6 +2447,17 @@ object SparkEntry {
            |FROM err e ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.sec >= c.csec
            |ORDER BY e.event_id""".stripMargin,
 
+      "ev_asof_fwd" ->
+        s"""WITH err AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           |             FROM events WHERE event_type = 'error'),
+           |clk AS (SELECT user_id, sec AS csec, max(event_id) AS click_id
+           |        FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+           |              FROM events WHERE event_type = 'click')
+           |        GROUP BY 1, 2)
+           |SELECT e.event_id, c.click_id, c.csec - e.sec AS gap_s
+           |FROM err e ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.sec <= c.csec
+           |ORDER BY e.event_id""".stripMargin,
+
       "ev_range_join" ->
         s"""WITH d AS (SELECT event_id AS deploy_id, epoch_us(ts) AS s_us
            |           FROM events WHERE event_id % ${OracleSql.RangeJoinDeployMod} = 0)
@@ -2398,6 +2498,20 @@ object SparkEntry {
       "q_histogram" ->
         s"""SELECT CAST(floor(value / 50.0) AS INT) AS bucket, count(*) AS n
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // exact ceil(p*n)-th smallest (multiset rank, lower tie) — the
+      // two-pass operator's contract stated as ORDER BY/OFFSET SQL
+      "q_percentile_2pass" -> {
+        def q(p: String) =
+          s"""(SELECT l_extendedprice FROM lineitem
+             | WHERE l_extendedprice IS NOT NULL
+             | ORDER BY l_extendedprice
+             | LIMIT 1 OFFSET CAST(ceil($p * (SELECT count(l_extendedprice) FROM lineitem)) AS BIGINT) - 1)"""
+            .stripMargin.replace("\n", "")
+        s"""SELECT round(${q("0.25")}, 2) AS p25,
+           |       round(${q("0.5")}, 2) AS p50,
+           |       round(${q("0.75")}, 2) AS p75""".stripMargin
+      },
 
       "q_approx_percentile" ->
         s"""SELECT o_orderstatus,

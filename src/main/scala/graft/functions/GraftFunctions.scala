@@ -33,7 +33,8 @@ object GraftFunctions {
       "graft_nearest_centroid" -> (e => NearestCentroidExpr(e(0), e(1), e(2))),
       "graft_probe_centroids" -> (e => ProbeCentroidsExpr(e(0), e(1), e(2), e(3))),
       "graft_cms_estimate" -> (e => CmsEstimateExpr(e(0), e(1))),
-      "graft_max_cosine" -> (e => MaxCosineExpr(e(0), e(1), e(2)))
+      "graft_max_cosine" -> (e => MaxCosineExpr(e(0), e(1), e(2))),
+      "graft_bloom_contains" -> (e => BloomContainsExpr(e(0), e(1)))
     )
 
   /** Register all graft functions + optimizer rules on the session
@@ -88,6 +89,10 @@ object GraftFunctions {
   /** CMS point estimate of `key` against a driver-collected sketch. */
   def cmsEstimate(key: Column, sketch: Array[Byte]): Column =
     call_function("graft_cms_estimate", key, lit(sketch))
+
+  /** Bloom membership probe of `key` against a driver-built filter. */
+  def bloomContains(key: Column, bloom: Array[Byte]): Column =
+    call_function("graft_bloom_contains", key, lit(bloom))
 }
 
 /**

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.util.sketch.CountMinSketch
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
 /**
  * Count-Min-Sketch probe kernel for the heavy-hitters operator.
@@ -67,6 +67,56 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
       "org.apache.spark.util.sketch.CountMinSketch")
     nullSafeCodeGen(ctx, ev, (k, _) =>
       s"${ev.value} = graft.functions.SketchKernel.cmsEstimate($k, $cmsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bloom_contains(key, bloomBytes)` — per-row Bloom-filter
+  * membership probe against a driver-built filter (the output of
+  * `DataFrame.stat.bloomFilter`, serialized). Key may be BIGINT (probed
+  * via `mightContainLong`, the route `stat.bloomFilter` used to insert
+  * longs) or STRING (probed via the UTF-8 bytes it inserted) — same
+  * hash routes as the build, so "no false negatives" holds by
+  * construction and a semi-join pre-filter can never drop a real match.
+  */
+case class BloomContainsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType | _: StringType, BinaryType) if right.foldable =>
+        right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName needs a non-null bloom filter")
+          case b: Array[Byte] =>
+            try { BloomFilter.readFrom(b); TypeCheckResult.TypeCheckSuccess }
+            catch { case e: Exception => TypeCheckResult.TypeCheckFailure(
+              s"$prettyName bloom bytes do not deserialize: ${e.getMessage}") }
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (bigint|string key, binary literal bloom), got ($l, $r)")
+    }
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(right.eval().asInstanceOf[Array[Byte]])
+
+  private def isLongKey = left.dataType == LongType
+
+  protected override def nullSafeEval(k: Any, s: Any): Any =
+    if (isLongKey) bloom.mightContainLong(k.asInstanceOf[Long])
+    else bloom.mightContainBinary(k.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, (k, _) =>
+      if (isLongKey) s"${ev.value} = $ref.mightContainLong($k);"
+      else s"${ev.value} = $ref.mightContainBinary($k.getBytes());")
   }
 
   override protected def withNewChildrenInternal(

@@ -63,4 +63,46 @@ object AsOfJoin {
     val matchCols = rPayload.map(f => col(s"__match.$f").as(f))
     matched.select(leftCols ++ matchCols: _*)
   }
+
+  /**
+   * Forward as-of join: for every left row, the EARLIEST right row with
+   * the same key and right.time >= left.time (inclusive) — next-event
+   * attribution (e.g. "first click after each error"). Same single
+   * shuffle + single per-key sort shape as [[backward]], with the
+   * running `last(ignoreNulls)` taken over DESCENDING time (right rows
+   * first at equal instants, so the inclusive match holds).
+   */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val rStructType = right.select(rPayload.map(col): _*).schema
+
+    val l2 = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rStructType))
+    val r2 = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        struct(rPayload.map(col): _*).as("__r")): _*)
+
+    val combined = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = combined
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val leftCols = left.columns.toSeq.map(col)
+    val matchCols = rPayload.map(f => col(s"__match.$f").as(f))
+    matched.select(leftCols ++ matchCols: _*)
+  }
 }

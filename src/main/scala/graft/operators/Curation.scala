@@ -82,6 +82,54 @@ object Curation {
   }
 
   /**
+   * MINHASH decontamination — the near-duplicate sibling of
+   * [[decontaminate]] (literal n-gram overlap) and
+   * [[decontaminateSemantic]] (embedding cosine): corpus docs whose
+   * exact shingle Jaccard against ANY benchmark doc reaches
+   * `threshold`, with banded-LSH candidate generation so nothing
+   * all-pairs ever runs. Returns (doc_id, bench_id, jac_r) — the
+   * closest benchmark doc (ties to the lowest id) and the verified
+   * Jaccard.
+   *
+   * Scale shape: the benchmark is the bounded side, so its banded
+   * signature keys BROADCAST and the corpus band stream probes them
+   * map-side — the only corpus-sized exchanges are the shingle pass
+   * (shared with every other minhash consumer) and the
+   * candidate-restricted verify, whose cross-join on shingle codes is
+   * corpus-shingles x benchmark-shingles per code, never corpus x
+   * corpus. Exactness: banding only GENERATES candidates; every
+   * emitted pair carries its exact verified Jaccard.
+   */
+  def decontaminateMinhash(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = graft.OracleSql.JaccardThreshold): DataFrame = {
+    val off = graft.OracleSql.CrossDocOffset
+    val benchOff = benchmark.select((col("doc_id") + off).as("doc_id"), col("text"))
+    // corpus shingles feed signatures AND the verify join: one pass
+    val shC = Dedup.checkpointed(Dedup.shingles(corpus))
+    val shB = Dedup.shingles(benchOff)
+    val cand = Dedup.bandKeys(Dedup.minhashSignatures(shC))
+      .select(col("doc_id").as("d1"), col("band"), col("key"))
+      .join(broadcast(Dedup.bandKeys(Dedup.minhashSignatures(shB))
+        .select(col("doc_id").as("d2"), col("band"), col("key"))),
+        Seq("band", "key"))
+      .select("d1", "d2").distinct()
+    // cross-only exact Jaccard: intersections from shC x shB on code
+    val inter = shC.select(col("doc_id").as("d1"), col("code"))
+      .join(shB.select(col("doc_id").as("d2"), col("code")), Seq("code"))
+      .join(cand, Seq("d1", "d2"), "left_semi")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val szC = shC.groupBy(col("doc_id").as("d1")).agg(count(lit(1)).as("sz1"))
+    val szB = shB.groupBy(col("doc_id").as("d2")).agg(count(lit(1)).as("sz2"))
+    val jac = inter.join(szC, Seq("d1")).join(broadcast(szB), Seq("d2"))
+      .select(col("d1").as("doc_id"), (col("d2") - off).as("bench_id"),
+        (col("i").cast("double") / (col("sz1") + col("sz2") - col("i"))).as("j"))
+      .where(col("j") >= threshold)
+    val w = Window.partitionBy("doc_id").orderBy(desc("j"), asc("bench_id"))
+    jac.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), round(col("j"), 4).as("jac_r"))
+  }
+
+  /**
    * SEMANTIC decontamination — the embedding-space sibling of
    * [[decontaminate]]: corpus vectors whose max cosine similarity to
    * ANY benchmark vector reaches `tau` are flagged as likely eval-set

@@ -212,13 +212,21 @@ object Dedup {
     * band, then a SINGLE self-equi-join on (band, key) — equivalent to
     * the union of per-band joins but with one shuffle of bands x n
     * short rows instead of 2 x bands scans of the signature table. */
-  def lshCandidates(mh: DataFrame): DataFrame = {
+  /** (doc_id, band, key) banded signature rows — the shared keying of
+    * [[lshCandidates]] (self-join near-dups) and the cross-corpus probe
+    * ([[Curation.decontaminateMinhash]] joins a corpus's bands against
+    * a broadcast benchmark's). */
+  def bandKeys(mh: DataFrame): DataFrame = {
     val bandCol = explode(array((0 until LshBands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until LshRows).map(r => col(s"m${b * LshRows + r}").as(s"r$r")): _*).as("key"))
     }: _*))
-    val keyed = mh.select(col("doc_id"), bandCol.as("bk"))
+    mh.select(col("doc_id"), bandCol.as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def lshCandidates(mh: DataFrame): DataFrame = {
+    val keyed = bandKeys(mh)
     val l = keyed.select(col("doc_id").as("d1"), col("band"), col("key"))
     val r = keyed.select(col("doc_id").as("d2"), col("band"), col("key"))
     l.join(r, Seq("band", "key")).where(col("d1") < col("d2"))

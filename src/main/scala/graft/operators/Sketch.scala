@@ -64,4 +64,100 @@ object Sketch {
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .where(col("n") >= t)
   }
+
+  /**
+   * Bloom-accelerated EXACT left-semi join: `left` rows whose `key`
+   * appears in `right` — with a driver-built Bloom filter on the right
+   * keys pre-filtering the LEFT side before its exchange.
+   *
+   * When the right side is too large to broadcast, a plain semi join
+   * shuffles BOTH full sides. The right KEY SET, though, fits a Bloom
+   * filter at ~10 bits/key — orders of magnitude under a broadcast
+   * hash relation — so probing it below the left scan kills
+   * (1 - selectivity - fpp) of the left side's shuffle volume. Bloom
+   * filters have no false negatives through the matching put/probe
+   * hash routes (spec-pinned), so no real match is lost; the exact
+   * semi join on the survivors removes the fpp sliver, keeping the
+   * operator bit-exact with its plain-SQL oracle.
+   *
+   * Relationship to Spark's own runtime bloom filters
+   * (`spark.sql.optimizer.runtime.bloomFilter.enabled`): Catalyst
+   * injects one only inside a single query, under size/selectivity
+   * heuristics it controls. This operator is the EXPLICIT form — the
+   * filter is yours to build once (e.g. on a store's live ids) and
+   * reuse across many queries/batches, deterministically.
+   *
+   * @param expectedItems sizing for the filter (right-side distinct
+   *                      keys); fpp degrades, never correctness, if
+   *                      underestimated
+   */
+  def bloomSemiJoin(left: DataFrame, right: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"graft: expectedItems $expectedItems must be positive")
+    GraftFunctions.register(left.sparkSession)
+    val bf = right.stat.bloomFilter(key, expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    left.where(GraftFunctions.bloomContains(col(key), bytes))
+      .join(right.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
+  /**
+   * EXACT quantile at scale, two passes: the `ceil(p*n)`-th smallest
+   * value (multiset rank, lower tie). The exact `percentile()`
+   * aggregate buffers every value per group — a global sort in
+   * disguise — and `percentile_approx` gives up exactness. This is the
+   * classic bracket-then-select:
+   *
+   *  1. `percentile_approx` at `p ± 4/accuracy` brackets the answer:
+   *     by the sketch's rank-error contract (± n/accuracy) the true
+   *     target's value lies in [vlo, vhi].
+   *  2. One exact pass counts rows strictly below `vlo` and the
+   *     bracket window `[vlo, vhi]` — ~8n/accuracy rows — feeds a
+   *     bounded TakeOrdered heap that selects the (r - below)-th
+   *     smallest. Nothing global is sorted; pick `accuracy` so
+   *     n/accuracy fits a heap (1e7 at n=1e12 keeps windows ~1e5).
+   *
+   * The sketch can only mis-bracket if its error contract is violated;
+   * the guard detects that (rank outside the window) and falls back to
+   * the full-range select, so the result is exact UNCONDITIONALLY —
+   * which is what lets the oracle pin it with ORDER BY/OFFSET SQL.
+   * Oracle-parity note: use dyadic p (1/4, 1/2, 3/4…) so `ceil(p*n)`
+   * agrees between decimal and double arithmetic.
+   *
+   * @return the exact quantile value, or None on an empty input
+   */
+  def exactQuantile(df: DataFrame, valueCol: String, p: Double,
+      accuracy: Int = 10000): Option[Double] = {
+    require(p > 0.0 && p <= 1.0, s"graft: p $p outside (0, 1]")
+    require(accuracy >= 100, s"graft: accuracy $accuracy < 100")
+    val src = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .localCheckpoint(eager = false)
+    val n = src.count()
+    if (n == 0L) return None
+    val r = math.ceil(p * n).toLong
+    val plo = math.max(0.0, p - 4.0 / accuracy)
+    val phi = math.min(1.0, p + 4.0 / accuracy)
+    val br = src.agg(expr(
+      s"percentile_approx(v, array($plo, $phi), $accuracy)").as("b")).head()
+      .getSeq[Double](0)
+    val (vlo, vhi) = (br(0), br(1))
+    val cnt = src.agg(
+      sum(when(col("v") < vlo, 1L).otherwise(0L)).as("below"),
+      sum(when(col("v") >= vlo && col("v") <= vhi, 1L).otherwise(0L)).as("win"))
+      .head()
+    val (below, win) = (cnt.getLong(0), cnt.getLong(1))
+    val k = r - below
+    val (windowDf, kk) =
+      if (k >= 1L && k <= win) (src.where(col("v") >= vlo && col("v") <= vhi), k)
+      else (src, r) // sketch contract violated: exact full-range fallback
+    require(kk <= Int.MaxValue,
+      s"graft: in-window rank $kk exceeds the heap bound — raise accuracy")
+    windowDf.orderBy(col("v")).limit(kk.toInt)
+      .agg(max(col("v"))).head().getDouble(0) match { case v => Some(v) }
+  }
 }

@@ -300,4 +300,35 @@ class KernelSpec extends AnyFunSuite {
     assert(got == colForm, s"${got.toSeq.diff(colForm.toSeq).take(3)}")
     assert(got(5L)._1 == 3L, s"tie must keep lowest id, got ${got(5L)}")
   }
+
+  test("bloom probe kernel: zero false negatives on long + string keys, analysis guards") {
+    // correctness of bloomSemiJoin DEPENDS on put/probe hash-route
+    // agreement: a drift would silently DROP real matches (unlike the
+    // CMS, where drift only costs accuracy). Pin it for both key types.
+    graft.functions.GraftFunctions.register(spark)
+    val longs = (0L until 2000L).map(i => i * 7919L).toDF("k")
+    val bfL = longs.stat.bloomFilter("k", 2000L, 0.03)
+    val bytesL = { val b = new java.io.ByteArrayOutputStream(); bfL.writeTo(b); b.toByteArray }
+    assert(longs.where(!bloomContains(col("k"), bytesL)).count() == 0,
+      "long keys: inserted key probed false")
+    val strs = (0 until 2000).map(i => s"key_${i}_x").toDF("k")
+    val bfS = strs.stat.bloomFilter("k", 2000L, 0.03)
+    val bytesS = { val b = new java.io.ByteArrayOutputStream(); bfS.writeTo(b); b.toByteArray }
+    assert(strs.where(!bloomContains(col("k"), bytesS)).count() == 0,
+      "string keys: inserted key probed false")
+    // fpp sanity: absent keys are mostly rejected (not all-true)
+    val absent = (100000L until 102000L).map(i => i * 7919L + 1L).toDF("k")
+    val fp = absent.where(bloomContains(col("k"), bytesL)).count()
+    assert(fp < 400, s"bloom accepts far too much: $fp of 2000 absent keys")
+    // analysis guards: corrupt bytes, unsupported key type
+    Seq(1.5).toDF("k").createOrReplaceTempView("bloom_guard")
+    val bad = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_bloom_contains(CAST(1 AS BIGINT), CAST('junk' AS BINARY))")
+        .collect())
+    assert(bad.getMessage.contains("deserialize"), bad.getMessage)
+    val wrong = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_bloom_contains(k, CAST('x' AS BINARY)) FROM bloom_guard")
+        .collect())
+    assert(wrong.getMessage.contains("bigint|string"), wrong.getMessage)
+  }
 }

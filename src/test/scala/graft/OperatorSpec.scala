@@ -1146,6 +1146,91 @@ class OperatorSpec extends AnyFunSuite {
       (20L, 2L, "")), got.toString)
   }
 
+  test("bloom semi join == plain semi join, incl. undersized filter and string keys") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    val left = (0L until 3000L).map(i => (i, i % 11)).toDF("k", "payload")
+    val right = (0L until 3000L by 7L).map(i => (i, "r")).toDF("k", "tag")
+    def plainL = left.join(right.select("k").distinct(), Seq("k"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val got = Sketch.bloomSemiJoin(left, right, "k", expectedItems = 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == plainL)
+    // grossly undersized filter: fpp degrades, exactness must not
+    val tiny = Sketch.bloomSemiJoin(left, right, "k", expectedItems = 10L, fpp = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == plainL, "undersized bloom broke exactness")
+    // string keys route through putBinary/mightContainBinary
+    val ls = left.select(concat(lit("id_"), col("k")).as("k"))
+    val rs = right.select(concat(lit("id_"), col("k")).as("k"))
+    val gotS = Sketch.bloomSemiJoin(ls, rs, "k", expectedItems = 1000L)
+      .collect().map(_.getString(0)).toSet
+    val plainS = ls.join(rs.distinct(), Seq("k"), "left_semi")
+      .collect().map(_.getString(0)).toSet
+    assert(gotS == plainS)
+  }
+
+  test("forward as-of join: earliest right at-or-after, inclusive, null when none") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val left = Seq(("a", 1L, 5L), ("a", 2L, 20L), ("b", 3L, 1L))
+      .toDF("k", "lid", "t")
+    val right = Seq(("a", 5L, "x"), ("a", 7L, "y"), ("a", 3L, "z"), ("b", 9L, "w"))
+      .toDF("k", "rt", "v")
+    val got = AsOfJoin.forward(left, right, Seq("k"), "t", "rt")
+      .select("lid", "v").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got == Map(1L -> Some("x"), // inclusive: rt == t matches, beats rt=7
+      2L -> None,                       // nothing at-or-after
+      3L -> Some("w")), got.toString)
+  }
+
+  test("two-pass exact quantile == sorted rank select, incl. duplicates and edges") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    val rnd = new scala.util.Random(11)
+    // heavy duplication stresses the multiset-rank semantics
+    val vals = (0 until 5000).map(_ => (rnd.nextInt(40) * 2.5))
+    val df = vals.toDF("x")
+    val sorted = vals.sorted
+    for (p <- Seq(0.25, 0.5, 0.75, 1.0)) {
+      val expect = sorted(math.ceil(p * vals.size).toInt - 1)
+      assert(Sketch.exactQuantile(df, "x", p).contains(expect), s"p=$p")
+      // a degenerate sketch width still yields the exact answer
+      // (bracket guard falls back to the full-range select if violated)
+      assert(Sketch.exactQuantile(df, "x", p, accuracy = 100).contains(expect),
+        s"p=$p coarse accuracy")
+    }
+    assert(Sketch.exactQuantile(df.where(lit(false)), "x", 0.5).isEmpty)
+    // nulls are excluded from rank space, matching count(col) SQL
+    val withNulls = (vals.map(Option(_)) ++ Seq.fill(500)(Option.empty[Double]))
+      .toDF("x")
+    assert(Sketch.exactQuantile(withNulls, "x", 0.5)
+      .contains(sorted(math.ceil(0.5 * vals.size).toInt - 1)))
+  }
+
+  test("minhash decontamination: banded cross probe + exact verify, lowest-id ties") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // ~30-token texts: a one-word edit keeps J ~0.93, reliably banded
+    // (shorter texts make banding a coin flip — see round notes)
+    val base = "the quick brown fox jumps over the lazy dog while seven wizards " +
+      "brew strong potions under a pale moon near the silent river bank tonight"
+    val edited = base.replace("silent", "roaring")
+    val corpus = Seq(
+      (100L, edited),               // near-dup of bench 1
+      (101L, base),                 // exact dup of bench 1 AND bench 2 -> tie to 1
+      (102L, "completely different words about spark partitions and shuffles " +
+        "living in a tungsten codegen world with adaptive query execution everywhere")
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val got = Curation.decontaminateMinhash(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sortBy(_._1)
+    assert(got.map(x => (x._1, x._2)) == List((100L, 1L), (101L, 1L)), got.toString)
+    assert(got.find(_._1 == 101L).get._3 == 1.0, "exact dup must verify at j = 1")
+    assert(got.find(_._1 == 100L).get._3 < 1.0)
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -546,6 +546,21 @@ class PlanSpec extends AnyFunSuite {
       "max-cosine probe fell out of whole-stage codegen:\n" + p.take(3000))
   }
 
+  test("bloom semi join: probe filters the left side BELOW the join, in codegen") {
+    // the bloom exists to kill non-matching left rows before the
+    // join's exchange — above the join it would be dead weight
+    val df = SparkEntry.queries("q_bloom_semi")(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("graft_bloom_contains"), p.take(3000))
+    val joinIdx = p.indexOf("Join")
+    val bloomIdx = p.indexOf("graft_bloom_contains")
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      "bloom probe is not below the join:\n" + p.take(3000))
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("graft_bloom_contains")),
+      "bloom probe fell out of whole-stage codegen:\n" + p.take(3000))
+  }
+
   test("topic clusters: rank window rewrites to WindowGroupLimit, no cartesian") {
     val p = plan(SparkEntry.queries("text_cluster")(spark, dir))
     assert(p.contains("WindowGroupLimit"),
