@@ -514,6 +514,23 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // k-NN label classification: majority vote among each query's
+    // top-10 neighbors (brute-force head here — 8 queries; the
+    // classify tail composes with the lsh/ivf heads at scale)
+    "knn_classify" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.where(col("vec_id") >= 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilaritySearch.classifyByVote(
+          TopK.perQueryTopKWindow(TopK.scoreAllPairs(queries, corpus), 10),
+          emb.where(col("vec_id") >= 8)
+            .select(col("vec_id").as("cid"), col("label")))
+        .orderBy("qid")
+    }),
+
     // same result via the bounded-heap Aggregator (map-side combine)
     "knn_multiquery_heap" -> ((s, dir) => {
       registered(s)
@@ -1661,6 +1678,22 @@ object SparkEntry {
 
       "knn_multiquery" -> multiQuerySql,
       "knn_multiquery_heap" -> multiQuerySql,
+
+      "knn_classify" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |c AS (SELECT vec_id AS cid, embedding AS cv, label FROM embeddings WHERE vec_id >= 8),
+           |s AS (SELECT q.qid, c.cid, c.label,
+           |             ${OracleSql.cosine("c.cv", "q.qv")} AS sim FROM q, c),
+           |r AS (SELECT qid, cid, label,
+           |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           |      FROM s),
+           |v AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS votes
+           |      FROM r WHERE rn <= 10 GROUP BY 1, 2),
+           |p AS (SELECT qid, label, votes,
+           |             row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS prn
+           |      FROM v)
+           |SELECT qid, label AS pred_label, votes FROM p WHERE prn = 1
+           |ORDER BY qid""".stripMargin,
       // the streamed serving layer returns the same 8x top-5 as the
       // brute-force oracle: store ids are the zero-padded vec_ids, so
       // the exact batch search's (sim DESC, id ASC) string tie-break

@@ -272,6 +272,23 @@ object SimilaritySearch {
       array(codebook.map(c => vecLit(c._2)): _*),
       lit(nprobe))
 
+  /** k-NN CLASSIFICATION tail: majority label among each query's
+    * retrieved neighbors (ties to the smallest label). Composable with
+    * ANY retrieval head — brute-force [[TopK.scoreAllPairs]] for a
+    * handful of queries, [[lshJoin]]/[[ivfSearch]] candidates at
+    * scale — because it consumes just (qid, cid) pairs plus a
+    * (cid, label) side that joins broadcast when the label table is a
+    * dimension or co-partitioned when it is the corpus itself.
+    * Returns (qid, pred_label, votes). */
+  def classifyByVote(topk: DataFrame, labels: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("votes"), asc("label"))
+    topk.select("qid", "cid").join(labels, Seq("cid"))
+      .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** IVF assignment: (vec_id, cid, embedding) with the expression-based
     * argmin — a pure projection over the scan, zero shuffle. */
   def ivfAssign(emb: DataFrame, codebook: Seq[(Long, Seq[Float])]): DataFrame =

@@ -1231,6 +1231,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.find(_._1 == 100L).get._3 < 1.0)
   }
 
+  test("classifyByVote: majority label per query, ties to smallest label") {
+    import spark.implicits._
+    import graft.operators.SimilaritySearch
+    val topk = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 13L))
+      .toDF("qid", "cid")
+    val labels = Seq((10L, 7), (11L, 3), (12L, 3), (13L, 7)).toDF("cid", "label")
+    val got = SimilaritySearch.classifyByVote(topk, labels)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // qid 1: label 3 x2 beats 7 x1; qid 2: 7 x2 unanimous... no — 10->7,
+    // 13->7: both 7 -> votes 2
+    assert(got == Set((1L, 3, 2L), (2L, 7, 2L)), got.toString)
+    // exact tie: one vote each -> smallest label wins
+    val tied = Seq((9L, 10L), (9L, 11L)).toDF("qid", "cid")
+    val t = SimilaritySearch.classifyByVote(tied, labels).head()
+    assert((t.getLong(0), t.getInt(1), t.getLong(2)) == ((9L, 3, 1L)))
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
