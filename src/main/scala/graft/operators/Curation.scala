@@ -103,9 +103,19 @@ object Curation {
   def decontaminateMinhash(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = graft.OracleSql.JaccardThreshold): DataFrame = {
     val off = graft.OracleSql.CrossDocOffset
-    val benchOff = benchmark.select((col("doc_id") + off).as("doc_id"), col("text"))
+    // ids at/above the offset would silently alias into the benchmark
+    // namespace — fail loudly per row, no extra pass
+    def guarded(df: DataFrame, side: String) = df.select(
+      when(col("doc_id") >= off || col("doc_id") < 0,
+        raise_error(concat(lit(s"graft: $side doc_id "), col("doc_id"),
+          lit(s" outside [0, $off)"))))
+        .otherwise(col("doc_id")).as("doc_id"),
+      col("text"))
+    val corpusG = guarded(corpus, "corpus")
+    val benchOff = guarded(benchmark, "benchmark")
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
     // corpus shingles feed signatures AND the verify join: one pass
-    val shC = Dedup.checkpointed(Dedup.shingles(corpus))
+    val shC = Dedup.checkpointed(Dedup.shingles(corpusG))
     val shB = Dedup.shingles(benchOff)
     val cand = Dedup.bandKeys(Dedup.minhashSignatures(shC))
       .select(col("doc_id").as("d1"), col("band"), col("key"))

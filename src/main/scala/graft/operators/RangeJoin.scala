@@ -38,6 +38,9 @@ object RangeJoin {
    *                    empty (`end <= start`) intervals match nothing
    * @param bucketWidth positive bucket width in the point column's units
    * @param keys        optional equi-keys present on both sides
+   * @param maxBucketsPerInterval guard against a pathological interval
+   *        (or a mis-chosen width) exploding into an executor-killing
+   *        bucket array — the job fails loudly naming the row instead
    */
   def pointInInterval(
       points: DataFrame,
@@ -46,8 +49,10 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       bucketWidth: Long,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, s"graft: bucketWidth $bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "graft: maxBucketsPerInterval must be positive")
     val overlap = points.columns.toSet
       .intersect(intervals.columns.toSet) -- keys
     require(overlap.isEmpty,
@@ -66,9 +71,19 @@ object RangeJoin {
       .where(col(endCol) > col(startCol))
       .withColumn("__s", col(startCol).cast("long"))
       .withColumn("__e1", col(endCol).cast("long") - 1)
-      .withColumn("__bkt", explode(sequence(
-        expr(floorDivExpr("__s")), expr(floorDivExpr("__e1")))))
-      .drop("__s", "__e1")
+      .withColumn("__b0", expr(floorDivExpr("__s")))
+      .withColumn("__b1", expr(floorDivExpr("__e1")))
+      // fail LOUDLY on an interval that would explode into a giant
+      // bucket array (Spark's sequence() would otherwise die deep in a
+      // task with an opaque allocation error, or OOM the executor)
+      .withColumn("__b1", when(col("__b1") - col("__b0") >= maxBucketsPerInterval,
+        raise_error(concat(lit(s"graft: interval spans >= $maxBucketsPerInterval " +
+          s"buckets at width $bucketWidth (start "), col("__s"),
+          lit(", end "), col("__e1") + 1,
+          lit("); widen bucketWidth or split the interval"))))
+        .otherwise(col("__b1")))
+      .withColumn("__bkt", explode(sequence(col("__b0"), col("__b1"))))
+      .drop("__s", "__e1", "__b0", "__b1")
     val pts = points
       .withColumn("__p", col(pointCol).cast("long"))
       .withColumn("__bkt", expr(floorDivExpr("__p")))

@@ -1098,6 +1098,14 @@ class OperatorSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](RangeJoin.pointInInterval(
       pts.withColumn("s", lit(1L)), ivs, "x", "s", "e", 10L))
     assert(e.getMessage.contains("graft"), e.getMessage)
+    // an interval exploding past the bucket cap fails loudly, not OOM
+    val wide = Seq((1L, 0L, 10000L)).toDF("iid", "s", "e")
+    val boom = intercept[Exception](RangeJoin.pointInInterval(
+      pts, wide, "x", "s", "e", bucketWidth = 1L,
+      maxBucketsPerInterval = 100L).count())
+    val msgs = Iterator.iterate(boom: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("graft: interval spans"), msgs.take(400))
   }
 
   test("CMS heavy hitters == naive groupBy-HAVING, incl. empty input and phi guard") {
@@ -1229,6 +1237,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.map(x => (x._1, x._2)) == List((100L, 1L), (101L, 1L)), got.toString)
     assert(got.find(_._1 == 101L).get._3 == 1.0, "exact dup must verify at j = 1")
     assert(got.find(_._1 == 100L).get._3 < 1.0)
+    // ids at/above the cross-corpus offset would alias into the
+    // benchmark namespace: loud per-row failure
+    val aliased = Seq((graft.OracleSql.CrossDocOffset + 5L, base)).toDF("doc_id", "text")
+    val boom = intercept[Exception](
+      Curation.decontaminateMinhash(aliased, bench).count())
+    val msgs = Iterator.iterate(boom: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("outside [0,"), msgs.take(400))
   }
 
   test("classifyByVote: majority label per query, ties to smallest label") {
