@@ -1316,8 +1316,8 @@ object SparkEntry {
     // exact-percentile path; dyadic p so ceil(p*n) is engine-agnostic
     "q_percentile_2pass" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val Seq(p25, p50, p75) = Seq(0.25, 0.5, 0.75).map(p =>
-        graft.operators.Sketch.exactQuantile(li, "l_extendedprice", p).get)
+      val Seq(p25, p50, p75) = graft.operators.Sketch.exactQuantiles(
+        li, "l_extendedprice", Seq(0.25, 0.5, 0.75)).map(_.get)
       s.range(1).select(
         round(lit(p25), 2).as("p25"),
         round(lit(p50), 2).as("p50"),

@@ -1209,6 +1209,10 @@ class OperatorSpec extends AnyFunSuite {
       assert(Sketch.exactQuantile(df, "x", p, accuracy = 100).contains(expect),
         s"p=$p coarse accuracy")
     }
+    // batched form: shared bracket + count passes, same answers
+    val batched = Sketch.exactQuantiles(df, "x", Seq(0.25, 0.5, 0.75, 1.0))
+    assert(batched == Seq(0.25, 0.5, 0.75, 1.0)
+      .map(p => Some(sorted(math.ceil(p * vals.size).toInt - 1))), batched.toString)
     assert(Sketch.exactQuantile(df.where(lit(false)), "x", 0.5).isEmpty)
     // nulls are excluded from rank space, matching count(col) SQL
     val withNulls = (vals.map(Option(_)) ++ Seq.fill(500)(Option.empty[Double]))
