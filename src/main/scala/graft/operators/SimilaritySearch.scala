@@ -279,11 +279,14 @@ object SimilaritySearch {
     * scale — because it consumes just (qid, cid) pairs plus a
     * (cid, label) side that joins broadcast when the label table is a
     * dimension or co-partitioned when it is the corpus itself.
+    * Unlabeled neighbors (null label) ABSTAIN — they are dropped from
+    * the vote, never elected as a NULL prediction. A query whose every
+    * neighbor abstains is absent from the output.
     * Returns (qid, pred_label, votes). */
   def classifyByVote(topk: DataFrame, labels: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("votes"), asc("label"))
-    topk.select("qid", "cid").join(labels, Seq("cid"))
+    topk.select("qid", "cid").join(labels.where(col("label").isNotNull), Seq("cid"))
       .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("qid"), col("label").as("pred_label"), col("votes"))

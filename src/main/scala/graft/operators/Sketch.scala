@@ -34,7 +34,12 @@ import graft.functions.GraftFunctions
 object Sketch {
 
   /**
-   * @param keys   input rows; only `keyCol` is consulted
+   * @param keys   input rows; only `keyCol` is consulted. NULL keys are
+   *               EXCLUDED from both the rank space (totalRows counts
+   *               non-null keys) and the output — the aggregate skips
+   *               them and the null-safe probe drops them, matching
+   *               SQL `count(col)` semantics rather than a groupBy's
+   *               NULL group
    * @param keyCol string key column
    * @param phi    heavy-hitter share threshold in (0, 1); a key
    *               qualifies iff count >= ceil(phi * totalRows).
@@ -52,7 +57,8 @@ object Sketch {
       pin: Boolean = true): DataFrame = {
     require(phi > 0.0 && phi < 1.0, s"graft: phi $phi outside (0, 1)")
     GraftFunctions.register(keys.sparkSession)
-    val src = if (pin) keys.localCheckpoint(eager = false) else keys
+    val nonNull = keys.where(col(keyCol).isNotNull)
+    val src = if (pin) nonNull.localCheckpoint(eager = false) else nonNull
     val probe = src.agg(count(lit(1)).as("n"),
       count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)).as("cms"))
       .head()

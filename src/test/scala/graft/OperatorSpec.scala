@@ -1134,6 +1134,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(empty.collect().isEmpty && empty.columns.toSeq == Seq("k", "n"))
     val e = intercept[IllegalArgumentException](Sketch.heavyHitters(keys, "k", 1.0))
     assert(e.getMessage.contains("graft"), e.getMessage)
+    // null keys: excluded from rank space AND output (count(col)
+    // semantics) — a null-heavy input must not inflate the threshold
+    val withNulls = keys.select(col("k"))
+      .unionByName((0 until 2000).map(_ => Option.empty[String]).toDF("k"))
+    val gotN = Sketch.heavyHitters(withNulls, "k", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotN == naive(0.5), s"null keys perturbed the result: $gotN")
   }
 
   test("topic clusters: doc-frequency top tokens, alpha ties, tokenless clusters") {
@@ -1266,6 +1273,12 @@ class OperatorSpec extends AnyFunSuite {
     val tied = Seq((9L, 10L), (9L, 11L)).toDF("qid", "cid")
     val t = SimilaritySearch.classifyByVote(tied, labels).head()
     assert((t.getLong(0), t.getInt(1), t.getLong(2)) == ((9L, 3, 1L)))
+    // unlabeled neighbors abstain; all-abstain queries are absent
+    val labelsN = Seq((10L, Option.empty[Int]), (11L, Some(3)), (12L, Option.empty[Int]))
+      .toDF("cid", "label")
+    val gotAbstain = SimilaritySearch.classifyByVote(topk, labelsN)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotAbstain == Set((1L, 3, 1L)), gotAbstain.toString) // qid 2: all abstained
   }
 
   test("flagship entry returns rows (driver smoke)") {
