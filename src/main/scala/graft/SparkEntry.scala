@@ -1324,6 +1324,15 @@ object SparkEntry {
         round(lit(p75), 2).as("p75"))
     }),
 
+    // GROUP-WISE exact median, fully distributed: per-group sketch
+    // brackets + per-group rank select — the scale path the exact
+    // percentile() aggregate (q_percentile) cannot take
+    "q_group_percentile_2pass" -> ((s, dir) =>
+      graft.operators.Sketch.groupQuantile(
+          Tables.load(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice", 0.5)
+        .select(col("o_orderstatus"), round(col("q"), 2).as("p50"))
+        .orderBy("o_orderstatus")),
+
     "q_multi_join" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
@@ -2545,6 +2554,18 @@ object SparkEntry {
            |       round(${q("0.5")}, 2) AS p50,
            |       round(${q("0.75")}, 2) AS p75""".stripMargin
       },
+
+      "q_group_percentile_2pass" ->
+        s"""WITH g AS (SELECT o_orderstatus, o_totalprice AS v FROM orders
+           |           WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+           |n AS (SELECT o_orderstatus, count(*) AS n FROM g GROUP BY 1),
+           |r AS (SELECT o_orderstatus, v,
+           |             row_number() OVER (PARTITION BY o_orderstatus ORDER BY v) AS rn
+           |      FROM g)
+           |SELECT r.o_orderstatus, round(r.v, 2) AS p50
+           |FROM r JOIN n USING (o_orderstatus)
+           |WHERE rn = CAST(ceil(0.5 * n.n) AS BIGINT)
+           |ORDER BY 1""".stripMargin,
 
       "q_approx_percentile" ->
         s"""SELECT o_orderstatus,

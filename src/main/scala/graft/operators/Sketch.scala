@@ -179,4 +179,69 @@ object Sketch {
         .agg(max(col("v"))).head().getDouble(0))
     }
   }
+
+  /**
+   * GROUP-WISE [[exactQuantile]] — the per-group exact ceil(p*n_g)-th
+   * smallest, fully distributed (nothing group-count-sized touches the
+   * driver). The exact `percentile()` aggregate buffers every value of
+   * every group in agg state; here each group's sketch brackets its own
+   * answer and only the bracket windows (~8n_g/accuracy rows each) are
+   * rank-selected:
+   *
+   *  1. one groupBy computes n_g and the per-group `percentile_approx`
+   *     bracket [vlo_g, vhi_g];
+   *  2. one pass (brackets joined back — broadcast while the group
+   *     count is modest, shuffled equi-join beyond) counts below_g and
+   *     window_g, and groups whose sketch violated its rank contract
+   *     fall back to a full-range bracket — exactness is UNCONDITIONAL;
+   *  3. the bracket-window rows take a per-group sort (row_number over
+   *     groups — each window is small by construction) and the row at
+   *     in-window rank r_g - below_g is the answer.
+   *
+   * Returns (groupCols..., q) — groups with only null values are
+   * absent (count(col) semantics, like the global form), and rows with
+   * a NULL group key are EXCLUDED up front (the bracket join-back is
+   * null-unsafe; pre-coalesce keys if you need a null bucket).
+   */
+  def groupQuantile(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      p: Double, accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "graft: no group columns")
+    require(p > 0.0 && p <= 1.0, s"graft: p $p outside (0, 1]")
+    require(accuracy >= 100, s"graft: accuracy $accuracy < 100")
+    val g = groupCols.map(col)
+    val src = df.select((g :+ col(valueCol).cast("double").as("__v")): _*)
+      .where(col("__v").isNotNull)
+      .where(groupCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .localCheckpoint(eager = false)
+    val plo = math.max(0.0, p - 4.0 / accuracy)
+    val phi = math.min(1.0, p + 4.0 / accuracy)
+    val brackets = src.groupBy(g: _*).agg(
+      count(lit(1)).as("__n"),
+      expr(s"percentile_approx(__v, array($plo, $phi), $accuracy)").as("__b"))
+      .select((g ++ Seq(col("__n"),
+        ceil(lit(p) * col("__n")).cast("long").as("__r"),
+        col("__b").getItem(0).as("__vlo"), col("__b").getItem(1).as("__vhi"))): _*)
+    val counted = src.join(brackets, groupCols)
+      .groupBy(g: _*).agg(
+        sum(when(col("__v") < col("__vlo"), 1L).otherwise(0L)).as("__below"),
+        sum(when(col("__v") >= col("__vlo") && col("__v") <= col("__vhi"), 1L)
+          .otherwise(0L)).as("__win"))
+    // per-group guard: a violated sketch contract widens THAT group's
+    // bracket to the full range (rank r_g, below 0) — never wrong,
+    // only slower for the violating group
+    val finalBrackets = brackets.join(counted, groupCols)
+      .withColumn("__ok",
+        col("__r") - col("__below") >= 1L && col("__r") - col("__below") <= col("__win"))
+      .select((g ++ Seq(
+        when(col("__ok"), col("__vlo")).otherwise(lit(Double.NegativeInfinity)).as("__vlo"),
+        when(col("__ok"), col("__vhi")).otherwise(lit(Double.PositiveInfinity)).as("__vhi"),
+        when(col("__ok"), col("__r") - col("__below")).otherwise(col("__r")).as("__k"))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+    src.join(finalBrackets, groupCols)
+      .where(col("__v") >= col("__vlo") && col("__v") <= col("__vhi"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === col("__k"))
+      .select((g :+ col("__v").as("q")): _*)
+  }
 }

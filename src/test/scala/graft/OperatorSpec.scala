@@ -1281,6 +1281,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(gotAbstain == Set((1L, 3, 1L)), gotAbstain.toString) // qid 2: all abstained
   }
 
+  test("group-wise two-pass quantile == per-group sorted rank select") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    val rnd = new scala.util.Random(23)
+    // wildly skewed group sizes: 3000 / 40 / 1
+    val rows = (0 until 3000).map(i => ("big", rnd.nextInt(500) * 1.5)) ++
+      (0 until 40).map(_ => ("small", rnd.nextInt(10) * 2.0)) ++
+      Seq(("single", 42.0)) ++
+      Seq((null.asInstanceOf[String], 7.0)) ++       // null key: excluded
+      (0 until 5).map(_ => ("allnull", Double.NaN)) // NaN -> null below
+    val df = rows.toDF("k", "v")
+      .withColumn("v", when(col("v").isNaN, lit(null)).otherwise(col("v")))
+    def expect(p: Double) = rows
+      .filter(r => r._1 != null && r._1 != "allnull")
+      .groupBy(_._1).map { case (k, vs) =>
+        val s = vs.map(_._2).sorted
+        (k, s(math.ceil(p * s.size).toInt - 1))
+      }.toSet
+    for (p <- Seq(0.5, 0.25); acc <- Seq(10000, 100)) {
+      val got = Sketch.groupQuantile(df, Seq("k"), "v", p, accuracy = acc)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(got == expect(p), s"p=$p acc=$acc: $got vs ${expect(p)}")
+    }
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
