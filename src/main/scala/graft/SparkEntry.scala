@@ -1075,6 +1075,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_without_orders"))
     }),
 
+    // exact edit-distance<=1 label reconciliation over the documents
+    // source catalog (FastSS deletion-neighborhood blocking — the
+    // naive form is an O(V^2) nested-loop over the key space)
+    "q_fuzzy_join" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.selfJoin(
+          Tables.load(s, dir, "documents"), "source", d = 1)
+        .orderBy("a", "b")),
+
     "q_setops" -> ((s, dir) => {
       val hi = Tables.load(s, dir, "lineitem").where(col("l_quantity") > 45)
         .select(col("l_partkey").as("pk")).distinct()
@@ -2380,6 +2388,12 @@ object SparkEntry {
       "q_anti" ->
         s"""SELECT count(*) AS n_without_orders FROM customer c
            |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+      "q_fuzzy_join" ->
+        s"""WITH ks AS (SELECT DISTINCT source AS k FROM documents WHERE source IS NOT NULL)
+           |SELECT a.k AS a, b.k AS b, CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+           |FROM ks a JOIN ks b ON a.k < b.k AND levenshtein(a.k, b.k) <= 1
+           |ORDER BY a, b""".stripMargin,
 
       "q_setops" ->
         s"""SELECT

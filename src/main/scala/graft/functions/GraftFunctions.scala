@@ -34,7 +34,8 @@ object GraftFunctions {
       "graft_probe_centroids" -> (e => ProbeCentroidsExpr(e(0), e(1), e(2), e(3))),
       "graft_cms_estimate" -> (e => CmsEstimateExpr(e(0), e(1))),
       "graft_max_cosine" -> (e => MaxCosineExpr(e(0), e(1), e(2))),
-      "graft_bloom_contains" -> (e => BloomContainsExpr(e(0), e(1)))
+      "graft_bloom_contains" -> (e => BloomContainsExpr(e(0), e(1))),
+      "graft_del_variants" -> (e => DeletionVariants(e(0), e(1)))
     )
 
   /** Register all graft functions + optimizer rules on the session
@@ -93,6 +94,10 @@ object GraftFunctions {
   /** Bloom membership probe of `key` against a driver-built filter. */
   def bloomContains(key: Column, bloom: Array[Byte]): Column =
     call_function("graft_bloom_contains", key, lit(bloom))
+
+  /** FastSS deletion-neighborhood blocking keys of `key` (d in {1,2}). */
+  def delVariants(key: Column, d: Int): Column =
+    call_function("graft_del_variants", key, lit(d))
 }
 
 /**

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/**
+ * EXACT edit-distance similarity self-join (fuzzy key matching /
+ * entity-label reconciliation): all unordered pairs of DISTINCT keys
+ * whose Levenshtein distance is at most `d`.
+ *
+ * The naive plan is an O(V^2) BroadcastNestedLoopJoin over the key
+ * space with an interpreted distance predicate — at a 100 TB corpus's
+ * vocabulary (billions of distinct labels/tokens) that is quadratic
+ * and un-shufflable. The classic exact fix is FastSS / SymSpell
+ * deletion-neighborhood blocking (see
+ * [[graft.functions.FuzzyKernel]]): every key of length L emits its
+ * <= d-deletion variants (L+1 strings at d=1); keys within edit
+ * distance d are GUARANTEED to share a variant, so an equi-join on the
+ * variant yields a candidate superset that AQE can hash-partition and
+ * skew-split like any other join, and the exact
+ * `levenshtein(a, b) <= d` verify (Spark's codegen'd built-in, with
+ * the threshold early-exit) removes the false candidates. Exact
+ * end-to-end — which is what lets plain SQL pin it.
+ *
+ * Cost shape at scale: the key space is deduplicated FIRST (the join
+ * runs at vocabulary scale, never corpus scale); the exchange carries
+ * ~(d+1 choose-ish) * L variants per distinct key; per-variant bucket
+ * sizes bound the candidate quadratics, and a hot shared variant
+ * (e.g. every key containing one common stem) is exactly the
+ * bucket-explosion failure mode the range join guards against too —
+ * so an over-`maxBucket` variant fails loudly with the offending
+ * variant named rather than silently stalling a task.
+ */
+object FuzzyJoin {
+
+  /**
+   * @param df        input rows; only `keyCol` is consulted (nulls
+   *                  dropped, duplicates collapse — pair semantics are
+   *                  over the distinct key set)
+   * @param keyCol    string key column
+   * @param d         maximum edit distance, 1 or 2 (the deletion
+   *                  neighborhood grows O(L^d); beyond 2 use a
+   *                  different blocking scheme)
+   * @param maxLen    loud guard: longest admissible key. Deletion
+   *                  blocking is a SHORT-KEY algorithm (labels, tokens,
+   *                  codes); a document-length key signals a caller
+   *                  error and would emit thousands of variants
+   * @param maxBucket loud guard: largest admissible per-variant key
+   *                  bucket (bounds the candidate quadratic)
+   * @return (a, b, dist) with a < b, dist = levenshtein(a, b) <= d,
+   *         over distinct non-null keys
+   */
+  def selfJoin(df: DataFrame, keyCol: String, d: Int = 1,
+               maxLen: Int = 64, maxBucket: Long = 100000L): DataFrame = {
+    require(d >= 1 && d <= 2, s"graft: fuzzy-join d must be 1 or 2, got $d")
+    GraftFunctions.register(df.sparkSession)
+    // distinct FIRST: everything downstream runs at vocabulary scale.
+    // Pinned lazily — the guards and both join sides share one
+    // materialization of the distinct pass.
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+      .where(col(keyCol).isNotNull)
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    val longest = keys.agg(max(length(col("k"))).as("m")).head()
+    if (!longest.isNullAt(0)) {
+      val m = longest.getInt(0)
+      require(m <= maxLen,
+        s"graft: fuzzy-join key of length $m exceeds maxLen=$maxLen — " +
+          "deletion blocking is for short keys (labels/tokens); " +
+          "raise maxLen only if the variant fan-out is acceptable")
+    }
+
+    val variants = keys
+      .select(col("k"), explode(GraftFunctions.delVariants(col("k"), d)).as("v"))
+      .localCheckpoint(eager = false)
+
+    val hot = variants.groupBy("v").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"graft: fuzzy-join variant '${r.getString(0)}' is shared by " +
+        s"${r.getLong(1)} keys (> maxBucket=$maxBucket) — the candidate " +
+        "quadratic on that bucket would dominate; tighten the key domain " +
+        "or raise maxBucket deliberately"
+    })
+
+    val a = variants.select(col("k").as("a"), col("v"))
+    val b = variants.select(col("k").as("b"), col("v"))
+    a.join(b, "v")
+      .where(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+      // threshold variant: early-exits the DP above d, returns -1 there
+      .withColumn("dist", levenshtein(col("a"), col("b"), d).cast("long"))
+      .where(col("dist") =!= -1L)
+  }
+}

@@ -331,4 +331,53 @@ class KernelSpec extends AnyFunSuite {
         .collect())
     assert(wrong.getMessage.contains("bigint|string"), wrong.getMessage)
   }
+
+  test("deletion-variant kernel: blocking completeness for planted edits, analysis guards") {
+    import graft.functions.FuzzyKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.GraftFunctions.register(spark)
+    def vars(s: String, d: Int): Set[String] = {
+      val a = FuzzyKernel.deletionVariants(UTF8String.fromString(s), d)
+      (0 until a.numElements()).map(a.getUTF8String(_).toString).toSet
+    }
+    // exact neighborhood contents, incl. doubled-letter dedupe
+    assert(vars("ab", 1) == Set("ab", "b", "a"))
+    assert(vars("aa", 1) == Set("aa", "a"), "doubled letter must dedupe")
+    assert(vars("", 1) == Set(""))
+    assert(vars("abc", 2) == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    // size bounds: |N_1| <= L+1, |N_2| <= 1 + L + C(L,2)
+    val w = "abcdefgh"
+    assert(vars(w, 1).size == w.length + 1)
+    assert(vars(w, 2).size == 1 + w.length + w.length * (w.length - 1) / 2)
+    // blocking completeness: every planted <=d edit shares a variant
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (_ <- 0 until 200) {
+      val base = randStr(3 + rnd.nextInt(8))
+      val edits = Seq(
+        { val i = rnd.nextInt(base.length) // substitution
+          base.updated(i, ('a' + rnd.nextInt(4)).toChar) },
+        { val i = rnd.nextInt(base.length + 1) // insertion
+          base.substring(0, i) + ('a' + rnd.nextInt(4)).toChar + base.substring(i) },
+        { val i = rnd.nextInt(base.length) // deletion
+          base.substring(0, i) + base.substring(i + 1) })
+      for (e <- edits) {
+        assert(vars(base, 1).intersect(vars(e, 1)).nonEmpty,
+          s"d=1 blocking miss: $base vs $e")
+        // a second independent edit stays caught at d=2
+        val i2 = rnd.nextInt(e.length)
+        val e2 = e.updated(i2, ('a' + rnd.nextInt(4)).toChar)
+        assert(vars(base, 2).intersect(vars(e2, 2)).nonEmpty,
+          s"d=2 blocking miss: $base vs $e2")
+      }
+    }
+    // SQL-surface analysis guards: d outside {1,2} and non-literal d
+    Seq("alpha").toDF("k").createOrReplaceTempView("fuzzy_guard")
+    val big = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_del_variants(k, 3) FROM fuzzy_guard").collect())
+    assert(big.getMessage.contains("d in {1, 2}"), big.getMessage)
+    val nonlit = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_del_variants(k, length(k)) FROM fuzzy_guard").collect())
+    assert(nonlit.getMessage.contains("int literal"), nonlit.getMessage)
+  }
 }

@@ -1306,6 +1306,57 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy self-join == naive levenshtein join at d=1 and d=2, guards fire loudly") {
+    import spark.implicits._
+    import graft.operators.FuzzyJoin
+    // substitution (beta/betta is insertion; alpha/alpna substitution),
+    // deletion (alph), suffix insertion (alpha1), adjacent transposition
+    // (gamma/gamam, d=2), doubled letters (variant dedupe), input
+    // duplicates (distinct semantics), a null, and the ""/"x" edge
+    val labels = Seq("alpha", "alpna", "alph", "alpha1", "beta", "betta",
+      "gamma", "gamam", "delta", "delta", null, "x", "")
+    val df = labels.toDF("label")
+    def naive(d: Int): Set[(String, String, Long)] = {
+      def lev(a: String, b: String): Int = {
+        val dp = Array.tabulate(a.length + 1)(i => i)
+        for (j <- 1 to b.length) {
+          var prev = dp(0); dp(0) = j
+          for (i <- 1 to a.length) {
+            val t = dp(i)
+            dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+              prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+            prev = t
+          }
+        }
+        dp(a.length)
+      }
+      val ks = labels.filter(_ != null).distinct
+      (for (a <- ks; b <- ks if a < b; l = lev(a, b) if l <= d)
+        yield (a, b, l.toLong)).toSet
+    }
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.selfJoin(df, "label", d = d)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == naive(d), s"d=$d: got $got\nexpected ${naive(d)}")
+    }
+    // transposition is two unit edits: caught at d=2 only
+    assert(!naive(1).exists(p => p._1 == "gamam" && p._2 == "gamma"))
+    assert(naive(2).contains(("gamam", "gamma", 2L)))
+    // empty-vs-one-char rides the "" shared variant
+    assert(naive(1).contains(("", "x", 1L)))
+    // guards: document-length key and hot shared variant fail loudly
+    val long = intercept[IllegalArgumentException](
+      FuzzyJoin.selfJoin(Seq("a" * 80).toDF("label"), "label", maxLen = 64))
+    assert(long.getMessage.contains("maxLen"), long.getMessage)
+    val hot = intercept[IllegalArgumentException](
+      FuzzyJoin.selfJoin(df, "label", d = 2, maxBucket = 1L))
+    assert(hot.getMessage.contains("maxBucket"), hot.getMessage)
+    // empty and all-null inputs: empty result, correct schema
+    val empty = FuzzyJoin.selfJoin(Seq.empty[String].toDF("label"), "label")
+    assert(empty.columns.toSeq == Seq("a", "b", "dist") && empty.count() == 0)
+    assert(FuzzyJoin.selfJoin(Seq[String](null).toDF("label"), "label").count() == 0)
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

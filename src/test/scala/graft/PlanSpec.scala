@@ -568,4 +568,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(3000))
   }
+
+  test("fuzzy join: variant equi hash join, never the O(V^2) nested loop") {
+    // the naive levenshtein(a,b) <= d predicate has no equi keys and
+    // plans as BroadcastNestedLoopJoin — quadratic in the vocabulary.
+    // The FastSS rewrite must keep it a HASH equi-join on the deletion
+    // variant (shuffled or broadcast; AQE skew-split applies), with the
+    // exact levenshtein verify as a plain filter ABOVE it
+    val p = plan(SparkEntry.queries("q_fuzzy_join")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashJoin"), p.take(3000))
+    assert(p.contains("levenshtein"), "exact verify missing:\n" + p.take(3000))
+  }
 }
