@@ -402,4 +402,54 @@ object TextAnalysis {
         Seq("cid"), "left")
       .select(col("cid"), col("n_docs"), coalesce(col("top_toks"), lit("")).as("top_toks"))
   }
+
+  /**
+   * Collocation extraction: the corpus's top-K adjacent word pairs by
+   * PMI lift — `lift(a,b) = P(a,b) / (P(a) * P(b))` with P over the
+   * token/bigram occurrence streams (PMI = log2(lift), monotone, so
+   * ranking by lift avoids a transcendental the SQL oracle would have
+   * to reproduce bit-for-bit; the emitted lift itself is exact-rounded
+   * IEEE arithmetic on exact integer counts, deterministic across
+   * engines as long as the operation ORDER matches — mirrored in
+   * OracleSql).
+   *
+   * Scale shape: ONE tokenize pass (the token-array projection is
+   * lazily checkpointed and shared by the unigram and bigram
+   * consumers); the only corpus-sized exchange is the bigram
+   * `groupBy(a, b)` partial agg (vocabulary^2-bounded after combine);
+   * unigram counts are vocabulary-sized and broadcast back onto the
+   * bigram counts; the two scalar totals ride a 1-row broadcast. The
+   * final top-K is a bounded TakeOrdered heap, never a global sort.
+   *
+   * @param minCount noise floor: pairs below it are dropped BEFORE the
+   *                 join-back (rare-pair PMI is explosively high —
+   *                 the standard collocation caveat)
+   */
+  def collocations(docs: DataFrame, minCount: Long = 10L, topK: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    require(minCount >= 1L, s"graft: minCount $minCount must be >= 1")
+    require(topK >= 1, s"graft: topK $topK must be >= 1")
+    val tok = docs.select(tokens(col(textCol)).as("ws"))
+      .localCheckpoint(eager = false)
+    val uni = tok.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val big = tok.where(size(col("ws")) >= 2)
+      .select(explode(arrays_zip(
+          slice(col("ws"), 1, size(col("ws")) - 1).as("a"),
+          slice(col("ws"), 2, size(col("ws")) - 1).as("b"))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val tot = uni.agg(sum(col("n")).as("t_toks")).crossJoin(
+      tok.select((sum(size(col("ws"))) - count(lit(1))).as("n_bigrams")))
+    big
+      .join(broadcast(uni.select(col("w").as("a"), col("n").as("n_a"))), "a")
+      .join(broadcast(uni.select(col("w").as("b"), col("n").as("n_b"))), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"),
+        ((col("n_ab").cast("double") * col("t_toks")) /
+          (col("n_a").cast("double") * col("n_b")) *
+          (col("t_toks").cast("double") / col("n_bigrams"))).as("lift"))
+      .orderBy(desc("lift"), asc("a"), asc("b")).limit(topK)
+  }
 }
