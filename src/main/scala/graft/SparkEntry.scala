@@ -1705,7 +1705,7 @@ object SparkEntry {
            |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
            |      FROM s),
            |v AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS votes
-           |      FROM r WHERE rn <= 10 GROUP BY 1, 2),
+           |      FROM r WHERE rn <= 10 AND label IS NOT NULL GROUP BY 1, 2),
            |p AS (SELECT qid, label, votes,
            |             row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS prn
            |      FROM v)

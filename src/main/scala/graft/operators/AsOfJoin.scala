@@ -16,11 +16,23 @@ import org.apache.spark.sql.functions._
  * A range-condition join would be O(L*R) per key before filtering; this
  * is the scalable formulation for 100 TB event tables.
  *
- * Determinism: callers should deduplicate the right side per (key, time)
- * (e.g. keep max id) — ties among right rows at the same instant are
- * otherwise arbitrary in any as-of engine.
+ * Determinism: when the right payload is an ORDERABLE type (no map
+ * fields), ties among right rows at the same (key, time) instant are
+ * broken deterministically — the struct-greatest payload wins (the
+ * payload struct is a trailing window sort key). When the payload
+ * contains a map (unorderable in Spark), the tie-breaker cannot be
+ * applied and callers must deduplicate the right side per (key, time)
+ * themselves — ties are otherwise arbitrary.
  */
 object AsOfJoin {
+
+  /** Spark can sort a struct iff no field (recursively) is a MapType. */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType  => orderable(a.elementType)
+    case _: org.apache.spark.sql.types.MapType    => false
+    case _                                        => true
+  }
 
   /**
    * @param left      probe side
@@ -50,9 +62,12 @@ object AsOfJoin {
         struct(rPayload.map(col): _*).as("__r")): _*)
 
     val combined = l2.unionByName(r2, allowMissingColumns = true)
+    // trailing payload sort key = deterministic (key, time)-tie winner;
+    // left rows carry null payloads so the extra key is inert for them
+    val tieBreak = if (orderable(rStructType)) Seq(col("__r").asc) else Nil
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(Seq(col("__t").asc, col("__side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = combined
@@ -92,9 +107,12 @@ object AsOfJoin {
         struct(rPayload.map(col): _*).as("__r")): _*)
 
     val combined = l2.unionByName(r2, allowMissingColumns = true)
+    // same deterministic tie-break as backward: among right rows at an
+    // equal (key, time), the struct-greatest payload is the match
+    val tieBreak = if (orderable(rStructType)) Seq(col("__r").asc) else Nil
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").desc, col("__side").asc)
+      .orderBy(Seq(col("__t").desc, col("__side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = combined

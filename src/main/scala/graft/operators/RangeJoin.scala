@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
 
 /**
  * Range (interval) join: pair every point row with every interval row
@@ -32,9 +33,14 @@ object RangeJoin {
    * @param points      point side; all its columns are emitted
    * @param intervals   interval side; all its columns except
    *                    `startCol`/`endCol` helper buckets are emitted
-   * @param pointCol    numeric point column on `points`
-   * @param startCol    numeric inclusive start column on `intervals`
-   * @param endCol      numeric exclusive end column on `intervals`;
+   * @param pointCol    INTEGRAL point column on `points` (byte/short/
+   *                    int/long — enforced; fractional coordinates
+   *                    would truncate toward zero in the bucket math
+   *                    and silently drop negative-fraction matches.
+   *                    Scale fractional timestamps to integer units
+   *                    — millis/nanos — before calling)
+   * @param startCol    integral inclusive start column on `intervals`
+   * @param endCol      integral exclusive end column on `intervals`;
    *                    empty (`end <= start`) intervals match nothing
    * @param bucketWidth positive bucket width in the point column's units
    * @param keys        optional equi-keys present on both sides
@@ -57,6 +63,20 @@ object RangeJoin {
       .intersect(intervals.columns.toSet) -- keys
     require(overlap.isEmpty,
       s"graft: non-key columns ${overlap.mkString(", ")} exist on both sides; rename first")
+    // Integer-coordinate contract: the bucket math below is exact only
+    // for integral types. A DoubleType point would cast('long') with
+    // truncation toward zero (-10.5 @ width 10 → bucket -1, belongs in
+    // -2), and a fractional end makes the `end - 1` last-bucket math
+    // under-cover — both silently DROP qualifying pairs.
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"graft: column $c is $dt; pointInInterval requires integral " +
+          "coordinates (scale fractional units to int/long first)")
+    }
+    requireIntegral(points, pointCol)
+    requireIntegral(intervals, startCol)
+    requireIntegral(intervals, endCol)
 
     // Exact integer floorDiv: `floor(x / w)` round-trips through
     // double, which mangles epoch-nanos (~1.8e18 > 2^53), and `div`

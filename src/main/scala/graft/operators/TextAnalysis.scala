@@ -435,13 +435,13 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("n"))
     val big = tok.where(size(col("ws")) >= 2)
       .select(explode(arrays_zip(
-          slice(col("ws"), 1, size(col("ws")) - 1).as("a"),
-          slice(col("ws"), 2, size(col("ws")) - 1).as("b"))).as("p"))
+          slice(col("ws"), lit(1), size(col("ws")) - 1).as("a"),
+          slice(col("ws"), lit(2), size(col("ws")) - 1).as("b"))).as("p"))
       .select(col("p.a"), col("p.b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCount)
     val tot = uni.agg(sum(col("n")).as("t_toks")).crossJoin(
-      tok.select((sum(size(col("ws"))) - count(lit(1))).as("n_bigrams")))
+      tok.select(sum(greatest(size(col("ws")) - 1, lit(0))).as("n_bigrams")))
     big
       .join(broadcast(uni.select(col("w").as("a"), col("n").as("n_a"))), "a")
       .join(broadcast(uni.select(col("w").as("b"), col("n").as("n_b"))), "b")

@@ -1106,6 +1106,16 @@ class OperatorSpec extends AnyFunSuite {
     val msgs = Iterator.iterate(boom: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("graft: interval spans"), msgs.take(400))
+    // fractional coordinates are rejected up front: cast('long') would
+    // truncate toward zero and silently drop negative-fraction matches
+    val fracP = Seq((1L, -10.5)).toDF("pid", "x")
+    val fe = intercept[IllegalArgumentException](RangeJoin.pointInInterval(
+      fracP, ivs, "x", "s", "e", 10L))
+    assert(fe.getMessage.contains("integral"), fe.getMessage)
+    val fracI = Seq((1L, 0L, 9.5)).toDF("iid", "s", "e")
+    val fe2 = intercept[IllegalArgumentException](RangeJoin.pointInInterval(
+      pts, fracI, "x", "s", "e", 10L))
+    assert(fe2.getMessage.contains("integral"), fe2.getMessage)
   }
 
   test("CMS heavy hitters == naive groupBy-HAVING, incl. empty input and phi guard") {
@@ -1198,6 +1208,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some("x"), // inclusive: rt == t matches, beats rt=7
       2L -> None,                       // nothing at-or-after
       3L -> Some("w")), got.toString)
+  }
+
+  test("as-of join tie-break: right rows sharing (key, time) resolve deterministically") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // three right rows at the SAME instant — the struct-greatest
+    // payload must win, every run, both directions
+    val left = Seq(("a", 1L, 10L)).toDF("k", "lid", "t")
+    val right = Seq(("a", 10L, "m"), ("a", 10L, "z"), ("a", 10L, "a"))
+      .toDF("k", "rt", "v")
+    for (_ <- 1 to 3) {
+      val bwd = AsOfJoin.backward(left.repartition(7), right.repartition(5),
+        Seq("k"), "t", "rt").select("v").head().getString(0)
+      assert(bwd == "z", s"backward tie pick $bwd")
+      val fwd = AsOfJoin.forward(left.repartition(3), right.repartition(8),
+        Seq("k"), "t", "rt").select("v").head().getString(0)
+      assert(fwd == "z", s"forward tie pick $fwd")
+    }
+    // unorderable payload (map field): tie-break silently not applied,
+    // but the join still runs and matches
+    val rMap = Seq(("a", 10L, Map("p" -> 1)), ("a", 3L, Map("q" -> 2)))
+      .toDF("k", "rt", "m")
+    val gotM = AsOfJoin.backward(left, rMap, Seq("k"), "t", "rt")
+      .select("m").head().getMap[String, Int](0)
+    assert(gotM != null && gotM.nonEmpty)
   }
 
   test("two-pass exact quantile == sorted rank select, incl. duplicates and edges") {
