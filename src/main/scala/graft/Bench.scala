@@ -117,7 +117,14 @@ object Bench {
     // effects), CMS heavy hitters (sketch pass + candidate filter vs
     // distinct-key growth), and the sliding rollup (4x window
     // replication into the partial agg)
-    "ev_range_join", "text_heavy_hitters", "ev_sliding")
+    "ev_range_join", "text_heavy_hitters", "ev_sliding",
+    // r12: collocations (vocab^2-bounded bigram agg + two broadcast
+    // join-backs — the bigram partial-agg state is the volume effect),
+    // the FastSS fuzzy self-join (deletion-variant fan-out is O(L^2)
+    // per DISTINCT key, so vocab growth — not row growth — drives it),
+    // and group-wise exact quantiles (per-group bracket widths narrow
+    // as groups grow; the rank-select join-back is volume-dependent)
+    "text_collocations", "q_fuzzy_join", "q_group_percentile_2pass")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

@@ -899,6 +899,12 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("tok")).limit(50)),
 
+    // top-50 collocations by PMI lift (exact integer counts; the lift
+    // double is the same left-assoc IEEE op sequence in the oracle)
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(
+        Tables.load(s, dir, "documents"), minCount = 10L, topK = 50)),
+
     // EXACT heavy hitters over the token stream, CMS-accelerated: the
     // sketch pass shrinks the shuffle/agg state to candidate keys only
     // (see Sketch.heavyHitters). phi is dyadic (1/32) so the oracle's
@@ -2120,6 +2126,31 @@ object SparkEntry {
            |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
            |  FROM documents)
            |GROUP BY 1 ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+      // mirrors TextAnalysis.collocations: exact integer unigram/bigram
+      // counts; lift = ((n_ab*t_toks) / (n_a*n_b)) * (t_toks/n_bigrams)
+      // evaluated left-assoc in doubles on both engines (sum() casts to
+      // BIGINT — DuckDB sums BIGINT into HUGEINT otherwise)
+      "text_collocations" ->
+        s"""WITH ws AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+           |            FROM documents),
+           |un AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+           |       FROM (SELECT unnest(w) AS tok FROM ws) GROUP BY 1),
+           |bg AS (SELECT w[g.i] AS a, w[g.i + 1] AS b
+           |       FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+           |       WHERE len(w) >= 2),
+           |nb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+           |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 10),
+           |tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM un) AS t_toks,
+           |               (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) FROM ws) AS n_bigrams)
+           |SELECT nb.a, nb.b, nb.n_ab,
+           |       (CAST(nb.n_ab AS DOUBLE) * t.t_toks)
+           |         / (CAST(ua.n AS DOUBLE) * ub.n)
+           |         * (CAST(t.t_toks AS DOUBLE) / t.n_bigrams) AS lift
+           |FROM nb
+           |JOIN un ua ON ua.tok = nb.a
+           |JOIN un ub ON ub.tok = nb.b, tot t
+           |ORDER BY lift DESC, nb.a, nb.b LIMIT 50""".stripMargin,
 
       "text_heavy_hitters" ->
         s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

@@ -1171,6 +1171,33 @@ class OperatorSpec extends AnyFunSuite {
       (20L, 2L, "")), got.toString)
   }
 
+  test("collocations: planted pair ranks first, minCount floor, empty docs inert") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // filler bigrams are frequent but statistically unremarkable (the
+    // filler tokens also appear apart); "zig zag" tokens ONLY ever
+    // co-occur adjacently -> maximal lift, must rank first
+    val filler = (0 until 40).map(i =>
+      s"the cat sat on the mat and the dog sat on the rug item$i")
+    val planted = (0 until 12).map(_ => "zig zag")
+    val rare = Seq("qux corge", "qux corge") // n_ab = 2 < minCount -> dropped
+    val empty = Seq("", "   ")               // zero-token docs: inert in n_bigrams
+    val docs = (filler ++ planted ++ rare ++ empty).toDF("text")
+    val got = TextAnalysis.collocations(docs, minCount = 3L, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.head._1 == "zig" && got.head._2 == "zag" && got.head._3 == 12L,
+      s"planted pair not first: ${got.mkString("; ")}")
+    assert(!got.exists(p => p._1 == "qux"), "minCount floor leaked a rare pair")
+    // exact n_bigrams check: lift of the planted pair is
+    // (12*T)/(12*12) * (T/B) with T tokens and B = sum(max(len-1,0))
+    val t = 40L * 14L + 12L * 2L + 2L * 2L
+    val b = 40L * 13L + 12L * 1L + 2L * 1L
+    val lift = TextAnalysis.collocations(docs, minCount = 3L, topK = 5)
+      .where(col("a") === "zig").select("lift").head().getDouble(0)
+    val expect = (12.0 * t) / (12.0 * 12.0) * (t.toDouble / b)
+    assert(lift == expect, s"lift $lift != $expect (empty docs skewed n_bigrams?)")
+  }
+
   test("bloom semi join == plain semi join, incl. undersized filter and string keys") {
     import spark.implicits._
     import graft.operators.Sketch
