@@ -678,6 +678,23 @@ object Bench {
         None
       }
 
+    // ---- reference-dimensionality PCA scale check (VERDICT r11 #5):
+    // runs AFTER the timed passes so its CPU burst cannot pollute a
+    // warm median; synthesized 1536-d input, ~25 s. Only in protocol
+    // (sf0.1) runs, skippable via env; a failure is RECORDED, never
+    // fatal — same degradation contract as the sf1 leg. ----
+    val pcaScale: String =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALECHECK").contains("1")
+          || new java.io.File(sfDir).getName != "sf0.1") "{}"
+      else try {
+        val spark = session()
+        try graft.tools.ScaleCheck.pcaAtRefDims(spark)
+        finally spark.stop()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] pca scale check failed: $e")
+        s"""{"error":${jsStr(e.toString.take(300))}}"""
+      }
+
     // ---- verdicts ----
     val sf1Contended = sf1.exists(_._1.contended)
     val reasons = s01.reasons ++ (if (sf1Contended) Seq("sf1") else Nil) ++
@@ -710,7 +727,7 @@ object Bench {
     // mechanically
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val json =
-      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"pca_scale":$pcaScale,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
     println(json)
     // the stdout line sits mid-tail between sbt [info] noise; the file
     // artifact is machine-readable without scraping the log tail

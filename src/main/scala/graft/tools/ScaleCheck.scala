@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pca
+
+/**
+ * Reference-dimensionality PCA scale check (VERDICT r11 next #5).
+ *
+ * The reference fits k=500 over 1536-d vectors (decomposition.rs:88-102
+ * is invoked from db.rs:290 with the ada-002 width used by
+ * www/src/index.ts), but the parity suite only ever fits k=8 over the
+ * d=64 fixture — so the d x d driver Gramian, the LAPACK eig at real
+ * width (1536^2 covariance, 1536^3 eig), and the ~d*k plan-constant
+ * basis broadcast were all unproven at the width a reference user would
+ * bring. This check fits and reprojects at exactly that width and
+ * reports timings + numeric invariants; Bench splices the JSON into the
+ * round artifact (`pca_scale`).
+ *
+ * The input is synthesized (deterministic per-row seeds, mild
+ * anisotropy so the spectrum is well-defined); the fixture tables never
+ * carry 1536-d vectors and the check's subject is the ENGINE path, not
+ * the data.
+ */
+object ScaleCheck {
+
+  val D = 1536
+  val K = 500
+  val N = 20000L
+
+  /** Run the check; returns a one-object JSON fragment. Throws on an
+    * invariant violation (callers decide whether that kills the run —
+    * Bench records it as an error field instead). */
+  def pcaAtRefDims(spark: SparkSession): String = {
+    import spark.implicits._
+    val d = D
+    // deterministic per-id gaussian with a decaying per-dim scale:
+    // dim j has stddev (1 + 8/(1+j)) so the spectrum is anisotropic
+    // and the top-k basis is meaningful, not arbitrary rotation noise
+    val df = spark.range(0L, N, 1L, 32).as[Long].map { id =>
+      val rnd = new scala.util.Random(id * 2654435761L + 987654321L)
+      val v = new Array[Float](d)
+      var j = 0
+      while (j < d) {
+        v(j) = (rnd.nextGaussian() * (1.0 + 8.0 / (1 + j))).toFloat
+        j += 1
+      }
+      (id, v)
+    }.toDF("id", "vec").localCheckpoint() // materialize: time fit, not gen
+
+    val t0 = System.nanoTime()
+    val model = Pca.fit(df, "vec", K)
+    val fitSec = (System.nanoTime() - t0) / 1e9
+    require(model.d == D && model.k == K,
+      s"graft: scalecheck fit shape ${model.d}x${model.k}, wanted ${D}x$K")
+
+    // basis orthonormality on the driver: B^T B vs I (columns of the
+    // covariance eig must be orthonormal; a broken eig shows up here)
+    var maxOff = 0.0; var maxDiagErr = 0.0
+    var a = 0
+    while (a < K) {
+      var b = a
+      while (b < K) {
+        var s = 0.0; var i = 0
+        while (i < D) { s += model.basis(i)(a) * model.basis(i)(b); i += 1 }
+        if (a == b) maxDiagErr = math.max(maxDiagErr, math.abs(s - 1.0))
+        else maxOff = math.max(maxOff, math.abs(s))
+        b += 1
+      }
+      a += 1
+    }
+    require(maxOff < 1e-8 && maxDiagErr < 1e-8,
+      s"graft: scalecheck basis not orthonormal (offdiag $maxOff, diag err $maxDiagErr)")
+
+    // distributed reprojection at real width: the ProjectVector
+    // expression ships the 1536x500 basis as a task constant
+    val proj = Pca.projector(spark, model, "graft_scalecheck_project")
+    val t1 = System.nanoTime()
+    val agg = df.select(proj(col("vec")).as("p"))
+      .select(sum(element_at(col("p"), 1).cast("double")).as("s"),
+        count(lit(1)).as("n")).head()
+    val projSec = (System.nanoTime() - t1) / 1e9
+    require(agg.getLong(1) == N, s"graft: scalecheck projected ${agg.getLong(1)} of $N")
+
+    // bit parity: one row through the distributed expression vs the
+    // driver-side single-vector path (the search-time twin)
+    val row = df.where(col("id") === 7L)
+      .select(col("vec"), proj(col("vec")).as("p")).head()
+    val got = row.getSeq[Float](1).toArray
+    val want = Pca.projectOne(model, row.getSeq[Float](0))
+    require(java.util.Arrays.equals(got, want),
+      "graft: scalecheck distributed/driver projection mismatch")
+
+    f"""{"d":$D,"k":$K,"n":$N,"fit_sec":$fitSec%.3f,"project_sec":$projSec%.3f,"ortho_max_offdiag":$maxOff%.2e,"parity_ok":true}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-scalecheck")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try println("[scalecheck] " + pcaAtRefDims(spark))
+    finally spark.stop()
+  }
+}

@@ -581,4 +581,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), p.take(3000))
     assert(p.contains("levenshtein"), "exact verify missing:\n" + p.take(3000))
   }
+
+  test("group quantile: bracket join-backs stay hash equi-joins, no GLOBAL sort") {
+    // the whole point of the bracket pass is that the final rank select
+    // sorts only bracket-window rows PER GROUP (a partition-local sort
+    // under the row_number window). A global sort — `Sort [...], true`
+    // in the physical plan — would mean the operator degenerated to
+    // sort-the-world, which cannot survive 100 TB. The join-backs must
+    // stay equi hash joins (broadcast or shuffled; never nested-loop).
+    // (Gate the raw operator, not the SparkEntry row — the row appends
+    // a presentation orderBy over the group-count-sized OUTPUT, which
+    // is a legitimate global sort of a tiny result.)
+    val df = graft.operators.Sketch.groupQuantile(
+      graft.core.Tables.load(spark, dir, "orders"),
+      Seq("o_orderstatus"), "o_totalprice", 0.5)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("HashJoin"), "bracket join-back lost its equi keys:\n" + p.take(3000))
+    val globalSorts = p.linesIterator.filter(l =>
+      l.contains("Sort [") && l.contains("], true")).toList
+    assert(globalSorts.isEmpty, "global sort in the plan:\n" + globalSorts.mkString("\n"))
+  }
 }
