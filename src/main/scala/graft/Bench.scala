@@ -695,6 +695,20 @@ object Bench {
         s"""{"error":${jsStr(e.toString.take(300))}}"""
       }
 
+    // fuzzy-join vocabulary-scale counters (VERDICT r11 #6): same
+    // gating and degradation contract as the PCA check above
+    val fuzzyScale: String =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALECHECK").contains("1")
+          || new java.io.File(sfDir).getName != "sf0.1") "{}"
+      else try {
+        val spark = session()
+        try graft.tools.ScaleCheck.fuzzyAtVocabScale(spark)
+        finally spark.stop()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] fuzzy scale check failed: $e")
+        s"""{"error":${jsStr(e.toString.take(300))}}"""
+      }
+
     // ---- verdicts ----
     val sf1Contended = sf1.exists(_._1.contended)
     val reasons = s01.reasons ++ (if (sf1Contended) Seq("sf1") else Nil) ++
@@ -727,7 +741,7 @@ object Bench {
     // mechanically
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val json =
-      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"pca_scale":$pcaScale,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"pca_scale":$pcaScale,"fuzzy_scale":$fuzzyScale,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
     println(json)
     // the stdout line sits mid-tail between sbt [info] noise; the file
     // artifact is machine-readable without scraping the log tail

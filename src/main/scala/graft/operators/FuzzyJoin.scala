@@ -35,6 +35,48 @@ import graft.functions.GraftFunctions
  */
 object FuzzyJoin {
 
+  /** Cost counters for a prospective [[selfJoin]] — the calibration
+    * evidence for `maxLen`/`maxBucket` (VERDICT r11 next #6: the guard
+    * thresholds should come from measurement, not guesses).
+    *
+    * `candidatePairs` is the equi-join's OUTPUT row count before the
+    * pair-level distinct (the sum of n*(n-1)/2 over variant buckets):
+    * a pair sharing several variants is counted once per shared
+    * variant, because that is the join work actually performed.
+    */
+  case class Profile(keys: Long, maxKeyLen: Int, variants: Long,
+      fanOutAvg: Double, maxBucket: Long, hotVariant: String,
+      candidatePairs: Long)
+
+  /** Measure the deletion-neighborhood cost shape WITHOUT running the
+    * join: distinct-key count, variant fan-out, the hottest variant
+    * bucket, and the candidate quadratic. Same key normalization as
+    * [[selfJoin]]; no guards — this is the tool that calibrates them. */
+  def profile(df: DataFrame, keyCol: String, d: Int = 1): Profile = {
+    require(d >= 1 && d <= 2, s"graft: fuzzy-join d must be 1 or 2, got $d")
+    GraftFunctions.register(df.sparkSession)
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+      .where(col(keyCol).isNotNull)
+      .distinct()
+      .localCheckpoint(eager = false)
+    val kAgg = keys.agg(count(lit(1)).as("n"), max(length(col("k"))).as("m")).head()
+    val nKeys = kAgg.getLong(0)
+    if (nKeys == 0L) return Profile(0L, 0, 0L, 0.0, 0L, "", 0L)
+    val buckets = keys
+      .select(explode(GraftFunctions.delVariants(col("k"), d)).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val bAgg = buckets.agg(
+      sum(col("n")).as("variants"),
+      max(col("n")).as("maxb"),
+      // integer div: Column./ is double division and sum would drift
+      sum(expr("(n * (n - 1)) div 2")).as("cand")).head()
+    val hot = buckets.orderBy(desc("n"), asc("v")).limit(1).head()
+    Profile(nKeys, kAgg.getInt(1), bAgg.getLong(0),
+      bAgg.getLong(0).toDouble / nKeys, bAgg.getLong(1),
+      hot.getString(0), bAgg.getLong(2))
+  }
+
   /**
    * @param df        input rows; only `keyCol` is consulted (nulls
    *                  dropped, duplicates collapse — pair semantics are

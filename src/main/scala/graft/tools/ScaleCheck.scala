@@ -95,6 +95,45 @@ object ScaleCheck {
     f"""{"d":$D,"k":$K,"n":$N,"fit_sec":$fitSec%.3f,"project_sec":$projSec%.3f,"ortho_max_offdiag":$maxOff%.2e,"parity_ok":true}"""
   }
 
+  /**
+   * Fuzzy-join vocabulary-scale check (VERDICT r11 next #6): the parity
+   * fixture's token vocabulary is ~31 types, so the deletion-variant
+   * fan-out and hot-bucket guards were never exercised at the scale
+   * they exist for. Synthesizes a ~50k-key vocabulary with a realistic
+   * shape — 80% independent random words (length 3-12), 20% built on
+   * ~200 shared stems so deletion variants actually collide — then
+   * records the [[graft.operators.FuzzyJoin.profile]] counters at d=1
+   * and d=2 and times the full d=2 self-join. The counters are the
+   * measured calibration for maxLen/maxBucket.
+   */
+  def fuzzyAtVocabScale(spark: SparkSession): String = {
+    import spark.implicits._
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val nGen = 50000L
+    val vocab = spark.range(0L, nGen, 1L, 32).as[Long].map { id =>
+      val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 7L)
+      def word(len: Int): String =
+        Array.fill(len)(letters(rnd.nextInt(26))).mkString
+      if (rnd.nextInt(5) == 0) {
+        // stem + short suffix: many keys share long prefixes, so their
+        // deletion neighborhoods overlap — the hot-bucket regime
+        val stemRnd = new scala.util.Random(rnd.nextInt(200) * 1299709L)
+        val stem = Array.fill(6)(letters(stemRnd.nextInt(26))).mkString
+        stem + word(1 + rnd.nextInt(4))
+      } else word(3 + rnd.nextInt(10))
+    }.toDF("k").localCheckpoint()
+
+    val p1 = graft.operators.FuzzyJoin.profile(vocab, "k", d = 1)
+    val p2 = graft.operators.FuzzyJoin.profile(vocab, "k", d = 2)
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.FuzzyJoin.selfJoin(vocab, "k", d = 2,
+      maxBucket = math.max(100000L, p2.maxBucket + 1L)).count()
+    val joinSec = (System.nanoTime() - t0) / 1e9
+    def pj(p: graft.operators.FuzzyJoin.Profile): String =
+      f"""{"keys":${p.keys},"max_key_len":${p.maxKeyLen},"variants":${p.variants},"fan_out_avg":${p.fanOutAvg}%.2f,"max_bucket":${p.maxBucket},"candidate_pairs":${p.candidatePairs}}"""
+    f"""{"d1":${pj(p1)},"d2":${pj(p2)},"d2_join_sec":$joinSec%.3f,"d2_pairs":$pairs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -102,7 +141,11 @@ object ScaleCheck {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try println("[scalecheck] " + pcaAtRefDims(spark))
-    finally spark.stop()
+    try {
+      if (args.isEmpty || args.contains("pca"))
+        println("[scalecheck] pca " + pcaAtRefDims(spark))
+      if (args.isEmpty || args.contains("fuzzy"))
+        println("[scalecheck] fuzzy " + fuzzyAtVocabScale(spark))
+    } finally spark.stop()
   }
 }

@@ -1419,6 +1419,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(FuzzyJoin.selfJoin(Seq[String](null).toDF("label"), "label").count() == 0)
   }
 
+  test("fuzzy profile: exact counters on a hand-computable vocabulary") {
+    import spark.implicits._
+    import graft.operators.FuzzyJoin
+    // d=1 neighborhoods: ab->{ab,b,a}, ac->{ac,c,a}, b->{b,""}
+    // buckets: a:2 b:2 ab:1 ac:1 c:1 "":1 -> 8 variants, max 2,
+    // hot tie (a,b) broken ascending, candidates 1+1=2
+    val df = Seq("ab", "ac", "b", "ab", null).toDF("k") // dup + null collapse
+    val p = FuzzyJoin.profile(df, "k", d = 1)
+    assert(p.keys == 3L && p.maxKeyLen == 2 && p.variants == 8L, p.toString)
+    assert(p.maxBucket == 2L && p.hotVariant == "a" && p.candidatePairs == 2L,
+      p.toString)
+    assert(math.abs(p.fanOutAvg - 8.0 / 3.0) < 1e-12, p.toString)
+    val p0 = FuzzyJoin.profile(Seq.empty[String].toDF("k"), "k")
+    assert(p0.keys == 0L && p0.variants == 0L && p0.candidatePairs == 0L)
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
