@@ -931,6 +931,22 @@ object SparkEntry {
         .orderBy("cid")
     }),
 
+    // corpus map with collocation phrases promoted to vocabulary
+    // entries: same seed-row assignment as text_cluster, top terms
+    // ranked over unigrams UNION surviving "a_b" phrase tokens
+    "text_phrase_topics" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val codebook = emb.where(col("vec_id") < 16)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val asg = SimilaritySearch.ivfAssign(emb, codebook)
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      TextAnalysis.phraseTopics(Tables.load(s, dir, "documents"), asg,
+          topK = 3, minCount = 10L, topPhrases = 50)
+        .orderBy("cid")
+    }),
+
     // ---- multimodal plumbing (stubbed decode; real distribution) ----
 
     "mm_features" -> ((s, dir) => {
@@ -2172,6 +2188,55 @@ object SparkEntry {
            |tok AS (SELECT doc_id,
            |               unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
            |        FROM documents),
+           |tf AS (SELECT a.cid, t.tok, count(*) AS n
+           |       FROM asg a JOIN tok t USING (doc_id) GROUP BY 1, 2),
+           |rk AS (SELECT cid, tok,
+           |              row_number() OVER (PARTITION BY cid ORDER BY n DESC, tok) AS rn
+           |       FROM tf),
+           |tt AS (SELECT cid, concat_ws(',',
+           |              max(CASE WHEN rn = 1 THEN tok END),
+           |              max(CASE WHEN rn = 2 THEN tok END),
+           |              max(CASE WHEN rn = 3 THEN tok END)) AS top_toks
+           |       FROM rk WHERE rn <= 3 GROUP BY 1),
+           |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_docs FROM asg GROUP BY 1)
+           |SELECT sz.cid, sz.n_docs, coalesce(tt.top_toks, '') AS top_toks
+           |FROM sz LEFT JOIN tt USING (cid) ORDER BY cid""".stripMargin,
+
+      // text_cluster's assignment + text_collocations' phrase list:
+      // unigram presence UNION per-doc "a_b" phrase presence, same
+      // doc-frequency rank tail
+      "text_phrase_topics" ->
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id AS doc_id, c.cid,
+           |              ${OracleSql.euclidean("e.embedding", "c.cv")} AS dist
+           |       FROM embeddings e, cent c),
+           |asg AS (SELECT doc_id, cid FROM (
+           |          SELECT doc_id, cid,
+           |                 row_number() OVER (PARTITION BY doc_id ORDER BY dist, cid) AS rn
+           |          FROM ad) WHERE rn = 1),
+           |ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+           |       FROM documents),
+           |un AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+           |       FROM (SELECT unnest(w) AS tok FROM ws) GROUP BY 1),
+           |bg AS (SELECT doc_id, w[g.i] AS a, w[g.i + 1] AS b
+           |       FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+           |       WHERE len(w) >= 2),
+           |nb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+           |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 10),
+           |tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM un) AS t_toks,
+           |               (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) FROM ws) AS n_bigrams),
+           |ph AS (SELECT a, b FROM (
+           |         SELECT nb.a, nb.b,
+           |                (CAST(nb.n_ab AS DOUBLE) * t.t_toks)
+           |                  / (CAST(ua.n AS DOUBLE) * ub.n)
+           |                  * (CAST(t.t_toks AS DOUBLE) / t.n_bigrams) AS lift
+           |         FROM nb JOIN un ua ON ua.tok = nb.a
+           |         JOIN un ub ON ub.tok = nb.b, tot t
+           |         ORDER BY lift DESC, nb.a, nb.b LIMIT 50)),
+           |tok AS (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM ws
+           |        UNION ALL
+           |        SELECT DISTINCT doc_id, a || '_' || b AS tok
+           |        FROM bg JOIN ph USING (a, b)),
            |tf AS (SELECT a.cid, t.tok, count(*) AS n
            |       FROM asg a JOIN tok t USING (doc_id) GROUP BY 1, 2),
            |rk AS (SELECT cid, tok,

@@ -387,12 +387,20 @@ object TextAnalysis {
    * (per-group bounded heap, no full sort retention). The final
    * pivot-to-columns agg touches C rows.
    */
-  def topicClusters(docs: DataFrame, asg: DataFrame, topK: Int = 3): DataFrame = {
+  def topicClusters(docs: DataFrame, asg: DataFrame, topK: Int = 3): DataFrame =
+    topicClustersFrom(
+      docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok")),
+      asg, topK)
+
+  /** [[topicClusters]]' rank/pivot tail over an arbitrary
+    * (doc_id, tok) PRESENCE stream (each (doc, token) at most once —
+    * the counts are document frequencies). Lets callers augment the
+    * vocabulary, e.g. [[phraseTopics]]' collocation phrases. */
+  def topicClustersFrom(tok: DataFrame, asg: DataFrame, topK: Int): DataFrame = {
     require(topK >= 1 && topK <= 16, s"graft: topK $topK outside 1..16")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cid").orderBy(desc("n"), asc("tok"))
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(tokens(col("text")))).as("tok"))
     val rk = tok.join(asg.select("doc_id", "cid"), "doc_id")
       .groupBy("cid", "tok").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
@@ -451,5 +459,44 @@ object TextAnalysis {
           (col("n_a").cast("double") * col("n_b")) *
           (col("t_toks").cast("double") / col("n_bigrams"))).as("lift"))
       .orderBy(desc("lift"), asc("a"), asc("b")).limit(topK)
+  }
+
+  /**
+   * Phrase-aware topic summaries (VERDICT r11 next #7): the corpus map
+   * with [[collocations]] survivors promoted to composite vocabulary
+   * entries. Each surviving bigram (a, b) becomes the phrase token
+   * "a_b" ("_" cannot occur inside a `[a-z0-9]+` token, so phrases
+   * never collide with unigrams), counted by DOCUMENT frequency like
+   * any other token and ranked alongside unigrams in each cluster's
+   * top-`topK` terms — a cluster dominated by a phrase ("machine
+   * learning") surfaces the phrase, not its two diluted halves.
+   *
+   * Scale shape: the phrase list is `topPhrases`-bounded and BROADCAST
+   * onto one per-doc adjacent-pair pass (a second corpus-wide
+   * tokenize; collocations' own pass already reported totals — phrase
+   * promotion needs positions again). The (doc, phrase) presence
+   * dedupe is a map-side-combining aggregate keyed by (doc_id, tok),
+   * per-doc-bounded state; everything downstream is the
+   * [[topicClustersFrom]] tail (WindowGroupLimit, vocab-bounded
+   * partials).
+   */
+  def phraseTopics(docs: DataFrame, asg: DataFrame, topK: Int = 3,
+                   minCount: Long = 10L, topPhrases: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    val phrases = collocations(docs, minCount, topPhrases, textCol)
+      .select("a", "b")
+    val toks = docs.select(col("doc_id"), tokens(col(textCol)).as("ws"))
+      .localCheckpoint(eager = false) // one tokenize pass, two consumers
+    val uni = toks.select(col("doc_id"),
+      explode(array_distinct(col("ws"))).as("tok"))
+    val ph = toks.where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1).as("a"),
+          slice(col("ws"), lit(2), size(col("ws")) - 1).as("b"))).as("p"))
+      .select(col("doc_id"), col("p.a"), col("p.b"))
+      .join(broadcast(phrases), Seq("a", "b"))
+      .select(col("doc_id"), concat_ws("_", col("a"), col("b")).as("tok"))
+      .distinct() // presence, not occurrences: doc frequency semantics
+    topicClustersFrom(uni.unionByName(ph), asg, topK)
   }
 }

@@ -1171,6 +1171,31 @@ class OperatorSpec extends AnyFunSuite {
       (20L, 2L, "")), got.toString)
   }
 
+  test("phrase topics: collocation survivors rank as composite vocabulary entries") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "neural nets" co-occurs in every cluster-10 doc; filler tokens
+    // are unique per doc (df=1) so the phrase and its halves (df=3)
+    // own the top slots — alphabetical among the df tie
+    val docs = Seq(
+      (1L, "neural nets alpha0 beta0"),
+      (2L, "neural nets alpha1 beta1"),
+      (3L, "neural nets alpha2 beta2"),
+      (4L, "gamma delta")).toDF("doc_id", "text")
+    val asg = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 11L)).toDF("doc_id", "cid")
+    val got = TextAnalysis.phraseTopics(docs, asg, topK = 3,
+        minCount = 3L, topPhrases = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      (10L, 3L, "nets,neural,neural_nets"),
+      (11L, 1L, "delta,gamma")), got.toString)
+    // raising the floor above the phrase count degrades to plain topics
+    val noPh = TextAnalysis.phraseTopics(docs, asg, topK = 3,
+        minCount = 4L, topPhrases = 10)
+      .where(col("cid") === 10L).head().getString(2)
+    assert(!noPh.contains("_"), noPh)
+  }
+
   test("collocations: planted pair ranks first, minCount floor, empty docs inert") {
     import spark.implicits._
     import graft.operators.TextAnalysis
