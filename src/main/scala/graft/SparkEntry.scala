@@ -970,6 +970,12 @@ object SparkEntry {
     "ev_hourly" -> ((s, dir) =>
       EventOps.hourlyRollup(Tables.events(s, dir))),
 
+    // hour-level count anomalies (|z| > 2, integer-exact test): the
+    // monitoring view over the hourly rollup surface
+    "ev_anomaly" -> ((s, dir) =>
+      EventOps.anomalousHours(Tables.events(s, dir), k = 2)
+        .orderBy("event_type", "hour_epoch")),
+
     // sliding-window rollup (1 h windows every 15 min): the native
     // window() replication — 4 windows per event into the partial agg,
     // identical plan shape in batch and streaming (stream twin
@@ -1104,6 +1110,18 @@ object SparkEntry {
       graft.operators.FuzzyJoin.selfJoin(
           Tables.load(s, dir, "documents"), "source", d = 1)
         .orderBy("a", "b")),
+
+    // two-sided fuzzy lookup: noisy corpus labels against a canonical
+    // catalog (derived deterministically from the fixture so both
+    // engines see the same key sets; d=1 matches guaranteed)
+    "q_fuzzy_lookup" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "documents").select(col("source"))
+      val canon = src
+        .select(expr("substring(source, 1, length(source) - 1)").as("k"))
+        .unionByName(src.select(concat(col("source"), lit("x")).as("k")))
+      graft.operators.FuzzyJoin.join(src, canon, "source", "k", d = 1)
+        .orderBy("a", "b")
+    }),
 
     "q_setops" -> ((s, dir) => {
       val hi = Tables.load(s, dir, "lineitem").where(col("l_quantity") > 45)
@@ -2405,6 +2423,21 @@ object SparkEntry {
            |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+      // integer-exact z-test: (H*c - T)^2 > k^2 * (H*SS - T^2), k = 2
+      "ev_anomaly" ->
+        s"""WITH hourly AS (SELECT event_type,
+           |         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |       FROM events GROUP BY 1, 2),
+           |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS h,
+           |              CAST(sum(cnt) AS BIGINT) AS t,
+           |              CAST(sum(cnt * cnt) AS BIGINT) AS ss
+           |       FROM hourly GROUP BY 1)
+           |SELECT hourly.event_type, hour_epoch, cnt
+           |FROM hourly JOIN st USING (event_type)
+           |WHERE (h * cnt - t) * (h * cnt - t) > 4 * (h * ss - t * t)
+           |ORDER BY event_type, hour_epoch""".stripMargin,
+
       // sliding windows, closed form: an event at second `sec` lands in
       // exactly the 4 slide-aligned 1 h windows starting at
       // (sec//900 - k)*900, k = 0..3
@@ -2489,6 +2522,15 @@ object SparkEntry {
         s"""WITH ks AS (SELECT DISTINCT source AS k FROM documents WHERE source IS NOT NULL)
            |SELECT a.k AS a, b.k AS b, CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
            |FROM ks a JOIN ks b ON a.k < b.k AND levenshtein(a.k, b.k) <= 1
+           |ORDER BY a, b""".stripMargin,
+
+      "q_fuzzy_lookup" ->
+        s"""WITH l AS (SELECT DISTINCT source AS a FROM documents WHERE source IS NOT NULL),
+           |r AS (SELECT DISTINCT k AS b FROM (
+           |        SELECT substr(source, 1, length(source) - 1) AS k FROM documents
+           |        UNION ALL SELECT source || 'x' FROM documents) WHERE k IS NOT NULL)
+           |SELECT l.a, r.b, CAST(levenshtein(l.a, r.b) AS BIGINT) AS dist
+           |FROM l, r WHERE levenshtein(l.a, r.b) <= 1
            |ORDER BY a, b""".stripMargin,
 
       "q_setops" ->

@@ -94,6 +94,58 @@ object FuzzyJoin {
    * @return (a, b, dist) with a < b, dist = levenshtein(a, b) <= d,
    *         over distinct non-null keys
    */
+  /**
+   * Two-sided fuzzy key join: every (left key, right key) pair of
+   * DISTINCT keys within edit distance `d` — the catalog-reconciliation
+   * form (noisy labels on the left, a canonical vocabulary on the
+   * right). Same FastSS blocking and guards as [[selfJoin]]; the
+   * variant equi-join is left-variants vs right-variants, so a small
+   * canonical side broadcasts and the corpus-side exchange carries
+   * only its own variants. Exact end-to-end.
+   *
+   * @return (a, b, dist): a from `left`, b from `right`,
+   *         dist = levenshtein(a, b) <= d. An identical key on both
+   *         sides pairs with itself at dist 0.
+   */
+  def join(left: DataFrame, right: DataFrame, leftKey: String,
+           rightKey: String, d: Int = 1, maxLen: Int = 64,
+           maxBucket: Long = 100000L): DataFrame = {
+    require(d >= 1 && d <= 2, s"graft: fuzzy-join d must be 1 or 2, got $d")
+    GraftFunctions.register(left.sparkSession)
+    def side(df: DataFrame, keyCol: String, out: String, name: String): DataFrame = {
+      val keys = df.select(col(keyCol).cast("string").as(out))
+        .where(col(keyCol).isNotNull)
+        .distinct()
+        .localCheckpoint(eager = false)
+      val longest = keys.agg(max(length(col(out))).as("m")).head()
+      if (!longest.isNullAt(0)) {
+        val m = longest.getInt(0)
+        require(m <= maxLen,
+          s"graft: fuzzy-join $name-side key of length $m exceeds maxLen=$maxLen")
+      }
+      keys.select(col(out), explode(GraftFunctions.delVariants(col(out), d)).as("v"))
+        .localCheckpoint(eager = false)
+    }
+    val va = side(left, leftKey, "a", "left")
+    val vb = side(right, rightKey, "b", "right")
+    // the candidate quadratic is PER-PAIRED-BUCKET (na * nb); guard the
+    // larger single-side bucket, same loud contract as selfJoin
+    for ((vs, nm) <- Seq((va, "left"), (vb, "right"))) {
+      val hot = vs.groupBy("v").agg(count(lit(1)).as("n"))
+        .where(col("n") > maxBucket).limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        s"graft: fuzzy-join $nm variant '${r.getString(0)}' is shared by " +
+          s"${r.getLong(1)} keys (> maxBucket=$maxBucket)"
+      })
+    }
+    va.join(vb, "v")
+      .select("a", "b")
+      .distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b"), d).cast("long"))
+      .where(col("dist") =!= -1L)
+  }
+
   def selfJoin(df: DataFrame, keyCol: String, d: Int = 1,
                maxLen: Int = 64, maxBucket: Long = 100000L): DataFrame = {
     require(d >= 1 && d <= 2, s"graft: fuzzy-join d must be 1 or 2, got $d")

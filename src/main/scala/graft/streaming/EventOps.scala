@@ -29,6 +29,42 @@ object EventOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .orderBy(col("hour_epoch"), col("event_type"))
 
+  /**
+   * Hour-level count anomalies per event_type — the monitoring view
+   * over the [[hourlyRollup]] surface: hours whose count deviates from
+   * that type's mean by more than `k` population standard deviations,
+   * BOTH directions (spikes and droughts).
+   *
+   * The z-test is INTEGER-EXACT: |c - T/H| > k·σ with σ² =
+   * (H·SS - T²)/H² becomes `(H·c - T)² > k²·(H·SS - T²)` — BIGINT
+   * arithmetic end-to-end, no float ever, so the flag set is
+   * bit-identical across engines (a float z would make boundary rows
+   * engine-dependent). Zero-variance types flag nothing (0 > 0 false).
+   *
+   * Scale shape: one corpus pass into the hourly partial agg (the
+   * (type, hour)-keyed state is calendar-bounded), a type-cardinality-
+   * sized stats table broadcast back, flag as a scan predicate.
+   * Overflow bound: H·SS must fit a signed 64-bit — holds through
+   * ~1e9 events/hour-type over a decade of hours; beyond that,
+   * pre-aggregate to coarser buckets.
+   */
+  def anomalousHours(events: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 100, s"graft: k $k outside 1..100")
+    val hourly = events
+      .withColumn("hour_epoch", expr("ts_ns div 3600000000000") * 3600L)
+      .groupBy(col("event_type"), col("hour_epoch"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // shared: the stats agg + flag scan
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("h"),
+      sum(col("cnt")).as("t"),
+      sum(col("cnt") * col("cnt")).as("ss"))
+    val dev = col("h") * col("cnt") - col("t")
+    hourly.join(broadcast(stats), "event_type")
+      .where(dev * dev > lit(k.toLong * k) * (col("h") * col("ss") - col("t") * col("t")))
+      .select(col("event_type"), col("hour_epoch"), col("cnt"))
+  }
+
   /** SLIDING-window rollup per event_type (1 h windows every 15 min —
     * the trending/rate view a monitoring surface reads): Spark's native
     * `window(ts, "1 hour", "15 minutes")`, which replicates each event

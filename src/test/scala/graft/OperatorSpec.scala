@@ -1444,6 +1444,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(FuzzyJoin.selfJoin(Seq[String](null).toDF("label"), "label").count() == 0)
   }
 
+  test("anomalous hours: spike and drought flagged, constants and near-misses not") {
+    import spark.implicits._
+    import graft.streaming.EventOps
+    val H = 3600L * 1000000000L
+    def rows(tpe: String, counts: Seq[Int]): Seq[(String, Long)] =
+      counts.zipWithIndex.flatMap { case (c, hr) =>
+        (0 until c).map(i => (tpe, hr * H + i))
+      }
+    // single outlier among H-1 equal hours has z^2 = H-1 exactly, so
+    // 5 hours sits ON the k=2 boundary (not flagged: strict >) and 6
+    // hours clears it — the fixture pins the exact-arithmetic boundary
+    val events = (rows("spike", Seq(10, 10, 10, 10, 10, 100)) ++
+        rows("drought", Seq(50, 50, 50, 50, 50, 1)) ++
+        rows("boundary", Seq(10, 10, 10, 10, 100)) ++
+        rows("flat", Seq(7, 7, 7)))
+      .toDF("event_type", "ts_ns")
+    val got = EventOps.anomalousHours(events, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("spike", 5L * 3600L, 100L),
+      ("drought", 5L * 3600L, 1L)), got.toString)
+  }
+
+  test("two-sided fuzzy join == naive cross levenshtein, incl. dist-0 and d=2") {
+    import spark.implicits._
+    import graft.operators.FuzzyJoin
+    val noisy = Seq("alpha", "alpa", "beta", "betaa", "gamma", "zzz", null)
+      .toDF("label")
+    val canon = Seq("alpha", "beta", "gamma", "delta").toDF("name")
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.join(noisy, canon, "label", "name", d = d)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val naive = noisy.where(col("label").isNotNull).distinct()
+        .crossJoin(canon.distinct())
+        .withColumn("dist", levenshtein(col("label"), col("name")).cast("long"))
+        .where(col("dist") <= d)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == naive, s"d=$d: got $got\nnaive $naive")
+    }
+    // identical keys pair at dist 0; unmatched keys are absent
+    val d1 = FuzzyJoin.join(noisy, canon, "label", "name", d = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(d1.contains(("alpha", "alpha", 0L)) && d1.contains(("alpa", "alpha", 1L)))
+    assert(!d1.exists(_._1 == "zzz"))
+    // per-side guards fire loudly
+    val long = intercept[IllegalArgumentException](
+      FuzzyJoin.join(noisy, Seq("a" * 80).toDF("name"), "label", "name"))
+    assert(long.getMessage.contains("right-side"), long.getMessage)
+  }
+
   test("fuzzy profile: exact counters on a hand-computable vocabulary") {
     import spark.implicits._
     import graft.operators.FuzzyJoin
