@@ -582,6 +582,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), "exact verify missing:\n" + p.take(3000))
   }
 
+  test("collocations: broadcast count join-backs, bounded top-K heap") {
+    // the unigram tables are vocab-sized and must ride broadcast legs;
+    // the final top-K must be TakeOrderedAndProject (bounded heaps),
+    // never a global sort of the pair table
+    val df = SparkEntry.queries("text_collocations")(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-K fell back to a global sort:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("phrase topics: broadcast phrase probe, WindowGroupLimit rank tail") {
+    val df = SparkEntry.queries("text_phrase_topics")(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("WindowGroupLimit"),
+      "per-cluster top-k retains the full sort:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("anomalous hours: type-stats broadcast back onto the hourly agg, flag is a scan predicate") {
+    val df = SparkEntry.queries("ev_anomaly")(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      "stats join-back shuffles the hourly table:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("group quantile: bracket join-backs stay hash equi-joins, no GLOBAL sort") {
     // the whole point of the bracket pass is that the final rank select
     // sorts only bracket-window rows PER GROUP (a partition-local sort
