@@ -899,6 +899,23 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("tok")).limit(50)),
 
+    // C4-style boilerplate line removal over a corpus with IN-QUERY
+    // planted chrome (identical derivation in the oracle): a header on
+    // every doc (removed), a footer on even ids (removed, 250 >= 3),
+    // a rare notice on ids % 250 == 0 (kept, 2 < 3), bodies kept
+    "text_boilerplate" -> ((s, dir) => {
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            lit("header: corpus v1\n"),
+            when(col("doc_id") % 250 === 0, lit("rare notice\n")).otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 2 === 0, lit("\nfooter: contact us")).otherwise(lit("")))
+            .as("text"))
+      TextAnalysis.removeBoilerplate(planted, minDocs = 3L)
+        .orderBy("doc_id")
+    }),
+
     // top-50 collocations by PMI lift (exact integer counts; the lift
     // double is the same left-assoc IEEE op sequence in the oracle)
     "text_collocations" -> ((s, dir) =>
@@ -2160,6 +2177,26 @@ object SparkEntry {
            |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
            |  FROM documents)
            |GROUP BY 1 ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+      "text_boilerplate" ->
+        s"""WITH d AS (SELECT doc_id,
+           |         'header: corpus v1' || chr(10)
+           |           || CASE WHEN doc_id % 250 = 0 THEN 'rare notice' || chr(10) ELSE '' END
+           |           || text
+           |           || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'footer: contact us' ELSE '' END AS text
+           |       FROM documents),
+           |l AS (SELECT doc_id, g.i AS pos, parts[g.i] AS line
+           |      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+           |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
+           |com AS (SELECT line FROM (
+           |          SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY 1)
+           |        WHERE nd >= 3),
+           |k AS (SELECT doc_id, pos, line FROM l
+           |      WHERE line NOT IN (SELECT line FROM com)),
+           |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           |      FROM k GROUP BY 1)
+           |SELECT d.doc_id, coalesce(r.text, '') AS text
+           |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       // mirrors TextAnalysis.collocations: exact integer unigram/bigram
       // counts; lift = ((n_ab*t_toks) / (n_a*n_b)) * (t_toks/n_bigrams)

@@ -1171,6 +1171,32 @@ class OperatorSpec extends AnyFunSuite {
       (20L, 2L, "")), got.toString)
   }
 
+  test("boilerplate removal: threshold boundary, order kept, within-doc repeats, emptied docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "hdr" in 3 docs (== minDocs: removed), "twice" in 2 (kept);
+    // doc 3 is pure boilerplate (-> ''); doc 1 repeats hdr within
+    // itself (all occurrences removed, body order intact)
+    val docs = Seq(
+      (1L, "hdr\nbody one\nhdr\nbody two"),
+      (2L, "hdr\ntwice\nbody three"),
+      (3L, "hdr"),
+      (4L, "twice\nbody four")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(docs, minDocs = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(
+      1L -> "body one\nbody two",
+      2L -> "twice\nbody three",
+      3L -> "",
+      4L -> "twice\nbody four"), got.toString)
+    // custom literal separator (regex metachars must not be treated
+    // as a pattern)
+    val dot = Seq((1L, "a|b"), (2L, "a|c"), (3L, "a|d")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.removeBoilerplate(dot, minDocs = 3L, sep = "|")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(g2 == Map(1L -> "b", 2L -> "c", 3L -> "d"), g2.toString)
+  }
+
   test("phrase topics: collocation survivors rank as composite vocabulary entries") {
     import spark.implicits._
     import graft.operators.TextAnalysis
