@@ -124,7 +124,18 @@ object Bench {
     // per DISTINCT key, so vocab growth — not row growth — drives it),
     // and group-wise exact quantiles (per-group bracket widths narrow
     // as groups grow; the rank-select join-back is volume-dependent)
-    "text_collocations", "q_fuzzy_join", "q_group_percentile_2pass")
+    "text_collocations", "q_fuzzy_join", "q_group_percentile_2pass",
+    // r12 continued: interval-overlap join (both sides replicate into
+    // buckets — replication and canonical-bucket filter are volume
+    // effects), co-purchase association rules (pair-agg state scales
+    // with orders), phrase search (postings probe volume = sum of term
+    // dfs), transitions (full corpus window pass), priority sampling
+    // (corpus-wide bounded heap). graph_triangles stays sf0.1-only:
+    // the raw co-purchase graph's wedge count at sf1 (~12M edges) puts
+    // it past the per-round bench budget without changing plan
+    // character vs sf0.1
+    "ev_overlap_join", "q_assoc_rules", "text_phrase_search",
+    "ev_transitions", "text_weighted_sample")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Packing, Pca, RangeJoin, Search, SimilaritySearch, TextAnalysis, TopK}
+import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Multimodal, Packing, Pca, RangeJoin, Search, SimilaritySearch, TextAnalysis, TopK}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1611,7 +1611,93 @@ object SparkEntry {
       val surv = kept.groupBy(lower(col("text")).as("text"))
         .agg(min(col("doc_id")).as("doc_id"))
       Packing.packSequences(surv).orderBy("seq_id")
-    })
+    }),
+
+    // ---- r12: joins / graphs / phrase search / weighted sampling ----
+
+    // interval x interval overlap join (RangeJoin.intervalOverlap):
+    // per-user daily error episodes vs click episodes, each with a 1 h
+    // grace tail — bucketed equi-join on (user, bucket), exactly-once
+    // via the canonical-bucket filter, never a nested-loop plan
+    "ev_overlap_join" -> ((s, dir) => {
+      val day = 86400000000L // micros
+      val hour = 3600000000L
+      val ev = Tables.events(s, dir).withColumn("us", expr("ts_ns div 1000"))
+      def episodes(t: String, p: String) = ev.where(col("event_type") === t)
+        .groupBy(col("user_id"), expr(s"us div $day").as(s"${p}_day"))
+        .agg(min(col("us")).as(s"${p}_s"), (max(col("us")) + hour).as(s"${p}_e"))
+      RangeJoin.intervalOverlap(
+          episodes("error", "e"), episodes("click", "c"),
+          "e_s", "e_e", "c_s", "c_e",
+          bucketWidth = 6L * hour, keys = Seq("user_id"))
+        .select(col("user_id"), col("e_day"), col("c_day"),
+          (least(col("e_e"), col("c_e")) - greatest(col("e_s"), col("c_s"))).as("ov_us"))
+        .orderBy("user_id", "e_day", "c_day")
+    }),
+
+    // per-node triangle counts over the part co-purchase graph (parts
+    // sharing a lineitem order; lines-per-order is bounded, so the
+    // graph stays sparse at every SF). Degree-ordered orientation
+    // bounds the wedge fan-out — see Graph.triangles
+    "graph_triangles" -> ((s, dir) => {
+      val pp = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = pp.as("x").join(pp.as("y"), col("x.ok") === col("y.ok"))
+        .where(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("d1"), col("y.pk").as("d2"))
+      Graph.triangles(pairs).orderBy(desc("tri"), col("node"))
+    }),
+
+    // market-basket association rules over the same co-purchase
+    // relation: support (distinct co-orders) >= 2, confidence-free
+    // integer counts + single-division lift (exact-int numerator and
+    // denominator, so the double is cross-engine identical)
+    "q_assoc_rules" -> ((s, dir) => {
+      val pp = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val rules = pp.as("x").join(pp.as("y"), col("x.ok") === col("y.ok"))
+        .where(col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 2)
+      val cnt = pp.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      val nOrders = pp.select(count_distinct(col("ok")).as("n_orders"))
+      rules
+        .join(cnt.select(col("pk").as("a"), col("n").as("n_a")), "a")
+        .join(cnt.select(col("pk").as("b"), col("n").as("n_b")), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy(desc("n_ab"), desc("lift"), col("a"), col("b"))
+        .limit(200)
+    }),
+
+    // first-order Markov transition matrix of user event sequences:
+    // one window pass (lag over (ts, id)) + a 25-cell aggregate
+    "ev_transitions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      ev.select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .where(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("prev_type"), col("event_type"))
+    }),
+
+    // exact phrase search (overlap-counting) via positional postings —
+    // the inverted-index probe; see Search.phraseMatch
+    "text_phrase_search" -> ((s, dir) =>
+      Search.phraseMatch(Tables.load(s, dir, "documents"),
+          Seq("slow", "hash", "batch"))
+        .orderBy(desc("n_hits"), col("doc_id"))),
+
+    // deterministic weighted sampling (priority sampling, integer
+    // md5-uniform div weight) — see Curation.prioritySample
+    "text_weighted_sample" -> ((s, dir) =>
+      Curation.prioritySample(Tables.load(s, dir, "documents"), 50)
+        .select(col("doc_id"), col("n_chars"), col("pri")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -3095,7 +3181,74 @@ object SparkEntry {
            |${OracleSql.packCtes(OracleSql.PackSeqLen)}
            |SELECT seq_id, n_docs, n_tokens, first_doc, last_doc
            |FROM pseq ORDER BY seq_id""".stripMargin
-      }
+      },
+
+      // ---- r12: joins / graphs / phrase search / weighted sampling ----
+
+      "ev_overlap_join" ->
+        s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |e AS (SELECT user_id, us // 86400000000 AS e_day,
+           |             min(us) AS e_s, max(us) + 3600000000 AS e_e
+           |      FROM ev WHERE event_type = 'error' GROUP BY 1, 2),
+           |c AS (SELECT user_id, us // 86400000000 AS c_day,
+           |             min(us) AS c_s, max(us) + 3600000000 AS c_e
+           |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+           |SELECT e.user_id, e_day, c_day,
+           |       least(e_e, c_e) - greatest(e_s, c_s) AS ov_us
+           |FROM e JOIN c ON e.user_id = c.user_id AND e_s < c_e AND c_s < e_e
+           |ORDER BY 1, 2, 3""".stripMargin,
+
+      "graph_triangles" ->
+        s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |e AS (SELECT DISTINCT x.pk AS d1, y.pk AS d2
+           |      FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk),
+           |t AS (SELECT e1.d1 AS x, e1.d2 AS y, e2.d2 AS z
+           |      FROM e e1 JOIN e e2 ON e2.d1 = e1.d2
+           |      JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2)
+           |SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+           |  SELECT x AS node FROM t
+           |  UNION ALL SELECT y FROM t
+           |  UNION ALL SELECT z FROM t)
+           |GROUP BY 1 ORDER BY tri DESC, node""".stripMargin,
+
+      "q_assoc_rules" ->
+        s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM pp),
+           |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM pp GROUP BY 1),
+           |pc AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS n_ab
+           |       FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk
+           |       GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT a, b, n_ab, ia.n AS n_a, ib.n AS n_b,
+           |       CAST(n_ab * n_orders AS DOUBLE) / CAST(ia.n * ib.n AS DOUBLE) AS lift
+           |FROM pc JOIN ic ia ON ia.pk = pc.a JOIN ic ib ON ib.pk = pc.b CROSS JOIN n
+           |ORDER BY n_ab DESC, lift DESC, a, b LIMIT 200""".stripMargin,
+
+      "ev_transitions" ->
+        s"""SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n FROM (
+           |  SELECT event_type,
+           |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           |  FROM events)
+           |WHERE prev_type IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY n DESC, prev_type, event_type""".stripMargin,
+
+      "text_phrase_search" ->
+        s"""WITH toks AS (SELECT doc_id,
+           |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+           |    unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+           |  FROM documents)
+           |SELECT t0.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM toks t0
+           |JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 AND t1.tok = 'hash'
+           |JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2 AND t2.tok = 'batch'
+           |WHERE t0.tok = 'slow'
+           |GROUP BY t0.doc_id ORDER BY n_hits DESC, t0.doc_id""".stripMargin,
+
+      "text_weighted_sample" ->
+        s"""SELECT doc_id, n_chars,
+           |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |    // CAST(n_chars AS BIGINT) AS pri
+           |FROM documents WHERE n_chars > 0
+           |ORDER BY pri, doc_id LIMIT 50""".stripMargin
     )
   }
 

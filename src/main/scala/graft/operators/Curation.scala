@@ -330,4 +330,40 @@ object Curation {
       .where(col("cum") <= budgetPerLang / shards)
       .select("lang", "doc_id", "n_tok")
   }
+
+  /**
+   * Deterministic WEIGHTED sampling without replacement — priority
+   * sampling (Duffield/Lund/Thorup, "Priority sampling for estimation
+   * of arbitrary subset sums", JACM 2007): each row gets priority
+   * `q = u / w` for a uniform u and weight w, and the sample is the k
+   * smallest priorities — inclusion probability rises with weight,
+   * and any subset-sum estimated from the sample is unbiased.
+   *
+   * Everything here is INTEGER so the sample is bit-reproducible on
+   * any engine: u is the first 60 bits of md5(id) (a public,
+   * engine-agnostic uniformizer — Spark/DuckDB built-in hashes don't
+   * match each other), w must be a positive integral column, and
+   * `q = u div w` with (q, id) ties. Returns the k sampled rows with
+   * their priority; the plan is a TakeOrderedAndProject (per-partition
+   * heaps + driver merge of k·P candidates), never a global sort.
+   */
+  def prioritySample(df: DataFrame, k: Int,
+                     idCol: String = "doc_id",
+                     weightCol: String = "n_chars"): DataFrame = {
+    require(k > 0, s"graft: sample size $k must be positive")
+    val dt = df.schema(weightCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(dt),
+      s"graft: weight column $weightCol is $dt; priority sampling needs " +
+        "integral weights (scale fractional weights to integers first)")
+    df
+      .where(col(weightCol) > 0)
+      .withColumn("pri",
+        expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)" +
+          s" div cast($weightCol as bigint)"))
+      .orderBy(col("pri"), col(idCol))
+      .limit(k)
+  }
 }

@@ -113,4 +113,78 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bkt")
   }
+
+  /**
+   * Interval × interval OVERLAP join: pair every left interval with
+   * every right interval it overlaps (`lStart < rEnd && rStart < lEnd`,
+   * both half-open `[start, end)`), optionally under equi-keys.
+   *
+   * Same bucketed rewrite as [[pointInInterval]], with one extra device
+   * because BOTH sides now explode: an overlapping pair meets in every
+   * bucket their covering ranges share, so a bare bucket equi-join
+   * would emit duplicates. Instead of a dedup shuffle, each pair is
+   * kept only in its CANONICAL bucket — the one containing
+   * `max(lStart, rStart)`. That bucket is covered by both sides exactly
+   * once whenever the pair overlaps (max(start) <= min(end)-1 for
+   * non-empty integer overlap), so the output is exactly-once with a
+   * plain post-join filter and no distinct.
+   *
+   * Scale shape: one hash equi-join keyed by (keys…, bucket); each side
+   * is replicated by `len/width + 1`, so pick `bucketWidth` near the
+   * typical interval length of the DENSER side. Hot buckets are
+   * ordinary equi-join skew (AQE-splittable) — never a nested-loop
+   * plan, which is what Spark gives the raw overlap predicate.
+   */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      rStartCol: String,
+      rEndCol: String,
+      bucketWidth: Long,
+      keys: Seq[String] = Nil,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
+    require(bucketWidth > 0, s"graft: bucketWidth $bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "graft: maxBucketsPerInterval must be positive")
+    val overlapCols = left.columns.toSet
+      .intersect(right.columns.toSet) -- keys
+    require(overlapCols.isEmpty,
+      s"graft: non-key columns ${overlapCols.mkString(", ")} exist on both sides; rename first")
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"graft: column $c is $dt; intervalOverlap requires integral " +
+          "coordinates (scale fractional units to int/long first)")
+    }
+    Seq(lStartCol, lEndCol).foreach(requireIntegral(left, _))
+    Seq(rStartCol, rEndCol).foreach(requireIntegral(right, _))
+
+    val w = bucketWidth
+    def floorDivExpr(c: String): String = s"(($c - pmod($c, ${w}L)) div ${w}L)"
+
+    def explodeSide(df: DataFrame, s: String, e: String): DataFrame = df
+      .where(col(e) > col(s))
+      .withColumn("__s", col(s).cast("long"))
+      .withColumn("__e1", col(e).cast("long") - 1)
+      .withColumn("__b0", expr(floorDivExpr("__s")))
+      .withColumn("__b1", expr(floorDivExpr("__e1")))
+      .withColumn("__b1", when(col("__b1") - col("__b0") >= maxBucketsPerInterval,
+        raise_error(concat(lit(s"graft: interval spans >= $maxBucketsPerInterval " +
+          s"buckets at width $bucketWidth (start "), col("__s"),
+          lit(", end "), col("__e1") + 1,
+          lit("); widen bucketWidth or split the interval"))))
+        .otherwise(col("__b1")))
+      .withColumn("__bkt", explode(sequence(col("__b0"), col("__b1"))))
+      .drop("__s", "__e1", "__b0", "__b1")
+
+    val ls = explodeSide(left, lStartCol, lEndCol)
+    val rs = explodeSide(right, rStartCol, rEndCol)
+    ls.join(rs, (keys :+ "__bkt").toSeq)
+      .where(col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol))
+      // canonical-bucket filter: exactly-once without a distinct
+      .where(col("__bkt") ===
+        expr(floorDivExpr(s"greatest(${lStartCol}, ${rStartCol})")))
+      .drop("__bkt")
+  }
 }

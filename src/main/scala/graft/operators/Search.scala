@@ -130,6 +130,43 @@ object Search {
   }
 
   /**
+   * Exact PHRASE search via positional postings: (doc_id, n_hits) for
+   * every document containing the token sequence `phrase` — counting
+   * OVERLAPPING occurrences (a regex scan would miss those), under the
+   * corpus tokenization contract ([[graft.operators.Dedup.tokens]]:
+   * maximal lowercase `[a-z0-9]+` runs, so token adjacency ==
+   * phrase adjacency in the normalized text).
+   *
+   * Plan shape — the inverted-index probe, not a corpus scan:
+   * positional postings (doc, pos, term) are FILTERED to the phrase's
+   * terms before anything shuffles, so the join pipeline only ever
+   * moves `sum(df(term_i))` postings — bounded by the rarest term —
+   * never the corpus. Occurrences are alignments of all k terms at
+   * consecutive positions: postings for term_i project
+   * `(doc, pos - i)` and k-1 equi-joins on (doc, base) intersect them;
+   * every join keys on the SAME (doc, base) pair, so Catalyst reuses
+   * one exchange per side and the chain is one shuffle stage deep.
+   * Against a term-bucketed on-disk posting store the same filter
+   * becomes static partition pruning (read df(term) rows of the index,
+   * zero corpus IO) — this operator is the query-side plan either way.
+   */
+  def phraseMatch(docs: DataFrame, phrase: Seq[String],
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "graft: phrase must have at least one term")
+    require(phrase.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
+      s"graft: phrase terms must be normalized [a-z0-9]+ tokens, got ${phrase.mkString(" ")}")
+    val terms = phrase.distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.operators.Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(col("tok").isin(terms: _*)) // prune before any shuffle
+    val aligned = phrase.zipWithIndex.map { case (t, i) =>
+      toks.where(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).as("base"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
+    aligned.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /**
    * Reciprocal-rank fusion over ranked legs (each leg: (id, rank)):
    * fused points = sum over legs of RrfScale div (RrfC + rank) —
    * integer division, so fusion is cross-engine exact. Returns

@@ -1536,6 +1536,89 @@ class OperatorSpec extends AnyFunSuite {
     assert(p0.keys == 0L && p0.variants == 0L && p0.candidatePairs == 0L)
   }
 
+  test("interval overlap join == naive predicate join; exactly-once; integral-only") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // second left interval spans 3 buckets at w=10; last is empty
+    val left = Seq((1L, 0L, 25L), (1L, 3L, 31L), (2L, 5L, 8L), (1L, 40L, 40L))
+      .toDF("k", "ls", "le")
+    val right = Seq((1L, 24L, 42L), (1L, 0L, 5L), (2L, 7L, 9L), (3L, 0L, 100L))
+      .toDF("k", "rs", "re")
+    val rows = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re",
+        bucketWidth = 10L, keys = Seq("k"))
+      .select("k", "ls", "rs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+          col("l.le") > col("l.ls") && col("r.re") > col("r.rs") &&
+          col("l.ls") < col("r.re") && col("r.rs") < col("l.le"))
+      .select(col("l.k"), col("l.ls"), col("r.rs")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.toSet == naive && naive.nonEmpty)
+    // exactly-once: a pair co-covered by several buckets emits ONE row
+    assert(rows.length == naive.size, rows.mkString(", "))
+    val bad = left.withColumn("ls", col("ls").cast("double"))
+    val e = intercept[IllegalArgumentException](
+      RangeJoin.intervalOverlap(bad, right, "ls", "le", "rs", "re", 10L, Seq("k")))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
+  test("triangle counts: K4 + pendant; dup/reversed/self pairs normalized") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // K4 on {1,2,3,4}: every node closes C(3,2) = 3 triangles; the
+    // pendant edge 5-1 closes none; noise rows must not change counts
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (1L, 2L), (2L, 1L), (3L, 3L)).toDF("d1", "d2")
+    val got = Graph.triangles(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
+
+  test("phrase match counts OVERLAPPING occurrences; normalizes; validates terms") {
+    import spark.implicits._
+    import graft.operators.Search
+    val docs = Seq(
+      (1L, "a a a b"),     // "a a" aligns at 0 and 1 (overlapping)
+      (2L, "x a a y a a"), // two disjoint occurrences
+      (3L, "a b a"),       // none for "a a"
+      (4L, "A;a!a")        // punctuation/case fold to [a, a, a]
+    ).toDF("doc_id", "text")
+    val aa = Search.phraseMatch(docs, Seq("a", "a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(aa == Map(1L -> 2L, 2L -> 2L, 4L -> 2L), aa.toString)
+    val ab = Search.phraseMatch(docs, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ab == Map(1L -> 1L, 3L -> 1L), ab.toString)
+    val e = intercept[IllegalArgumentException](
+      Search.phraseMatch(docs, Seq("Bad Term")))
+    assert(e.getMessage.contains("normalized"), e.getMessage)
+  }
+
+  test("priority sample: md5-exact integer priorities, weight-monotone, guards") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val df = (1L to 200L).map(i => (i, if (i <= 100) 10L else 1000L))
+      .toDF("doc_id", "n_chars")
+    val got = Curation.prioritySample(df, 50).collect()
+    // the exact expected sample, recomputed with JVM md5 arithmetic
+    def u60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val exp = (1L to 200L)
+      .map(i => (u60(i) / (if (i <= 100) 10L else 1000L), i))
+      .sorted.take(50).map(_._2).toSet
+    assert(got.map(_.getLong(0)).toSet == exp)
+    // 100x weight must dominate the sample
+    assert(got.count(_.getLong(0) > 100L) > 40, got.map(_.getLong(0)).mkString(","))
+    val e = intercept[IllegalArgumentException](Curation.prioritySample(
+      df.withColumn("n_chars", col("n_chars").cast("double")), 5))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

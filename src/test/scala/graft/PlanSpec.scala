@@ -637,4 +637,28 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Sort [") && l.contains("], true")).toList
     assert(globalSorts.isEmpty, "global sort in the plan:\n" + globalSorts.mkString("\n"))
   }
+
+  test("r12 join/graph/search family: equi-join shapes, no cartesian") {
+    // interval-overlap, triangles, assoc rules, transitions, phrase
+    // search: every one is a bucketed/keyed EQUI-join pipeline by
+    // construction — a CartesianProduct or nested-loop join in any of
+    // them means the rewrite regressed to the O(L·R) plan it exists to
+    // avoid. (q_assoc_rules legitimately crosses with a ONE-ROW
+    // broadcast scalar — count of orders — which plans as
+    // BroadcastNestedLoopJoin over a single row; only the cartesian
+    // check applies there.)
+    for (n <- Seq("ev_overlap_join", "graph_triangles", "ev_transitions",
+        "text_phrase_search")) {
+      val p = plan(SparkEntry.queries(n)(spark, dir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n:\n${p.take(2000)}")
+    }
+    val pa = plan(SparkEntry.queries("q_assoc_rules")(spark, dir))
+    assert(!pa.contains("CartesianProduct"), pa.take(2000))
+    // weighted sampling: bounded per-partition heaps + driver merge,
+    // never sort-the-corpus
+    val ws = plan(graft.operators.Curation.prioritySample(
+      graft.core.Tables.load(spark, dir, "documents"), 50))
+    assert(ws.contains("TakeOrderedAndProject"), ws.take(2000))
+  }
 }
