@@ -1638,9 +1638,15 @@ object SparkEntry {
     // per-node triangle counts over the part co-purchase graph (parts
     // sharing a lineitem order; lines-per-order is bounded, so the
     // graph stays sparse at every SF). Degree-ordered orientation
-    // bounds the wedge fan-out — see Graph.triangles
+    // bounds the wedge fan-out — see Graph.triangles. The query keeps
+    // a deterministic QUARTER of orders (ok % 4 = 0): order sampling
+    // preserves every co-purchase clique (part sampling would shatter
+    // them) while cutting wedge volume ~16x, so the per-round bench
+    // stays a feedback loop (full sf0.1 graph measured separately:
+    // 8.3 s warm, 1.2M edges — the Graph.triangles scaladoc numbers)
     "graph_triangles" -> ((s, dir) => {
       val pp = Tables.load(s, dir, "lineitem")
+        .where(col("l_orderkey") % 4 === 0)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       val pairs = pp.as("x").join(pp.as("y"), col("x.ok") === col("y.ok"))
         .where(col("x.pk") < col("y.pk"))
@@ -3199,7 +3205,8 @@ object SparkEntry {
            |ORDER BY 1, 2, 3""".stripMargin,
 
       "graph_triangles" ->
-        s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |           FROM lineitem WHERE l_orderkey % 4 = 0),
            |e AS (SELECT DISTINCT x.pk AS d1, y.pk AS d2
            |      FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk),
            |t AS (SELECT e1.d1 AS x, e1.d2 AS y, e2.d2 AS z

@@ -99,9 +99,25 @@ object Graph {
    * once — no distinct, no /3 fixups, no cartesian anywhere. Two
    * shuffles (degree join, wedge build) + one equi-join; hot wedge
    * sources are AQE-splittable equi-join skew.
+   *
+   * Two tempting "optimizations" MEASURED SLOWER here (sf0.1
+   * co-purchase graph, 1.2M edges, warm): broadcasting the closing
+   * edge list for the semi-join (8.3 s -> 16 s — the broadcast build
+   * is a separate job that recomputes the whole oriented chain, while
+   * the shuffled semi shares the scan and the src exchange inside one
+   * job), and localCheckpoint-pinning edges/oriented (8.3 s -> 17 s —
+   * the RDD barrier severs whole-stage fusion on every consumer, which
+   * costs more than recomputing one cheap shuffle). The all-shuffle
+   * shape is also the only one that scales past driver memory, so it
+   * is the single code path.
    */
   def triangles(pairs: DataFrame): DataFrame = {
-    // canonical undirected edge set: (a < b), self-loops dropped
+    // canonical undirected edge set: (a < b), self-loops dropped.
+    // NOT checkpointed: pinning here materializes the edge RDD and
+    // every downstream join loses whole-stage fusion with the scan —
+    // measured 2x SLOWER than recomputing the distinct (the multi-
+    // consumer checkpoint lesson cuts the other way when the producer
+    // is one cheap shuffle inside a codegen'd pipeline)
     val edges = pairs
       .select(least(col("d1"), col("d2")).as("a"),
               greatest(col("d1"), col("d2")).as("b"))
@@ -131,9 +147,8 @@ object Graph {
       .where(col("vdeg") < col("wdeg") ||
         (col("vdeg") === col("wdeg") && col("v") < col("w")))
       .select(col("src").as("u"), col("v"), col("w"))
-    val tris = wedges.join(
-      oriented.select(col("src").as("v"), col("dst").as("w")),
-      Seq("v", "w"), "left_semi")
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"), "left_semi")
     tris.select(col("u").as("node"))
       .unionAll(tris.select(col("v").as("node")))
       .unionAll(tris.select(col("w").as("node")))
