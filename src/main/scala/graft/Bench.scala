@@ -135,7 +135,14 @@ object Bench {
     // it past the per-round bench budget without changing plan
     // character vs sf0.1
     "ev_overlap_join", "q_assoc_rules", "text_phrase_search",
-    "ev_transitions", "text_weighted_sample")
+    "ev_transitions", "text_weighted_sample",
+    // r12: per-group winsorization — two bracketed group-quantile
+    // passes over the corpus plus broadcast clamp join-backs; the
+    // sketch bracket width vs group size is the volume effect.
+    // (ev_latency stays sf0.1-only: one row per user reaches the
+    // quantile pass; text_split_clustered too: its cost is the minhash
+    // pipeline already benched via dedup_clusters_stars)
+    "text_quality_norm")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

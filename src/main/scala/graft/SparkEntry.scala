@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Multimodal, Packing, Pca, RangeJoin, Search, SimilaritySearch, TextAnalysis, TopK}
+import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Multimodal, Packing, Pca, RangeJoin, Search, SimilaritySearch, Sketch, TextAnalysis, TopK}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1703,7 +1703,58 @@ object SparkEntry {
     // md5-uniform div weight) — see Curation.prioritySample
     "text_weighted_sample" -> ((s, dir) =>
       Curation.prioritySample(Tables.load(s, dir, "documents"), 50)
-        .select(col("doc_id"), col("n_chars"), col("pri")))
+        .select(col("doc_id"), col("n_chars"), col("pri"))),
+
+    // conversion latency: first view -> first subsequent purchase per
+    // user, exact per-cohort median via the bracketed two-pass rank
+    // select (one row per user after the min-aggregations — the
+    // quantile pass never sees the raw event stream)
+    "ev_latency" -> ((s, dir) => {
+      val day = 86400000000L
+      val ev = Tables.events(s, dir).withColumn("us", expr("ts_ns div 1000"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("v_us"))
+      val fp = ev.where(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .where(col("us") > col("v_us"))
+        .groupBy(col("user_id"), col("v_us"))
+        .agg(min(col("us")).as("p_us"))
+      val lat = fp.select(expr(s"v_us div $day").as("cohort_day"),
+        (col("p_us") - col("v_us")).cast("double").as("lat"))
+      Sketch.groupQuantile(lat, Seq("cohort_day"), "lat", 0.5)
+        .withColumnRenamed("q", "p50_lat")
+        .orderBy("cohort_day")
+    }),
+
+    // per-language winsorized quality: clamp bounds are EXACT group
+    // quantiles (Curation.winsorizeByGroup); output is the per-group
+    // clamp summary, integer counts + the (round-4) bound values
+    "text_quality_norm" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      Curation.winsorizeByGroup(q, Seq("lang"), "quality", 0.1, 0.9)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("qlo")).as("qlo"), max(col("qhi")).as("qhi"),
+          sum(when(col("quality") < col("qlo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("quality") > col("qhi"), 1L).otherwise(0L)).as("n_hi"))
+        .orderBy("lang")
+    }),
+
+    // near-dup-cluster-aware train/val/test split: the split hash keys
+    // on the MinHash component label, so soft copies can never straddle
+    // train/test (Packing.splitAssignClustered)
+    "text_split_clustered" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val comp = Dedup.components(minhashPairsCached(s, dir))
+      Packing.splitAssignClustered(docs, comp)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("grp")).as("n_groups"),
+          sum(when(col("grp") =!= col("doc_id"), 1L).otherwise(0L)).as("n_regrouped"))
+        .orderBy("split")
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -3255,7 +3306,64 @@ object SparkEntry {
            |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
            |    // CAST(n_chars AS BIGINT) AS pri
            |FROM documents WHERE n_chars > 0
-           |ORDER BY pri, doc_id LIMIT 50""".stripMargin
+           |ORDER BY pri, doc_id LIMIT 50""".stripMargin,
+
+      "ev_latency" ->
+        s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |v AS (SELECT user_id, min(us) AS v_us FROM ev
+           |      WHERE event_type = 'view' GROUP BY 1),
+           |fp AS (SELECT e.user_id, v.v_us, min(e.us) AS p_us
+           |       FROM ev e JOIN v ON e.user_id = v.user_id
+           |       WHERE e.event_type = 'purchase' AND e.us > v.v_us
+           |       GROUP BY 1, 2),
+           |l AS (SELECT v_us // 86400000000 AS cohort_day,
+           |             CAST(p_us - v_us AS DOUBLE) AS lat FROM fp),
+           |n AS (SELECT cohort_day, count(*) AS n FROM l GROUP BY 1),
+           |r AS (SELECT cohort_day, lat,
+           |             row_number() OVER (PARTITION BY cohort_day ORDER BY lat) AS rn
+           |      FROM l)
+           |SELECT r.cohort_day, r.lat AS p50_lat
+           |FROM r JOIN n USING (cohort_day)
+           |WHERE rn = CAST(ceil(0.5 * n.n) AS BIGINT)
+           |ORDER BY 1""".stripMargin,
+
+      "text_quality_norm" ->
+        s"""WITH t AS (SELECT doc_id, lang,
+           |        regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+           |c AS (SELECT doc_id, lang,
+           |        CAST(len(ws) AS DOUBLE) AS n_tok,
+           |        CAST(len(list_distinct(ws)) AS DOUBLE) AS n_typ,
+           |        CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','in','to'))) AS DOUBLE) AS n_stop
+           |      FROM t),
+           |q AS (SELECT doc_id, lang,
+           |        round(least(1.0, n_tok/100.0) * 0.4
+           |            + (CASE WHEN n_tok > 0 THEN n_typ/n_tok ELSE 0.0 END) * 0.4
+           |            + least(1.0, n_stop/5.0) * 0.2, 4) AS quality FROM c),
+           |n AS (SELECT lang, count(*) AS n FROM q GROUP BY 1),
+           |r AS (SELECT lang, quality,
+           |        row_number() OVER (PARTITION BY lang ORDER BY quality) AS rn FROM q),
+           |b AS (SELECT n.lang, rlo.quality AS qlo, rhi.quality AS qhi FROM n
+           |      JOIN r rlo ON rlo.lang = n.lang AND rlo.rn = CAST(ceil(0.1 * n.n) AS BIGINT)
+           |      JOIN r rhi ON rhi.lang = n.lang AND rhi.rn = CAST(ceil(0.9 * n.n) AS BIGINT))
+           |SELECT q.lang, CAST(count(*) AS BIGINT) AS n_docs, b.qlo, b.qhi,
+           |  CAST(sum(CASE WHEN quality < qlo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           |  CAST(sum(CASE WHEN quality > qhi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+           |FROM q JOIN b ON q.lang = b.lang
+           |GROUP BY q.lang, b.qlo, b.qhi ORDER BY q.lang""".stripMargin,
+
+      "text_split_clustered" -> {
+        val pm = s"(((grp % ${OracleSql.ShardP}) * ${OracleSql.ShardA}) % ${OracleSql.ShardP}) % 1000"
+        s"""WITH comp AS (SELECT doc_id, component FROM ($clustersSql)),
+           |t AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+           |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+           |sp AS (SELECT doc_id, grp,
+           |  CASE WHEN $pm < 800 THEN 'train' WHEN $pm < 900 THEN 'val' ELSE 'test' END AS split
+           |  FROM t)
+           |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+           |       CAST(sum(CASE WHEN grp <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_regrouped
+           |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+      }
     )
   }
 

@@ -347,6 +347,34 @@ object Curation {
    * their priority; the plan is a TakeOrderedAndProject (per-partition
    * heaps + driver merge of k·P candidates), never a global sort.
    */
+  /**
+   * Per-group WINSORIZATION: clamp `valueCol` to that group's exact
+   * [pLo, pHi] quantiles — the standard way to normalize a quality
+   * signal whose scale differs by group (per-language quality scores,
+   * per-domain perplexities) before a global threshold or mixture
+   * weight is applied to it.
+   *
+   * Quantiles are EXACT via [[Sketch.groupQuantile]] (sketch-bracketed
+   * two-pass rank select, never a global sort), so the clamp bounds are
+   * reproducible on any engine. The two bound tables are group-sized —
+   * they broadcast back onto the corpus; the corpus itself never
+   * shuffles beyond the quantile passes. Returns the input plus
+   * `qlo`, `qhi` and `<valueCol>_w` (the clamped value, double).
+   */
+  def winsorizeByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
+    require(pLo > 0.0 && pLo < pHi && pHi <= 1.0,
+      s"graft: need 0 < pLo < pHi <= 1 (got $pLo, $pHi)")
+    val lo = Sketch.groupQuantile(df, groupCols, valueCol, pLo)
+      .withColumnRenamed("q", "qlo")
+    val hi = Sketch.groupQuantile(df, groupCols, valueCol, pHi)
+      .withColumnRenamed("q", "qhi")
+    df.join(broadcast(lo), groupCols)
+      .join(broadcast(hi), groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("qlo")), col("qhi")))
+  }
+
   def prioritySample(df: DataFrame, k: Int,
                      idCol: String = "doc_id",
                      weightCol: String = "n_chars"): DataFrame = {

@@ -127,6 +127,33 @@ object Packing {
       when(pm < trainPm, "train").when(pm < valPm, "val").otherwise("test"))
   }
 
+  /**
+   * CLUSTER-AWARE split assignment: like [[splitAssign]], but docs in
+   * the same near-duplicate component always land in the same split —
+   * the split hash is computed on the COMPONENT label (min doc_id of
+   * the group, from [[Dedup.components]]) instead of the doc id, with
+   * ungrouped docs keyed by their own id. Plain id-hash splits leak
+   * near-duplicates across train/test (the eval set then contains
+   * soft copies of training documents — the classic contamination
+   * bug); keying the hash by the component closes that leak by
+   * construction, not by a post-hoc filter.
+   *
+   * `components` is (doc_id, component) — the near-dup graph's output,
+   * which is sparse (pair-scale, not corpus-scale), so the left join
+   * broadcasts at any realistic dup rate. Returns the input plus
+   * `grp` (the split key actually hashed) and `split`.
+   */
+  def splitAssignClustered(docs: DataFrame, components: DataFrame,
+                           trainPm: Int = 800, valPm: Int = 900,
+                           idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.join(
+        components.select(col("doc_id").as(idCol), col("component").as("__c")),
+        Seq(idCol), "left")
+      .withColumn("grp", coalesce(col("__c"), col(idCol)))
+      .drop("__c")
+    splitAssign(keyed, trainPm, valPm, "grp")
+  }
+
   /** Per-split manifest: (split, n_docs, n_tokens, fp_xor) — the same
     * order-independent checksum as [[shardStats]], so each split can be
     * verified independently after export. */

@@ -1619,6 +1619,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("winsorize by group: exact clamp bounds per group, pass-through inside") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // group g1: values 1..10 -> p10 = rank ceil(0.1*10)=1 -> 1.0,
+    // p90 = rank 9 -> 9.0; g2: constant 5s -> both bounds 5.0
+    val df = ((1 to 10).map(i => ("g1", i.toDouble)) ++
+      Seq.fill(4)(("g2", 5.0))).toDF("g", "v")
+    val w = Curation.winsorizeByGroup(df, Seq("g"), "v", 0.1, 0.9)
+      .select("g", "v", "qlo", "qhi", "v_w").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val g1 = w.filter(_._1 == "g1")
+    assert(g1.forall(r => r._3 == 1.0 && r._4 == 9.0), g1.mkString(", "))
+    assert(g1.find(_._2 == 10.0).get._5 == 9.0)  // clamped down
+    assert(g1.find(_._2 == 5.0).get._5 == 5.0)   // inside: pass-through
+    val g2 = w.filter(_._1 == "g2")
+    assert(g2.forall(r => r._3 == 5.0 && r._4 == 5.0 && r._5 == 5.0), g2.mkString(", "))
+    val e = intercept[IllegalArgumentException](
+      Curation.winsorizeByGroup(df, Seq("g"), "v", 0.9, 0.1))
+    assert(e.getMessage.contains("pLo"), e.getMessage)
+  }
+
+  test("clustered split: near-dup components never straddle splits; plain id-hash does") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components pairing consecutive ids: (1,2), (3,4), ... — the
+    // component label is the min id, exactly Dedup.components' shape
+    val comp = (1L to 400L by 2).flatMap(i => Seq((i, i), (i + 1, i)))
+      .toDF("doc_id", "component")
+    val assigned = Packing.splitAssignClustered(docs, comp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("grp"), r.getAs[String]("split")))
+    // every component wholly inside one split
+    val byGrp = assigned.groupBy(_._2).values
+    assert(byGrp.forall(_.map(_._3).distinct.size == 1))
+    assert(assigned.forall { case (id, grp, _) => grp == (if (id % 2 == 1) id else id - 1) })
+    // the plain id-hash split DOES leak on this fixture (what the
+    // cluster-aware variant exists to prevent)
+    val plain = Packing.splitAssign(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+      .toMap
+    val leaky = (1L to 400L by 2).count(i => plain(i) != plain(i + 1))
+    assert(leaky > 0, "fixture too small to demonstrate the leak")
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

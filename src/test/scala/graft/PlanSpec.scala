@@ -660,5 +660,13 @@ class PlanSpec extends AnyFunSuite {
     val ws = plan(graft.operators.Curation.prioritySample(
       graft.core.Tables.load(spark, dir, "documents"), 50))
     assert(ws.contains("TakeOrderedAndProject"), ws.take(2000))
+    // winsorize: the group-sized clamp-bound tables broadcast back
+    // onto the corpus; a shuffled bound join would re-exchange the
+    // corpus twice for two tiny tables
+    val wn = plan(SparkEntry.queries("text_quality_norm")(spark, dir))
+    assert(wn.contains("BroadcastHashJoin") && !wn.contains("CartesianProduct"),
+      wn.take(2000))
+    val sc = plan(SparkEntry.queries("text_split_clustered")(spark, dir))
+    assert(!sc.contains("CartesianProduct"), sc.take(2000))
   }
 }
