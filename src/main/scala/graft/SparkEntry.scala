@@ -1699,6 +1699,19 @@ object SparkEntry {
           Seq("slow", "hash", "batch"))
         .orderBy(desc("n_hits"), col("doc_id"))),
 
+    // the same phrase query against a MATERIALIZED term-bucketed
+    // posting index: build (one tokenize pass + one bucket shuffle),
+    // then probe with a STATIC tb IN (...) partition filter — the
+    // corpus is never read at query time. Same oracle as the scan-side
+    // row: the two paths must be value-identical
+    "text_phrase_indexed" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-postings")
+        .toString
+      Search.buildPostingIndex(Tables.load(s, dir, "documents"), idx)
+      Search.phraseMatchIndexed(s, idx, Seq("slow", "hash", "batch"))
+        .orderBy(desc("n_hits"), col("doc_id"))
+    }),
+
     // deterministic weighted sampling (priority sampling, integer
     // md5-uniform div weight) — see Curation.prioritySample
     "text_weighted_sample" -> ((s, dir) =>
@@ -3290,6 +3303,20 @@ object SparkEntry {
            |GROUP BY 1, 2 ORDER BY n DESC, prev_type, event_type""".stripMargin,
 
       "text_phrase_search" ->
+        s"""WITH toks AS (SELECT doc_id,
+           |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+           |    unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+           |  FROM documents)
+           |SELECT t0.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM toks t0
+           |JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 AND t1.tok = 'hash'
+           |JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2 AND t2.tok = 'batch'
+           |WHERE t0.tok = 'slow'
+           |GROUP BY t0.doc_id ORDER BY n_hits DESC, t0.doc_id""".stripMargin,
+
+      // indexed path: SAME ground truth as the scan path — the index
+      // is an execution strategy, not a semantics change
+      "text_phrase_indexed" ->
         s"""WITH toks AS (SELECT doc_id,
            |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
            |    unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos

@@ -166,6 +166,64 @@ object Search {
     aligned.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Term -> bucket for the on-disk posting index: CRC32 of the token
+    * bytes mod buckets. CRC32 is bit-identical between the Column form
+    * (functions.crc32, used at WRITE) and java.util.zip.CRC32 (used at
+    * QUERY planning to compute the static partition IN-list) — that
+    * equality is what makes the probe STATIC pruning, resolved before
+    * any job runs. */
+  def termBucket(term: String, buckets: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes("UTF-8"))
+    (c.getValue % buckets).toInt
+  }
+
+  /**
+   * Materialize the positional posting index: (doc_id, pos, tok) rows
+   * partitioned on disk by `tb = crc32(tok) % buckets`. One tokenize
+   * pass over the corpus, one shuffle to concentrate each term bucket
+   * into its partition directory — after that, any phrase/term query
+   * reads ONLY the buckets its terms hash to ([[phraseMatchIndexed]]),
+   * which is the inverted-index economics the scan-side
+   * [[phraseMatch]] can only approximate with a post-scan filter.
+   */
+  def buildPostingIndex(docs: DataFrame, path: String, buckets: Int = 64,
+                        idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(buckets > 0, s"graft: buckets $buckets must be positive")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.operators.Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("tb", (crc32(col("tok").cast("binary")) % buckets).cast("int"))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+  }
+
+  /**
+   * [[phraseMatch]] against a materialized posting index: the phrase's
+   * term set resolves to a STATIC `tb IN (...)` partition filter (the
+   * driver computes the CRC32 buckets before planning — no job, no
+   * dynamic pruning machinery), so the scan touches at most
+   * `|distinct terms|` of the `buckets` partition directories plus a
+   * pushed `tok IN` row-group filter inside them. Identical output to
+   * the scan-side operator (spec-pinned), different IO class: the
+   * corpus is never read at query time.
+   */
+  def phraseMatchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                         phrase: Seq[String], buckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "graft: phrase must have at least one term")
+    require(phrase.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
+      s"graft: phrase terms must be normalized [a-z0-9]+ tokens, got ${phrase.mkString(" ")}")
+    val terms = phrase.distinct
+    val tbs = terms.map(termBucket(_, buckets)).distinct
+    val toks = spark.read.parquet(path)
+      .where(col("tb").isin(tbs: _*))       // static partition pruning
+      .where(col("tok").isin(terms: _*))    // pushed row-group filter
+    val aligned = phrase.zipWithIndex.map { case (t, i) =>
+      toks.where(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).as("base"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
+    aligned.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /**
    * Reciprocal-rank fusion over ranked legs (each leg: (id, rank)):
    * fused points = sum over legs of RrfScale div (RrfC + rank) —

@@ -1619,6 +1619,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("indexed phrase search == scan phrase search; bucket hash write/query-identical") {
+    import spark.implicits._
+    import graft.operators.Search
+    val docs = Tables.load(spark, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft-postings-spec").toString
+    Search.buildPostingIndex(docs, idx)
+    for (phrase <- Seq(Seq("table", "hash"), Seq("a", "a"), Seq("slow", "hash", "batch"))) {
+      val scan = Search.phraseMatch(docs, phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val probed = Search.phraseMatchIndexed(spark, idx, phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(probed == scan, s"${phrase.mkString(" ")}: $probed vs $scan")
+    }
+    // every written (tok, tb) pair agrees with the driver-side hash —
+    // the equality that makes the probe's IN-list STATIC pruning
+    val pairs = spark.read.parquet(idx).select("tok", "tb").distinct().collect()
+    assert(pairs.nonEmpty && pairs.forall(r =>
+      r.getAs[Int]("tb") == Search.termBucket(r.getString(0), 64)))
+  }
+
   test("winsorize by group: exact clamp bounds per group, pass-through inside") {
     import spark.implicits._
     import graft.operators.Curation

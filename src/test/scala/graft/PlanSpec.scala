@@ -669,4 +669,46 @@ class PlanSpec extends AnyFunSuite {
     val sc = plan(SparkEntry.queries("text_split_clustered")(spark, dir))
     assert(!sc.contains("CartesianProduct"), sc.take(2000))
   }
+
+  test("posting-index probe: STATIC tb partition pruning, corpus never scanned") {
+    // the phrase resolves to a tb IN-list on the DRIVER (crc32 of each
+    // term), so the index scan must carry it as PartitionFilters —
+    // planned pruning, not a runtime filter — and read at most
+    // |distinct terms| of the 64 bucket directories. A missing
+    // partition filter here means the probe reads the whole index,
+    // which at corpus scale is the difference between ms and minutes.
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val idx = Files.createTempDirectory("graft-postings-plan").toString
+    graft.operators.Search.buildPostingIndex(docs, idx)
+    // a phrase with hits at this SF — zero hits would let AQE collapse
+    // the final plan to EmptyRelation and hide the scan being gated
+    val df = graft.operators.Search.phraseMatchIndexed(
+      spark, idx, Seq("order", "fast"))
+    assert(df.collect().nonEmpty) // collect THIS df: its metrics below
+    val p = plan(df)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.exists(l => l.contains("tb") && l.contains("IN")),
+      "no static tb partition filter on the index scan:\n" + p.take(3000))
+    val expected = Seq("order", "fast")
+      .map(graft.operators.Search.termBucket(_, 64)).distinct.size
+    // the executed scans' partitions-read metric: each index scan must
+    // touch at most |distinct term buckets| directories (inputFiles
+    // can't be used here — it lists the relation pre-pruning)
+    // collect() won't cross AQE stage boundaries — walk them manually
+    def allNodes(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        n +: allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        n +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, p.take(2000))
+    for (s <- scans; m <- s.metrics.get("numPartitions"))
+      assert(m.value <= expected,
+        s"index scan read ${m.value} bucket dirs, phrase needs <= $expected")
+  }
 }
