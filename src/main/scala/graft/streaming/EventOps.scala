@@ -159,6 +159,64 @@ object EventOps {
     spark.table(queryName)
   }
 
+  /** One event for the stateful transition tracker. */
+  case class TrEv(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
+
+  /** Transition-tracker state: the user's LAST seen event. */
+  case class TrState(tsNs: Long, eventId: Long, eventType: String)
+
+  /** One emitted first-order transition. */
+  case class Transition(user_id: Long, prev_type: String, event_type: String)
+
+  /**
+   * Stateful streaming twin of the batch transition matrix
+   * (SparkEntry `ev_transitions`): per-user state carries only the
+   * LAST event (one tiny record per user — bounded regardless of
+   * stream length); each arriving event emits its (prev -> current)
+   * pair immediately. Unlike the sessionizer there is no open tail to
+   * truncate: every transition is complete the moment its second event
+   * arrives, so on a finite drain the emitted multiset equals the
+   * batch window-lag result EXACTLY (spec-pinned). Events inside a
+   * micro-batch sort by (ts_ns, event_id) — the batch twin's window
+   * order — before folding against the state.
+   */
+  def transitionsStream(spark: SparkSession, dir: String,
+                        queryName: String = "graft_transitions"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val schema = eventStreamSchema(spark, dir, Some("events.parquet"))
+    val events = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_ns", tsNs(schema))
+      .selectExpr("user_id", "ts_ns", "event_id", "event_type")
+      .as[TrEv]
+    val transitions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+        val sorted = evs.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+        var st = state.getOption.orNull
+        val out = scala.collection.mutable.ListBuffer.empty[Transition]
+        for (e <- sorted) {
+          if (st != null) out += Transition(uid, st.eventType, e.event_type)
+          st = TrState(e.ts_ns, e.event_id, e.event_type)
+        }
+        if (st != null) state.update(st)
+        out.iterator
+      }
+    val q = transitions.toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Interval-join window: clicks within this many seconds BEFORE an
     * error are attributed to it. */
   val JoinWindowSeconds = 600L

@@ -1619,6 +1619,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("stateful streaming transitions equal the batch window-lag matrix exactly") {
+    // no open-tail truncation here (unlike sessions): every transition
+    // completes when its second event arrives, so the drained stream
+    // must reproduce the batch transition counts verbatim
+    val streamed = EventOps.transitionsStream(spark, dir, "graft_transitions_spec")
+      .groupBy("prev_type", "event_type").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = SparkEntry.queries("ev_transitions")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("indexed phrase search == scan phrase search; bucket hash write/query-identical") {
     import spark.implicits._
     import graft.operators.Search
