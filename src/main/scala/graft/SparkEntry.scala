@@ -1718,6 +1718,45 @@ object SparkEntry {
       Curation.prioritySample(Tables.load(s, dir, "documents"), 50)
         .select(col("doc_id"), col("n_chars"), col("pri"))),
 
+    // generalized N-step funnel (EventOps.funnel): four stages within
+    // 2 h each — one row per step with the surviving-user count
+    "ev_funnel_steps" -> ((s, dir) =>
+      EventOps.funnel(Tables.events(s, dir),
+          Seq("signup", "view", "click", "purchase"), 2L * 3600L * 1000000000L)
+        .orderBy("step_idx")),
+
+    // equi-DEPTH histogram (the planner-statistics shape, vs
+    // q_histogram's equi-width): 8 exact bucket boundaries from ONE
+    // batched bracket pass (Sketch.exactQuantiles), then one
+    // conditional-sum scan for the cumulative counts — two passes
+    // total, boundaries are actual data values, everything else integer
+    "q_equidepth" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val ps = (1 to 8).map(_ / 8.0)
+      val bounds = Sketch.exactQuantiles(o, "o_totalprice", ps).map(_.get)
+      val cums = bounds.zipWithIndex.map { case (b, i) =>
+        sum(when(col("o_totalprice") <= b, 1L).otherwise(0L)).as(s"c$i")
+      }
+      o.agg(cums.head, cums.tail: _*)
+        .select(expr(s"stack(8, ${(0 until 8).map(i =>
+          s"${i + 1}, ${bounds(i)}d, c$i").mkString(", ")}) AS (bucket, hi, n_le)"))
+        .orderBy("bucket")
+    }),
+
+    // robust hourly outliers: median/MAD flags (Sketch.madOutliers) —
+    // the 50%-breakdown complement to ev_anomaly's mean/stddev z-score
+    // (which one huge spike can mask); all-integer-valued doubles, so
+    // the flag set is cross-engine exact
+    "ev_outliers_mad" -> ((s, dir) => {
+      val hour = 3600L * 1000000000L
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns div $hour").as("hour_epoch"))
+        .agg(count(lit(1)).as("n"))
+      Sketch.madOutliers(h, Seq("event_type"), "n", 3.0)
+        .select("event_type", "hour_epoch", "n", "med", "mad")
+        .orderBy("event_type", "hour_epoch")
+    }),
+
     // conversion latency: first view -> first subsequent purchase per
     // user, exact per-cohort median via the bracketed two-pass rank
     // select (one row per user after the min-aggregations — the
@@ -3334,6 +3373,66 @@ object SparkEntry {
            |    // CAST(n_chars AS BIGINT) AS pri
            |FROM documents WHERE n_chars > 0
            |ORDER BY pri, doc_id LIMIT 50""".stripMargin,
+
+      "ev_funnel_steps" ->
+        s"""WITH ev AS (SELECT user_id, event_type,
+           |              CAST(epoch_ns(ts) AS BIGINT) AS ts_ns FROM events),
+           |s0 AS (SELECT user_id, min(ts_ns) AS ts FROM ev
+           |       WHERE event_type = 'signup' GROUP BY user_id),
+           |s1 AS (SELECT e.user_id, min(e.ts_ns) AS ts
+           |       FROM ev e JOIN s0 ON e.user_id = s0.user_id
+           |       WHERE e.event_type = 'view'
+           |         AND e.ts_ns > s0.ts AND e.ts_ns <= s0.ts + 7200000000000
+           |       GROUP BY e.user_id),
+           |s2 AS (SELECT e.user_id, min(e.ts_ns) AS ts
+           |       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           |       WHERE e.event_type = 'click'
+           |         AND e.ts_ns > s1.ts AND e.ts_ns <= s1.ts + 7200000000000
+           |       GROUP BY e.user_id),
+           |s3 AS (SELECT e.user_id, min(e.ts_ns) AS ts
+           |       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           |       WHERE e.event_type = 'purchase'
+           |         AND e.ts_ns > s2.ts AND e.ts_ns <= s2.ts + 7200000000000
+           |       GROUP BY e.user_id)
+           |SELECT 0 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s0) AS n_users
+           |UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+           |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+           |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+           |ORDER BY step_idx""".stripMargin,
+
+      "q_equidepth" ->
+        s"""WITH v AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+           |n AS (SELECT count(*) AS n FROM v),
+           |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+           |b AS (SELECT CAST(i AS INT) AS bucket,
+           |        (SELECT v FROM r, n WHERE rn = CAST(ceil(i / 8.0 * n.n) AS BIGINT)) AS hi
+           |      FROM (SELECT unnest(generate_series(1, 8)) AS i))
+           |SELECT bucket, hi,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM v WHERE v.v <= b.hi) AS n_le
+           |FROM b ORDER BY bucket""".stripMargin,
+
+      "ev_outliers_mad" ->
+        s"""WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_epoch,
+           |             CAST(count(*) AS BIGINT) AS n
+           |           FROM events GROUP BY 1, 2),
+           |nn AS (SELECT event_type, count(*) AS cnt FROM h GROUP BY 1),
+           |r1 AS (SELECT event_type, n,
+           |         row_number() OVER (PARTITION BY event_type ORDER BY n) AS rn FROM h),
+           |md AS (SELECT r1.event_type, CAST(r1.n AS DOUBLE) AS med
+           |       FROM r1 JOIN nn USING (event_type)
+           |       WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)),
+           |d AS (SELECT h.event_type, hour_epoch, h.n, med,
+           |        abs(CAST(h.n AS DOUBLE) - med) AS dev
+           |      FROM h JOIN md USING (event_type)),
+           |r2 AS (SELECT event_type, dev,
+           |         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn FROM d),
+           |ma AS (SELECT r2.event_type, dev AS madv
+           |       FROM r2 JOIN nn USING (event_type)
+           |       WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT))
+           |SELECT d.event_type, d.hour_epoch, d.n, d.med, ma.madv AS mad
+           |FROM d JOIN ma USING (event_type)
+           |WHERE d.dev > 3 * ma.madv
+           |ORDER BY 1, 2""".stripMargin,
 
       "ev_latency" ->
         s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

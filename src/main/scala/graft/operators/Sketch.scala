@@ -244,4 +244,35 @@ object Sketch {
       .where(col("__rn") === col("__k"))
       .select((g :+ col("__v").as("q")): _*)
   }
+
+  /**
+   * Robust per-group outliers via MEDIAN ABSOLUTE DEVIATION: flag rows
+   * where |v - median_g(v)| > k * median_g(|v - median_g(v)|). The
+   * mean/stddev z-score (EventOps.anomalousHours) moves WITH the
+   * outliers it is hunting — one huge spike inflates sigma and masks
+   * the rest (masking); the median/MAD pair has a 50% breakdown point,
+   * the textbook robust alternative.
+   *
+   * Both medians are EXACT ([[groupQuantile]]'s bracketed two-pass rank
+   * select — the rank-ceil(n/2) element, an actual data value). On an
+   * integral `valueCol` every quantity here is an integer-valued
+   * double, so the flag set is bit-identical across engines. The two
+   * median tables are group-sized and broadcast back; the data makes
+   * two quantile passes and two broadcast joins, nothing else.
+   *
+   * Returns the flagged rows: groupCols..., input columns, plus
+   * `med`, `mad`, `dev`.
+   */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0.0, s"graft: k $k must be positive")
+    val med = groupQuantile(df, groupCols, valueCol, 0.5)
+      .withColumnRenamed("q", "med")
+    val d = df.join(broadcast(med), groupCols)
+      .withColumn("dev", abs(col(valueCol).cast("double") - col("med")))
+    val mad = groupQuantile(d, groupCols, "dev", 0.5)
+      .withColumnRenamed("q", "mad")
+    d.join(broadcast(mad), groupCols)
+      .where(col("dev") > lit(k) * col("mad"))
+  }
 }

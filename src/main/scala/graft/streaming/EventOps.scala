@@ -159,6 +159,46 @@ object EventOps {
     spark.table(queryName)
   }
 
+  /**
+   * Generalized N-step funnel: users progressing through `steps` in
+   * order, each step within `withinNs` of the previous step's
+   * timestamp (strictly after it). Returns one row per step:
+   * (step_idx, step, n_users) — the classic conversion funnel with an
+   * arbitrary step list instead of the fixed three-stage
+   * view->click->purchase (`ev_funnel`, which this generalizes:
+   * spec-pinned equal on that step list).
+   *
+   * Semantics per stage (the deterministic "first qualifying event"
+   * rule, same as the 3-stage row): stage 0 anchors at each user's
+   * MIN event of steps(0); stage i keeps users with an event of
+   * steps(i) in (prev_ts, prev_ts + withinNs], anchored at the MIN
+   * such event. Each stage is one equi-join on user_id + one
+   * map-side-combinable min-agg; the qualifying-user frame shrinks
+   * monotonically down the funnel, so later joins broadcast when the
+   * funnel narrows. K stages = K linear passes — never a per-user
+   * event-sequence collect.
+   */
+  def funnel(events: DataFrame, steps: Seq[String], withinNs: Long): DataFrame = {
+    require(steps.nonEmpty, "graft: funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "graft: repeated step types are ambiguous under the min-anchor rule")
+    require(withinNs > 0, s"graft: withinNs $withinNs must be positive")
+    val stages = steps.tail.zipWithIndex.scanLeft(
+      events.where(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("ts_ns")).as("ts"))) {
+      case (prev, (st, _)) =>
+        events.where(col("event_type") === st)
+          .join(prev.select(col("user_id"), col("ts").as("prev_ts")), "user_id")
+          .where(col("ts_ns") > col("prev_ts") &&
+            col("ts_ns") <= col("prev_ts") + withinNs)
+          .groupBy("user_id").agg(min(col("ts_ns")).as("ts"))
+    }
+    stages.zip(steps).zipWithIndex.map { case ((stage, st), i) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(st).as("step"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** One event for the stateful transition tracker. */
   case class TrEv(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
 

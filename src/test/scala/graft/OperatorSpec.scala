@@ -1619,6 +1619,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("MAD outliers: exact median/MAD, flags what a 3-sigma z-score masks") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    // 1..9 plus a 1000 spike: med = 5, devs sorted
+    // [0,1,1,2,2,3,3,4,4,995] -> mad = 2; only the spike exceeds 3*mad.
+    // The same spike inflates stddev to ~314, so its z-score is ~2.85 —
+    // BELOW a 3-sigma gate: the masking failure MAD exists to avoid.
+    val df = ((1 to 9).map(v => ("g", v.toLong)) :+ (("g", 1000L))).toDF("g", "v")
+    val got = Sketch.madOutliers(df, Seq("g"), "v", 3.0)
+      .select("v", "med", "mad").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1000L, 5.0, 2.0)), got.mkString(", "))
+    val (mean, sd) = {
+      val vs = (1 to 9).map(_.toDouble) :+ 1000.0
+      val m = vs.sum / vs.size
+      (m, math.sqrt(vs.map(x => (x - m) * (x - m)).sum / vs.size))
+    }
+    assert((1000.0 - mean) / sd < 3.0, "fixture no longer demonstrates masking")
+    intercept[IllegalArgumentException](Sketch.madOutliers(df, Seq("g"), "v", 0.0))
+  }
+
+  test("generalized funnel reproduces the fixed 3-stage funnel; guards fire") {
+    val ev = Tables.events(spark, dir)
+    val gen = EventOps.funnel(ev, Seq("view", "click", "purchase"),
+        3600L * 1000000000L)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    val old = SparkEntry.queries("ev_funnel")(spark, dir).collect().head
+    assert(gen(0) == old.getAs[Long]("n_view"), gen.toString)
+    assert(gen(1) == old.getAs[Long]("n_view_click"), gen.toString)
+    assert(gen(2) == old.getAs[Long]("n_funnel"), gen.toString)
+    intercept[IllegalArgumentException](EventOps.funnel(ev, Nil, 1L))
+    intercept[IllegalArgumentException](
+      EventOps.funnel(ev, Seq("view", "view"), 1L))
+    intercept[IllegalArgumentException](
+      EventOps.funnel(ev, Seq("view"), 0L))
+  }
+
   test("stateful streaming transitions equal the batch window-lag matrix exactly") {
     // no open-tail truncation here (unlike sessions): every transition
     // completes when its second event arrives, so the drained stream
