@@ -1725,6 +1725,56 @@ object SparkEntry {
           Seq("signup", "view", "click", "purchase"), 2L * 3600L * 1000000000L)
         .orderBy("step_idx")),
 
+    // hourly trending: top-2 event types per hour by count — the
+    // rank-filter shape that must plan as WindowGroupLimit (bounded
+    // per-hour heaps), never a full sort of the hourly matrix
+    "ev_trending" -> ((s, dir) => {
+      val hour = 3600L * 1000000000L
+      val h = Tables.events(s, dir)
+        .groupBy(expr(s"ts_ns div $hour").as("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("hour_epoch"))
+        .orderBy(desc("n"), col("event_type"))
+      h.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 2)
+        .select("hour_epoch", "rnk", "event_type", "n")
+        .orderBy("hour_epoch", "rnk")
+    }),
+
+    // embedding-drift monitor: per-language cosine between the integer
+    // centroids of two deterministic cohorts (even/odd vec_id). Each
+    // element is floor(x * 1e6) — integer-valued doubles whose vector
+    // sums are EXACT and order-free (< 2^53), so the centroid is
+    // engine-independent; the final cosine folds sequentially in array
+    // order on both engines (the list_sum contract every knn row
+    // already pins). Drift reported as floor(cos * 1e6) ppm.
+    "vec_drift" -> ((s, dir) => {
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      import org.apache.spark.ml.stat.Summarizer
+      val emb = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val j = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .withColumn("era", when(col("vec_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+        .select(col("lang"), col("era"), array_to_vector(
+          transform(col("embedding"), x => floor(x.cast("double") * lit(1000000.0)))
+            .cast("array<double>")).as("iv"))
+      val cent = j.groupBy("lang", "era")
+        .agg(Summarizer.sum(col("iv")).as("sv"), count(lit(1)).as("n"))
+        .select(col("lang"), col("era"), vector_to_array(col("sv")).as("c"), col("n"))
+      val a = cent.where(col("era") === "a")
+        .select(col("lang"), col("c").as("ca"), col("n").as("n_a"))
+      val b = cent.where(col("era") === "b")
+        .select(col("lang"), col("c").as("cb"), col("n").as("n_b"))
+      def sdot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      a.join(b, "lang")
+        .select(col("lang"), col("n_a"), col("n_b"),
+          floor(sdot(col("ca"), col("cb")) /
+            (sqrt(sdot(col("ca"), col("ca"))) * sqrt(sdot(col("cb"), col("cb"))))
+            * lit(1000000.0)).cast("long").as("drift_ppm"))
+        .orderBy("lang")
+    }),
+
     // equi-DEPTH histogram (the planner-statistics shape, vs
     // q_histogram's equi-width): 8 exact bucket boundaries from ONE
     // batched bracket pass (Sketch.exactQuantiles), then one
@@ -3399,6 +3449,35 @@ object SparkEntry {
            |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
            |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
            |ORDER BY step_idx""".stripMargin,
+
+      "ev_trending" ->
+        s"""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_epoch, event_type,
+           |             CAST(count(*) AS BIGINT) AS n
+           |           FROM events GROUP BY 1, 2)
+           |SELECT hour_epoch, rnk, event_type, n FROM (
+           |  SELECT hour_epoch, event_type, n,
+           |    CAST(row_number() OVER (PARTITION BY hour_epoch
+           |      ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+           |  FROM h)
+           |WHERE rnk <= 2 ORDER BY hour_epoch, rnk""".stripMargin,
+
+      "vec_drift" ->
+        s"""WITH e AS (SELECT v.vec_id, d.lang,
+           |             CASE WHEN v.vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS era,
+           |             v.embedding
+           |           FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
+           |x AS (SELECT lang, era, g.i AS i,
+           |        sum(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000)) AS s
+           |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+           |      GROUP BY 1, 2, 3),
+           |c AS (SELECT lang, era, list(s ORDER BY i) AS cv FROM x GROUP BY 1, 2),
+           |n AS (SELECT lang, era, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2)
+           |SELECT a.lang, na.n AS n_a, nb.n AS n_b,
+           |  CAST(floor(${OracleSql.cosine("a.cv", "b.cv")} * 1000000) AS BIGINT) AS drift_ppm
+           |FROM c a JOIN c b ON a.lang = b.lang AND a.era = 'a' AND b.era = 'b'
+           |JOIN n na ON na.lang = a.lang AND na.era = 'a'
+           |JOIN n nb ON nb.lang = a.lang AND nb.era = 'b'
+           |ORDER BY a.lang""".stripMargin,
 
       "q_equidepth" ->
         s"""WITH v AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),

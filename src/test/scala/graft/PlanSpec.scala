@@ -668,6 +668,11 @@ class PlanSpec extends AnyFunSuite {
       wn.take(2000))
     val sc = plan(SparkEntry.queries("text_split_clustered")(spark, dir))
     assert(!sc.contains("CartesianProduct"), sc.take(2000))
+    // trending: the rank<=2 filter must push into the window as
+    // WindowGroupLimit (bounded per-hour heaps before the exchange),
+    // not rank-everything-then-filter
+    val tr = plan(SparkEntry.queries("ev_trending")(spark, dir))
+    assert(tr.contains("WindowGroupLimit"), tr.take(2000))
   }
 
   test("posting-index probe: STATIC tb partition pruning, corpus never scanned") {
