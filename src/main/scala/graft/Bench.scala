@@ -142,7 +142,12 @@ object Bench {
     // (ev_latency stays sf0.1-only: one row per user reaches the
     // quantile pass; text_split_clustered too: its cost is the minhash
     // pipeline already benched via dedup_clusters_stars)
-    "text_quality_norm")
+    "text_quality_norm",
+    // r12: salted join over the profiled hot keys — replication volume
+    // (|hot| * nSalts on the small side) and the hot reducer's divided
+    // partition are the volume effects; the profile itself rides along
+    // as the bounded hot-key collect inside the query
+    "q_salted_join")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Multimodal, Packing, Pca, RangeJoin, Search, SimilaritySearch, Sketch, TextAnalysis, TopK}
+import graft.operators.{AsOfJoin, Bucketing, Curation, Dedup, Graph, Multimodal, Packing, Pca, RangeJoin, Search, SimilaritySearch, Sketch, TextAnalysis, TopK}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1856,6 +1856,34 @@ object SparkEntry {
           count_distinct(col("grp")).as("n_groups"),
           sum(when(col("grp") =!= col("doc_id"), 1L).otherwise(0L)).as("n_regrouped"))
         .orderBy("split")
+    }),
+
+    // key-skew profile of the event-type spectrum: exact counts + the
+    // two integer skew measures (Sketch.skewProfile) — the diagnostic
+    // that decides broadcast / salt / plain-shuffle for a join key
+    "q_skew_profile" -> ((s, dir) =>
+      Sketch.skewProfile(Tables.events(s, dir), "event_type", 10)),
+
+    // profile -> salt -> join, end to end: hot event types from the
+    // skew profile (bounded collect, <= 4 keys) fan the large side over
+    // 8 salts; the joined result must be value-identical to the plain
+    // equi-join the oracle runs (the salt never reaches the output).
+    // Integer cents keep the sum exact on both engines.
+    "q_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hot = Sketch.skewProfile(ev, "event_type", 4)
+        .where(col("skew_x1000") >= 1000)
+        .collect().map(_.getString(0)).toSeq
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"))
+        .withColumnRenamed("event_type", "et")
+      Bucketing.saltedJoin(
+          ev.select(col("event_type"), col("user_id"), col("value")),
+          dim, "event_type", "et", hot, 8, "user_id")
+        .groupBy(col("event_type"), col("n_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("event_type")
     })
   )
 
@@ -3568,7 +3596,29 @@ object SparkEntry {
            |       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
            |       CAST(sum(CASE WHEN grp <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_regrouped
            |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
-      }
+      },
+
+      // integer skew measures over exact long counts — `div` == `//`
+      // here (all operands positive)
+      "q_skew_profile" ->
+        s"""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           |           FROM events GROUP BY 1),
+           |s AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+           |SELECT c.event_type, c.n, s.n_rows, s.n_keys,
+           |       (c.n * 1000000) // s.n_rows AS share_ppm,
+           |       (c.n * s.n_keys * 1000) // s.n_rows AS skew_x1000
+           |FROM c, s ORDER BY c.n DESC, c.event_type LIMIT 10""".stripMargin,
+
+      // the salted join's ground truth is the PLAIN equi-join — the
+      // salt is an execution detail that must not change a single row
+      "q_salted_join" ->
+        s"""WITH d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+           |           FROM events GROUP BY 1)
+           |SELECT e.event_type, d.n_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+           |FROM events e JOIN d ON e.event_type = d.event_type
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin
     )
   }
 

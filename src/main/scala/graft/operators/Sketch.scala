@@ -275,4 +275,44 @@ object Sketch {
     d.join(broadcast(mad), groupCols)
       .where(col("dev") > lit(k) * col("mad"))
   }
+
+  /**
+   * Key-SKEW profile: the diagnostic a 100 TB pipeline runs before
+   * deciding how to join on a key — the top-`topK` heaviest keys with
+   * their exact counts and two integer skew measures:
+   *
+   *  - `share_ppm`  = n * 1e6 div n_rows — the key's share of all rows
+   *  - `skew_x1000` = n * n_keys * 1000 div n_rows — the key's count
+   *    relative to a perfectly uniform key (1000 = uniform); this is
+   *    the replication factor a salted join of this key needs
+   *
+   * Both are integer divisions of exact longs, so the profile is
+   * bit-identical on any engine. The shape: one map-side-combinable
+   * `groupBy(key).count()` (the exchange carries distinct keys, not
+   * rows), pinned with a lazy localCheckpoint because two consumers
+   * read it (the 1-row global stats and the top-k heap); the top-k is
+   * a TakeOrderedAndProject (per-partition heaps + driver merge of
+   * k·P candidates), never a global sort of the key spectrum. NULL
+   * keys are profiled as their own group — at 100 TB a null-heavy key
+   * column is precisely the skew you need to see.
+   *
+   * Feed the result's keys straight into [[Bucketing.saltedJoin]]'s
+   * `hotKeys` (a key qualifies when `skew_x1000` is large and `n` is
+   * bigger than a broadcast would tolerate).
+   *
+   * Caveat: `n * n_keys` must fit a long — true until a single key
+   * holds ~2^63 / n_keys rows, far past any profiled table.
+   */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK > 0 && topK <= 100000, s"graft: topK $topK outside (0, 1e5]")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val stats = counts.agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(keyCol), col("n"), col("n_rows"), col("n_keys"),
+        expr("n * 1000000 div n_rows").as("share_ppm"),
+        expr("n * n_keys * 1000 div n_rows").as("skew_x1000"))
+      .orderBy(desc("n"), col(keyCol))
+      .limit(topK)
+  }
 }

@@ -1732,6 +1732,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(leaky > 0, "fixture too small to demonstrate the leak")
   }
 
+  test("skew profile: exact counts, integer measures, null group, top-k order") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    // a=6, b=3, null=2, c=1 -> n_rows=12, n_keys=4
+    val df = (Seq.fill(6)(Option("a")) ++ Seq.fill(3)(Option("b")) ++
+      Seq.fill(2)(Option.empty[String]) ++ Seq(Option("c"))).toDF("k")
+    val p = Sketch.skewProfile(df, "k", 3).collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(p.toSeq == Seq(
+      (Some("a"), 6L, 12L, 4L, 500000L, 2000L),
+      (Some("b"), 3L, 12L, 4L, 250000L, 1000L),
+      (None, 2L, 12L, 4L, 166666L, 666L)))
+    val e = intercept[IllegalArgumentException](Sketch.skewProfile(df, "k", 0))
+    assert(e.getMessage.contains("topK"), e.getMessage)
+  }
+
+  test("salted join == plain equi-join; hot key spreads over salts; guards") {
+    import spark.implicits._
+    import graft.operators.Bucketing
+    // one hot key holding 250 of 300 rows + 7 cold keys
+    val large = (1L to 300L)
+      .map(i => (if (i <= 250) "hot" else s"cold${i % 7}", i)).toDF("k", "id")
+    val small = (Seq("hot" -> 10L) ++ (0 to 6).map(i => s"cold$i" -> (20L + i)))
+      .toDF("kk", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select("k", "id", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val salted = rows(Bucketing.saltedJoin(large, small, "k", "kk",
+      Seq("hot"), 4, "id"))
+    val plain = rows(large.join(small, col("k") === col("kk")))
+    assert(salted == plain && plain.size == 300)
+    // the salt expression actually spreads the hot rows (all 4 salts hit),
+    // i.e. the hot reducer's volume really divides by nSalts
+    val spread = large.where(col("k") === "hot")
+      .select(pmod(xxhash64(col("id")), lit(4L)).as("s")).distinct().count()
+    assert(spread == 4L)
+    val e1 = intercept[IllegalArgumentException](
+      Bucketing.saltedJoin(large, small, "k", "kk", Seq("hot"), 1, "id"))
+    assert(e1.getMessage.contains("nSalts"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Bucketing.saltedJoin(large, small, "k", "kk", Nil, 4, "id"))
+    assert(e2.getMessage.contains("hotKeys"), e2.getMessage)
+  }
+
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -675,6 +675,22 @@ class PlanSpec extends AnyFunSuite {
     assert(tr.contains("WindowGroupLimit"), tr.take(2000))
   }
 
+  test("skew profile + salted join: top-k heap, equi-join with salt, no cartesian") {
+    // the profile's top-k is a TakeOrderedAndProject (per-partition
+    // heaps), never a global sort of the key spectrum; its 1-row stats
+    // table rides a broadcast
+    val sp = plan(SparkEntry.queries("q_skew_profile")(spark, dir))
+    assert(sp.contains("TakeOrderedAndProject"), sp.take(2000))
+    assert(!sp.contains("CartesianProduct"), sp.take(2000))
+    // the salted join must STAY an equi-join — salting rewrites the
+    // key, it must never demote the join to a nested loop; the salt
+    // column has to be a join key (it appears in the join condition)
+    val sj = SparkEntry.queries("q_salted_join")(spark, dir)
+    val pj = plan(sj)
+    assert(!pj.contains("CartesianProduct"), pj.take(2000))
+    assert(pj.contains("__graft_salt"), pj.take(2000))
+  }
+
   test("posting-index probe: STATIC tb partition pruning, corpus never scanned") {
     // the phrase resolves to a tb IN-list on the DRIVER (crc32 of each
     // term), so the index scan must carry it as PartitionFilters —
