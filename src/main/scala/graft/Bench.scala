@@ -711,7 +711,7 @@ object Bench {
           || new java.io.File(sfDir).getName != "sf0.1") "{}"
       else try {
         val spark = session()
-        try graft.tools.ScaleCheck.pcaAtRefDims(spark)
+        try graft.tools.RefWidthCheck.pcaAtRefDims(spark)
         finally spark.stop()
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] pca scale check failed: $e")
@@ -725,7 +725,7 @@ object Bench {
           || new java.io.File(sfDir).getName != "sf0.1") "{}"
       else try {
         val spark = session()
-        try graft.tools.ScaleCheck.fuzzyAtVocabScale(spark)
+        try graft.tools.RefWidthCheck.fuzzyAtVocabScale(spark)
         finally spark.stop()
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] fuzzy scale check failed: $e")

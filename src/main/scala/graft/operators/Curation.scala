@@ -332,22 +332,6 @@ object Curation {
   }
 
   /**
-   * Deterministic WEIGHTED sampling without replacement — priority
-   * sampling (Duffield/Lund/Thorup, "Priority sampling for estimation
-   * of arbitrary subset sums", JACM 2007): each row gets priority
-   * `q = u / w` for a uniform u and weight w, and the sample is the k
-   * smallest priorities — inclusion probability rises with weight,
-   * and any subset-sum estimated from the sample is unbiased.
-   *
-   * Everything here is INTEGER so the sample is bit-reproducible on
-   * any engine: u is the first 60 bits of md5(id) (a public,
-   * engine-agnostic uniformizer — Spark/DuckDB built-in hashes don't
-   * match each other), w must be a positive integral column, and
-   * `q = u div w` with (q, id) ties. Returns the k sampled rows with
-   * their priority; the plan is a TakeOrderedAndProject (per-partition
-   * heaps + driver merge of k·P candidates), never a global sort.
-   */
-  /**
    * Per-group WINSORIZATION: clamp `valueCol` to that group's exact
    * [pLo, pHi] quantiles — the standard way to normalize a quality
    * signal whose scale differs by group (per-language quality scores,
@@ -375,6 +359,22 @@ object Curation {
         least(greatest(col(valueCol).cast("double"), col("qlo")), col("qhi")))
   }
 
+  /**
+   * Deterministic WEIGHTED sampling without replacement — priority
+   * sampling (Duffield/Lund/Thorup, "Priority sampling for estimation
+   * of arbitrary subset sums", JACM 2007): each row gets priority
+   * `q = u / w` for a uniform u and weight w, and the sample is the k
+   * smallest priorities — inclusion probability rises with weight,
+   * and any subset-sum estimated from the sample is unbiased.
+   *
+   * Everything here is INTEGER so the sample is bit-reproducible on
+   * any engine: u is the first 60 bits of md5(id) (a public,
+   * engine-agnostic uniformizer — Spark/DuckDB built-in hashes don't
+   * match each other), w must be a positive integral column, and
+   * `q = u div w` with (q, id) ties. Returns the k sampled rows with
+   * their priority; the plan is a TakeOrderedAndProject (per-partition
+   * heaps + driver merge of k·P candidates), never a global sort.
+   */
   def prioritySample(df: DataFrame, k: Int,
                      idCol: String = "doc_id",
                      weightCol: String = "n_chars"): DataFrame = {

@@ -23,7 +23,7 @@ import graft.operators.Pca
  * carry 1536-d vectors and the check's subject is the ENGINE path, not
  * the data.
  */
-object ScaleCheck {
+object RefWidthCheck {
 
   val D = 1536
   val K = 500
