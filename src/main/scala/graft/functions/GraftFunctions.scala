@@ -35,7 +35,8 @@ object GraftFunctions {
       "graft_cms_estimate" -> (e => CmsEstimateExpr(e(0), e(1))),
       "graft_max_cosine" -> (e => MaxCosineExpr(e(0), e(1), e(2))),
       "graft_bloom_contains" -> (e => BloomContainsExpr(e(0), e(1))),
-      "graft_del_variants" -> (e => DeletionVariants(e(0), e(1)))
+      "graft_del_variants" -> (e => DeletionVariants(e(0), e(1))),
+      "graft_pairs" -> (e => SortedPairs(e(0)))
     )
 
   /** Register all graft functions + optimizer rules on the session
@@ -98,6 +99,10 @@ object GraftFunctions {
   /** FastSS deletion-neighborhood blocking keys of `key` (d in {1,2}). */
   def delVariants(key: Column, d: Int): Column =
     call_function("graft_del_variants", key, lit(d))
+
+  /** All index-ordered (i < j) pairs of a long-array column as
+    * array<struct<a,b>> — see [[SortedPairs]]. */
+  def pairs(items: Column): Column = call_function("graft_pairs", items)
 }
 
 /**

@@ -380,4 +380,31 @@ class KernelSpec extends AnyFunSuite {
       spark.sql("SELECT graft_del_variants(k, length(k)) FROM fuzzy_guard").collect())
     assert(nonlit.getMessage.contains("int literal"), nonlit.getMessage)
   }
+
+  test("pair kernel == retired HOF form (index-ordered pairs, empty/singleton, guards)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, (0 until rnd.nextInt(8)).map(_ => rnd.nextLong() % 1000).toArray)
+    }
+    val df = rows.toDF("id", "items")
+    df.createOrReplaceTempView("pair_kernel_t")
+    val hof = df.selectExpr("id",
+      "flatten(transform(items, (x, i) -> " +
+        "transform(slice(items, i + 2, size(items)), y -> struct(x AS a, y AS b)))) AS ps")
+    val kern = spark.sql("SELECT id, graft_pairs(items) AS ps FROM pair_kernel_t")
+    val h = hof.orderBy("id").collect().map(_.toString)
+    val k = kern.orderBy("id").collect().map(_.toString)
+    assert(h.sameElements(k), s"${h.take(3).mkString} vs ${k.take(3).mkString}")
+    // counts: n*(n-1)/2, including n in {0, 1}
+    for ((id, items) <- rows) {
+      val n = items.length
+      val got = kern.where($"id" === id).selectExpr("size(ps)").head().getInt(0)
+      assert(got == n * (n - 1) / 2, s"id=$id n=$n got=$got")
+    }
+    // analysis guard: non-long arrays rejected
+    val bad = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_pairs(array('a', 'b'))").collect())
+    assert(bad.getMessage.contains("array<bigint>"), bad.getMessage)
+  }
 }

@@ -675,6 +675,27 @@ class PlanSpec extends AnyFunSuite {
     assert(tr.contains("WindowGroupLimit"), tr.take(2000))
   }
 
+  test("q_assoc_rules: one corpus shuffle chain, reused exchanges, broadcast-only joins") {
+    // The r13 single-shuffle rewrite (VERDICT r12 #4): the pair stream
+    // must flow scan -> basket collect_set shuffle -> in-row pair
+    // explode -> one (a,b) agg exchange — never a corpus self-join —
+    // and the basket exchange + item-count broadcast must each
+    // materialize ONCE (runtime ReuseExchange; renaming before the
+    // broadcast silently defeats it, which is what this pins).
+    val df = SparkEntry.queries("q_assoc_rules")(spark, dir)
+    df.collect() // final adaptive plan carries the reuse info
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      "assoc rules regressed to a shuffled/cartesian join:\n" + p.take(3000))
+    assert(p.contains("ReusedExchange"),
+      "no exchange reuse — basket/count subplans diverged:\n" + p.take(3000))
+    // final-plan scans: basket chain + the order-count chain only
+    assert(p.split("isFinalPlan=true")(1).split("== Initial Plan ==").head
+      .linesIterator.count(_.contains("FileScan parquet")) <= 2,
+      "lineitem scanned more than twice in the final plan:\n" + p.take(3000))
+  }
+
   test("skew profile + salted join: top-k heap, equi-join with salt, no cartesian") {
     // the profile's top-k is a TakeOrderedAndProject (per-partition
     // heaps), never a global sort of the key spectrum; its 1-row stats
