@@ -1674,6 +1674,22 @@ object SparkEntry {
       Graph.triangles(pairs).orderBy(desc("tri"), col("node"))
     }),
 
+    // the FULL co-purchase graph (no order sampling) — the real cost
+    // of the operator at each SF. Correctness-gated here like any row;
+    // excluded from the per-round suite totals (Bench `skip`) so the
+    // quarter-sample row stays the cheap feedback loop, and benched
+    // per round as the named `triangles_full` artifact fragment
+    // instead (VERDICT r12 next #3 — the 8.3 s scaladoc claim is now
+    // tracked mechanically).
+    "graph_triangles_full" -> ((s, dir) => {
+      val pp = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = pp.as("x").join(pp.as("y"), col("x.ok") === col("y.ok"))
+        .where(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("d1"), col("y.pk").as("d2"))
+      Graph.triangles(pairs).orderBy(desc("tri"), col("node"))
+    }),
+
     // market-basket association rules over the same co-purchase
     // relation: support (distinct co-orders) >= 2, confidence-free
     // integer counts + single-division lift (exact-int numerator and
@@ -1922,6 +1938,30 @@ object SparkEntry {
         .groupBy(col("event_type"), col("n_type"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("event_type")
+    }),
+
+    // profile -> STRATEGY -> join, with the decision itself under the
+    // hash gate: Bucketing.joinAuto profiles the large side's key and
+    // picks broadcast / salted / plain. Here the per-user activity dim
+    // is forced past the broadcast path (broadcastBytes = 0) and the
+    // hot threshold sits at uniform (1000), which the top key always
+    // meets (max >= mean), so the choice is deterministically
+    // "salted" at every SF — and it rides the output as a literal
+    // column, so a silently flipped decision hash-fails the row. The
+    // values must equal the plain equi-join the oracle runs.
+    "q_auto_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val users = ev.groupBy(col("user_id").as("uid"))
+        .agg(count(lit(1)).as("n_user"))
+      val (joined, choice) = Bucketing.joinAuto(
+        ev.select(col("event_type"), col("user_id")), users,
+        "user_id", "uid", saltSrc = "event_type",
+        broadcastBytes = 0L, hotSkewX1000 = 1000L)
+      joined
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("n_user")).as("weight"))
+        .withColumn("strategy", lit(choice.strategy))
         .orderBy("event_type")
     })
   )
@@ -3438,6 +3478,20 @@ object SparkEntry {
            |  UNION ALL SELECT z FROM t)
            |GROUP BY 1 ORDER BY tri DESC, node""".stripMargin,
 
+      "graph_triangles_full" ->
+        s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |           FROM lineitem),
+           |e AS (SELECT DISTINCT x.pk AS d1, y.pk AS d2
+           |      FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk),
+           |t AS (SELECT e1.d1 AS x, e1.d2 AS y, e2.d2 AS z
+           |      FROM e e1 JOIN e e2 ON e2.d1 = e1.d2
+           |      JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2)
+           |SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+           |  SELECT x AS node FROM t
+           |  UNION ALL SELECT y FROM t
+           |  UNION ALL SELECT z FROM t)
+           |GROUP BY 1 ORDER BY tri DESC, node""".stripMargin,
+
       "q_assoc_rules" ->
         s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
            |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM pp),
@@ -3657,7 +3711,18 @@ object SparkEntry {
            |SELECT e.event_type, d.n_type, CAST(count(*) AS BIGINT) AS n,
            |       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
            |FROM events e JOIN d ON e.event_type = d.event_type
-           |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+      // ground truth for the auto-strategy join is again the PLAIN
+      // equi-join; the strategy literal pins the decision in the hash
+      "q_auto_join" ->
+        s"""WITH u AS (SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n_user
+           |           FROM events GROUP BY 1)
+           |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(u.n_user) AS BIGINT) AS weight,
+           |       'salted' AS strategy
+           |FROM events e JOIN u ON e.user_id = u.uid
+           |GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 

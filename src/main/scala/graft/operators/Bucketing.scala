@@ -84,4 +84,68 @@ object Bucketing {
         l("__graft_salt") === r("__graft_salt_r"))
       .drop("__graft_salt", "__graft_salt_r")
   }
+
+  /** What [[joinAuto]] chose and why — returned alongside the joined
+    * frame so callers and specs assert the physical strategy instead
+    * of trusting it. `smallBytes` is the optimizer's size estimate of
+    * the small side; `hotKeys`/`nSalts` are populated only on the
+    * salted path. */
+  final case class JoinChoice(strategy: String, smallBytes: BigInt,
+                              hotKeys: Seq[Any], nSalts: Int)
+
+  /**
+   * Profile-driven equi-join — the decision helper that turns
+   * [[Sketch.skewProfile]] from a diagnostic into a strategy
+   * (VERDICT r12 next #5). Order of preference:
+   *
+   *  1. **broadcast** when the optimizer's size estimate of `small`
+   *     is within `broadcastBytes` — no shuffle at all; the estimate
+   *     is Catalyst's own (`optimizedPlan.stats`), the same signal
+   *     the auto-broadcast rule uses, so the helper never collects
+   *     the small side to find out.
+   *  2. **salted** when the profile of the large side's key finds hot
+   *     keys at or above `hotSkewX1000` (1000 = a perfectly uniform
+   *     key; the default 4000 = 4x uniform): those keys fan out over
+   *     `ceil(maxSkew/1000)` salts (clamped to [2, nSaltsCap]) via
+   *     [[saltedJoin]]. The profile is ONE map-side-combined pass
+   *     over the large side and the collect is topK rows — metadata,
+   *     never corpus.
+   *  3. **plain** otherwise — the ordinary shuffled equi-join, which
+   *     is correct and optimal when neither side is small nor skewed.
+   *
+   * The three paths are value-identical; only the physical plan
+   * differs (PlanSpec pins one plan shape per path). The returned
+   * [[JoinChoice]] carries the evidence; thread `strategy` into an
+   * output literal when a result should hash-pin the decision.
+   */
+  def joinAuto(large: DataFrame, small: DataFrame,
+               largeKey: String, smallKey: String, saltSrc: String,
+               broadcastBytes: Long = 10L << 20,
+               hotSkewX1000: Long = 4000,
+               topK: Int = 20,
+               nSaltsCap: Int = 64): (DataFrame, JoinChoice) = {
+    require(hotSkewX1000 >= 1000,
+      s"graft: hotSkewX1000 $hotSkewX1000 below uniform (1000) would salt everything")
+    val smallBytes = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (smallBytes <= broadcastBytes) {
+      (large.join(broadcast(small), col(largeKey) === col(smallKey)),
+        JoinChoice("broadcast", smallBytes, Nil, 0))
+    } else {
+      val hot = graft.operators.Sketch.skewProfile(large, largeKey, topK)
+        .where(col("skew_x1000") >= hotSkewX1000)
+        .select(col(largeKey), col("skew_x1000"))
+        .collect()
+      if (hot.nonEmpty) {
+        val keys = hot.map(_.get(0)).toSeq
+        val maxSkew = hot.map(_.getLong(1)).max
+        val nSalts = math.min(nSaltsCap.toLong,
+          math.max(2L, (maxSkew + 999L) / 1000L)).toInt
+        (saltedJoin(large, small, largeKey, smallKey, keys, nSalts, saltSrc),
+          JoinChoice("salted", smallBytes, keys, nSalts))
+      } else {
+        (large.join(small, col(largeKey) === col(smallKey)),
+          JoinChoice("plain", smallBytes, Nil, 0))
+      }
+    }
+  }
 }

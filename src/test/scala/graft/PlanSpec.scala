@@ -712,6 +712,56 @@ class PlanSpec extends AnyFunSuite {
     assert(pj.contains("__graft_salt"), pj.take(2000))
   }
 
+  test("joinAuto: profile picks broadcast / salted / plain, asserted on the plan") {
+    // the r13 decision helper (VERDICT r12 #5): same API call, three
+    // different physical strategies depending on what the profile and
+    // the size estimate actually say — each pinned on the plan, not
+    // just on the returned label.
+    import org.apache.spark.sql.functions._
+    val large = spark.range(0, 20000)
+      .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("src"))
+    val smallUniq = spark.range(0, 20000).select(col("id").as("sk"),
+      (col("id") * 2).as("payload"))
+
+    // 1. tiny dim under the threshold -> broadcast, no profile pass
+    val (bj, bc) = graft.operators.Bucketing.joinAuto(
+      large, smallUniq.limit(100), "k", "sk", "src")
+    assert(bc.strategy == "broadcast" && bc.hotKeys.isEmpty, bc.toString)
+    val bp = plan(bj)
+    assert(bp.contains("BroadcastHashJoin") && !bp.contains("__graft_salt"),
+      bp.take(2000))
+
+    // 2. broadcast ruled out + 90% of rows on key 0 -> salted; the
+    //    salt column must be a join key and replication bounded by the
+    //    profiled skew (90% of 20k rows over ~2k keys => skew huge,
+    //    nSalts capped)
+    val (sj2, sc) = graft.operators.Bucketing.joinAuto(
+      large, smallUniq, "k", "sk", "src", broadcastBytes = 0L)
+    assert(sc.strategy == "salted" && sc.hotKeys.contains(0L) &&
+      sc.nSalts >= 2, sc.toString)
+    val sp2 = plan(sj2)
+    assert(sp2.contains("__graft_salt") && !sp2.contains("CartesianProduct"),
+      sp2.take(2000))
+
+    // 3. broadcast ruled out + uniform key -> plain equi-join: no salt
+    //    machinery, no nested loop
+    val uniform = spark.range(0, 20000)
+      .select((col("id") % 1000).as("k"), col("id").as("src"))
+    val (pjj, pc) = graft.operators.Bucketing.joinAuto(
+      uniform, smallUniq, "k", "sk", "src", broadcastBytes = 0L)
+    assert(pc.strategy == "plain" && pc.hotKeys.isEmpty, pc.toString)
+    val pp = plan(pjj)
+    assert(!pp.contains("__graft_salt") && !pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"), pp.take(2000))
+
+    // value identity: the salted result == the plain join, row for row
+    val plainRows = large.join(smallUniq, col("k") === col("sk"))
+      .groupBy("k").count().orderBy("k").collect()
+    val saltRows = sj2.groupBy("k").count().orderBy("k").collect()
+    assert(plainRows.sameElements(saltRows))
+  }
+
   test("posting-index probe: STATIC tb partition pruning, corpus never scanned") {
     // the phrase resolves to a tb IN-list on the DRIVER (crc32 of each
     // term), so the index scan must carry it as PartitionFilters —
