@@ -330,13 +330,15 @@ object SparkEntry {
       })
   }
 
-  /** A [[graft.operators.Search.buildPostingIndex]] layout over the
-    * fixture documents, built once per (session, dir) — the
-    * text_phrase_indexed row's probe is statically term-bucket-pruned
-    * and must NOT pay (or re-leak a temp dir for) a full index rebuild
-    * per rep: warm reps measure the probe the plan gate proves, and
-    * the one-time build cost is reported separately (BASELINE.md).
-    * Same staleness contract as [[dupPairsCache]]. */
+  /** A TWO-GENERATION [[graft.operators.PostingIndex]] over the
+    * fixture documents (create on the even doc_ids, append the odd
+    * ones — the daily-append lifecycle, not a monolithic rebuild),
+    * built once per (session, dir) — the text_phrase_indexed row's
+    * probe is statically term-bucket-pruned across both generations
+    * and must NOT pay (or re-leak a temp dir for) an index build per
+    * rep: warm reps measure the probe the plan gate proves, and the
+    * one-time build cost is reported separately (BASELINE.md). Same
+    * staleness contract as [[dupPairsCache]]. */
   private val postingIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private def postingIndexPath(s: SparkSession, dir: String): String = {
@@ -344,8 +346,12 @@ object SparkEntry {
     postingIndexCache.computeIfAbsent((s, dir),
       { _ =>
         val path = java.nio.file.Files
-          .createTempDirectory("graft-postings").toString
-        Search.buildPostingIndex(Tables.load(s, dir, "documents"), path)
+          .createTempDirectory("graft-postings").toString + "/idx"
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.PostingIndex.create(
+          docs.where(col("doc_id") % 2 === 0), path)
+        graft.operators.PostingIndex.append(
+          docs.where(col("doc_id") % 2 === 1), path)
         path
       })
   }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental maintenance for the positional posting index
+ * (VERDICT r12 next #6): [[Search.buildPostingIndex]] is rebuild-only,
+ * which at 100 TB means a daily-append corpus re-tokenizes the world
+ * to index one day. This object gives the index the same lifecycle
+ * discipline as the store's dup-graph sidecar (versioned one-rename
+ * commits, lineage in underscore meta files, validate-before-destroy):
+ *
+ * Layout: `path/_postings.json` ({"buckets":B}, written once at
+ * create — the bucket hash is the index's identity and can never
+ * change without a rebuild), then
+ * `path/v<k>/gen=<g>/tb=<b>/part-*.parquet`. `gen` and `tb` are BOTH
+ * Hive-style partition directories, so one `spark.read.parquet(v<k>)`
+ * discovers every generation and the phrase probe's static
+ * `tb IN (...)` filter prunes across all of them at once — an append
+ * never changes the query plan's shape, only adds directories.
+ *
+ * - **append**: tokenize ONLY the new docs, stage under `path/_stage`
+ *   (underscore = invisible to any concurrent reader's file index),
+ *   one rename into `v<k>/gen=<g+1>`. O(batch), never touches
+ *   committed generations.
+ * - **compact**: read every generation of the live version, write one
+ *   merged generation into a staged NEW version root, one rename to
+ *   `v<k+1>`. Readers always resolve the max committed version, so a
+ *   crashed compaction leaves the old version live and a stale stage
+ *   dir that the next writer clears.
+ * - **vacuum**: delete superseded version roots (validate first: the
+ *   live version must exist and be newer).
+ *
+ * Single-writer like the dup graph; readers are lock-free (they only
+ * ever see committed renames). The legacy flat layout written by
+ * [[Search.buildPostingIndex]] (no `_postings.json`) keeps working
+ * everywhere — [[Search.phraseMatchIndexed]] dispatches on the meta
+ * file.
+ */
+object PostingIndex {
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath(path: String) = new Path(s"$path/_postings.json")
+
+  /** True when `path` is a versioned posting index (vs the legacy flat
+    * layout or nothing at all). */
+  def isVersioned(spark: SparkSession, path: String): Boolean =
+    fsOf(spark, path).exists(metaPath(path))
+
+  /** The index's bucket count, from the create-time meta. */
+  def buckets(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    val in = fs.open(metaPath(path))
+    val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    "\"buckets\":([0-9]+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"graft: malformed _postings.json at $path: $s"))
+  }
+
+  private def versionOf(name: String): Option[Int] =
+    if (name.startsWith("v")) name.drop(1).toIntOption else None
+
+  private def liveVersion(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    val vs = fs.listStatus(new Path(path)).toSeq
+      .filter(_.isDirectory).flatMap(s => versionOf(s.getPath.getName))
+    vs.sorted.lastOption.getOrElse(throw new IllegalStateException(
+      s"graft: posting index at $path has no committed version"))
+  }
+
+  private def gensOf(spark: SparkSession, path: String, v: Int): Seq[Int] = {
+    val fs = fsOf(spark, path)
+    fs.listStatus(new Path(s"$path/v$v")).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("gen="))
+      .flatMap(_.drop(4).toIntOption)
+      .sorted
+  }
+
+  private def postings(docs: DataFrame, nBuckets: Int,
+                       idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("tb", (crc32(col("tok").cast("binary")) % nBuckets).cast("int"))
+
+  /** Stage `df` (partitioned by tb) and one-rename it to `dest`.
+    * Clears any stale stage left by a crashed writer first. */
+  private def stageAndCommit(df: DataFrame, path: String, dest: String,
+                             genMeta: String): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    val stage = new Path(s"$path/_stage")
+    fs.delete(stage, true)
+    df.repartition(col("tb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(stage.toString)
+    val out = fs.create(new Path(s"$stage/_gen.json"), true)
+    out.write(genMeta.getBytes("UTF-8")); out.close()
+    val destPath = new Path(dest)
+    fs.mkdirs(destPath.getParent)
+    require(!fs.exists(destPath), s"graft: posting commit target $dest exists")
+    require(fs.rename(stage, destPath),
+      s"graft: posting index commit rename to $dest failed")
+  }
+
+  /** Initialize the index from the current corpus: meta + v0/gen=0. */
+  def create(docs: DataFrame, path: String, nBuckets: Int = 64,
+             idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(nBuckets > 0, s"graft: buckets $nBuckets must be positive")
+    val spark = docs.sparkSession
+    val fs = fsOf(spark, path)
+    require(!fs.exists(metaPath(path)),
+      s"graft: posting index already exists at $path — use append/compact")
+    stageAndCommit(postings(docs, nBuckets, idCol, textCol), path,
+      s"$path/v0/gen=0", s"""{"op":"create"}""")
+    val out = fs.create(metaPath(path), true)
+    out.write(s"""{"buckets":$nBuckets}""".getBytes("UTF-8")); out.close()
+  }
+
+  /** Append NEW docs as one delta generation — O(batch): committed
+    * generations are never read or rewritten. The caller owns doc-id
+    * novelty (same contract as the corpus itself: an id appended twice
+    * would double its postings, exactly as it would double in a
+    * rebuild over a corpus carrying the dup). */
+  def append(docs: DataFrame, path: String,
+             idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val b = buckets(spark, path)
+    val v = liveVersion(spark, path)
+    val g = gensOf(spark, path, v).lastOption.map(_ + 1).getOrElse(0)
+    stageAndCommit(postings(docs, b, idCol, textCol), path,
+      s"$path/v$v/gen=$g", s"""{"op":"append","version":$v,"gen":$g}""")
+  }
+
+  /** Every committed posting of the live version: (doc_id, pos, tok,
+    * tb, gen) — one partition-discovered scan, statically prunable on
+    * tb across all generations. */
+  def scan(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/v${liveVersion(spark, path)}")
+
+  /** Merge all generations of the live version into gen=0 of a NEW
+    * version root (staged, one rename). Old versions stay on disk for
+    * in-flight readers until [[vacuum]]. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val v = liveVersion(spark, path)
+    val gens = gensOf(spark, path, v)
+    val merged = scan(spark, path).select("doc_id", "pos", "tok", "tb")
+    stageAndCommit(merged, path, s"$path/v${v + 1}/gen=0",
+      s"""{"op":"compact","from_version":$v,"merged_gens":${gens.size}}""")
+  }
+
+  /** Delete superseded version roots (validate-before-destroy: the
+    * live version must remain). */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val live = liveVersion(spark, path)
+    fs.listStatus(new Path(path)).toSeq.filter(_.isDirectory)
+      .flatMap(s => versionOf(s.getPath.getName).map(s.getPath -> _))
+      .filter(_._2 < live)
+      .foreach { case (p, _) => fs.delete(p, true) }
+    require(fs.exists(new Path(s"$path/v$live")),
+      s"graft: vacuum invariant broken — live version v$live missing")
+  }
+}

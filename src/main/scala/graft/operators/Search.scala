@@ -206,15 +206,24 @@ object Search {
    * pushed `tok IN` row-group filter inside them. Identical output to
    * the scan-side operator (spec-pinned), different IO class: the
    * corpus is never read at query time.
+   *
+   * Serves both layouts: a versioned [[PostingIndex]] (generations are
+   * just more partition directories under the same static tb filter —
+   * `buckets` comes from the index meta) and the legacy flat
+   * [[buildPostingIndex]] tree (pass its `buckets`).
    */
   def phraseMatchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                          phrase: Seq[String], buckets: Int = 64): DataFrame = {
     require(phrase.nonEmpty, "graft: phrase must have at least one term")
     require(phrase.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
       s"graft: phrase terms must be normalized [a-z0-9]+ tokens, got ${phrase.mkString(" ")}")
+    val versioned = PostingIndex.isVersioned(spark, path)
+    val nBuckets = if (versioned) PostingIndex.buckets(spark, path) else buckets
     val terms = phrase.distinct
-    val tbs = terms.map(termBucket(_, buckets)).distinct
-    val toks = spark.read.parquet(path)
+    val tbs = terms.map(termBucket(_, nBuckets)).distinct
+    val base = if (versioned) PostingIndex.scan(spark, path)
+               else spark.read.parquet(path)
+    val toks = base
       .where(col("tb").isin(tbs: _*))       // static partition pruning
       .where(col("tok").isin(terms: _*))    // pushed row-group filter
     val aligned = phrase.zipWithIndex.map { case (t, i) =>

@@ -1688,6 +1688,50 @@ class OperatorSpec extends AnyFunSuite {
       r.getAs[Int]("tb") == Search.termBucket(r.getString(0), 64)))
   }
 
+  test("incremental posting index == rebuild; compaction/vacuum lifecycle; crash stage ignored") {
+    import graft.operators.{PostingIndex, Search}
+    val docs = Tables.load(spark, dir, "documents")
+    val phrase = Seq("table", "hash") // occurs at sf0.001 (scan-spec-proven)
+    def hits(path: String) =
+      Search.phraseMatchIndexed(spark, path, phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ground truth: a monolithic rebuild over the full corpus
+    val full = java.nio.file.Files.createTempDirectory("graft-pidx-full").toString + "/i"
+    PostingIndex.create(docs, full)
+    val want = hits(full)
+    assert(want.nonEmpty)
+    // incremental: create on 1/3, append the other two thirds in turn
+    val inc = java.nio.file.Files.createTempDirectory("graft-pidx-inc").toString + "/i"
+    PostingIndex.create(docs.where(col("doc_id") % 3 === 0), inc)
+    PostingIndex.append(docs.where(col("doc_id") % 3 === 1), inc)
+    assert(hits(inc) != want) // two thirds indexed: not yet equal
+    PostingIndex.append(docs.where(col("doc_id") % 3 === 2), inc)
+    assert(hits(inc) == want, "three-generation incremental != rebuild")
+    assert(PostingIndex.scan(spark, inc).select("gen").distinct().count() == 3)
+    // a crashed writer's stage dir must be invisible to readers and
+    // cleared by the next committer
+    val fs = new org.apache.hadoop.fs.Path(inc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$inc/_stage/gen=9"))
+    assert(hits(inc) == want, "stale stage dir leaked into the probe")
+    // compaction: one merged generation in a NEW version, same values;
+    // old version stays until vacuum, then only the live one remains
+    PostingIndex.compact(spark, inc)
+    assert(hits(inc) == want, "compaction changed values")
+    assert(PostingIndex.scan(spark, inc).select("gen").distinct().count() == 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$inc/v0")))
+    PostingIndex.vacuum(spark, inc)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$inc/v0")))
+    assert(hits(inc) == want, "vacuum broke the live version")
+    // appends keep working after compaction (next gen in the new root)
+    PostingIndex.append(docs.limit(0), inc)
+    assert(hits(inc) == want)
+    // guards: double-create refused; bucket meta round-trips
+    val e = intercept[IllegalArgumentException](PostingIndex.create(docs, inc))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(PostingIndex.buckets(spark, inc) == 64)
+  }
+
   test("winsorize by group: exact clamp bounds per group, pass-through inside") {
     import spark.implicits._
     import graft.operators.Curation

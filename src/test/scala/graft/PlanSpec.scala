@@ -802,5 +802,30 @@ class PlanSpec extends AnyFunSuite {
     for (s <- scans; m <- s.metrics.get("numPartitions"))
       assert(m.value <= expected,
         s"index scan read ${m.value} bucket dirs, phrase needs <= $expected")
+
+    // the VERSIONED (incremental) layout must keep the identical
+    // pruning economics: generations are more partition directories
+    // under the same static tb filter, so a G-generation index reads
+    // at most G x |distinct term buckets| leaf dirs — an append can
+    // never change the probe's plan shape, only its directory count
+    val vidx = Files.createTempDirectory("graft-postings-vplan").toString + "/i"
+    graft.operators.PostingIndex.create(
+      docs.where(col("doc_id") % 2 === 0), vidx)
+    graft.operators.PostingIndex.append(
+      docs.where(col("doc_id") % 2 === 1), vidx)
+    val vdf = graft.operators.Search.phraseMatchIndexed(
+      spark, vidx, Seq("order", "fast"))
+    assert(vdf.collect().nonEmpty)
+    val vp = plan(vdf)
+    assert(vp.linesIterator.find(_.contains("PartitionFilters"))
+        .exists(l => l.contains("tb") && l.contains("IN")),
+      "versioned probe lost the static tb filter:\n" + vp.take(3000))
+    val vscans = allNodes(vdf.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(vscans.nonEmpty, vp.take(2000))
+    for (s <- vscans; m <- s.metrics.get("numPartitions"))
+      assert(m.value <= 2 * expected,
+        s"versioned scan read ${m.value} leaf dirs, needs <= ${2 * expected}")
   }
 }
