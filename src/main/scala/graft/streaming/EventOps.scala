@@ -199,6 +199,92 @@ object EventOps {
     }.reduce(_ unionByName _)
   }
 
+  /** One event for the stateful funnel/transition trackers. */
+  case class FunEv(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
+
+  /** Funnel-tracker state: the anchor timestamp of each stage the user
+    * has reached, in stage order — at most |steps| longs per user, so
+    * state is bounded by the step list, never by stream length. */
+  case class FunnelAnchors(anchors: Seq[Long])
+
+  /** Emitted once per (user, stage) the moment the stage is reached. */
+  case class StageReach(user_id: Long, step_idx: Int)
+
+  /**
+   * Stateful streaming twin of the generalized N-step [[funnel]]
+   * (VERDICT r12 next #7): per-user state carries ONLY the reached
+   * stages' anchor timestamps (<= K longs); each micro-batch folds its
+   * events in (ts_ns, event_id) order — the batch twin's min-anchor
+   * order — against that state and emits a (user, step_idx) row for
+   * every stage newly reached, exactly once per user and stage. The
+   * per-step user counts over the drained emissions therefore equal
+   * the batch funnel's counts (spec-pinned; the min-anchor rule makes
+   * "first qualifying event in ts order" == "MIN qualifying event", so
+   * an ascending fold reproduces the batch anchors without retaining
+   * any event history).
+   *
+   * Same finite-drain contract as [[transitionsStream]]: in-batch
+   * sorting handles arrival disorder inside a micro-batch; an event
+   * arriving in a LATER batch with an earlier timestamp than a
+   * committed anchor cannot retroactively re-anchor (that would need
+   * per-user event history — unbounded state). Zero-user steps are
+   * emitted with n_users = 0, matching the batch shape.
+   */
+  def funnelStream(spark: SparkSession, dir: String, steps: Seq[String],
+                   withinNs: Long,
+                   queryName: String = "graft_funnel"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "graft: funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "graft: repeated step types are ambiguous under the min-anchor rule")
+    require(withinNs > 0, s"graft: withinNs $withinNs must be positive")
+    val stepArr = steps.toArray
+    val k = stepArr.length
+    val schema = eventStreamSchema(spark, dir, Some("events.parquet"))
+    val events = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_ns", tsNs(schema))
+      .selectExpr("user_id", "ts_ns", "event_id", "event_type")
+      .as[FunEv]
+    val reached = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelAnchors, StageReach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+        val sorted = evs.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+        var anchors = state.getOption.map(_.anchors.toList).getOrElse(Nil)
+        val before = anchors.length
+        for (e <- sorted) {
+          val n = anchors.length
+          if (n == 0) {
+            if (e.event_type == stepArr(0)) anchors = List(e.ts_ns)
+          } else if (n < k && e.event_type == stepArr(n) &&
+              e.ts_ns > anchors.last && e.ts_ns <= anchors.last + withinNs) {
+            anchors = anchors :+ e.ts_ns
+          }
+        }
+        if (anchors.length > before) state.update(FunnelAnchors(anchors))
+        (before until anchors.length).iterator.map(StageReach(uid, _))
+      }
+    val q = reached.toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val counts = spark.table(queryName)
+      .groupBy("step_idx").agg(count(lit(1)).as("cnt"))
+    steps.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("step_idx", "step")
+      .join(counts, Seq("step_idx"), "left")
+      .select(col("step_idx"), col("step"),
+        coalesce(col("cnt"), lit(0L)).as("n_users"))
+  }
+
   /** One event for the stateful transition tracker. */
   case class TrEv(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
 

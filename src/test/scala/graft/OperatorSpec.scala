@@ -1668,6 +1668,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("stateful streaming funnel equals the batch N-step funnel (incl. zero steps)") {
+    import graft.streaming.EventOps
+    // the oracle-anchored configuration (ev_funnel_steps' step list):
+    // the drained stream's per-step counts must equal the batch
+    // min-anchor funnel row for row — including any step no user
+    // reaches (emitted with n_users = 0 on both sides)
+    val ev = Tables.events(spark, dir)
+    val hour2 = 2L * 3600L * 1000000000L
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getInt(0), (r.getString(1), r.getLong(2)))).toMap
+    val steps = Seq("signup", "view", "click", "purchase")
+    val streamed = asMap(
+      EventOps.funnelStream(spark, dir, steps, hour2, "graft_funnel_spec"))
+    val batch = asMap(EventOps.funnel(ev, steps, hour2))
+    assert(streamed == batch && batch.nonEmpty, s"$streamed vs $batch")
+    assert(streamed.size == 4)
+    // a step list with an unreachable tail: both sides pad zeros
+    val steps0 = Seq("purchase", "signup", "nosuchtype")
+    val s0 = asMap(EventOps.funnelStream(
+      spark, dir, steps0, hour2, "graft_funnel_spec0"))
+    val b0 = asMap(EventOps.funnel(ev, steps0, hour2))
+    assert(s0 == b0, s"$s0 vs $b0")
+    assert(s0(2)._2 == 0L)
+    // same guards as the batch operator
+    intercept[IllegalArgumentException](
+      EventOps.funnelStream(spark, dir, Nil, 1L, "graft_funnel_g1"))
+    intercept[IllegalArgumentException](
+      EventOps.funnelStream(spark, dir, Seq("view", "view"), 1L, "graft_funnel_g2"))
+    intercept[IllegalArgumentException](
+      EventOps.funnelStream(spark, dir, Seq("view"), 0L, "graft_funnel_g3"))
+  }
+
   test("indexed phrase search == scan phrase search; bucket hash write/query-identical") {
     import spark.implicits._
     import graft.operators.Search
