@@ -16,12 +16,17 @@ object AssocProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
-      .getOrCreate()
+    // experiment knob: ObjectHashAggregate's sort fallback (default 128
+    // in-memory keys) — the basket build has ~50k keys/partition, so it
+    // ALWAYS degrades to sort-based aggregation at the default
+    sys.env.get("SPARK_GRAFT_OHA_FALLBACK").foreach(v =>
+      builder.config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
