@@ -140,6 +140,10 @@ object Bench {
     // (one map-combined count over the large side) rides inside the
     // query, so its decision overhead at volume is part of the number
     "q_auto_join",
+    // r13: ranked-retrieval eval — two BM25 corpus passes (system +
+    // relevance legs per term set) feeding bounded metric joins; the
+    // corpus passes are the volume effect
+    "text_rank_eval",
     // r12: per-group winsorization — two bracketed group-quantile
     // passes over the corpus plus broadcast clamp join-backs; the
     // sketch bracket width vs group size is the volume effect.

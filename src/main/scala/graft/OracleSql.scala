@@ -424,7 +424,8 @@ object OracleSql {
    * operation (same association order, so the only cross-engine delta
    * is the ln ulp — never enough to reorder discrete-input scores).
    */
-  def bm25Ctes(terms: Seq[String], where: String = "TRUE"): String = {
+  def bm25Ctes(terms: Seq[String], where: String = "TRUE",
+               prefix: String = ""): String = {
     val tfs = terms.indices.map(i =>
       s"CAST(len(list_filter(ws, w -> w = '${terms(i)}')) AS BIGINT) AS tf_$i").mkString(", ")
     val dfs = terms.indices.map(i =>
@@ -436,13 +437,13 @@ object OracleSql {
       s"$idf * ($tf * ${dlit(Bm25K1 + 1.0)}) / ($tf + ${dlit(Bm25K1)} * (${dlit(1.0 - Bm25B)} + ${dlit(Bm25B)} * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
     }.mkString(" + ")
     val hits = terms.indices.map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
-    s"""btok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+    s"""${prefix}btok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
        |         FROM documents WHERE $where),
-       |bbase AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, $tfs FROM btok),
-       |bstat AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       |                 CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM bbase),
-       |sc AS (SELECT b.doc_id, $score AS score, CAST($hits AS INT) AS n_hit
-       |       FROM bbase b, bstat)""".stripMargin
+       |${prefix}bbase AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, $tfs FROM ${prefix}btok),
+       |${prefix}bstat AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM ${prefix}bbase),
+       |${prefix}sc AS (SELECT b.doc_id, $score AS score, CAST($hits AS INT) AS n_hit
+       |       FROM ${prefix}bbase b, ${prefix}bstat)""".stripMargin
   }
 
   // ---- sequence packing / shard export constants ----

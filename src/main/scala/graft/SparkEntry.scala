@@ -1449,6 +1449,26 @@ object SparkEntry {
     "text_bm25_query" -> ((s, dir) =>
       Search.bm25TopK(Tables.load(s, dir, "documents"), Search.WideTerms, 10)),
 
+    // ranked-retrieval evaluation: MRR@10 / nDCG@10 of the BM25 system
+    // against a term-coverage relevance set (docs matching >= 2
+    // distinct query terms), for both query term-sets as two eval
+    // queries — all-integer ppm metrics over the fixed gain table the
+    // oracle carries as literals, so the scores are cross-engine exact
+    // (Search.rankEval)
+    "text_rank_eval" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sets = Seq(0L -> Search.DefaultTerms, 1L -> Search.WideTerms)
+      val results = sets.map { case (qid, terms) =>
+        Search.bm25TopK(docs, terms, 10)
+          .select(lit(qid).as("qid"), col("doc_id").as("id"), col("rank"))
+      }.reduce(_ unionByName _)
+      val relevant = sets.map { case (qid, terms) =>
+        Search.bm25Scored(docs, terms).where(col("n_hit") >= 2)
+          .select(lit(qid).as("qid"), col("doc_id").as("id"))
+      }.reduce(_ unionByName _)
+      Search.rankEval(results, relevant, 10).orderBy("qid")
+    }),
+
     // hybrid retrieval: BM25 lexical leg + cosine vector leg, fused
     // with reciprocal-rank fusion (integer points — cross-engine exact);
     // fusion input is legs' top-20 rows, so it is bounded at any corpus
@@ -3150,6 +3170,50 @@ object SparkEntry {
            |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
            |       doc_id, n_hit
            |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      },
+
+      "text_rank_eval" -> {
+        val a = graft.operators.Search.DefaultTerms
+        val b = graft.operators.Search.WideTerms
+        val w = graft.operators.Search.ndcgWeights(10)
+        val wVals = w.zipWithIndex
+          .map { case (x, i) => s"(${i + 1}, CAST($x AS BIGINT))" }.mkString(", ")
+        val pVals = w.scanLeft(0L)(_ + _).zipWithIndex
+          .map { case (x, i) => s"($i, CAST($x AS BIGINT))" }.mkString(", ")
+        s"""WITH ${OracleSql.bm25Ctes(a, prefix = "ra_")},
+           |${OracleSql.bm25Ctes(b, prefix = "rb_")},
+           |res AS (
+           |  SELECT CAST(0 AS BIGINT) AS qid, doc_id AS id, rank FROM (
+           |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           |    FROM ra_sc) t0 WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT), doc_id, rank FROM (
+           |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           |    FROM rb_sc) t1 WHERE rank <= 10),
+           |rel AS (
+           |  SELECT CAST(0 AS BIGINT) AS qid, doc_id AS id FROM ra_sc WHERE n_hit >= 2
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT), doc_id FROM rb_sc WHERE n_hit >= 2),
+           |wt(rank, wv) AS (VALUES $wVals),
+           |pre(n, pv) AS (VALUES $pVals),
+           |hits AS (SELECT r.qid, r.rank,
+           |           CASE WHEN rl.id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+           |         FROM res r LEFT JOIN rel rl ON rl.qid = r.qid AND rl.id = r.id),
+           |perq AS (SELECT h.qid,
+           |           CAST(sum(h.is_rel) AS BIGINT) AS n_hit,
+           |           min(CASE WHEN h.is_rel = 1 THEN h.rank END) AS fr,
+           |           CAST(coalesce(sum(CASE WHEN h.is_rel = 1 THEN wt.wv ELSE 0 END), 0) AS BIGINT) AS dcg_ppm
+           |         FROM hits h JOIN wt ON wt.rank = h.rank GROUP BY 1),
+           |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+           |fin AS (SELECT q.qid, coalesce(nr.n_rel, 0) AS n_rel, q.n_hit,
+           |          CAST(coalesce(q.fr, 0) AS BIGINT) AS first_rank,
+           |          CAST(CASE WHEN q.fr IS NULL THEN 0 ELSE 1000000 // q.fr END AS BIGINT) AS mrr_ppm,
+           |          q.dcg_ppm,
+           |          (SELECT pv FROM pre WHERE pre.n = least(coalesce(nr.n_rel, 0), 10)) AS idcg_ppm
+           |        FROM perq q LEFT JOIN nr ON nr.qid = q.qid)
+           |SELECT qid, n_rel, n_hit, first_rank, mrr_ppm, dcg_ppm, idcg_ppm,
+           |       CAST(CASE WHEN idcg_ppm = 0 THEN 0 ELSE dcg_ppm * 1000000 // idcg_ppm END AS BIGINT) AS ndcg_ppm
+           |FROM fin ORDER BY qid""".stripMargin
       },
 
       "hybrid_rrf" -> {

@@ -233,6 +233,77 @@ object Search {
     aligned.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-rank nDCG gain table: floor(1e6 / log2(r + 1)) for r = 1..k.
+    * FIXED integer weights, embedded verbatim in both engines' plans
+    * (the oracle SQL carries them as a literal VALUES table), so the
+    * metric is cross-engine exact — a libm log ulp can never move it.
+    * Weight(1) is exactly 1,000,000: a perfect ranking scores
+    * ndcg_ppm = 1,000,000 with no rounding residue. */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(r => (1e6 * math.log(2.0) / math.log(r + 1.0)).toLong)
+
+  /**
+   * Ranked-retrieval evaluation — MRR@k and nDCG@k (binary relevance)
+   * of a system's ranked output against a relevance set, the metrics a
+   * retrieval pipeline regression-gates on. All arithmetic is INTEGER
+   * (ppm scale): mrr_ppm = 1e6 div first-relevant-rank, dcg/idcg sum
+   * the fixed [[ndcgWeights]] gains, ndcg_ppm = dcg * 1e6 div idcg —
+   * so the metric is bit-identical on any engine and safe to diff
+   * across runs.
+   *
+   * Shape at scale: `results` is top-k-bounded per query (queries x k
+   * rows — small by construction), so it BROADCASTS onto the relevance
+   * join; the relevance side aggregates once per query (one
+   * map-combinable count). Nothing here scans a corpus — feed it the
+   * bounded outputs of bm25TopK / searchAnn / rrfFuse.
+   *
+   * @param results  (qid, id, rank) ranked system output, rank 1-based
+   * @param relevant (qid, id) binary relevance set
+   * @return per query: (qid, n_rel, n_hit, first_rank, mrr_ppm,
+   *         dcg_ppm, idcg_ppm, ndcg_ppm); first_rank = 0 when no
+   *         relevant doc is ranked, idcg/ndcg = 0 when n_rel = 0
+   */
+  def rankEval(results: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"graft: rank-eval k $k outside [1, 1000]")
+    val w = ndcgWeights(k)
+    val wCol = array(w.map(lit): _*)            // element_at(_, rank)
+    val prefix = w.scanLeft(0L)(_ + _)          // prefix(i) = sum first i
+    val pCol = array(prefix.map(lit): _*)       // element_at(_, n + 1)
+    val rel = relevant.select(col("qid"), col("id")).distinct()
+    val topk = results.where(col("rank") <= k)
+    // the relevance side may be corpus-sized: semi-reduce it to the
+    // (queries x k) result keys FIRST (results broadcast), so the
+    // marking join's build side is bounded by the results, never the
+    // relevance set
+    val relHit = rel
+      .join(broadcast(topk.select("qid", "id")), Seq("qid", "id"), "left_semi")
+      .withColumn("is_rel", lit(1L))
+    val hits = topk
+      .join(broadcast(relHit), Seq("qid", "id"), "left")
+      .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
+    val perQ = hits.groupBy("qid").agg(
+      sum(col("is_rel")).as("n_hit"),
+      min(when(col("is_rel") === 1, col("rank"))).as("fr"),
+      sum(when(col("is_rel") === 1,
+        element_at(wCol, col("rank").cast("int"))).otherwise(0L)).as("dcg_ppm"))
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    perQ.join(nRel, Seq("qid"), "full_outer")
+      .select(
+        col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("fr"), lit(0L)).cast("long").as("first_rank"),
+        when(col("fr").isNull, lit(0L))
+          .otherwise(expr("1000000L div fr")).as("mrr_ppm"),
+        coalesce(col("dcg_ppm"), lit(0L)).as("dcg_ppm"),
+        element_at(pCol,
+          (least(coalesce(col("n_rel"), lit(0L)), lit(k.toLong)) + 1L)
+            .cast("int")).as("idcg_ppm"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_ppm") === 0L, lit(0L))
+          .otherwise(expr("dcg_ppm * 1000000L div idcg_ppm")))
+  }
+
   /**
    * Reciprocal-rank fusion over ranked legs (each leg: (id, rank)):
    * fused points = sum over legs of RrfScale div (RrfC + rank) —

@@ -1668,6 +1668,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("rank eval: hand-computed MRR/nDCG, perfect-ranking exactness, edge queries") {
+    import spark.implicits._
+    import graft.operators.Search
+    val w = Search.ndcgWeights(3)
+    assert(w == Seq(1000000L, 630929L, 500000L), w.toString)
+    val results = Seq(
+      (0L, 10L, 1L), (0L, 20L, 2L), (0L, 30L, 3L),   // 2 of 3 relevant
+      (1L, 11L, 1L), (1L, 12L, 2L),                  // nothing relevant
+      (2L, 1L, 1L), (2L, 2L, 2L), (2L, 3L, 3L),      // rel doc unretrieved
+      (3L, 7L, 1L), (3L, 8L, 2L), (3L, 9L, 3L)       // perfect ranking
+    ).toDF("qid", "id", "rank")
+    val relevant = Seq(
+      (0L, 10L), (0L, 30L), (0L, 99L), (0L, 10L),    // dup row: no double count
+      (2L, 4L),
+      (3L, 7L), (3L, 8L), (3L, 9L)
+    ).toDF("qid", "id")
+    val got = Search.rankEval(results, relevant, 3).orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val idcg3 = w.sum
+    // q0: hits at ranks 1 and 3; 99 counts toward n_rel only
+    assert(got(0) == (0L, 3L, 2L, 1L, 1000000L, w(0) + w(2), idcg3,
+      (w(0) + w(2)) * 1000000L / idcg3), got(0).toString)
+    // q1: no relevance set at all -> every metric 0
+    assert(got(1) == (1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), got(1).toString)
+    // q2: one relevant doc, never retrieved -> idcg counts it, rest 0
+    assert(got(2) == (2L, 1L, 0L, 0L, 0L, 0L, w(0), 0L), got(2).toString)
+    // q3: perfect ranking -> ndcg is EXACTLY 1e6 (no rounding residue)
+    assert(got(3) == (3L, 3L, 3L, 1L, 1000000L, idcg3, idcg3, 1000000L),
+      got(3).toString)
+    intercept[IllegalArgumentException](Search.rankEval(results, relevant, 0))
+  }
+
   test("stateful streaming funnel equals the batch N-step funnel (incl. zero steps)") {
     import graft.streaming.EventOps
     // the oracle-anchored configuration (ev_funnel_steps' step list):
