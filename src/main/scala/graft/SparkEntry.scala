@@ -591,6 +591,27 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ANN quality under the ORACLE gate: the banded-LSH join system
+    // evaluated by rankEval against the exact cosine top-5 as
+    // relevance — per-query n_hit IS recall@5 x5, plus rank-sensitive
+    // MRR/nDCG. The Recall tool records the artifact-side curves; this
+    // row makes one ANN-quality measurement hash-checked per round
+    // (both legs are SQL-expressible, so DuckDB recomputes system AND
+    // relevance from scratch)
+    "ann_eval" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.where(col("vec_id") >= 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val sys = SimilaritySearch.lshJoin(queries, corpus, k = 5, d = 64)
+        .select(col("qid"), col("cid").as("id"), col("rank").cast("long").as("rank"))
+      val rel = TopK.perQueryTopKHeap(s, TopK.scoreAllPairs(queries, corpus), 5)
+        .select(col("qid"), col("cid").as("id"))
+      Search.rankEval(sys, rel, 5).orderBy("qid")
+    }),
+
     // contrastive hard-negative mining: nearest candidates BELOW the
     // near-dup threshold per query — banded-LSH candidates, dup band
     // excluded before the per-query top-k
@@ -2182,6 +2203,59 @@ object SparkEntry {
            |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
            |      FROM s)
            |SELECT qid, rank, cid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+      },
+
+      // same candidate CTEs as ann_lsh_join for the system leg, exact
+      // all-pairs top-5 as the relevance leg, metrics per text_rank_eval
+      "ann_eval" -> {
+        val keys = (0 until OracleSql.EmbLshBands)
+          .map(b => s"${OracleSql.embBandKeySql("embedding", 64, b)} AS k$b")
+          .mkString(", ")
+        val bandJoins = (0 until OracleSql.EmbLshBands)
+          .map(b => s"SELECT a.qid, b.cid FROM qb a JOIN cb b ON a.k$b = b.k$b")
+          .mkString(" UNION ")
+        val w = graft.operators.Search.ndcgWeights(5)
+        val wVals = w.zipWithIndex
+          .map { case (x, i) => s"(${i + 1}, CAST($x AS BIGINT))" }.mkString(", ")
+        val pVals = w.scanLeft(0L)(_ + _).zipWithIndex
+          .map { case (x, i) => s"($i, CAST($x AS BIGINT))" }.mkString(", ")
+        s"""WITH qb AS (SELECT vec_id AS qid, embedding AS qv, $keys
+           |            FROM embeddings WHERE vec_id < 8),
+           |cb AS (SELECT vec_id AS cid, embedding AS cv, $keys
+           |       FROM embeddings WHERE vec_id >= 8),
+           |cand AS ($bandJoins),
+           |ls AS (SELECT c.qid, c.cid, ${OracleSql.cosine("cb.cv", "qb.qv")} AS sim
+           |       FROM cand c JOIN qb USING (qid) JOIN cb USING (cid)),
+           |res AS (SELECT qid, cid AS id, rank FROM (
+           |    SELECT qid, cid,
+           |      CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+           |    FROM ls) t0 WHERE rank <= 5),
+           |ex AS (SELECT q.qid, b.cid, ${OracleSql.cosine("b.cv", "q.qv")} AS sim
+           |       FROM cb b, qb q),
+           |rel AS (SELECT qid, cid AS id FROM (
+           |    SELECT qid, cid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS r
+           |    FROM ex) t1 WHERE r <= 5),
+           |wt(rank, wv) AS (VALUES $wVals),
+           |pre(n, pv) AS (VALUES $pVals),
+           |hits AS (SELECT r.qid, r.rank,
+           |           CASE WHEN rl.id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+           |         FROM res r LEFT JOIN rel rl ON rl.qid = r.qid AND rl.id = r.id),
+           |perq AS (SELECT h.qid,
+           |           CAST(sum(h.is_rel) AS BIGINT) AS n_hit,
+           |           min(CASE WHEN h.is_rel = 1 THEN h.rank END) AS fr,
+           |           CAST(coalesce(sum(CASE WHEN h.is_rel = 1 THEN wt.wv ELSE 0 END), 0) AS BIGINT) AS dcg_ppm
+           |         FROM hits h JOIN wt ON wt.rank = h.rank GROUP BY 1),
+           |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+           |fin AS (SELECT nr.qid, nr.n_rel, coalesce(q.n_hit, 0) AS n_hit,
+           |          CAST(coalesce(q.fr, 0) AS BIGINT) AS first_rank,
+           |          CAST(CASE WHEN q.fr IS NULL THEN 0 ELSE 1000000 // q.fr END AS BIGINT) AS mrr_ppm,
+           |          coalesce(q.dcg_ppm, 0) AS dcg_ppm,
+           |          (SELECT pv FROM pre WHERE pre.n = least(nr.n_rel, 5)) AS idcg_ppm
+           |        FROM nr LEFT JOIN perq q ON q.qid = nr.qid)
+           |SELECT qid, n_rel, n_hit, first_rank, mrr_ppm, dcg_ppm, idcg_ppm,
+           |       CAST(CASE WHEN idcg_ppm = 0 THEN 0 ELSE dcg_ppm * 1000000 // idcg_ppm END AS BIGINT) AS ndcg_ppm
+           |FROM fin ORDER BY qid""".stripMargin
       },
 
       // same candidate CTEs as ann_lsh_join, dup band excluded before
