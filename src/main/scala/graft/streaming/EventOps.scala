@@ -199,6 +199,30 @@ object EventOps {
     }.reduce(_ unionByName _)
   }
 
+  /**
+   * Streaming twin of the hourly-trending view (`ev_trending`): the
+   * watermarked hourly rollup is maintained by the stream
+   * ([[runHourlyStream]]'s complete-mode state — one row per (hour,
+   * type), bounded by the clock x type dictionary, never by event
+   * volume), and the top-k rank is a WindowGroupLimit read OVER the
+   * rollup sink — group-count-sized input, so serving "what's
+   * trending" costs a scan of the live rollup, not of any event. On a
+   * finite drain the result equals the batch `ev_trending` row for
+   * row (spec-pinned; hour_epoch here is the same `ts div 1h` bucket).
+   */
+  def trendingStream(spark: SparkSession, dir: String, k: Int = 2,
+                     queryName: String = "graft_trending"): DataFrame = {
+    require(k >= 1, s"graft: trending k $k must be positive")
+    val hourly = runHourlyStream(spark, dir, queryName)
+    val h = hourly.select((col("hour_epoch") / 3600).cast("long").as("hour_epoch"),
+      col("event_type"), col("n"))
+    val w = Window.partitionBy(col("hour_epoch"))
+      .orderBy(desc("n"), col("event_type"))
+    h.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("hour_epoch", "rnk", "event_type", "n")
+  }
+
   /** One event for the stateful funnel/transition trackers. */
   case class FunEv(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
 

@@ -1656,6 +1656,22 @@ class OperatorSpec extends AnyFunSuite {
       EventOps.funnel(ev, Seq("view"), 0L))
   }
 
+  test("streaming trending top-k over the live rollup equals the batch view") {
+    import graft.streaming.EventOps
+    // the rank is served OFF the rollup sink (group-count-sized), so
+    // the drained result must equal ev_trending row for row
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val streamed = asSet(
+      EventOps.trendingStream(spark, dir, 2, "graft_trending_spec"))
+    val batch = asSet(SparkEntry.queries("ev_trending")(spark, dir))
+    assert(streamed == batch && batch.nonEmpty,
+      s"streamed=${streamed.take(3)} batch=${batch.take(3)}")
+    intercept[IllegalArgumentException](
+      EventOps.trendingStream(spark, dir, 0, "graft_trending_g"))
+  }
+
   test("stateful streaming transitions equal the batch window-lag matrix exactly") {
     // no open-tail truncation here (unlike sessions): every transition
     // completes when its second event arrives, so the drained stream
