@@ -33,16 +33,56 @@ import org.apache.spark.sql.functions._
  * - **vacuum**: delete superseded version roots (validate first: the
  *   live version must exist and be newer).
  *
- * Single-writer like the dup graph; readers are lock-free (they only
- * ever see committed renames). The legacy flat layout written by
- * [[Search.buildPostingIndex]] (no `_postings.json`) keeps working
- * everywhere — [[Search.phraseMatchIndexed]] dispatches on the meta
- * file.
+ * Single-writer ENFORCED (the [[VectorStore]] lock discipline, not
+ * just documented): every mutation — create, append, compact,
+ * vacuum — holds `_writer_lock` (atomic create-if-absent, spin up to
+ * `lockTimeoutMs`, loud failure carrying the lock's age so a slow
+ * writer is distinguishable from crash wreckage). Readers are
+ * lock-free (they only ever see committed renames). The legacy flat
+ * layout written by [[Search.buildPostingIndex]] (no
+ * `_postings.json`) keeps working everywhere —
+ * [[Search.phraseMatchIndexed]] dispatches on the meta file.
  */
 object PostingIndex {
 
+  /** Writer-lock spin timeout: index writes at scale run minutes; a
+    * short default would tempt operators into deleting a LIVE lock. */
+  var lockTimeoutMs: Long = 600000L
+
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tryLock(fs: org.apache.hadoop.fs.FileSystem, lock: Path): Boolean =
+    if ("file" == Option(lock.toUri.getScheme).getOrElse(fs.getScheme))
+      try new java.io.File(lock.toUri.getPath).createNewFile()
+      catch { case _: java.io.IOException => fs.mkdirs(lock.getParent); false }
+    else
+      try { fs.create(lock, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+
+  private def withWriterLock[T](spark: SparkSession, path: String)(f: => T): T = {
+    val fs = fsOf(spark, path)
+    fs.mkdirs(new Path(path))
+    val lock = new Path(s"$path/_writer_lock")
+    val deadline = System.currentTimeMillis() + lockTimeoutMs
+    while (!tryLock(fs, lock)) {
+      if (System.currentTimeMillis() > deadline) {
+        val ageS = try {
+          (System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime) / 1000
+        } catch { case _: java.io.IOException => -1L }
+        throw new IllegalStateException(
+          s"graft: posting-index writer lock $lock not acquired in" +
+            s" ${lockTimeoutMs} ms (lock age ${ageS} s). A writer may still" +
+            " be running — wait or raise PostingIndex.lockTimeoutMs; delete" +
+            " the lock ONLY if its owner is known dead (crashed writer).")
+      }
+      Thread.sleep(100)
+    }
+    try f finally fs.delete(lock, false)
+  }
 
   private def metaPath(path: String) = new Path(s"$path/_postings.json")
 
@@ -111,13 +151,15 @@ object PostingIndex {
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(nBuckets > 0, s"graft: buckets $nBuckets must be positive")
     val spark = docs.sparkSession
-    val fs = fsOf(spark, path)
-    require(!fs.exists(metaPath(path)),
-      s"graft: posting index already exists at $path — use append/compact")
-    stageAndCommit(postings(docs, nBuckets, idCol, textCol), path,
-      s"$path/v0/gen=0", s"""{"op":"create"}""")
-    val out = fs.create(metaPath(path), true)
-    out.write(s"""{"buckets":$nBuckets}""".getBytes("UTF-8")); out.close()
+    withWriterLock(spark, path) {
+      val fs = fsOf(spark, path)
+      require(!fs.exists(metaPath(path)),
+        s"graft: posting index already exists at $path — use append/compact")
+      stageAndCommit(postings(docs, nBuckets, idCol, textCol), path,
+        s"$path/v0/gen=0", s"""{"op":"create"}""")
+      val out = fs.create(metaPath(path), true)
+      out.write(s"""{"buckets":$nBuckets}""".getBytes("UTF-8")); out.close()
+    }
   }
 
   /** Append NEW docs as one delta generation — O(batch): committed
@@ -128,11 +170,13 @@ object PostingIndex {
   def append(docs: DataFrame, path: String,
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
-    val b = buckets(spark, path)
-    val v = liveVersion(spark, path)
-    val g = gensOf(spark, path, v).lastOption.map(_ + 1).getOrElse(0)
-    stageAndCommit(postings(docs, b, idCol, textCol), path,
-      s"$path/v$v/gen=$g", s"""{"op":"append","version":$v,"gen":$g}""")
+    withWriterLock(spark, path) {
+      val b = buckets(spark, path)
+      val v = liveVersion(spark, path)
+      val g = gensOf(spark, path, v).lastOption.map(_ + 1).getOrElse(0)
+      stageAndCommit(postings(docs, b, idCol, textCol), path,
+        s"$path/v$v/gen=$g", s"""{"op":"append","version":$v,"gen":$g}""")
+    }
   }
 
   /** Every committed posting of the live version: (doc_id, pos, tok,
@@ -144,24 +188,26 @@ object PostingIndex {
   /** Merge all generations of the live version into gen=0 of a NEW
     * version root (staged, one rename). Old versions stay on disk for
     * in-flight readers until [[vacuum]]. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val v = liveVersion(spark, path)
-    val gens = gensOf(spark, path, v)
-    val merged = scan(spark, path).select("doc_id", "pos", "tok", "tb")
-    stageAndCommit(merged, path, s"$path/v${v + 1}/gen=0",
-      s"""{"op":"compact","from_version":$v,"merged_gens":${gens.size}}""")
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    withWriterLock(spark, path) {
+      val v = liveVersion(spark, path)
+      val gens = gensOf(spark, path, v)
+      val merged = scan(spark, path).select("doc_id", "pos", "tok", "tb")
+      stageAndCommit(merged, path, s"$path/v${v + 1}/gen=0",
+        s"""{"op":"compact","from_version":$v,"merged_gens":${gens.size}}""")
+    }
 
   /** Delete superseded version roots (validate-before-destroy: the
     * live version must remain). */
-  def vacuum(spark: SparkSession, path: String): Unit = {
-    val fs = fsOf(spark, path)
-    val live = liveVersion(spark, path)
-    fs.listStatus(new Path(path)).toSeq.filter(_.isDirectory)
-      .flatMap(s => versionOf(s.getPath.getName).map(s.getPath -> _))
-      .filter(_._2 < live)
-      .foreach { case (p, _) => fs.delete(p, true) }
-    require(fs.exists(new Path(s"$path/v$live")),
-      s"graft: vacuum invariant broken — live version v$live missing")
-  }
+  def vacuum(spark: SparkSession, path: String): Unit =
+    withWriterLock(spark, path) {
+      val fs = fsOf(spark, path)
+      val live = liveVersion(spark, path)
+      fs.listStatus(new Path(path)).toSeq.filter(_.isDirectory)
+        .flatMap(s => versionOf(s.getPath.getName).map(s.getPath -> _))
+        .filter(_._2 < live)
+        .foreach { case (p, _) => fs.delete(p, true) }
+      require(fs.exists(new Path(s"$path/v$live")),
+        s"graft: vacuum invariant broken — live version v$live missing")
+    }
 }

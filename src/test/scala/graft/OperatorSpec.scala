@@ -1812,6 +1812,25 @@ class OperatorSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](PostingIndex.create(docs, inc))
     assert(e.getMessage.contains("already exists"), e.getMessage)
     assert(PostingIndex.buckets(spark, inc) == 64)
+    // single-writer ENFORCED: with the lock held by a (simulated) live
+    // writer, a second writer spins then fails loudly with the lock's
+    // age — and never mutates; releasing the lock re-admits writes and
+    // the lock file does not outlive the operation
+    val lockP = new org.apache.hadoop.fs.Path(s"$inc/_writer_lock")
+    fs.create(lockP, false).close()
+    val saved = PostingIndex.lockTimeoutMs
+    try {
+      PostingIndex.lockTimeoutMs = 300L
+      val le = intercept[IllegalStateException](PostingIndex.append(docs.limit(0), inc))
+      assert(le.getMessage.contains("writer lock") && le.getMessage.contains("age"),
+        le.getMessage)
+    } finally {
+      PostingIndex.lockTimeoutMs = saved
+      fs.delete(lockP, false)
+    }
+    PostingIndex.append(docs.limit(0), inc)
+    assert(!fs.exists(lockP), "writer lock leaked past the operation")
+    assert(hits(inc) == want)
   }
 
   test("winsorize by group: exact clamp bounds per group, pass-through inside") {
