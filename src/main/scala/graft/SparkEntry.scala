@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, Bucketing, Curation, Dedup, Graph, Multimodal, Packing, Pca, RangeJoin, Search, SimilaritySearch, Sketch, TextAnalysis, TopK}
+import graft.operators.{AsOfJoin, Bpe, Bucketing, Curation, Dedup, Graph, Multimodal, Packing, Pca, RangeJoin, Search, SimilaritySearch, Sketch, TextAnalysis, TopK}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -945,6 +945,39 @@ object SparkEntry {
         .select(explode(Dedup.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("tok")).limit(50)),
+
+    // distributed BPE merge training (Sennrich '16): corpus -> word
+    // frequencies (ONE corpus pass), then 4 argmax-merge iterations
+    // over the persisted vocab-sized dictionary — driver state is the
+    // 4 selected merges only. Honest per-rep cost: the training runs
+    // inside the timed call (no cross-rep cache — the training IS the
+    // measured operator, unlike the index rows where the probe is).
+    "text_bpe_train" -> ((s, dir) => {
+      val words = Bpe.wordFreq(Tables.load(registered(s), dir, "documents")).persist()
+      try {
+        val merges = Bpe.train(words, 4)
+        import s.implicits._
+        merges.zipWithIndex
+          .map { case (m, i) => (i + 1, m.a, m.b, m.weight) }
+          .toDF("step", "sym_a", "sym_b", "n")
+      } finally words.unpersist(blocking = false)
+    }),
+
+    // tokenize under the trained merges: per-doc token counts via a
+    // (doc_id, word) occurrence table joined to the merged dictionary
+    // (vocab-sized small side — AQE broadcasts at fixture scale,
+    // degrades to a word-keyed shuffle at web scale). The returned
+    // plan rebuilds the dictionary from a fresh wordFreq so execution
+    // never depends on the training-time cache.
+    "text_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.load(registered(s), dir, "documents")
+      val words = Bpe.wordFreq(docs).persist()
+      val merges =
+        try Bpe.train(words, 4)
+        finally words.unpersist(blocking = false)
+      val dict = Bpe.applyMerges(Bpe.initState(Bpe.wordFreq(docs)), merges)
+      Bpe.tokenCounts(docs, dict).orderBy("doc_id")
+    }),
 
     // C4-style boilerplate line removal over a corpus with IN-QUERY
     // planted chrome (identical derivation in the oracle): a header on
@@ -2013,6 +2046,37 @@ object SparkEntry {
     })
   )
 
+  /** Unrolled BPE training chain (k stages) for the DuckDB oracle:
+    * each word rendered as '|c| |h| |a| |r|' marker symbols; one merge
+    * = a literal replace of '|a| |b|' with '|ab|' — left-to-right
+    * non-overlapping, exactly the [[graft.functions.BpeKernel]] pass
+    * (pinned empirically: '|a| |a| |a| |a|' -> '|aa| |aa|'). Argmax
+    * tie-break orders by the MARKER-STRIPPED symbols (raw-symbol
+    * ordering, matching Spark; '|' is 0x7C > 'z' so marker-carrying
+    * comparison would reverse prefix pairs). */
+  private def bpeOracleChain(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w AS (SELECT word, count(*) AS w FROM (
+        |       SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |       FROM documents) GROUP BY 1),
+        |s0 AS (SELECT word, w, rtrim(regexp_replace(word, '(.)', '|\1| ', 'g')) AS s FROM w)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |p$i AS (SELECT parts[i] AS a, parts[i+1] AS b, CAST(sum(w) AS BIGINT) AS n
+        |        FROM (SELECT w, string_split(s, ' ') AS parts FROM s${i - 1}),
+        |             LATERAL (SELECT unnest(generate_series(1, len(parts)-1)) AS i) g
+        |        GROUP BY 1, 2),
+        |m$i AS (SELECT a, b, n FROM p$i
+        |        ORDER BY n DESC, replace(a, '|', ''), replace(b, '|', '') LIMIT 1),
+        |s$i AS (SELECT word, w,
+        |          replace(s, (SELECT a || ' ' || b FROM m$i),
+        |                     (SELECT '|' || replace(a, '|', '') || replace(b, '|', '') || '|' FROM m$i)) AS s
+        |        FROM s${i - 1})""".stripMargin)
+    }
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = {
     val cosQ = OracleSql.cosine("e.embedding", "q.qv")
     // one oracle for both component branches: the union-find short-
@@ -2623,6 +2687,25 @@ object SparkEntry {
            |WHERE ((d.doc_id % ${OracleSql.ShardP}) * ${OracleSql.ShardA})
            |        % ${OracleSql.ShardP} < keep_below
            |ORDER BY d.doc_id""".stripMargin,
+
+      "text_bpe_train" ->
+        s"""WITH ${bpeOracleChain(4)}
+           |SELECT step, replace(a, '|', '') AS sym_a, replace(b, '|', '') AS sym_b, n
+           |FROM (          SELECT 1 AS step, a, b, n FROM m1
+           |      UNION ALL SELECT 2, a, b, n FROM m2
+           |      UNION ALL SELECT 3, a, b, n FROM m3
+           |      UNION ALL SELECT 4, a, b, n FROM m4)
+           |ORDER BY step""".stripMargin,
+
+      "text_bpe_tokens" ->
+        s"""WITH ${bpeOracleChain(4)},
+           |d AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sym FROM s4),
+           |dw AS (SELECT doc_id, word, count(*) AS nw FROM (
+           |         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+           |         FROM documents) GROUP BY 1, 2)
+           |SELECT dw.doc_id, CAST(sum(dw.nw * d.n_sym) AS BIGINT) AS n_tok
+           |FROM dw JOIN d USING (word)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "text_vocab" ->
         s"""SELECT tok, count(*) AS n FROM (

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Compiled kernels for byte-pair-encoding merge training
+ * (Gage 1994; Sennrich et al. 2016, "Neural Machine Translation of
+ * Rare Words with Subword Units") over a distributed word-frequency
+ * dictionary — see [[graft.operators.Bpe]].
+ *
+ * Three tiny per-row loops that would otherwise run through Spark's
+ * interpreted higher-order-function evaluator (the measured
+ * ShingleKernel lesson — an interpreted lambda frame per array element
+ * dominates every hot path it appears in):
+ *
+ *  - `chars`: word -> its single-character symbol array (the BPE
+ *    initial state). Also sidesteps the `split(col, "")` trailing
+ *    empty-string ambiguity entirely.
+ *  - `adjacentPairs`: symbol array -> all adjacent (a, b) symbol
+ *    pairs, one compiled pass (the per-iteration count input).
+ *  - `mergeAdjacent`: one LEFT-TO-RIGHT, NON-OVERLAPPING merge pass:
+ *    every adjacent (a, b) occurrence becomes the single symbol a+b,
+ *    and a merged token is NOT re-considered as the left end of a
+ *    following match ("a a a" under (a,a) -> "aa a", not "aa aa" or
+ *    "a aa"). This is the classic BPE apply order, and it is exactly
+ *    the semantics of a literal string `replace()` over a
+ *    delimiter-guarded rendering — which is what the DuckDB oracle
+ *    runs (empirically pinned: '|a| |a| |a| |a|' -> '|aa| |aa|',
+ *    '|a| |a| |a|' -> '|aa| |a|').
+ */
+object BpeKernel {
+  def chars(word: UTF8String): ArrayData = {
+    val n = word.numChars()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = word.substring(i, i + 1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def adjacentPairs(syms: ArrayData): ArrayData = {
+    val n = syms.numElements()
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = InternalRow(syms.getUTF8String(i), syms.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def mergeAdjacent(syms: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && syms.getUTF8String(i).equals(a)
+          && syms.getUTF8String(i + 1).equals(b)) {
+        out.add(UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(syms.getUTF8String(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** graft_chars(string) -> ARRAY<STRING> of single-character symbols. */
+case class CharSymbols(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chars"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $t")
+  }
+
+  protected override def nullSafeEval(word: Any): Any =
+    BpeKernel.chars(word.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, word =>
+      s"${ev.value} = graft.functions.BpeKernel.chars($word);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_adj_pairs(array<string>) -> ARRAY<STRUCT<a: STRING, b: STRING>>
+  * of adjacent symbol pairs. */
+case class AdjacentPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_adj_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got $t")
+  }
+
+  protected override def nullSafeEval(syms: Any): Any =
+    BpeKernel.adjacentPairs(syms.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, syms =>
+      s"${ev.value} = graft.functions.BpeKernel.adjacentPairs($syms);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_merge_pair(array<string>, a, b) -> ARRAY<STRING>: one
+  * left-to-right non-overlapping merge pass of adjacent (a, b) into
+  * a+b. The pair arguments are plan constants (the driver-selected
+  * argmax of one training iteration), validated foldable at analysis
+  * time so a non-constant can never reach the compiled kernel. */
+case class MergeAdjacentPair(child: Expression, left: Expression, right: Expression)
+    extends TernaryExpression {
+  override def first: Expression = child
+  override def second: Expression = left
+  override def third: Expression = right
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_merge_pair"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        if (!left.foldable || !right.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName merge pair must be constant")
+        else TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, string, string), got $t")
+    }
+
+  protected override def nullSafeEval(syms: Any, a: Any, b: Any): Any =
+    BpeKernel.mergeAdjacent(syms.asInstanceOf[ArrayData],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (syms, a, b) =>
+      s"${ev.value} = graft.functions.BpeKernel.mergeAdjacent($syms, $a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(child = newFirst, left = newSecond, right = newThird)
+}

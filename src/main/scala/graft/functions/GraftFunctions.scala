@@ -36,7 +36,10 @@ object GraftFunctions {
       "graft_max_cosine" -> (e => MaxCosineExpr(e(0), e(1), e(2))),
       "graft_bloom_contains" -> (e => BloomContainsExpr(e(0), e(1))),
       "graft_del_variants" -> (e => DeletionVariants(e(0), e(1))),
-      "graft_pairs" -> (e => SortedPairs(e(0)))
+      "graft_pairs" -> (e => SortedPairs(e(0))),
+      "graft_chars" -> (e => CharSymbols(e(0))),
+      "graft_adj_pairs" -> (e => AdjacentPairs(e(0))),
+      "graft_merge_pair" -> (e => MergeAdjacentPair(e(0), e(1), e(2)))
     )
 
   /** Register all graft functions + optimizer rules on the session
@@ -103,6 +106,16 @@ object GraftFunctions {
   /** All index-ordered (i < j) pairs of a long-array column as
     * array<struct<a,b>> — see [[SortedPairs]]. */
   def pairs(items: Column): Column = call_function("graft_pairs", items)
+
+  /** Single-character symbol array of a word (BPE initial state). */
+  def charSymbols(word: Column): Column = call_function("graft_chars", word)
+
+  /** Adjacent (a, b) symbol pairs of a symbol array — see [[AdjacentPairs]]. */
+  def adjPairs(syms: Column): Column = call_function("graft_adj_pairs", syms)
+
+  /** One left-to-right non-overlapping BPE merge pass of (a, b) -> a+b. */
+  def mergePair(syms: Column, a: String, b: String): Column =
+    call_function("graft_merge_pair", syms, lit(a), lit(b))
 }
 
 /**

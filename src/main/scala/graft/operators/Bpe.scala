@@ -1,0 +1,121 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{adjPairs, charSymbols, mergePair}
+
+/**
+ * Distributed byte-pair-encoding merge training and tokenization
+ * (Gage 1994, "A New Algorithm for Data Compression"; Sennrich et al.
+ * 2016, arXiv:1508.07909) — the canonical subword-tokenizer training
+ * step of an LLM data pipeline, beyond the reference's surface (its
+ * embedding lane tokenizes with a pre-trained model,
+ * reference src/db.rs:101-114; training the tokenizer is the pipeline
+ * stage upstream of that).
+ *
+ * Scale shape — the whole point of the word-frequency formulation:
+ * the corpus is touched ONCE (tokenize -> groupBy word, one shuffle,
+ * the same explode->count shape as the vocabulary query). Every merge
+ * iteration then runs on the WORD-FREQUENCY DICTIONARY — bounded by
+ * distinct-word count (~10M rows at web scale), not corpus size
+ * (~100 TB). Per iteration: one compiled adjacent-pairs explode over
+ * the dictionary, one partial-agg'd sum shuffle, and a LIMIT 1 argmax
+ * (TakeOrderedAndProject — one row to the driver; driver state is the
+ * k selected merges, never the dictionary). Iteration i recomputes
+ * i-1 merge passes over the persisted base dictionary rather than
+ * checkpointing per step: the passes are compiled kernels over a
+ * vocab-sized cache, and per-step checkpoints would pin k RDD
+ * generations across a 128-query suite (the measured r12/r13
+ * block-manager-pressure lesson).
+ *
+ * Determinism (the oracle contract): argmax tie-break is
+ * (count DESC, a ASC, b ASC) on raw symbol strings; the merge pass is
+ * left-to-right non-overlapping ([[graft.functions.BpeKernel]]), which
+ * the DuckDB oracle reproduces with a literal `replace()` over a
+ * '|sym|'-marker rendering of each word (delimiter-guarded so a
+ * symbol can never match across symbol boundaries).
+ */
+object Bpe {
+
+  /** One selected merge: adjacent (a, b) -> a+b, chosen at `weight`
+    * summed word-frequency occurrences. */
+  final case class Merge(a: String, b: String, weight: Long)
+
+  /** Word-frequency dictionary of a corpus column: one corpus pass,
+    * one shuffle. Callers iterating merges should persist the result. */
+  def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("w"))
+
+  /** BPE initial state: each word as its single-character symbol
+    * array, weight carried. */
+  def initState(words: DataFrame): DataFrame =
+    words.select(col("word"), charSymbols(col("word")).as("syms"), col("w"))
+
+  /** Frequency-weighted adjacent-pair counts of the current state —
+    * the per-iteration aggregation (partial-agg'd; pairs explode is a
+    * single compiled pass per word). */
+  def pairCounts(state: DataFrame): DataFrame =
+    state.select(col("w"), explode(adjPairs(col("syms"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("w")).as("n"))
+
+  private def topPair(state: DataFrame): Option[Merge] =
+    pairCounts(state)
+      .orderBy(desc("n"), asc("a"), asc("b")).limit(1)
+      .collect().headOption
+      .map(r => Merge(r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** Train `k` merges over a word-frequency dictionary. Pass a
+    * PERSISTED dictionary — each iteration re-reads it. Stops early if
+    * no adjacent pair remains (every word fully merged). */
+  def train(words: DataFrame, k: Int): Seq[Merge] = {
+    val merges = ArrayBuffer.empty[Merge]
+    var state = initState(words)
+    var step = 0
+    var done = false
+    while (step < k && !done) {
+      topPair(state) match {
+        case Some(m) =>
+          merges += m
+          state = applyMerge(state, m)
+          step += 1
+        case None => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One merge pass over a dictionary state. */
+  def applyMerge(state: DataFrame, m: Merge): DataFrame =
+    state.withColumn("syms", mergePair(col("syms"), m.a, m.b))
+
+  /** Apply a trained merge list in order. */
+  def applyMerges(state: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(state)(applyMerge)
+
+  /** Per-document token counts under a trained dictionary state
+    * (`applyMerges(initState(words), merges)` — build it off the SAME
+    * persisted word-frequency table the training ran on, so the corpus
+    * is scanned exactly twice end to end: word counts + doc-word
+    * counts): the corpus re-tokenizes to (doc_id, word) occurrence
+    * counts and joins the merged dictionary's per-word symbol count —
+    * the dictionary
+    * (vocab-sized) is the small side; at fixture scale AQE broadcasts
+    * it, at web scale (~10M words) it correctly degrades to a shuffle
+    * join on `word`. The corpus is never carried through the merge
+    * iterations. */
+  def tokenCounts(docs: DataFrame, dictState: DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val dict = dictState
+      .select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy(idCol, "word").agg(count(lit(1)).as("nw"))
+      .join(dict, "word")
+      .groupBy(idCol)
+      .agg(sum(col("nw") * col("n_sym")).as("n_tok"))
+  }
+}

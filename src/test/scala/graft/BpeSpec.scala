@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+import graft.operators.Bpe
+
+/** BPE merge-training kernels + trainer: hand-computed merges on a
+  * tiny corpus, kernel edge cases (the left-to-right non-overlap
+  * contract the DuckDB oracle's replace() reproduces), and the
+  * HOF-equivalence of the compiled pair explode. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def arr(c: org.apache.spark.sql.Column): Seq[String] = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(1).select(c.as("v")).head().getSeq[String](0)
+  }
+
+  test("chars kernel: word -> single-char symbols (empty, one, many)") {
+    assert(arr(charSymbols(lit("abc"))) == Seq("a", "b", "c"))
+    assert(arr(charSymbols(lit("x"))) == Seq("x"))
+    assert(arr(charSymbols(lit(""))) == Seq.empty)
+  }
+
+  test("merge kernel: left-to-right non-overlapping — 'a a a a' -> 'aa aa', 'a a a' -> 'aa a'") {
+    def m(xs: Seq[String], a: String, b: String): Seq[String] =
+      arr(mergePair(array(xs.map(lit): _*).cast("array<string>"), a, b))
+    assert(m(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(m(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(m(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(m(Seq("x", "a", "b", "y"), "a", "b") == Seq("x", "ab", "y"))
+    assert(m(Seq("a"), "a", "a") == Seq("a"))
+    assert(m(Seq.empty, "a", "b") == Seq.empty)
+    // a merged token is not the left end of a following match
+    assert(m(Seq("a", "b", "b"), "a", "b") == Seq("ab", "b"))
+    // multi-char symbols merge too (later iterations)
+    assert(m(Seq("ab", "c", "ab"), "ab", "c") == Seq("abc", "ab"))
+  }
+
+  test("merge pair must be a plan constant") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((Seq("a", "b"), "a")).toDF("syms", "s")
+    val ex = intercept[Exception] {
+      df.select(call_function("graft_merge_pair", col("syms"), col("s"), col("s")))
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("constant")
+      || ex.getMessage.toLowerCase.contains("foldable")
+      || ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("adjacent-pairs kernel == HOF transform form") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      Seq("a", "b", "c", "a", "b"),
+      Seq("x"),
+      Seq.empty[String],
+      Seq("q", "q", "q")
+    ).toDF("syms")
+    val kernel = df.select(explode(adjPairs(col("syms"))).as("p"))
+      .select(col("p.a"), col("p.b")).as[(String, String)].collect().toSeq
+    val hof = df.where(size(col("syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+      .select(col("p.a"), col("p.b")).as[(String, String)].collect().toSeq
+    assert(kernel == hof)
+    assert(kernel.nonEmpty)
+  }
+
+  test("train: hand-computed merges on a tiny corpus") {
+    // corpus: "aaab" x3, "ab" x2  (as documents)
+    // pair counts: (a,a): 2*3=6, (a,b): 3+2=5  -> merge 1 = (a,a,6)
+    // state: [aa,a,b] x3, [a,b] x2
+    // counts: (aa,a):3, (a,b):5 -> merge 2 = (a,b,5)
+    // state: [aa,ab] x3, [ab] x2
+    // counts: (aa,ab):3 -> merge 3 = (aa,ab,3)
+    val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs).persist()
+    try {
+      val ms = Bpe.train(words, 4)
+      assert(ms.map(m => (m.a, m.b, m.weight)) ==
+        Seq(("a", "a", 6L), ("a", "b", 5L), ("aa", "ab", 3L)))
+      // early stop: every word fully merged after 3 -> only 3 merges
+      assert(ms.size == 3)
+      // token counts under the merges: aaab -> [aaab] = 1, ab -> [ab] = 1
+      val dict = Bpe.applyMerges(Bpe.initState(words), ms)
+      val toks = Bpe.tokenCounts(docs, dict).orderBy("doc_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(toks == (0L until 5L).map(_ -> 1L))
+    } finally words.unpersist(blocking = false)
+  }
+
+  test("train tie-break: equal counts resolve to lexicographically smallest pair") {
+    // "ab" x2, "cd" x2: (a,b)=2, (c,d)=2 -> first merge must be (a,b)
+    val docs = (Seq.fill(2)("ab") ++ Seq.fill(2)("cd"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs).persist()
+    try {
+      val ms = Bpe.train(words, 1)
+      assert(ms.map(m => (m.a, m.b, m.weight)) == Seq(("a", "b", 2L)))
+    } finally words.unpersist(blocking = false)
+  }
+}
