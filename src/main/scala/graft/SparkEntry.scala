@@ -979,6 +979,28 @@ object SparkEntry {
       Bpe.tokenCounts(docs, dict).orderBy("doc_id")
     }),
 
+    // tokenizer eval: per-language compression (word chars per 1000
+    // tokens) under the trained merges — integer-exact (`div`), same
+    // word-level join shape as text_bpe_tokens with lang carried
+    // through the occurrence table
+    "text_bpe_compression" -> ((s, dir) => {
+      val docs = Tables.load(registered(s), dir, "documents")
+      val words = Bpe.wordFreq(docs).persist()
+      val merges =
+        try Bpe.train(words, 4)
+        finally words.unpersist(blocking = false)
+      val dict = Bpe.applyMerges(Bpe.initState(Bpe.wordFreq(docs)), merges)
+        .select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+      docs.select(col("lang"), explode(Dedup.tokens(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("nw"))
+        .join(dict, "word")
+        .groupBy("lang")
+        .agg(sum(col("nw") * length(col("word")).cast("long")).as("n_chars"),
+             sum(col("nw") * col("n_sym")).as("n_tok"))
+        .withColumn("chars_per_ktok", expr("(n_chars * 1000) div n_tok"))
+        .orderBy("lang")
+    }),
+
     // C4-style boilerplate line removal over a corpus with IN-QUERY
     // planted chrome (identical derivation in the oracle): a header on
     // every doc (removed), a footer on even ids (removed, 250 >= 3),
@@ -2706,6 +2728,19 @@ object SparkEntry {
            |SELECT dw.doc_id, CAST(sum(dw.nw * d.n_sym) AS BIGINT) AS n_tok
            |FROM dw JOIN d USING (word)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "text_bpe_compression" ->
+        s"""WITH ${bpeOracleChain(4)},
+           |d AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sym FROM s4),
+           |dw AS (SELECT lang, word, count(*) AS nw FROM (
+           |         SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+           |         FROM documents) GROUP BY 1, 2)
+           |SELECT lang,
+           |       CAST(sum(dw.nw * len(dw.word)) AS BIGINT) AS n_chars,
+           |       CAST(sum(dw.nw * d.n_sym) AS BIGINT) AS n_tok,
+           |       CAST((sum(dw.nw * len(dw.word)) * 1000) // sum(dw.nw * d.n_sym) AS BIGINT) AS chars_per_ktok
+           |FROM dw JOIN d USING (word)
+           |GROUP BY 1 ORDER BY lang""".stripMargin,
 
       "text_vocab" ->
         s"""SELECT tok, count(*) AS n FROM (

@@ -72,7 +72,25 @@ object Bpe {
   /** Train `k` merges over a word-frequency dictionary. Pass a
     * PERSISTED dictionary — each iteration re-reads it. Stops early if
     * no adjacent pair remains (every word fully merged). */
-  def train(words: DataFrame, k: Int): Seq[Merge] = {
+  def train(words: DataFrame, k: Int): Seq[Merge] =
+    train(words, k, checkpointEvery = 0)
+
+  /** Train with BOUNDED LINEAGE for realistic merge counts: iteration
+    * i otherwise re-applies i-1 merge passes over the persisted base
+    * dictionary — O(k^2) kernel passes across a 30k-merge tokenizer
+    * run. With `checkpointEvery` = c > 0 the state is checkpointed
+    * every c merges (reliable `checkpoint()` when the session has a
+    * checkpoint dir — at cluster scale that is the right call, blocks
+    * survive executor loss — else `localCheckpoint`), so a window of
+    * at most c uncheckpointed passes is ever re-run and plan depth
+    * stays bounded. Superseded checkpoint RDDs drop out of scope and
+    * the ContextCleaner reclaims their blocks — state held live is one
+    * generation, not k. The k<=4 suite rows keep c = 0: for tiny k the
+    * recompute is cheaper than pinning RDD generations across a
+    * 128-query bench suite (the measured r12/r13 block-manager-
+    * pressure lesson). Checkpoint-vs-naive value identity is spec-
+    * gated (BpeSpec). */
+  def train(words: DataFrame, k: Int, checkpointEvery: Int): Seq[Merge] = {
     val merges = ArrayBuffer.empty[Merge]
     var state = initState(words)
     var step = 0
@@ -83,6 +101,8 @@ object Bpe {
           merges += m
           state = applyMerge(state, m)
           step += 1
+          if (checkpointEvery > 0 && step % checkpointEvery == 0 && step < k)
+            state = Dedup.checkpointed(state)
         case None => done = true
       }
     }

@@ -94,6 +94,20 @@ class BpeSpec extends AnyFunSuite {
     } finally words.unpersist(blocking = false)
   }
 
+  test("train: bounded-lineage checkpointing == naive recompute (value identity)") {
+    // enough structure for 8+ distinct merges
+    val docs = (Seq.fill(5)("abcdefgh") ++ Seq.fill(4)("abcd") ++
+      Seq.fill(3)("efgh") ++ Seq.fill(2)("abef") ++ Seq.fill(2)("cdgh"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs).persist()
+    try {
+      val naive = Bpe.train(words, 8)
+      val ckpt = Bpe.train(words, 8, checkpointEvery = 3)
+      assert(naive.size == 8)
+      assert(ckpt == naive)
+    } finally words.unpersist(blocking = false)
+  }
+
   test("train tie-break: equal counts resolve to lexicographically smallest pair") {
     // "ab" x2, "cd" x2: (a,b)=2, (c,d)=2 -> first merge must be (a,b)
     val docs = (Seq.fill(2)("ab") ++ Seq.fill(2)("cd"))
