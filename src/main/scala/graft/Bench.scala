@@ -155,7 +155,12 @@ object Bench {
     // (|hot| * nSalts on the small side) and the hot reducer's divided
     // partition are the volume effects; the profile itself rides along
     // as the bounded hot-key collect inside the query
-    "q_salted_join")
+    "q_salted_join",
+    // r13: BPE merge training — one corpus pass to the word-frequency
+    // dictionary, then vocab-bound iterations (steady ~flat from sf0.1
+    // to sf1 by design: iteration cost tracks distinct-word growth,
+    // not row growth — the property this row tracks per round)
+    "text_bpe_train")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

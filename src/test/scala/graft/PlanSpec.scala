@@ -828,4 +828,32 @@ class PlanSpec extends AnyFunSuite {
       assert(m.value <= 2 * expected,
         s"versioned scan read ${m.value} leaf dirs, needs <= ${2 * expected}")
   }
+
+  test("bpe: argmax is a bounded heap, pair counts partial-agg'd, tokenize join never cartesian") {
+    // per-iteration shape that must hold at a 10M-word dictionary: the
+    // pair-count sum partial-aggregates before its exchange (map-side
+    // combine — the explode fans out ~word-length rows per word), and
+    // the merge selection is a TakeOrderedAndProject (per-partition
+    // heap, ONE row to the driver), never a global sort
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{asc, desc}
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val arg = graft.operators.Bpe.pairCounts(
+        graft.operators.Bpe.initState(graft.operators.Bpe.wordFreq(docs)))
+      .orderBy(desc("n"), asc("a"), asc("b")).limit(1)
+    val p1 = plan(arg)
+    assert(p1.contains("TakeOrderedAndProject"),
+      "merge argmax regressed to a global sort:\n" + p1.take(2000))
+    assert("HashAggregate".r.findAllIn(p1).size >= 2,
+      "pair-count sum lost its partial aggregation:\n" + p1.take(2000))
+    // the tokenize join (corpus occurrences x merged dictionary) must
+    // stay an equi join — broadcast at fixture scale, word-keyed
+    // shuffle at web scale, never a nested loop
+    val df = SparkEntry.queries("text_bpe_tokens")(spark, dir)
+    df.collect()
+    val p2 = plan(df)
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"),
+      "tokenize dictionary join regressed to a non-equi join:\n" + p2.take(3000))
+  }
 }
