@@ -635,6 +635,23 @@ object SparkEntry {
         qid = 42L, nCentroids = 16, nprobe = 2, k = 5)
     }),
 
+    // filtered ANN: the tag predicate rides inside the probed cells
+    // (row filter after the cid IN-list), never a post-hoc re-query —
+    // the selective-filter/nprobe tradeoff is the caller's dial
+    "ann_ivf_filtered" -> ((s, dir) => {
+      registered(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qv = emb.where(col("vec_id") === 42L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      SimilaritySearch.ivfSearchVecFiltered(
+        Tables.vectorTable(s, dir).where(col("id") =!= 42L),
+        centroids, qv, nprobe = 2, k = 5,
+        pred = array_contains(col("tags"), "de"),
+        vecCol = "vector", idCol = "id")
+    }),
+
     // IVF scored over the 8-bit codec: same assignment/probing, packed
     // scoring via FuseQuantizedKernels (oracle-pins the fused kernel's
     // dequantize-then-cosine numerics, not just the plan shape)
@@ -2382,6 +2399,28 @@ object SparkEntry {
            |      FROM asg a JOIN pc ON a.cid = pc.cid, q WHERE a.vec_id <> 42)
            |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
            |FROM s ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+      // same IVF assignment/probing over the tagged vector table; the
+      // tag predicate filters INSIDE the probed cells before scoring
+      "ann_ivf_filtered" ->
+        s"""WITH vt AS (
+           |  SELECT e.vec_id AS id, e.embedding, list_sort(list_distinct([d.lang, d.source])) AS tags
+           |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           |),
+           |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+           |ad AS (SELECT v.id, c.cid, ${OracleSql.euclidean("v.embedding", "c.cv")} AS dist, v.embedding, v.tags
+           |       FROM vt v, cent c WHERE v.id <> 42),
+           |asg AS (SELECT id, cid, embedding, tags FROM
+           |        (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) rn FROM ad) WHERE rn = 1),
+           |pc AS (SELECT cid FROM
+           |       (SELECT c.cid, row_number() OVER (ORDER BY ${OracleSql.euclidean("c.cv", "q.qv")}, c.cid) prn
+           |        FROM cent c, q) WHERE prn <= 2),
+           |s AS (SELECT a.id, ${OracleSql.cosine("a.embedding", "q.qv")} AS sim
+           |      FROM asg a JOIN pc ON a.cid = pc.cid, q
+           |      WHERE list_contains(a.tags, 'de'))
+           |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank, id
+           |FROM s ORDER BY sim DESC, id LIMIT 5""".stripMargin,
 
       // same IVF assignment/probing; scoring dequantizes the 8-bit
       // codec first — the min/max/round/clamp chain mirrors PackVector /

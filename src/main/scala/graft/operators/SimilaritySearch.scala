@@ -355,6 +355,30 @@ object SimilaritySearch {
       .select(col("rank"), col("vec_id"))
   }
 
+  /** Predicate-filtered IVF probe search (filtered ANN): the metadata
+    * predicate rides the SAME pruned probe scan as the similarity — a
+    * post-assignment row filter on a flat corpus here, a row filter
+    * inside the probed cid partitions on the store's committed index
+    * ([[graft.operators.VectorStore.searchAnn]] with tags). The
+    * standard filtered-ANN caveat is the caller's dial, not a silent
+    * failure: a selective predicate thins the probed lists, so k
+    * results under a tight filter need a higher nprobe (the
+    * recall-vs-probe tradeoff the committed-index recall curve
+    * measures) — the operator never falls back to re-querying. */
+  def ivfSearchVecFiltered(corpus: DataFrame, centroids: DataFrame,
+                           qv: Seq[Float], nprobe: Int, k: Int, pred: Column,
+                           vecCol: String = "embedding",
+                           idCol: String = "vec_id"): DataFrame = {
+    val codebook = collectCodebook(centroids)
+    val probes = probeCids(codebook, qv, nprobe)
+    val scored = corpus
+      .withColumn("cid", nearestCentroid(col(vecCol), codebook))
+      .where(col("cid").isin(probes: _*) && pred)
+      .withColumn("sim", cosine(col(vecCol), vecLit(qv)))
+    TopK.topKRanked(scored, k, Seq(desc("sim"), asc(idCol)))
+      .select(col("rank"), col(idCol))
+  }
+
   /** IVF with the fixed seed-row codebook (oracle-reproducible variant;
     * see kmeansCentroids for the fitted codebook). */
   def ivfSearch(emb: DataFrame, qid: Long, nCentroids: Int, nprobe: Int, k: Int): DataFrame = {

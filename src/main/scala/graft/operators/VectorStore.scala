@@ -2069,7 +2069,7 @@ class VectorStore(spark: SparkSession, val root: String,
     * the FuseQuantizedKernels rule collapses cosine/euclidean-over-
     * unpack into the packed kernels — 4x less I/O on the probed lists. */
   def searchAnn(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 2,
-                quantized: Boolean = false): DataFrame = {
+                quantized: Boolean = false, tags: Seq[String] = Nil): DataFrame = {
     // resolve the version ONCE: codebook, meta, and data all come from
     // the same committed dir, so a rebuild landing mid-plan can't pair
     // this query's probes with another version's lists
@@ -2084,7 +2084,14 @@ class VectorStore(spark: SparkSession, val root: String,
     val codebook = SimilaritySearch.collectCodebook(
       spark.read.parquet(codebookPathIn(dir)))
     val probes = SimilaritySearch.probeCids(codebook, qv, nprobe)
-    val pruned = spark.read.parquet(dir).where(col("cid").isin(probes: _*))
+    // filtered ANN: the tag-superset predicate rides INSIDE the probed
+    // cid partitions (row filter on the pruned scan, same semantics as
+    // search()'s superset filter). A tight filter thins the probed
+    // lists — callers raise nprobe rather than getting a re-query
+    // fallback (see SimilaritySearch.ivfSearchVecFiltered).
+    val pruned = tags.foldLeft(
+        spark.read.parquet(dir).where(col("cid").isin(probes: _*)))(
+        (d, t) => d.where(array_contains(col("tags"), t)))
     scoreTopK(pruned, qv, k, metric, quantized)
   }
 

@@ -502,6 +502,37 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("filtered ANN: tag predicate inside the probed cells; full probe == exact tag search") {
+    val store = freshStore()
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 80).map { i =>
+      (s"v$i", Array.fill(8)(rng.nextGaussian().toFloat), s"c$i",
+        if (i % 3 == 0) Seq("de", "web") else Seq("en", "web"))
+    }
+    store.insert(df(rows))
+    store.buildAnnIndex(k = 4)
+    val qv = rows(11)._2.toSeq
+    // at full probe coverage the filtered ANN result must equal the
+    // exact tag-filtered search (same rows, same order)
+    val ann = store.searchAnn(qv, k = 5, nprobe = 4, tags = Seq("de"))
+      .select("id").collect().map(_.getString(0)).toSeq
+    val exact = store.search(qv, tags = Seq("de"), k = 5)
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(ann == exact && ann.nonEmpty)
+    // every hit respects the superset filter
+    assert(store.searchAnn(qv, k = 20, nprobe = 4, tags = Seq("de", "web"))
+      .select("tags").collect()
+      .forall(r => { val t = r.getSeq[String](0); t.contains("de") && t.contains("web") }))
+    // unknown tag: empty, not an error
+    assert(store.searchAnn(qv, k = 5, nprobe = 4, tags = Seq("nope")).count() == 0)
+    // the cid partition pruning survives the tag filter
+    val p = store.searchAnn(qv, k = 5, nprobe = 2, tags = Seq("de"))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.find(_.contains("PartitionFilters"))
+      .exists(_.contains("cid")), s"no cid partition pruning:\n${p.take(2000)}")
+    store.clear()
+  }
+
   test("ANN index on the store: build, probe-pruned search, recall vs exact (facade path)") {
     val store = freshStore()
     val rng = new scala.util.Random(13)
