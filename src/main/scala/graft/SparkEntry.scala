@@ -1018,6 +1018,26 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // WordPiece-side vocab learning: frequency-weighted multi-char
+    // substring candidates of the word dictionary, deterministic top-V
+    "text_wordpiece_vocab" -> ((s, dir) =>
+      Bpe.substringCounts(
+          Bpe.wordFreq(Tables.load(registered(s), dir, "documents")), 4)
+        .orderBy(desc("n"), asc("piece")).limit(24)),
+
+    // greedy longest-match tokenization under the learned vocab
+    // (top-24 substrings + the single-char alphabet): the compiled
+    // kernel runs once per DISTINCT word, the corpus pays only the
+    // occurrence join — same dictionary shape as text_bpe_tokens
+    "text_wordpiece_tokens" -> ((s, dir) => {
+      val docs = Tables.load(registered(s), dir, "documents")
+      val words = Bpe.wordFreq(docs).persist()
+      val pieces =
+        try Bpe.pieceVocab(words, maxLen = 4, topV = 24)
+        finally words.unpersist(blocking = false)
+      Bpe.wordpieceTokenCounts(docs, pieces).orderBy("doc_id")
+    }),
+
     // C4-style boilerplate line removal over a corpus with IN-QUERY
     // planted chrome (identical derivation in the oracle): a header on
     // every doc (removed), a footer on even ids (removed, 250 >= 3),
@@ -2116,6 +2136,49 @@ object SparkEntry {
     sb.toString
   }
 
+  /** WordPiece oracle chain: the word dict + weighted multi-char
+    * substring counts (`sub`), and — when `withGreedy` — the learned
+    * vocab (top-24 + single-char alphabet) and a 12-stage unrolled
+    * greedy longest-match walk (max fixture word length is 8; stages
+    * past a word's end are no-ops, so the unroll depth is a safety
+    * margin, not a semantic bound). The per-stage LEFT JOIN LATERAL
+    * picks the longest matching piece (equal-length matches at one
+    * position are the same string — no tie exists); a no-match
+    * position consumes one character, exactly the kernel's single-char
+    * fallback. Construction verified against an independent reference
+    * implementation on the fixture before wiring. */
+  private def wordpieceOracleChain(withGreedy: Boolean): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w AS (SELECT word, count(*) AS w FROM (
+        |       SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |       FROM documents) GROUP BY 1),
+        |sub AS (SELECT piece, CAST(sum(w) AS BIGINT) AS n FROM (
+        |          SELECT substr(word, g.i, 2) AS piece, w FROM w, LATERAL (SELECT unnest(generate_series(1, len(word)-1)) AS i) g
+        |          UNION ALL SELECT substr(word, g.i, 3), w FROM w, LATERAL (SELECT unnest(generate_series(1, len(word)-2)) AS i) g
+        |          UNION ALL SELECT substr(word, g.i, 4), w FROM w, LATERAL (SELECT unnest(generate_series(1, len(word)-3)) AS i) g
+        |        ) GROUP BY 1)""".stripMargin)
+    if (withGreedy) {
+      sb.append(
+        """,
+          |top AS (SELECT piece FROM sub ORDER BY n DESC, piece LIMIT 24),
+          |ch AS (SELECT DISTINCT substr(word, g.i, 1) AS piece FROM w, LATERAL (SELECT unnest(generate_series(1, len(word))) AS i) g),
+          |vocab AS (SELECT piece FROM top UNION SELECT piece FROM ch),
+          |g0 AS (SELECT word, 1 AS pos, 0 AS n FROM w)""".stripMargin)
+      for (k <- 1 to 12) {
+        sb.append(s""",
+          |g$k AS (SELECT g.word,
+          |        CASE WHEN g.pos > len(g.word) THEN g.pos ELSE g.pos + coalesce(pk.l, 1) END AS pos,
+          |        CASE WHEN g.pos > len(g.word) THEN g.n ELSE g.n + 1 END AS n
+          |      FROM g${k - 1} g LEFT JOIN LATERAL (
+          |        SELECT len(piece) AS l FROM vocab
+          |        WHERE g.pos <= len(g.word) AND piece = substr(g.word, g.pos, len(piece))
+          |        ORDER BY len(piece) DESC LIMIT 1) pk ON true)""".stripMargin)
+      }
+    }
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = {
     val cosQ = OracleSql.cosine("e.embedding", "q.qv")
     // one oracle for both component branches: the union-find short-
@@ -2780,6 +2843,20 @@ object SparkEntry {
            |       CAST((sum(dw.nw * len(dw.word)) * 1000) // sum(dw.nw * d.n_sym) AS BIGINT) AS chars_per_ktok
            |FROM dw JOIN d USING (word)
            |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+      "text_wordpiece_vocab" ->
+        s"""WITH ${wordpieceOracleChain(withGreedy = false)}
+           |SELECT piece, n FROM sub ORDER BY n DESC, piece LIMIT 24""".stripMargin,
+
+      "text_wordpiece_tokens" ->
+        s"""WITH ${wordpieceOracleChain(withGreedy = true)},
+           |d AS (SELECT word, CAST(n AS BIGINT) AS n_sym FROM g12),
+           |dw AS (SELECT doc_id, word, count(*) AS nw FROM (
+           |         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+           |         FROM documents) GROUP BY 1, 2)
+           |SELECT dw.doc_id, CAST(sum(dw.nw * d.n_sym) AS BIGINT) AS n_tok
+           |FROM dw JOIN d USING (word)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "text_vocab" ->
         s"""SELECT tok, count(*) AS n FROM (

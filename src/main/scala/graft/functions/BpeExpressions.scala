@@ -76,6 +76,89 @@ object BpeKernel {
   }
 }
 
+object WordpieceKernel {
+  /** Greedy longest-match-first segmentation (the WordPiece/MaxMatch
+    * inference rule, Wu et al. 2016 arXiv:1609.08144 §4.1): at each
+    * position take the LONGEST vocab piece matching, else consume one
+    * character as an unknown piece (single-char fallback keeps the scan
+    * total — no <unk> collapse, so token counts stay exact). */
+  def greedySegment(word: UTF8String, pieces: java.util.HashSet[String],
+                    maxLen: Int): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    val out = new java.util.ArrayList[Any](n)
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      var found = 1
+      var done = false
+      while (l >= 1 && !done) {
+        if (pieces.contains(s.substring(pos, pos + l))) { found = l; done = true }
+        l -= 1
+      }
+      out.add(UTF8String.fromString(s.substring(pos, pos + found)))
+      pos += found
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** graft_greedy_segment(word, pieces) -> ARRAY<STRING>: greedy
+  * longest-match segmentation of `word` against a plan-constant piece
+  * vocabulary (validated foldable at analysis; shipped to executors as
+  * a task-constant HashSet — the [[TermCounts]] discipline). */
+case class GreedySegment(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_greedy_segment"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName needs a non-null pieces array")
+          case a: ArrayData =>
+            val n = a.numElements()
+            if (n == 0)
+              TypeCheckResult.TypeCheckFailure(s"$prettyName needs at least one piece")
+            else if ((0 until n).exists(i => a.isNullAt(i) || a.getUTF8String(i).numChars() == 0))
+              TypeCheckResult.TypeCheckFailure(s"$prettyName pieces must be non-null, non-empty")
+            else TypeCheckResult.TypeCheckSuccess
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, array<string> literal pieces), got ($l, $r)")
+    }
+
+  @transient private lazy val pieceSet: java.util.HashSet[String] = {
+    val a = right.eval().asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { s.add(a.getUTF8String(i).toString); i += 1 }
+    s
+  }
+
+  @transient private lazy val maxPieceLen: Int = {
+    val it = pieceSet.iterator()
+    var m = 1
+    while (it.hasNext) m = math.max(m, it.next().length)
+    m
+  }
+
+  protected override def nullSafeEval(w: Any, ps: Any): Any =
+    WordpieceKernel.greedySegment(w.asInstanceOf[UTF8String], pieceSet, maxPieceLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftPieceSet", pieceSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"${ev.value} = graft.functions.WordpieceKernel.greedySegment($w, $setRef, $maxPieceLen);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** graft_chars(string) -> ARRAY<STRING> of single-character symbols. */
 case class CharSymbols(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

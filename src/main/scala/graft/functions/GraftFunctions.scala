@@ -39,7 +39,8 @@ object GraftFunctions {
       "graft_pairs" -> (e => SortedPairs(e(0))),
       "graft_chars" -> (e => CharSymbols(e(0))),
       "graft_adj_pairs" -> (e => AdjacentPairs(e(0))),
-      "graft_merge_pair" -> (e => MergeAdjacentPair(e(0), e(1), e(2)))
+      "graft_merge_pair" -> (e => MergeAdjacentPair(e(0), e(1), e(2))),
+      "graft_greedy_segment" -> (e => GreedySegment(e(0), e(1)))
     )
 
   /** Register all graft functions + optimizer rules on the session
@@ -116,6 +117,10 @@ object GraftFunctions {
   /** One left-to-right non-overlapping BPE merge pass of (a, b) -> a+b. */
   def mergePair(syms: Column, a: String, b: String): Column =
     call_function("graft_merge_pair", syms, lit(a), lit(b))
+
+  /** Greedy longest-match segmentation against a constant piece vocab. */
+  def greedySegment(word: Column, pieces: Seq[String]): Column =
+    call_function("graft_greedy_segment", word, array(pieces.map(lit): _*))
 }
 
 /**

@@ -5,7 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{adjPairs, charSymbols, mergePair}
+import graft.functions.GraftFunctions.{adjPairs, charSymbols, greedySegment, mergePair}
 
 /**
  * Distributed byte-pair-encoding merge training and tokenization
@@ -132,6 +132,56 @@ object Bpe {
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val dict = dictState
       .select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy(idCol, "word").agg(count(lit(1)).as("nw"))
+      .join(dict, "word")
+      .groupBy(idCol)
+      .agg(sum(col("nw") * col("n_sym")).as("n_tok"))
+  }
+
+  // ---- WordPiece-style greedy tokenization (Wu et al. 2016) ---------
+  // The inference-side tokenizer family next to BPE's merge training:
+  // a substring vocabulary learned from the same word-frequency
+  // dictionary (frequency-weighted multi-char substrings, top-V with a
+  // deterministic tie-break, plus every single character as the
+  // fallback alphabet so segmentation always terminates without an
+  // <unk> collapse), then greedy longest-match-first segmentation as
+  // ONE compiled pass per word against the task-constant vocab.
+
+  /** Frequency-weighted multi-char substring counts of a word dict —
+    * the vocab-candidate table (vocab-sized x positions, never
+    * corpus-sized). */
+  def substringCounts(words: DataFrame, maxLen: Int = 4): DataFrame =
+    (2 to maxLen).map { l =>
+      words.where(length(col("word")) >= l)
+        .select(col("w"), explode(expr(
+          s"transform(sequence(1, length(word) - $l + 1), i -> substring(word, i, $l))")).as("piece"))
+    }.reduce(_ unionByName _)
+      .groupBy("piece").agg(sum(col("w")).as("n"))
+
+  /** Learn the piece vocabulary: top-V multi-char substrings by
+    * weighted count (ties to the lexicographically smallest piece) +
+    * the full single-char alphabet. Driver state is the vocab itself —
+    * a model artifact of V + |alphabet| strings, by construction. */
+  def pieceVocab(words: DataFrame, maxLen: Int = 4, topV: Int = 24): Seq[String] = {
+    val multi = substringCounts(words, maxLen)
+      .orderBy(desc("n"), asc("piece")).limit(topV)
+      .select("piece").collect().map(_.getString(0)).toSeq
+    val chars = words.select(explode(charSymbols(col("word"))).as("c"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    (multi ++ chars).distinct.sorted
+  }
+
+  /** Per-document token counts under greedy longest-match segmentation
+    * with `pieces` — same dictionary-join shape as [[tokenCounts]]:
+    * the kernel runs once per DISTINCT word, the corpus only pays the
+    * (doc_id, word) occurrence join. */
+  def wordpieceTokenCounts(docs: DataFrame, pieces: Seq[String],
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val dict = wordFreq(docs, textCol)
+      .select(col("word"),
+        size(greedySegment(col("word"), pieces)).cast("long").as("n_sym"))
     docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
       .groupBy(idCol, "word").agg(count(lit(1)).as("nw"))
       .join(dict, "word")

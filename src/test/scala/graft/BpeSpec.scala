@@ -108,6 +108,36 @@ class BpeSpec extends AnyFunSuite {
     } finally words.unpersist(blocking = false)
   }
 
+  test("greedy segment kernel: longest-match-first, single-char fallback, unknown chars") {
+    def seg(word: String, pieces: Seq[String]): Seq[String] =
+      arr(greedySegment(lit(word), pieces))
+    // longest match wins over a shorter prefix piece
+    assert(seg("abcd", Seq("ab", "abc", "c", "d")) == Seq("abc", "d"))
+    // greedy is NOT optimal: taking 'ab' first would give 2 tokens
+    assert(seg("abc", Seq("ab", "a", "bc")) == Seq("ab", "c"))
+    // chars absent from the vocab consume one position each (no <unk> collapse)
+    assert(seg("xy", Seq("a")) == Seq("x", "y"))
+    assert(seg("", Seq("a")) == Seq.empty)
+    // restart after a fallback char picks up multi-char pieces again
+    assert(seg("zabz", Seq("ab")) == Seq("z", "ab", "z"))
+  }
+
+  test("wordpiece: learned vocab segments the corpus words it was trained on") {
+    val docs = (Seq.fill(6)("banana") ++ Seq.fill(3)("bandana"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs).persist()
+    try {
+      val vocab = Bpe.pieceVocab(words, maxLen = 4, topV = 4)
+      // the alphabet is always present
+      assert(Seq("a", "b", "n", "d").forall(vocab.contains))
+      // top multi-char piece of this corpus: "an"/"na" family (weighted)
+      assert(vocab.exists(_.length > 1))
+      val toks = Bpe.wordpieceTokenCounts(docs, vocab).orderBy("doc_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(toks.size == 9 && toks.forall(_._2 >= 2)) // always < chars, > 1 piece
+    } finally words.unpersist(blocking = false)
+  }
+
   test("train tie-break: equal counts resolve to lexicographically smallest pair") {
     // "ab" x2, "cd" x2: (a,b)=2, (c,d)=2 -> first merge must be (a,b)
     val docs = (Seq.fill(2)("ab") ++ Seq.fill(2)("cd"))
