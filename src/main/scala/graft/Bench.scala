@@ -736,6 +736,22 @@ object Bench {
         s"""{"error":${jsStr(e.toString.take(300))}}"""
       }
 
+    // BPE/WordPiece training at a ~1M-word dictionary (the fixture
+    // vocab is ~31 words, so the suite rows never exercise the
+    // vocab-bound iteration cost the design exists for). Same gating
+    // and degradation contract as the PCA check.
+    val bpeScale: String =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALECHECK").contains("1")
+          || new java.io.File(sfDir).getName != "sf0.1") "{}"
+      else try {
+        val spark = session()
+        try graft.tools.RefWidthCheck.bpeAtVocabScale(spark)
+        finally spark.stop()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] bpe scale check failed: $e")
+        s"""{"error":${jsStr(e.toString.take(300))}}"""
+      }
+
     // full co-purchase triangle count (VERDICT r12 #3): the unsampled
     // graph_triangles_full row, 1 cold + 2 steady reps in this JVM —
     // the committed artifact now tracks the real operator cost per
@@ -807,7 +823,7 @@ object Bench {
     // mechanically
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val json =
-      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"pca_scale":$pcaScale,"fuzzy_scale":$fuzzyScale,"triangles_full":$trianglesFull,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"pca_scale":$pcaScale,"fuzzy_scale":$fuzzyScale,"bpe_scale":$bpeScale,"triangles_full":$trianglesFull,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
     println(json)
     // the stdout line sits mid-tail between sbt [info] noise; the file
     // artifact is machine-readable without scraping the log tail

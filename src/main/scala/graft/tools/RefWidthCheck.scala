@@ -134,6 +134,42 @@ object RefWidthCheck {
     f"""{"d1":${pj(p1)},"d2":${pj(p2)},"d2_join_sec":$joinSec%.3f,"d2_pairs":$pairs}"""
   }
 
+  /** BPE merge training at realistic dictionary scale: the fixture
+    * corpus carries a ~31-word vocabulary, so the suite rows never
+    * exercise the iteration cost the design exists for — a ~1M
+    * distinct-word dictionary (the web-corpus regime where the
+    * vocab-bound formulation is the difference between feasible and
+    * not). Synthesize one (deterministic words, Zipf-ish weights,
+    * 3-12 chars), train 8 merges on the bounded-lineage path, learn a
+    * 4096-piece WordPiece vocab over the same dictionary, and report
+    * timings; Bench splices the JSON into the artifact (`bpe_scale`)
+    * so the numbers are tracked per round like `pca_scale`. */
+  def bpeAtVocabScale(spark: SparkSession): String = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // kernels; idempotent
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val nGen = 1200000L
+    val words = spark.range(0L, nGen, 1L, 32).as[Long].map { id =>
+      val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 11L)
+      val len = 3 + rnd.nextInt(10)
+      (Array.fill(len)(letters(rnd.nextInt(26))).mkString,
+        1L + nGen / (id + 1L)) // Zipf-ish head
+    }.toDF("word", "w").groupBy("word").agg(sum("w").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nWords = words.count() // materialize the dictionary
+      val t0 = System.nanoTime()
+      val merges = graft.operators.Bpe.train(words, 8, checkpointEvery = 4)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val vocab = graft.operators.Bpe.pieceVocab(words, maxLen = 4, topV = 4096)
+      val pieceSec = (System.nanoTime() - t1) / 1e9
+      require(merges.size == 8 && vocab.size > 4096,
+        s"graft: bpe scale check degenerate (merges=${merges.size}, vocab=${vocab.size})")
+      f"""{"dict_words":$nWords,"merges":${merges.size},"train_sec":$trainSec%.3f,"top_merge_weight":${merges.head.weight},"wordpiece_vocab":${vocab.size},"piece_vocab_sec":$pieceSec%.3f}"""
+    } finally words.unpersist(blocking = false)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -141,11 +177,14 @@ object RefWidthCheck {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
     try {
       if (args.isEmpty || args.contains("pca"))
         println("[scalecheck] pca " + pcaAtRefDims(spark))
       if (args.isEmpty || args.contains("fuzzy"))
         println("[scalecheck] fuzzy " + fuzzyAtVocabScale(spark))
+      if (args.isEmpty || args.contains("bpe"))
+        println("[scalecheck] bpe " + bpeAtVocabScale(spark))
     } finally spark.stop()
   }
 }
