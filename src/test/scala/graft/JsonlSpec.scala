@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Jsonl
+
+/** JSONL ingestion boundary: explicit-schema read, corrupt-line
+  * quarantine (exact counts + raw lines), schema-drift-as-nulls, and
+  * the write->read round trip over the real documents fixture. */
+class JsonlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("round trip: documents fixture -> sharded JSONL -> identical rows") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Files.createTempDirectory("graft-jsonl").toString
+    Jsonl.write(docs, out, shards = 4)
+    // shard dirs materialized, membership a pure function of doc_id
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+    assert(dirs.length == 4)
+    val back = Jsonl.read(spark, s"$out/shard=*")
+    assert(back.where(col("_corrupt_line").isNotNull).count() == 0)
+    val a = docs.orderBy("doc_id").collect().toSeq
+    val b = back.drop("_corrupt_line").select(docs.columns.map(col).toIndexedSeq: _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("corrupt lines quarantine with raw text; clean rows unharmed") {
+    val dir = Files.createTempDirectory("graft-jsonl-bad")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "ok one", "lang": "en", "source": "web", "n_chars": 6}""",
+      """{"doc_id": 2, "text": "ok two", "lang": "de", "source": "web", "n_chars": 6}""",
+      """{"doc_id": 3, "text": "truncated...""", // unparseable
+      """not json at all""")
+    Files.write(dir.resolve("part-0.jsonl"), lines.mkString("\n").getBytes("UTF-8"))
+    val (clean, bad) = Jsonl.readQuarantined(spark, dir.toString)
+    assert(clean.count() == 2)
+    assert(clean.orderBy("doc_id").as[(Long, String, String, String, Long)]
+      .collect().head == ((1L, "ok one", "en", "web", 6L)))
+    val rawBad = bad.as[String].collect().toSet
+    assert(rawBad.size == 2 && rawBad.contains("not json at all"))
+  }
+
+  test("schema drift: parseable lines with missing fields stay clean, as nulls") {
+    val dir = Files.createTempDirectory("graft-jsonl-drift")
+    Files.write(dir.resolve("part-0.jsonl"),
+      """{"doc_id": 7, "text": "no lang field"}""".getBytes("UTF-8"))
+    val (clean, bad) = Jsonl.readQuarantined(spark, dir.toString)
+    assert(bad.count() == 0)
+    val r = clean.head()
+    assert(r.getAs[Long]("doc_id") == 7L && r.isNullAt(r.fieldIndex("lang")))
+  }
+}
