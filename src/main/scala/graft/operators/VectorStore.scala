@@ -2221,7 +2221,8 @@ class VectorStore(spark: SparkSession, val root: String,
    * (qid, rank, similarity, id, content, tags).
    */
   def searchManyAnn(queries: DataFrame, k: Int = 10,
-                    nprobe: Int = 2, quantized: Boolean = false): DataFrame = {
+                    nprobe: Int = 2, quantized: Boolean = false,
+                    tags: Seq[String] = Nil): DataFrame = {
     val dir = currentAnnDir.getOrElse(
       throw new IllegalStateException(
         "graft: no ANN index — call buildAnnIndex(k) first"))
@@ -2252,8 +2253,14 @@ class VectorStore(spark: SparkSession, val root: String,
     // only — a static IN-list beats relying on DPP to reach the scan
     val probeLids = probed.select("lid").distinct().collect()
       .map(_.getLong(0)).toIndexedSeq
-    val idx = spark.read.parquet(dir)
-      .where(col("cid").isin(probeLids: _*)).withColumnRenamed("cid", "lid")
+    // filtered ANN, batched: the tag-superset predicate rides inside
+    // the union of probed lists (row filter BELOW the broadcast join),
+    // same contract as searchAnn(tags) — selective filters are the
+    // caller's nprobe dial, never a re-query fallback
+    val idx = tags.foldLeft(
+        spark.read.parquet(dir).where(col("cid").isin(probeLids: _*)))(
+        (d, t) => d.where(array_contains(col("tags"), t)))
+      .withColumnRenamed("cid", "lid")
     require(!quantized || idx.columns.contains("packed"),
       "graft: quantized batched search needs a quantized store (index has no packed column)")
     val vec = if (quantized) GraftFunctions.unpack(col("packed")) else col("vector")

@@ -43,9 +43,20 @@ object Jsonl {
     * has no such restriction and stays in codegen. Blank lines are
     * skipped (shard concatenation artifacts, not corruption). */
   def read(spark: SparkSession, path: String,
-           schema: StructType = documentsSchema): DataFrame = {
+           schema: StructType = documentsSchema): DataFrame =
+    parseLines(spark.read.text(path), schema)
+
+  /** Streaming twin of [[read]] — a JSONL landing directory as a
+    * Structured Streaming source (micro-batch file discovery), same
+    * parse + quarantine semantics per line; composes with
+    * `VectorStore.insertStream` / any writeStream sink. */
+  def readStream(spark: SparkSession, path: String,
+                 schema: StructType = documentsSchema): DataFrame =
+    parseLines(spark.readStream.text(path), schema)
+
+  private def parseLines(lines: DataFrame, schema: StructType): DataFrame = {
     val full = schema.add(CorruptCol, "string")
-    spark.read.text(path)
+    lines
       .where(length(trim(col("value"))) > 0)
       .select(from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE",

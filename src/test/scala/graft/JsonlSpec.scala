@@ -45,6 +45,27 @@ class JsonlSpec extends AnyFunSuite {
     assert(rawBad.size == 2 && rawBad.contains("not json at all"))
   }
 
+  test("streaming twin: landing-dir stream == batch read (clean + quarantine)") {
+    val dir = Files.createTempDirectory("graft-jsonl-stream")
+    Files.write(dir.resolve("a.jsonl"),
+      ("""{"doc_id": 1, "text": "s one", "lang": "en", "source": "web", "n_chars": 5}""" + "\n" +
+       """broken line""").getBytes("UTF-8"))
+    Files.write(dir.resolve("b.jsonl"),
+      """{"doc_id": 2, "text": "s two", "lang": "de", "source": "web", "n_chars": 5}""".getBytes("UTF-8"))
+    val sink = s"jsonl_stream_${System.nanoTime()}"
+    Jsonl.readStream(spark, dir.toString).writeStream
+      .format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    val got = spark.table(sink)
+    assert(got.where(col("_corrupt_line").isNull).count() == 2)
+    assert(got.where(col("_corrupt_line").isNotNull).count() == 1)
+    // same rows as the batch reader over the same dir
+    val batch = Jsonl.read(spark, dir.toString)
+    assert(got.orderBy("doc_id").collect().toSeq ==
+      batch.orderBy("doc_id").collect().toSeq)
+  }
+
   test("schema drift: parseable lines with missing fields stay clean, as nulls") {
     val dir = Files.createTempDirectory("graft-jsonl-drift")
     Files.write(dir.resolve("part-0.jsonl"),

@@ -525,6 +525,11 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(r => { val t = r.getSeq[String](0); t.contains("de") && t.contains("web") }))
     // unknown tag: empty, not an error
     assert(store.searchAnn(qv, k = 5, nprobe = 4, tags = Seq("nope")).count() == 0)
+    // the batched variant honors the same filter (same rows, same order)
+    val many = store.searchManyAnn(
+        Seq((1L, qv)).toDF("qid", "qvec"), k = 5, nprobe = 4, tags = Seq("de"))
+      .orderBy("rank").select("id").collect().map(_.getString(0)).toSeq
+    assert(many == ann)
     // the cid partition pruning survives the tag filter
     val p = store.searchAnn(qv, k = 5, nprobe = 2, tags = Seq("de"))
       .queryExecution.executedPlan.toString
