@@ -863,6 +863,22 @@ object SparkEntry {
       Curation.tokenBudget(Tables.load(s, dir, "documents"))
         .orderBy("lang", "doc_id")),
 
+    // the budget in REAL tokenizer tokens: per-doc counts under the
+    // trained BPE merges feed the same per-lang prefix rule — the
+    // composed tokenize->curate seam (production budgets are model
+    // tokens; whitespace counts move the cut points)
+    "text_token_budget_bpe" -> ((s, dir) => {
+      val docs = Tables.load(registered(s), dir, "documents")
+      val words = Bpe.wordFreq(docs).persist()
+      val merges =
+        try Bpe.train(words, 4)
+        finally words.unpersist(blocking = false)
+      val dict = Bpe.applyMerges(Bpe.initState(Bpe.wordFreq(docs)), merges)
+      val counts = Bpe.tokenCounts(docs, dict)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      Curation.tokenBudgetCounted(counts).orderBy("lang", "doc_id")
+    }),
+
     // the 100 TB form: (lang, shard)-partitioned windows, budget/shards
     // per shard (VERDICT r3 next #7 — the sharded path gets its own
     // CORRECTNESS row, not just property tests)
@@ -2843,6 +2859,21 @@ object SparkEntry {
            |       CAST((sum(dw.nw * len(dw.word)) * 1000) // sum(dw.nw * d.n_sym) AS BIGINT) AS chars_per_ktok
            |FROM dw JOIN d USING (word)
            |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+      "text_token_budget_bpe" ->
+        s"""WITH ${bpeOracleChain(4)},
+           |d AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sym FROM s4),
+           |dw AS (SELECT doc_id, word, count(*) AS nw FROM (
+           |         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+           |         FROM documents) GROUP BY 1, 2),
+           |t AS (SELECT dw.doc_id, CAST(sum(dw.nw * d.n_sym) AS BIGINT) AS n_tok
+           |      FROM dw JOIN d USING (word) GROUP BY 1),
+           |c AS (SELECT doc.lang, t.doc_id,
+           |        sum(t.n_tok) OVER (PARTITION BY doc.lang ORDER BY t.doc_id
+           |                           ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM t JOIN documents doc ON t.doc_id = doc.doc_id)
+           |SELECT lang, doc_id, CAST(cum AS BIGINT) AS cum_tokens
+           |FROM c WHERE cum <= 2000 ORDER BY lang, doc_id""".stripMargin,
 
       "text_wordpiece_vocab" ->
         s"""WITH ${wordpieceOracleChain(withGreedy = false)}

@@ -185,12 +185,21 @@ object Curation {
    * parallelism, approximate cut points; the exact form here is the
    * verification baseline for that.
    */
-  def tokenBudget(docs: DataFrame, budgetPerLang: Long = 2000L): DataFrame = {
+  def tokenBudget(docs: DataFrame, budgetPerLang: Long = 2000L): DataFrame =
+    tokenBudgetCounted(
+      docs.select(col("lang"), col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tok")),
+      budgetPerLang)
+
+  /** [[tokenBudget]] over PRECOMPUTED counts (lang, doc_id, n_tok) —
+    * the seam that lets the budget run on real tokenizer counts (a
+    * trained BPE/WordPiece dictionary join, [[Bpe.tokenCounts]])
+    * instead of the whitespace proxy: production budgets are specified
+    * in model tokens, and the two differ enough to move cut points. */
+  def tokenBudgetCounted(counts: DataFrame, budgetPerLang: Long = 2000L): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("lang"), col("doc_id"),
-        size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+    counts
       .withColumn("cum_tokens", sum(col("n_tok")).over(w))
       .where(col("cum_tokens") <= budgetPerLang)
       .select("lang", "doc_id", "cum_tokens")
