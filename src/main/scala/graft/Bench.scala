@@ -723,73 +723,45 @@ object Bench {
     // runs AFTER the timed passes so its CPU burst cannot pollute a
     // warm median; synthesized 1536-d input, ~25 s. Only in protocol
     // (sf0.1) runs, skippable via env; a failure is RECORDED, never
-    // fatal — same degradation contract as the sf1 leg. ----
-    val pcaScale: String =
+    // fatal — same degradation contract as the sf1 leg. One helper
+    // owns the gate + fresh-session lifecycle + error-JSON degradation
+    // so a contract change cannot silently miss a check. ----
+    def scaleCheck(label: String)(f: SparkSession => String): String =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALECHECK").contains("1")
           || new java.io.File(sfDir).getName != "sf0.1") "{}"
       else try {
         val spark = session()
-        try graft.tools.RefWidthCheck.pcaAtRefDims(spark)
-        finally spark.stop()
+        try f(spark) finally spark.stop()
       } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] pca scale check failed: $e")
+        System.err.println(s"[bench] $label scale check failed: $e")
         s"""{"error":${jsStr(e.toString.take(300))}}"""
       }
 
+    val pcaScale = scaleCheck("pca")(graft.tools.RefWidthCheck.pcaAtRefDims)
+
     // BPE/WordPiece training at a ~1M-word dictionary (the fixture
     // vocab is ~31 words, so the suite rows never exercise the
-    // vocab-bound iteration cost the design exists for). Same gating
-    // and degradation contract as the PCA check.
-    val bpeScale: String =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SCALECHECK").contains("1")
-          || new java.io.File(sfDir).getName != "sf0.1") "{}"
-      else try {
-        val spark = session()
-        try graft.tools.RefWidthCheck.bpeAtVocabScale(spark)
-        finally spark.stop()
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] bpe scale check failed: $e")
-        s"""{"error":${jsStr(e.toString.take(300))}}"""
-      }
+    // vocab-bound iteration cost the design exists for)
+    val bpeScale = scaleCheck("bpe")(graft.tools.RefWidthCheck.bpeAtVocabScale)
 
     // full co-purchase triangle count (VERDICT r12 #3): the unsampled
     // graph_triangles_full row, 1 cold + 2 steady reps in this JVM —
     // the committed artifact now tracks the real operator cost per
     // round (the suite keeps the cheap quarter-sample as its feedback
-    // loop). Same gating and degradation contract as the PCA check.
-    val trianglesFull: String =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SCALECHECK").contains("1")
-          || new java.io.File(sfDir).getName != "sf0.1") "{}"
-      else try {
-        val spark = session()
-        try {
-          val fn = SparkEntry.queries("graph_triangles_full")
-          val times = (1 to 3).map { _ =>
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          }
-          val rows = fn(spark, sfDir).count()
-          f"""{"cold_sec":${times.head}%.3f,"steady_sec":${times.tail.min}%.3f,"rows":$rows}"""
-        } finally spark.stop()
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] triangles_full check failed: $e")
-        s"""{"error":${jsStr(e.toString.take(300))}}"""
+    // loop)
+    val trianglesFull = scaleCheck("triangles_full") { spark =>
+      val fn = SparkEntry.queries("graph_triangles_full")
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
       }
+      val rows = fn(spark, sfDir).count()
+      f"""{"cold_sec":${times.head}%.3f,"steady_sec":${times.tail.min}%.3f,"rows":$rows}"""
+    }
 
-    // fuzzy-join vocabulary-scale counters (VERDICT r11 #6): same
-    // gating and degradation contract as the PCA check above
-    val fuzzyScale: String =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SCALECHECK").contains("1")
-          || new java.io.File(sfDir).getName != "sf0.1") "{}"
-      else try {
-        val spark = session()
-        try graft.tools.RefWidthCheck.fuzzyAtVocabScale(spark)
-        finally spark.stop()
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] fuzzy scale check failed: $e")
-        s"""{"error":${jsStr(e.toString.take(300))}}"""
-      }
+    // fuzzy-join vocabulary-scale counters (VERDICT r11 #6)
+    val fuzzyScale = scaleCheck("fuzzy")(graft.tools.RefWidthCheck.fuzzyAtVocabScale)
 
     // ---- verdicts ----
     val sf1Contended = sf1.exists(_._1.contended)

@@ -1024,9 +1024,7 @@ object SparkEntry {
         finally words.unpersist(blocking = false)
       val dict = Bpe.applyMerges(Bpe.initState(Bpe.wordFreq(docs)), merges)
         .select(col("word"), size(col("syms")).cast("long").as("n_sym"))
-      docs.select(col("lang"), explode(Dedup.tokens(col("text"))).as("word"))
-        .groupBy("lang", "word").agg(count(lit(1)).as("nw"))
-        .join(dict, "word")
+      Bpe.occurrenceJoin(docs, dict, "text", Seq("lang"))
         .groupBy("lang")
         .agg(sum(col("nw") * length(col("word")).cast("long")).as("n_chars"),
              sum(col("nw") * col("n_sym")).as("n_tok"))
@@ -2879,9 +2877,16 @@ object SparkEntry {
         s"""WITH ${wordpieceOracleChain(withGreedy = false)}
            |SELECT piece, n FROM sub ORDER BY n DESC, piece LIMIT 24""".stripMargin,
 
+      // the unroll-depth guard: a word the 12-stage walk did not
+      // finish raises a NAMED error instead of silently undercounting
+      // into a misleading hash mismatch (fires only if a future
+      // fixture regen brings words > 12 chars; today's max is 8)
       "text_wordpiece_tokens" ->
         s"""WITH ${wordpieceOracleChain(withGreedy = true)},
-           |d AS (SELECT word, CAST(n AS BIGINT) AS n_sym FROM g12),
+           |d AS (SELECT word,
+           |        CASE WHEN pos <= len(word)
+           |             THEN CAST(error('graft: wordpiece oracle unroll (12 stages) shallower than word: ' || word) AS BIGINT)
+           |             ELSE CAST(n AS BIGINT) END AS n_sym FROM g12),
            |dw AS (SELECT doc_id, word, count(*) AS nw FROM (
            |         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
            |         FROM documents) GROUP BY 1, 2)

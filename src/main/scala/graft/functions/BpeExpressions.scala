@@ -84,8 +84,11 @@ object WordpieceKernel {
     * total — no <unk> collapse, so token counts stay exact). */
   def greedySegment(word: UTF8String, pieces: java.util.HashSet[String],
                     maxLen: Int): ArrayData = {
-    val s = word.toString
-    val n = s.length
+    // positions are CODE POINTS (UTF8String.numChars/substring), the
+    // same unit as the sibling chars() kernel — a UTF-16 String.length
+    // walk would split surrogate pairs on non-BMP input, emitting
+    // lone-surrogate pieces and inflating counts
+    val n = word.numChars()
     val out = new java.util.ArrayList[Any](n)
     var pos = 0
     while (pos < n) {
@@ -93,10 +96,12 @@ object WordpieceKernel {
       var found = 1
       var done = false
       while (l >= 1 && !done) {
-        if (pieces.contains(s.substring(pos, pos + l))) { found = l; done = true }
+        if (pieces.contains(word.substring(pos, pos + l).toString)) {
+          found = l; done = true
+        }
         l -= 1
       }
-      out.add(UTF8String.fromString(s.substring(pos, pos + found)))
+      out.add(word.substring(pos, pos + found))
       pos += found
     }
     new GenericArrayData(out.toArray)

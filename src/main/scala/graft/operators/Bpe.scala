@@ -83,9 +83,14 @@ object Bpe {
     * checkpoint dir — at cluster scale that is the right call, blocks
     * survive executor loss — else `localCheckpoint`), so a window of
     * at most c uncheckpointed passes is ever re-run and plan depth
-    * stays bounded. Superseded checkpoint RDDs drop out of scope and
-    * the ContextCleaner reclaims their blocks — state held live is one
-    * generation, not k. The k<=4 suite rows keep c = 0: for tiny k the
+    * stays bounded. Superseded localCheckpoint RDDs drop out of scope
+    * and the ContextCleaner reclaims their blocks; reliable-checkpoint
+    * FILES are only reclaimed when the session sets
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — the
+    * same long-lived-session contract [[Dedup.checkpointed]] already
+    * documents; without it a 30k-merge run accumulates k/c dictionary
+    * snapshots in the checkpoint dir. The k<=4 suite rows keep c = 0:
+    * for tiny k the
     * recompute is cheaper than pinning RDD generations across a
     * 128-query bench suite (the measured r12/r13 block-manager-
     * pressure lesson). Checkpoint-vs-naive value identity is spec-
@@ -132,12 +137,24 @@ object Bpe {
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val dict = dictState
       .select(col("word"), size(col("syms")).cast("long").as("n_sym"))
-    docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
-      .groupBy(idCol, "word").agg(count(lit(1)).as("nw"))
-      .join(dict, "word")
+    occurrenceJoin(docs, dict, textCol, Seq(idCol))
       .groupBy(idCol)
       .agg(sum(col("nw") * col("n_sym")).as("n_tok"))
   }
+
+  /** The shared tail of every tokenizer consumer (token counts,
+    * compression eval, budget rows): the corpus re-tokenized to
+    * per-key word OCCURRENCE counts, joined to a per-word dictionary
+    * `dict`(word, n_sym, ...). The dictionary is the small side — AQE
+    * broadcasts it at fixture scale, and at web scale (~10M words) it
+    * correctly degrades to a word-keyed shuffle. One home for the
+    * shape so the consumers cannot drift. */
+  def occurrenceJoin(docs: DataFrame, dict: DataFrame,
+                     textCol: String, keyCols: Seq[String]): DataFrame =
+    docs.select(keyCols.map(col) :+ explode(Dedup.tokens(col(textCol))).as("word"): _*)
+      .groupBy((keyCols :+ "word").map(col): _*)
+      .agg(count(lit(1)).as("nw"))
+      .join(dict, "word")
 
   // ---- WordPiece-style greedy tokenization (Wu et al. 2016) ---------
   // The inference-side tokenizer family next to BPE's merge training:
@@ -182,9 +199,7 @@ object Bpe {
     val dict = wordFreq(docs, textCol)
       .select(col("word"),
         size(greedySegment(col("word"), pieces)).cast("long").as("n_sym"))
-    docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
-      .groupBy(idCol, "word").agg(count(lit(1)).as("nw"))
-      .join(dict, "word")
+    occurrenceJoin(docs, dict, textCol, Seq(idCol))
       .groupBy(idCol)
       .agg(sum(col("nw") * col("n_sym")).as("n_tok"))
   }

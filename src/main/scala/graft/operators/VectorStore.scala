@@ -1573,10 +1573,7 @@ class VectorStore(spark: SparkSession, val root: String,
     }
     // Row-level guard as well: correct even if the store was written
     // without partitioning (or with quantize-only layout).
-    val tagFiltered =
-      if (tags.isEmpty) pruned
-      else pruned.where(tags.distinct.map(t => array_contains(col("tags"), t)).reduce(_ && _))
-    scoreTopK(tagFiltered, queryVec, k, metric, quantized)
+    scoreTopK(tagSuperset(pruned, tags), queryVec, k, metric, quantized)
   }
 
   /** Distinct-tag-set count — one tiny aggregate over the manifest (a
@@ -1586,6 +1583,14 @@ class VectorStore(spark: SparkSession, val root: String,
     manifest().select("tag_key").count()
 
   /** Score + top-k tail shared by [[search]] and [[searchDpp]]. */
+  /** Row-level tag-superset filter: every requested tag present
+    * (duplicates collapsed); identity on an empty request. ONE home
+    * for the semantics — exact search, single and batched ANN all
+    * route here, so they cannot drift. */
+  private def tagSuperset(df: DataFrame, tags: Seq[String]): DataFrame =
+    if (tags.isEmpty) df
+    else df.where(tags.distinct.map(t => array_contains(col("tags"), t)).reduce(_ && _))
+
   private def scoreTopK(rows: DataFrame, queryVec: Seq[Float], k: Int,
                         metric: String, quantized: Boolean): DataFrame = {
     val v = if (quantized) unpack(col("packed")) else col("vector")
@@ -1667,11 +1672,7 @@ class VectorStore(spark: SparkSession, val root: String,
       tags: Seq[String] = Nil,
       k: Int = 10,
       fuseK: Int = 20): DataFrame = {
-    val snap = {
-      val base = table()
-      if (tags.isEmpty) base
-      else base.where(tags.distinct.map(t => array_contains(col("tags"), t)).reduce(_ && _))
-    }
+    val snap = tagSuperset(table(), tags)
     // zero-hit docs can reach a small corpus' top-k with score 0; they
     // are not lexical hits and must not earn fusion points
     val lexLeg = Search
@@ -2089,9 +2090,8 @@ class VectorStore(spark: SparkSession, val root: String,
     // search()'s superset filter). A tight filter thins the probed
     // lists — callers raise nprobe rather than getting a re-query
     // fallback (see SimilaritySearch.ivfSearchVecFiltered).
-    val pruned = tags.foldLeft(
-        spark.read.parquet(dir).where(col("cid").isin(probes: _*)))(
-        (d, t) => d.where(array_contains(col("tags"), t)))
+    val pruned = tagSuperset(
+      spark.read.parquet(dir).where(col("cid").isin(probes: _*)), tags)
     scoreTopK(pruned, qv, k, metric, quantized)
   }
 
@@ -2182,10 +2182,7 @@ class VectorStore(spark: SparkSession, val root: String,
       case Some(keys) => snap0.where(col("tag_key").isin(keys: _*))
       case None => snap0
     }
-    val snap =
-      if (tags.isEmpty) pruned
-      else pruned.where(
-        tags.distinct.map(t => array_contains(col("tags"), t)).reduce(_ && _))
+    val snap = tagSuperset(pruned, tags)
     val (qproj, metric) = queryColumnMode()
     val q = broadcast(queries.select(col("qid"), qproj(col("qvec")).as("qv")))
     val scored = snap.join(q)
@@ -2257,9 +2254,8 @@ class VectorStore(spark: SparkSession, val root: String,
     // the union of probed lists (row filter BELOW the broadcast join),
     // same contract as searchAnn(tags) — selective filters are the
     // caller's nprobe dial, never a re-query fallback
-    val idx = tags.foldLeft(
-        spark.read.parquet(dir).where(col("cid").isin(probeLids: _*)))(
-        (d, t) => d.where(array_contains(col("tags"), t)))
+    val idx = tagSuperset(
+        spark.read.parquet(dir).where(col("cid").isin(probeLids: _*)), tags)
       .withColumnRenamed("cid", "lid")
     require(!quantized || idx.columns.contains("packed"),
       "graft: quantized batched search needs a quantized store (index has no packed column)")

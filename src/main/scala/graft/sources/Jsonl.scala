@@ -70,8 +70,10 @@ object Jsonl {
     * drift is visible, not fatal); only unparseable JSON quarantines. */
   def readQuarantined(spark: SparkSession, path: String,
                       schema: StructType = documentsSchema): (DataFrame, DataFrame) = {
-    // one pass, split by the corrupt marker; both branches share the
-    // scan via the plan (no second read of the files)
+    // the two branches share the PLAN SUBTREE, not a materialized
+    // scan: a caller acting on BOTH frames re-reads and re-parses the
+    // files once per action — cache `read(...)` first (or persist the
+    // clean side) when both sides of a large load are consumed
     val all = read(spark, path, schema)
     val clean = all.where(col(CorruptCol).isNull).drop(CorruptCol)
     val bad = all.where(col(CorruptCol).isNotNull)

@@ -120,6 +120,11 @@ class BpeSpec extends AnyFunSuite {
     assert(seg("", Seq("a")) == Seq.empty)
     // restart after a fallback char picks up multi-char pieces again
     assert(seg("zabz", Seq("ab")) == Seq("z", "ab", "z"))
+    // non-BMP: code-point positions — a surrogate pair is ONE symbol,
+    // never split into lone surrogates (kernel walks code points like
+    // graft_chars, not UTF-16 units)
+    assert(seg("a😀b", Seq("xx")) == Seq("a", "😀", "b"))
+    assert(seg("a😀b", Seq("a😀")) == Seq("a😀", "b"))
   }
 
   test("wordpiece: learned vocab segments the corpus words it was trained on") {

@@ -53,10 +53,10 @@ class JsonlSpec extends AnyFunSuite {
     Files.write(dir.resolve("b.jsonl"),
       """{"doc_id": 2, "text": "s two", "lang": "de", "source": "web", "n_chars": 5}""".getBytes("UTF-8"))
     val sink = s"jsonl_stream_${System.nanoTime()}"
-    Jsonl.readStream(spark, dir.toString).writeStream
+    assert(Jsonl.readStream(spark, dir.toString).writeStream
       .format("memory").queryName(sink)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination(60000)
+      .start().awaitTermination(60000), "stream did not drain in 60 s")
     val got = spark.table(sink)
     assert(got.where(col("_corrupt_line").isNull).count() == 2)
     assert(got.where(col("_corrupt_line").isNotNull).count() == 1)
