@@ -347,6 +347,14 @@ class VectorStore(spark: SparkSession, val root: String,
   def insert(df: DataFrame, quantize: Boolean = false): Unit =
     withWriterLock() { insertLocked(df, quantize) }
 
+  /** One-call migration from a reference-format (.bin) store directory
+    * — see [[graft.sources.VictorBin]]. Content-less embeddings carry
+    * an empty string (the reference panics on lookup of a missing id;
+    * a migration keeps the row). */
+  def importVictor(dir: String, quantize: Boolean = false): Unit =
+    insert(graft.sources.VictorBin.importStore(spark, dir)
+      .na.fill("", Seq("content")), quantize)
+
   /** Insert body — callers must hold the writer lock. The store's
     * LAYOUT wins over the flag, exactly like upsert: appending
     * packed-less rows to a quantized store would null the codec for the
