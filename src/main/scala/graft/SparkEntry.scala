@@ -1052,6 +1052,17 @@ object SparkEntry {
       Bpe.wordpieceTokenCounts(docs, pieces).orderBy("doc_id")
     }),
 
+    // in-document repeated-line removal (page-local chrome the
+    // cross-document C4 rule can't see): planted duplication — each
+    // doc's text doubled — same derivation in the oracle; first
+    // occurrence wins, order preserved
+    "text_line_dedup" -> ((s, dir) => {
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n"), col("text")).as("text"))
+      TextAnalysis.dedupLines(planted).orderBy("doc_id")
+    }),
+
     // C4-style boilerplate line removal over a corpus with IN-QUERY
     // planted chrome (identical derivation in the oracle): a header on
     // every doc (removed), a footer on even ids (removed, 250 >= 3),
@@ -2899,6 +2910,15 @@ object SparkEntry {
            |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
            |  FROM documents)
            |GROUP BY 1 ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+      "text_line_dedup" ->
+        s"""WITH d AS (SELECT doc_id, text || chr(10) || text AS text FROM documents),
+           |l AS (SELECT doc_id, g.i AS pos, parts[g.i] AS line
+           |      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+           |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
+           |k AS (SELECT doc_id, line, min(pos) AS pos FROM l GROUP BY 1, 2)
+           |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
       "text_boilerplate" ->
         s"""WITH d AS (SELECT doc_id,

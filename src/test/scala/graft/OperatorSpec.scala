@@ -1925,6 +1925,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("dedupLines: first occurrence wins, order preserved, cross-doc independence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav\nbody one\nnav\nshare\nbody two\nshare\nnav"),
+      (2L, "nav"), // single line, no dups
+      (3L, "")     // empty text -> one empty line
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.dedupLines(docs)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "nav\nbody one\nshare\nbody two"),
+      (2L, "nav"),
+      (3L, "")))
+  }
+
   test("every query runs at sf0.001 and every oracle key has a query") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
