@@ -1063,6 +1063,20 @@ object SparkEntry {
       TextAnalysis.dedupLines(planted).orderBy("doc_id")
     }),
 
+    // greedy vs OPTIMAL segmentation under the same learned vocab:
+    // the DP kernel (unigram-LM Viterbi, unit costs) puts the exact
+    // lower bound under greedy longest-match — the gap is the
+    // tokenizer-quality signal, and n_opt <= n_greedy is visible in
+    // every row
+    "text_tokenize_optimal" -> ((s, dir) => {
+      val docs = Tables.load(registered(s), dir, "documents")
+      val words = Bpe.wordFreq(docs).persist()
+      val pieces =
+        try Bpe.pieceVocab(words, maxLen = 4, topV = 24)
+        finally words.unpersist(blocking = false)
+      Bpe.greedyVsOptimalCounts(docs, pieces).orderBy("doc_id")
+    }),
+
     // C4-style boilerplate line removal over a corpus with IN-QUERY
     // planted chrome (identical derivation in the oracle): a header on
     // every doc (removed), a footer on even ids (removed, 250 >= 3),
@@ -2172,7 +2186,8 @@ object SparkEntry {
     * position consumes one character, exactly the kernel's single-char
     * fallback. Construction verified against an independent reference
     * implementation on the fixture before wiring. */
-  private def wordpieceOracleChain(withGreedy: Boolean): String = {
+  private def wordpieceOracleChain(withGreedy: Boolean,
+                                   withDp: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append(
       """w AS (SELECT word, count(*) AS w FROM (
@@ -2199,6 +2214,29 @@ object SparkEntry {
           |        SELECT len(piece) AS l FROM vocab
           |        WHERE g.pos <= len(g.word) AND piece = substr(g.word, g.pos, len(piece))
           |        ORDER BY len(piece) DESC LIMIT 1) pk ON true)""".stripMargin)
+      }
+    }
+    if (withDp) {
+      // unit-cost DP over prefix lengths, dp carried as a 1-indexed
+      // list column (dp[i] = min tokens for the first i-1 code
+      // points); per stage: single-char fallback UNION piece
+      // transitions ending at k — construction verified against an
+      // independent reference implementation before wiring
+      sb.append(
+        """,
+          |d0 AS (SELECT word, [0] AS dp FROM w)""".stripMargin)
+      for (k <- 1 to 12) {
+        sb.append(s""",
+          |d$k AS (SELECT word,
+          |    dp || [CASE WHEN $k > len(word) THEN 0 ELSE (
+          |      SELECT min(x) FROM (
+          |        SELECT dp[$k] + 1 AS x
+          |        UNION ALL
+          |        SELECT dp[$k - len(piece) + 1] + 1 FROM vocab
+          |        WHERE len(piece) BETWEEN 2 AND $k
+          |          AND piece = substr(word, $k - len(piece) + 1, len(piece))
+          |      )) END] AS dp
+          |  FROM d${k - 1})""".stripMargin)
       }
     }
     sb.toString
@@ -2903,6 +2941,25 @@ object SparkEntry {
            |         FROM documents) GROUP BY 1, 2)
            |SELECT dw.doc_id, CAST(sum(dw.nw * d.n_sym) AS BIGINT) AS n_tok
            |FROM dw JOIN d USING (word)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "text_tokenize_optimal" ->
+        s"""WITH ${wordpieceOracleChain(withGreedy = true, withDp = true)},
+           |gc AS (SELECT word,
+           |         CASE WHEN pos <= len(word)
+           |              THEN CAST(error('graft: wordpiece oracle unroll (12 stages) shallower than word: ' || word) AS BIGINT)
+           |              ELSE CAST(n AS BIGINT) END AS g_sym FROM g12),
+           |oc AS (SELECT word,
+           |         CASE WHEN len(word) > 12
+           |              THEN CAST(error('graft: dp oracle unroll (12 stages) shallower than word: ' || word) AS BIGINT)
+           |              ELSE CAST(dp[len(word) + 1] AS BIGINT) END AS o_sym FROM d12),
+           |dw AS (SELECT doc_id, word, count(*) AS nw FROM (
+           |         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+           |         FROM documents) GROUP BY 1, 2)
+           |SELECT dw.doc_id,
+           |       CAST(sum(dw.nw * gc.g_sym) AS BIGINT) AS n_greedy,
+           |       CAST(sum(dw.nw * oc.o_sym) AS BIGINT) AS n_opt
+           |FROM dw JOIN gc USING (word) JOIN oc USING (word)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "text_vocab" ->

@@ -108,6 +108,95 @@ object WordpieceKernel {
   }
 }
 
+object OptimalSegmentKernel {
+  /** Minimum-token segmentation count — the Viterbi-style DP the
+    * unigram-LM tokenizer family runs (Kudo 2018 arXiv:1804.10959,
+    * with unit costs: count-only keeps the objective integer-exact and
+    * tie-free — the MIN is unique even when paths tie). dp(i) = min
+    * tokens covering the first i code points; transitions are vocab
+    * pieces ending at i, plus the always-available single-char
+    * fallback (cost 1) so every word segments. Greedy longest-match
+    * ([[WordpieceKernel]]) is NOT optimal ("abc" over {ab, a, bc}:
+    * greedy 2+fallback=2 vs optimal a+bc=2 ... e.g. {abc-less vocab}
+    * cases diverge — spec-pinned); this kernel is the exact bound. */
+  def optimalCount(word: UTF8String, pieces: java.util.HashSet[String],
+                   maxLen: Int): Int = {
+    val n = word.numChars()
+    if (n == 0) return 0
+    val dp = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = dp(i - 1) + 1 // single-char fallback
+      var l = 2
+      val lmax = math.min(maxLen, i)
+      while (l <= lmax) {
+        if (pieces.contains(word.substring(i - l, i).toString)
+            && dp(i - l) + 1 < best)
+          best = dp(i - l) + 1
+        l += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    dp(n)
+  }
+}
+
+/** graft_optimal_segment_count(word, pieces) -> INT: minimum token
+  * count under the piece vocabulary (plan-constant, same validation
+  * and shipping discipline as [[GreedySegment]]). */
+case class OptimalSegmentCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_optimal_segment_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName needs a non-null pieces array")
+          case a: ArrayData =>
+            if ((0 until a.numElements()).exists(i =>
+                a.isNullAt(i) || a.getUTF8String(i).numChars() == 0))
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName pieces must be non-null, non-empty")
+            else TypeCheckResult.TypeCheckSuccess
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, array<string> literal pieces), got ($l, $r)")
+    }
+
+  @transient private lazy val pieceSet: java.util.HashSet[String] = {
+    val a = right.eval().asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { s.add(a.getUTF8String(i).toString); i += 1 }
+    s
+  }
+
+  @transient private lazy val maxPieceLen: Int = {
+    val it = pieceSet.iterator()
+    var m = 1
+    while (it.hasNext) m = math.max(m, it.next().length)
+    m
+  }
+
+  protected override def nullSafeEval(w: Any, ps: Any): Any =
+    OptimalSegmentKernel.optimalCount(
+      w.asInstanceOf[UTF8String], pieceSet, maxPieceLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftOptPieceSet", pieceSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"${ev.value} = graft.functions.OptimalSegmentKernel.optimalCount($w, $setRef, $maxPieceLen);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** graft_greedy_segment(word, pieces) -> ARRAY<STRING>: greedy
   * longest-match segmentation of `word` against a plan-constant piece
   * vocabulary (validated foldable at analysis; shipped to executors as

@@ -40,7 +40,8 @@ object GraftFunctions {
       "graft_chars" -> (e => CharSymbols(e(0))),
       "graft_adj_pairs" -> (e => AdjacentPairs(e(0))),
       "graft_merge_pair" -> (e => MergeAdjacentPair(e(0), e(1), e(2))),
-      "graft_greedy_segment" -> (e => GreedySegment(e(0), e(1)))
+      "graft_greedy_segment" -> (e => GreedySegment(e(0), e(1))),
+      "graft_optimal_segment_count" -> (e => OptimalSegmentCount(e(0), e(1)))
     )
 
   /** Register all graft functions + optimizer rules on the session
@@ -121,6 +122,10 @@ object GraftFunctions {
   /** Greedy longest-match segmentation against a constant piece vocab. */
   def greedySegment(word: Column, pieces: Seq[String]): Column =
     call_function("graft_greedy_segment", word, array(pieces.map(lit): _*))
+
+  /** Minimum-token segmentation count (DP) against a constant vocab. */
+  def optimalSegmentCount(word: Column, pieces: Seq[String]): Column =
+    call_function("graft_optimal_segment_count", word, array(pieces.map(lit): _*))
 }
 
 /**

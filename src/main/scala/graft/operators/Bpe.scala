@@ -5,7 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{adjPairs, charSymbols, greedySegment, mergePair}
+import graft.functions.GraftFunctions.{adjPairs, charSymbols, greedySegment, mergePair, optimalSegmentCount}
 
 /**
  * Distributed byte-pair-encoding merge training and tokenization
@@ -202,5 +202,23 @@ object Bpe {
     occurrenceJoin(docs, dict, textCol, Seq(idCol))
       .groupBy(idCol)
       .agg(sum(col("nw") * col("n_sym")).as("n_tok"))
+  }
+
+  /** Greedy vs OPTIMAL token counts per document under the same piece
+    * vocabulary — the exact lower bound the DP kernel
+    * ([[graft.functions.OptimalSegmentKernel]], unigram-LM Viterbi
+    * with unit costs) puts under greedy longest-match; the gap is the
+    * tokenizer-quality signal (a vocab whose greedy counts sit far
+    * off its optimal counts segments badly in practice). */
+  def greedyVsOptimalCounts(docs: DataFrame, pieces: Seq[String],
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val dict = wordFreq(docs, textCol).select(col("word"),
+      size(greedySegment(col("word"), pieces)).cast("long").as("g_sym"),
+      optimalSegmentCount(col("word"), pieces).cast("long").as("o_sym"))
+    occurrenceJoin(docs, dict, textCol, Seq(idCol))
+      .groupBy(idCol)
+      .agg(sum(col("nw") * col("g_sym")).as("n_greedy"),
+           sum(col("nw") * col("o_sym")).as("n_opt"))
   }
 }

@@ -55,12 +55,30 @@ class BpePropertySpec extends AnyFunSuite {
     }
   }
 
+  private val word: Gen[String] = Gen.choose(0, 10).flatMap(n =>
+    Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c', 'd')))
+  private val piece: Gen[String] = Gen.choose(1, 4).flatMap(n =>
+    Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+  private val vocabGen: Gen[Set[String]] = Gen.listOfN(8, piece).map(_.toSet)
+
+  test("optimal count: <= greedy, >= the piece-length floor, 0 only on empty") {
+    import graft.functions.{OptimalSegmentKernel, WordpieceKernel}
+    for ((w, vocab) <- cases(Gen.zip(word, vocabGen), n = 500)) {
+      val set = new java.util.HashSet[String]()
+      vocab.foreach(set.add)
+      val maxLen = (vocab.map(_.length) + 1).max
+      val g = WordpieceKernel.greedySegment(
+        UTF8String.fromString(w), set, maxLen).numElements()
+      val o = OptimalSegmentKernel.optimalCount(
+        UTF8String.fromString(w), set, maxLen)
+      assert(o <= g, s"optimal $o > greedy $g for '$w' (vocab $vocab)")
+      assert(o >= (w.length + maxLen - 1) / maxLen,
+        s"optimal $o below the floor for '$w'")
+      assert((o == 0) == w.isEmpty)
+    }
+  }
+
   test("greedy segmentation: exact reconstruction, vocab membership, maximality") {
-    val word: Gen[String] = Gen.choose(0, 10).flatMap(n =>
-      Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c', 'd')))
-    val piece: Gen[String] = Gen.choose(1, 4).flatMap(n =>
-      Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
-    val vocabGen: Gen[Set[String]] = Gen.listOfN(8, piece).map(_.toSet)
     for ((w, vocab) <- cases(Gen.zip(word, vocabGen), n = 500)) {
       val set = new java.util.HashSet[String]()
       vocab.foreach(set.add)

@@ -127,6 +127,37 @@ class BpeSpec extends AnyFunSuite {
     assert(seg("a😀b", Seq("a😀")) == Seq("a😀", "b"))
   }
 
+  test("optimal segment count: exact DP lower bound; beats greedy where greedy is suboptimal") {
+    def opt(word: String, pieces: Seq[String]): Int = {
+      graft.functions.GraftFunctions.register(spark)
+      spark.range(1).select(optimalSegmentCount(lit(word), pieces).as("v"))
+        .head().getInt(0)
+    }
+    def greedyN(word: String, pieces: Seq[String]): Int =
+      arr(greedySegment(lit(word), pieces)).size
+    // greedy takes 'ab' then falls back twice: 3 tokens; optimal a+bc = 2
+    assert(greedyN("abc", Seq("ab", "bc")) == 2) // ab + fallback c
+    assert(opt("abc", Seq("ab", "bc")) == 2)
+    // a case where greedy is strictly worse: 'aab' with {aa, ab}
+    // greedy: aa + b = 2; optimal: a + ab = 2 — tie; use 4-char case:
+    // 'abab' with {aba, ab}: greedy aba+b = 2, optimal ab+ab = 2; use
+    // the classic: 'abcd' with {abc, cd, ab}: greedy abc+d=2, optimal ab+cd=2
+    // strict divergence: 'abcde' with {abcd, ab, cde}: greedy abcd+e=2, opt ab+cde=2
+    // true strict case: 'aaab' with {aa, aab}: greedy aa+a+b=3, opt a+aab=2
+    assert(greedyN("aaab", Seq("aa", "aab")) == 3)
+    assert(opt("aaab", Seq("aa", "aab")) == 2)
+    // edges
+    assert(opt("", Seq("a")) == 0)
+    assert(opt("xyz", Seq("q")) == 3) // all fallback
+    assert(opt("abcd", Seq("abcd")) == 1)
+    // surrogate pairs count as one position
+    assert(opt("a😀b", Seq("q")) == 3)
+    // bound: optimal <= greedy over a corpus of random-ish words
+    for (w <- Seq("banana", "bandana", "abcdefgh", "aabbaabb"))
+      assert(opt(w, Seq("an", "ban", "ab", "cd")) <=
+        greedyN(w, Seq("an", "ban", "ab", "cd")))
+  }
+
   test("wordpiece: learned vocab segments the corpus words it was trained on") {
     val docs = (Seq.fill(6)("banana") ++ Seq.fill(3)("bandana"))
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
