@@ -1410,6 +1410,22 @@ object SparkEntry {
 
     // as-of join (Spark lacks the operator; composed union+window plan,
     // one shuffle + one sort — see AsOfJoin scaladoc)
+    // tolerance-bounded as-of: matches staler than 10 minutes null
+    // out (pandas merge_asof `tolerance`) — same single-shuffle plan,
+    // the bound is a projection, never a range-join condition
+    "ev_asof_within" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("sec", expr("ts_ns div 1000000000"))
+      val err = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "sec")
+      val clk = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("sec").as("csec"))
+        .agg(max("event_id").as("click_id"))
+        .select("user_id", "csec", "click_id")
+      AsOfJoin.backwardWithin(err, clk, Seq("user_id"), "sec", "csec", 600L)
+        .select(col("event_id"), col("click_id"))
+        .orderBy("event_id")
+    }),
+
     "ev_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir).withColumn("sec", expr("ts_ns div 1000000000"))
       val err = ev.where(col("event_type") === "error")
@@ -3465,6 +3481,18 @@ object SparkEntry {
            |SELECT (SELECT count(*) FROM v) AS n_view,
            |       (SELECT count(*) FROM c) AS n_view_click,
            |       (SELECT count(*) FROM p) AS n_funnel""".stripMargin,
+
+      "ev_asof_within" ->
+        s"""WITH err AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           |             FROM events WHERE event_type = 'error'),
+           |clk AS (SELECT user_id, sec AS csec, max(event_id) AS click_id
+           |        FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+           |              FROM events WHERE event_type = 'click')
+           |        GROUP BY 1, 2)
+           |SELECT e.event_id,
+           |       CASE WHEN e.sec - c.csec <= 600 THEN c.click_id END AS click_id
+           |FROM err e ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.sec >= c.csec
+           |ORDER BY e.event_id""".stripMargin,
 
       "ev_asof" ->
         s"""WITH err AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec

@@ -80,6 +80,34 @@ object AsOfJoin {
   }
 
   /**
+   * [[backward]] bounded by a staleness tolerance: a match older than
+   * `tolerance` (left.time - right.time > tolerance, in the time
+   * columns' own units — numeric time columns required) counts as NO
+   * match and its payload nulls out — the pandas `merge_asof`
+   * tolerance semantics. Same single-shuffle shape as [[backward]]:
+   * the bound is a post-window projection, never a range-join
+   * condition, so the O(L*R) explosion a `BETWEEN` join would plan
+   * never appears.
+   */
+  def backwardWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"graft: asof tolerance $tolerance must be >= 0")
+    val rt = "__asof_rt"
+    val joined = backward(left, right.withColumn(rt, col(rightTime)),
+      keys, leftTime, rightTime)
+    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val stale = col(rt).isNull || (col(leftTime) - col(rt) > tolerance)
+    rPayload.foldLeft(joined)((d, c) =>
+        d.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
+      .drop(rt)
+  }
+
+  /**
    * Forward as-of join: for every left row, the EARLIEST right row with
    * the same key and right.time >= left.time (inclusive) — next-event
    * attribution (e.g. "first click after each error"). Same single

@@ -1940,6 +1940,20 @@ class OperatorSpec extends AnyFunSuite {
       (3L, "")))
   }
 
+  test("asof backwardWithin: inclusive boundary kept, one past nulled, no-match stays null") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L), (2L, "u", 111L), (3L, "v", 50L))
+      .toDF("lid", "k", "t")
+    val right = Seq(("u", 90L, "a"), ("u", 10L, "b")).toDF("k", "rt", "payload")
+    val got = graft.operators.AsOfJoin
+      .backwardWithin(left, right, Seq("k"), "t", "rt", tolerance = 10L)
+      .orderBy("lid").select("lid", "payload").as[(Long, Option[String])]
+      .collect().toSeq
+    // lid 1: gap 10 == tolerance -> kept; lid 2: gap 21 -> nulled
+    // (nearest is 90, not 10); lid 3: no right rows for key v -> null
+    assert(got == Seq((1L, Some("a")), (2L, None), (3L, None)))
+  }
+
   test("every query runs at sf0.001 and every oracle key has a query") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
