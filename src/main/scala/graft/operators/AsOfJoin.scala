@@ -151,4 +151,26 @@ object AsOfJoin {
     val matchCols = rPayload.map(f => col(s"__match.$f").as(f))
     matched.select(leftCols ++ matchCols: _*)
   }
+
+  /** [[forward]] with the symmetric staleness bound: a match further
+    * ahead than `tolerance` (right.time - left.time > tolerance)
+    * nulls out. Same post-window projection shape as
+    * [[backwardWithin]]. */
+  def forwardWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"graft: asof tolerance $tolerance must be >= 0")
+    val rt = "__asof_rt"
+    val joined = forward(left, right.withColumn(rt, col(rightTime)),
+      keys, leftTime, rightTime)
+    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val stale = col(rt).isNull || (col(rt) - col(leftTime) > tolerance)
+    rPayload.foldLeft(joined)((d, c) =>
+        d.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
+      .drop(rt)
+  }
 }

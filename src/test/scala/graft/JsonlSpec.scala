@@ -66,6 +66,19 @@ class JsonlSpec extends AnyFunSuite {
       batch.orderBy("doc_id").collect().toSeq)
   }
 
+  test("gzip landing files (.jsonl.gz) read transparently, quarantine intact") {
+    val dir = Files.createTempDirectory("graft-jsonl-gz")
+    val lines =
+      """{"doc_id": 1, "text": "zipped", "lang": "en", "source": "web", "n_chars": 6}""" +
+        "\n" + """garbage"""
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("part-0.jsonl.gz")))
+    gz.write(lines.getBytes("UTF-8")); gz.close()
+    val (clean, bad) = Jsonl.readQuarantined(spark, dir.toString)
+    assert(clean.count() == 1 && bad.count() == 1)
+    assert(clean.head().getAs[String]("text") == "zipped")
+  }
+
   test("schema drift: parseable lines with missing fields stay clean, as nulls") {
     val dir = Files.createTempDirectory("graft-jsonl-drift")
     Files.write(dir.resolve("part-0.jsonl"),

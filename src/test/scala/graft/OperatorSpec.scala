@@ -1952,6 +1952,20 @@ class OperatorSpec extends AnyFunSuite {
     // lid 1: gap 10 == tolerance -> kept; lid 2: gap 21 -> nulled
     // (nearest is 90, not 10); lid 3: no right rows for key v -> null
     assert(got == Seq((1L, Some("a")), (2L, None), (3L, None)))
+    // forward symmetry: next event within the bound
+    val fwd = graft.operators.AsOfJoin
+      .backwardWithin(left, right, Seq("k"), "t", "rt", tolerance = 9L)
+      .orderBy("lid").select("lid", "payload").as[(Long, Option[String])]
+      .collect().toSeq
+    assert(fwd == Seq((1L, None), (2L, None), (3L, None))) // 10 > 9
+    val fw = graft.operators.AsOfJoin
+      .forwardWithin(Seq((1L, "u", 80L), (2L, "u", 95L)).toDF("lid", "k", "t"),
+        right, Seq("k"), "t", "rt", tolerance = 10L)
+      .orderBy("lid").select("lid", "payload").as[(Long, Option[String])]
+      .collect().toSeq
+    // lid 1: next is rt=90, gap 10 == tolerance -> kept
+    // lid 2: next is rt... none >= 95 -> null
+    assert(fw == Seq((1L, Some("a")), (2L, None)))
   }
 
   test("every query runs at sf0.001 and every oracle key has a query") {
