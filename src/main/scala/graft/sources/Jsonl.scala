@@ -85,10 +85,12 @@ object Jsonl {
     * output dirs of part files): shard membership is a pure function
     * of `idCol`, so re-runs and incremental diffs line up. */
   def write(df: DataFrame, path: String, shards: Int = 8,
-            idCol: String = "doc_id"): Unit =
-    df.select(
+            idCol: String = "doc_id", compression: Option[String] = None): Unit = {
+    val w = df.select(
         pmod(hash(col(idCol)), lit(shards)).as("shard"),
         to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
       .repartition(col("shard"))
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").text(path)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+    compression.fold(w)(c => w.option("compression", c)).text(path)
+  }
 }

@@ -66,6 +66,19 @@ class JsonlSpec extends AnyFunSuite {
       batch.orderBy("doc_id").collect().toSeq)
   }
 
+  test("gzip export round-trips: compressed shard parts, identical rows back") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Files.createTempDirectory("graft-jsonl-gzout").toString
+    Jsonl.write(docs, out, shards = 2, compression = Some("gzip"))
+    val parts = Files.walk(java.nio.file.Paths.get(out)).iterator()
+    var sawGz = false
+    parts.forEachRemaining(p => if (p.toString.endsWith(".gz")) sawGz = true)
+    assert(sawGz, "no .gz part files written")
+    val back = Jsonl.read(spark, s"$out/shard=*")
+    assert(back.where(col("_corrupt_line").isNotNull).count() == 0)
+    assert(back.count() == docs.count())
+  }
+
   test("gzip landing files (.jsonl.gz) read transparently, quarantine intact") {
     val dir = Files.createTempDirectory("graft-jsonl-gz")
     val lines =
