@@ -2204,6 +2204,11 @@ object SparkEntry {
     * implementation on the fixture before wiring. */
   private def wordpieceOracleChain(withGreedy: Boolean,
                                    withDp: Boolean = false): String = {
+    // the DP stages read the vocab CTE, which only the greedy branch
+    // emits — fail at construction, not with a far-away DuckDB
+    // unresolved-table error
+    require(withGreedy || !withDp,
+      "wordpieceOracleChain: withDp requires withGreedy (vocab CTE)")
     val sb = new StringBuilder
     sb.append(
       """w AS (SELECT word, count(*) AS w FROM (

@@ -157,7 +157,10 @@ case class OptimalSegmentCount(left: Expression, right: Expression)
           case null => TypeCheckResult.TypeCheckFailure(
             s"$prettyName needs a non-null pieces array")
           case a: ArrayData =>
-            if ((0 until a.numElements()).exists(i =>
+            if (a.numElements() == 0)
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName needs at least one piece")
+            else if ((0 until a.numElements()).exists(i =>
                 a.isNullAt(i) || a.getUTF8String(i).numChars() == 0))
               TypeCheckResult.TypeCheckFailure(
                 s"$prettyName pieces must be non-null, non-empty")

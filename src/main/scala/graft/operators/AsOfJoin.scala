@@ -95,16 +95,31 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tolerance: Long): DataFrame = {
+      tolerance: Long): DataFrame =
+    within(backward, left, right, keys, leftTime, rightTime, tolerance,
+      backwardStale = true)
+
+  /** Shared tolerance tail for both directions: thread the matched
+    * right time through as an extra payload column, then null every
+    * payload column where the gap exceeds the bound — ONE select (a
+    * per-column withColumn chain would stack a Project node per
+    * payload column on the operator advertised for wide event
+    * tables). */
+  private def within(
+      joinFn: (DataFrame, DataFrame, Seq[String], String, String) => DataFrame,
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, tolerance: Long,
+      backwardStale: Boolean): DataFrame = {
     require(tolerance >= 0, s"graft: asof tolerance $tolerance must be >= 0")
     val rt = "__asof_rt"
-    val joined = backward(left, right.withColumn(rt, col(rightTime)),
+    val joined = joinFn(left, right.withColumn(rt, col(rightTime)),
       keys, leftTime, rightTime)
-    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
-    val stale = col(rt).isNull || (col(leftTime) - col(rt) > tolerance)
-    rPayload.foldLeft(joined)((d, c) =>
-        d.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
-      .drop(rt)
+    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSet
+    val gap = if (backwardStale) col(leftTime) - col(rt) else col(rt) - col(leftTime)
+    val stale = col(rt).isNull || (gap > tolerance)
+    joined.select(joined.columns.filterNot(_ == rt).toIndexedSeq.map { c =>
+      if (rPayload(c)) when(stale, lit(null)).otherwise(col(c)).as(c) else col(c)
+    }: _*)
   }
 
   /**
@@ -162,15 +177,7 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tolerance: Long): DataFrame = {
-    require(tolerance >= 0, s"graft: asof tolerance $tolerance must be >= 0")
-    val rt = "__asof_rt"
-    val joined = forward(left, right.withColumn(rt, col(rightTime)),
-      keys, leftTime, rightTime)
-    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
-    val stale = col(rt).isNull || (col(rt) - col(leftTime) > tolerance)
-    rPayload.foldLeft(joined)((d, c) =>
-        d.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
-      .drop(rt)
-  }
+      tolerance: Long): DataFrame =
+    within(forward, left, right, keys, leftTime, rightTime, tolerance,
+      backwardStale = false)
 }

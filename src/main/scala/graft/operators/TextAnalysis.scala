@@ -516,15 +516,20 @@ object TextAnalysis {
   def dedupLines(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", sep: String = "\n"): DataFrame = {
     require(sep.nonEmpty, "graft: empty separator")
-    docs.select(col(idCol).as("doc_id"),
+    val rebuilt = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .toDF("doc_id", "pos", "line")
       .groupBy("doc_id", "line").agg(min(col("pos")).as("pos"))
       .groupBy("doc_id")
       .agg(array_join(transform(array_sort(
           collect_list(struct(col("pos"), col("line")))),
-        s => s.getField("line")), sep).as(textCol))
-      .withColumnRenamed("doc_id", idCol)
+        s => s.getField("line")), sep).as("__text"))
+    // null-text docs explode to zero rows — restore them as '' like
+    // removeBoilerplate does, so cleaning never shrinks cardinality
+    // (the JSONL schema-drift path produces null text legitimately)
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol), coalesce(col("__text"), lit("")).as(textCol))
   }
 
   /**

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -70,9 +72,10 @@ class JsonlSpec extends AnyFunSuite {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Files.createTempDirectory("graft-jsonl-gzout").toString
     Jsonl.write(docs, out, shards = 2, compression = Some("gzip"))
-    val parts = Files.walk(java.nio.file.Paths.get(out)).iterator()
-    var sawGz = false
-    parts.forEachRemaining(p => if (p.toString.endsWith(".gz")) sawGz = true)
+    val walk = Files.walk(java.nio.file.Paths.get(out))
+    val sawGz =
+      try walk.iterator().asScala.exists(_.toString.endsWith(".gz"))
+      finally walk.close()
     assert(sawGz, "no .gz part files written")
     val back = Jsonl.read(spark, s"$out/shard=*")
     assert(back.where(col("_corrupt_line").isNotNull).count() == 0)

@@ -1929,15 +1929,17 @@ class OperatorSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Seq(
       (1L, "nav\nbody one\nnav\nshare\nbody two\nshare\nnav"),
-      (2L, "nav"), // single line, no dups
-      (3L, "")     // empty text -> one empty line
+      (2L, "nav"),          // single line, no dups
+      (3L, ""),             // empty text -> one empty line
+      (4L, null: String)    // JSONL drift: null text must NOT vanish
     ).toDF("doc_id", "text")
     val got = graft.operators.TextAnalysis.dedupLines(docs)
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(got == Seq(
       (1L, "nav\nbody one\nshare\nbody two"),
       (2L, "nav"),
-      (3L, "")))
+      (3L, ""),
+      (4L, "")))
   }
 
   test("asof backwardWithin: inclusive boundary kept, one past nulled, no-match stays null") {
