@@ -350,7 +350,10 @@ class VectorStore(spark: SparkSession, val root: String,
   /** One-call migration from a reference-format (.bin) store directory
     * — see [[graft.sources.VictorBin]]. Content-less embeddings carry
     * an empty string (the reference panics on lookup of a missing id;
-    * a migration keeps the row). */
+    * a migration keeps the row). Refuses a PCA-projected source store
+    * (`eigen.bin` present — existence is the reference's projected
+    * flag, src/db.rs:233-237): its vectors are projection-space
+    * coordinates and would silently serve wrong similarities here. */
   def importVictor(dir: String, quantize: Boolean = false): Unit =
     insert(graft.sources.VictorBin.importStore(spark, dir)
       .na.fill("", Seq("content")), quantize)

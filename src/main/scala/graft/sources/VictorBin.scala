@@ -31,9 +31,16 @@ import org.apache.spark.sql.types._
  *    `HashMap<Uuid, String>` — u64 count + (uuid, u64 len + utf8).
  *  - `eigen.bin` (PCA projection, nalgebra serde) is NOT read here:
  *    its nalgebra 0.32 matrix layout cannot be cross-validated in
- *    this container; projected-store import is out of scope and
- *    fails loudly if only projected files exist (dimension check at
- *    insert time).
+ *    this container. In the reference its EXISTENCE is the projected
+ *    flag (src/db.rs:233-237) and projection rewrites every vector
+ *    file to k=500 (src/db.rs:301-367), so a projected store is
+ *    dimensionally self-consistent — the vectors are PCA-space
+ *    coordinates, not raw embeddings, and no downstream dimension
+ *    check can catch that. [[importStore]] therefore probes for
+ *    `eigen.bin` and refuses loudly unless the caller passes
+ *    `acceptProjected = true` (which imports the coordinates as-is:
+ *    valid only if ALL future queries are projected through the same
+ *    basis by the caller).
  *
  * Cross-validation without a Rust toolchain: the reference's OWN unit
  * test pins the codec byte sizes (src/packed_vector.rs:63-79 — a
@@ -238,13 +245,34 @@ object VictorBin {
     (0 until n).map { _ => (readUuid(b), readString(b)) }.toDF("id", "content")
   }
 
+  /** True iff the victor store at `dir` has been PCA-projected — in
+    * the reference, `eigen.bin` existence IS the projected flag
+    * (src/db.rs:233-237). An empty file still counts: the reference
+    * only ever writes it atomically after a successful fit, but a
+    * truncated one is corrupt-projected, not raw. */
+  def isProjected(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "eigen.bin"))
+
   /** The full store as (id, vector, content, tags) — left join so
     * content-less embeddings survive with null content (the reference
     * panics on a missing id at lookup time; a migration should carry
-    * the row and let the user decide). */
-  def importStore(spark: SparkSession, dir: String): DataFrame =
+    * the row and let the user decide).
+    *
+    * Refuses a PCA-projected store (`eigen.bin` present): its vector
+    * files hold k-dim PCA-space coordinates that would silently serve
+    * wrong similarities to raw-space cosine queries. Pass
+    * `acceptProjected = true` only if you will project every future
+    * query through the same basis yourself. */
+  def importStore(spark: SparkSession, dir: String,
+      acceptProjected: Boolean = false): DataFrame = {
+    require(acceptProjected || !isProjected(dir),
+      s"graft: victor store at $dir is PCA-projected (eigen.bin present; reference src/db.rs:233-237) — " +
+        "its vectors are projection-space coordinates, not raw embeddings, and importing them would " +
+        "silently serve wrong similarities; re-export an unprojected store, or pass acceptProjected=true " +
+        "and project all queries through the same basis yourself")
     embeddings(spark, dir).join(contents(spark, dir), Seq("id"), "left")
       .select("id", "vector", "content", "tags")
+  }
 
   // ---- writer (round-trip validation + export-back) -------------------
 

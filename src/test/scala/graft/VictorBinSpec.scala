@@ -92,6 +92,29 @@ class VictorBinSpec extends AnyFunSuite {
     store.clear()
   }
 
+  test("projected victor store (eigen.bin present) is refused loudly, accepted only explicitly") {
+    // A projected store is dimensionally self-consistent (the reference
+    // rewrites every vector file to k=500, src/db.rs:301-367), so only
+    // the eigen.bin probe can catch it (existence = projected flag,
+    // src/db.rs:233-237).
+    val dir = Files.createTempDirectory("graft-victor-proj").toString
+    VictorBin.export(Seq(
+      (uuid(21), Seq(0.3f, 0.7f), "pca-space", Seq("de")))
+      .toDF("id", "vector", "content", "tags"), dir)
+    Files.write(java.nio.file.Paths.get(dir, "eigen.bin"), Array[Byte](1, 2, 3))
+    assert(VictorBin.isProjected(dir))
+    val e = intercept[IllegalArgumentException] { VictorBin.importStore(spark, dir) }
+    assert(e.getMessage.contains("PCA-projected"))
+    assert(e.getMessage.contains("eigen.bin"))
+    // importVictor (the one-call migration) refuses through the same probe
+    val store = new graft.operators.VectorStore(
+      spark, Files.createTempDirectory("graft-victor-proj-store").toString)
+    val e2 = intercept[IllegalArgumentException] { store.importVictor(dir) }
+    assert(e2.getMessage.contains("PCA-projected"))
+    // explicit opt-in still imports the coordinates as-is
+    assert(VictorBin.importStore(spark, dir, acceptProjected = true).count() == 1)
+  }
+
   test("corrupt inputs fail loudly: bad record size, truncated file, bad uuid length") {
     val bad1 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bad1.putInt(10).putInt(0) // record size 10 <= 40
