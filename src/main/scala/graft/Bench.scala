@@ -2,9 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /**
- * Benchmark main: one JSON line to stdout + the same line to
+ * Benchmark main: the full JSON artifact line to stdout AND to
  * `SPARK_GRAFT_BENCH_OUT` (default bench_out.json) + a richer
- * bench_detail.json (per-query warm min/med/max, machine-state marks).
+ * bench_detail.json (per-query warm min/med/max, machine-state marks),
+ * then a COMPACT summary JSON as the FINAL stdout line (headline
+ * totals + contention verdict, <~600 chars) — the full line outgrew
+ * the driver's 2,000-char log tail, so the tail-parseable summary is
+ * the line a log scraper should read (VERDICT r13 next #8).
  *
  * Contention-proofing (VERDICT r6 next #1 — round 6 shipped two
  * irreconcilable sf1 artifacts, 774 s under a loaded machine vs 50 s
@@ -189,6 +193,29 @@ object Bench {
   private val WarmReps = 3
   private val MaxRetries = 2
 
+  /** Absolute floor for the all-cores CPU-throughput probe (VERDICT
+    * r13 next #2): the relative signals (steal, loadavg, parallel
+    * ratio, rep spread) all stayed silent while the r13 closing sf1
+    * child ran in a 19.1 GB/s window and the driver's sf1 leg blew up
+    * 3-10x mid-pass. Empirically on this 32-vCPU box: windows at
+    * 27-33.5 produced cross-round-consistent warm totals, windows at
+    * 19-20.3 produced phantom 6-9x outliers on untouched queries —
+    * the floor sits between the two clusters. Note the probe measures
+    * delivered CPU/SMT throughput (register-only ALU loop), not memory
+    * bandwidth — see [[graft.tools.HostProbe]]. Env-overridable so a
+    * different host class can recalibrate without a code change. */
+  private[graft] val MinMtMbps: Double =
+    sys.env.get("SPARK_GRAFT_MIN_MT_MBPS").flatMap(_.toDoubleOption)
+      .getOrElse(24000.0)
+
+  /** The absolute-throughput contention verdict, pure so a spec can
+    * exercise it with a synthetic threshold. */
+  private[graft] def mtReason(tag: String, cpuMt: Double,
+      minMt: Double = MinMtMbps): Option[String] =
+    if (cpuMt > 0 && cpuMt < minMt)
+      Some(f"$tag:cpu_mt_${cpuMt}%.0f_below_${minMt}%.0f")
+    else None
+
   // ---- machine-state probes ----
 
   private def load1(): Double =
@@ -242,10 +269,13 @@ object Bench {
     while (System.nanoTime() < deadline) {
       if (load1() < 2.0 && stealSamplePct(2000) < 0.02) {
         // guest-idle is not host-idle: also require the parallel
-        // capacity the retry pass will actually get (same threshold
-        // as the pass verdict)
+        // capacity AND the absolute throughput the retry pass will
+        // actually get (same thresholds as the pass verdict — r13's
+        // degraded windows passed the ratio check while delivering
+        // ~2/3 of a clean window's throughput)
         val (st, mt) = cpuScore()
-        if (st <= 0 || mt / st >= 4.0) return true
+        if ((st <= 0 || mt / st >= 4.0) && mtReason("probe", mt).isEmpty)
+          return true
       }
       Thread.sleep(5000)
     }
@@ -395,7 +425,7 @@ object Bench {
     * forked child can hand it to the parent without a JSON parser: one
     * `KEY value` line per field (values are single-line JSON by
     * construction). */
-  private case class Pass(coldTotal: Double, warmTotal: Double,
+  private[graft] case class Pass(coldTotal: Double, warmTotal: Double,
                           warmMinTotal: Double, loadPre: Double,
                           procsPre: Int, forked: Boolean,
                           prewarmSec: Double,
@@ -419,7 +449,7 @@ object Bench {
       "RECALL " + recallJson, "STEADY " + steadyJson).mkString("\n")
   }
 
-  private object Pass {
+  private[graft] object Pass {
     def parse(s: String): Option[Pass] = try {
       val m = s.linesIterator.filter(_.contains(" ")).map { l =>
         val i = l.indexOf(' '); l.substring(0, i) -> l.substring(i + 1)
@@ -456,8 +486,12 @@ object Bench {
     // a 32-vCPU box, wall-clock numbers are the host's, not the
     // engine's — flag it so the recovery loop re-runs the pass.
     val ratio = if (cpuSt > 0) cpuMt / cpuSt else Double.MaxValue
-    val cpu = if (ratio < 4.0)
-      Seq(f"$tag:cpu_parallel_$ratio%.1fx") else Nil
+    val cpu = (if (ratio < 4.0)
+      Seq(f"$tag:cpu_parallel_$ratio%.1fx") else Nil) ++
+      // absolute throughput floor (VERDICT r13 #2): a proportionally
+      // slow host passes every relative check but is still not a
+      // comparable window
+      mtReason(tag, cpuMt).toSeq
     val detail = s.warm.map { case (n, reps) =>
       "\"" + n + "\":[" + reps.sorted.map(ms).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -751,12 +785,15 @@ object Bench {
     // loop)
     val trianglesFull = scaleCheck("triangles_full") { spark =>
       val fn = SparkEntry.queries("graph_triangles_full")
+      // the row count rides out of the timed reps (ADVICE r13: a 4th
+      // untimed full run of the suite's heaviest fragment just to read
+      // the count doubled the check's cost)
+      var rows = 0L
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        rows = fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val rows = fn(spark, sfDir).count()
       f"""{"cold_sec":${times.head}%.3f,"steady_sec":${times.tail.min}%.3f,"rows":$rows}"""
     }
 
@@ -812,5 +849,29 @@ object Bench {
       (detail + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write bench_detail.json: $e") }
+    // compact summary as the FINAL stdout line (VERDICT r13 next #8):
+    // the full per-query line above grew past the driver's 2,000-char
+    // log tail 13 rounds straight, so its parse always saw a truncated
+    // fragment. This line carries the headline numbers + verdicts and
+    // stays tail-parseable; the full artifact lives in bench_out.json.
+    println(compactSummary(s01, sf1, contended, reasons, cpus.toInt,
+      sfDir, out))
+  }
+
+  /** The headline numbers + verdicts in <~600 chars. Pure + visible so
+    * a spec can pin the size budget and the field set. */
+  private[graft] def compactSummary(s01: Pass,
+      sf1: Option[(Pass, Seq[Pass], Int)], contended: Boolean,
+      reasons: Seq[String], cpus: Int, sfDir: String, out: String): String = {
+    val sf1Frag = sf1 match {
+      case Some((p, _, retries)) =>
+        s""","sf1_warm_total":${ms(p.warmTotal)},"sf1_cold_total":${ms(p.coldTotal)},"sf1_contended":${p.contended},"sf1_cpu_mt_mbps":${ms(p.cpuMt)},"sf1_retries":$retries"""
+      case None => ""","sf1_warm_total":0.000"""
+    }
+    // reasons bounded: 6 entries is plenty for triage; the full list
+    // is in the file artifact
+    val rs = jsArr(reasons.take(6) ++
+      (if (reasons.size > 6) Seq(s"+${reasons.size - 6}_more") else Nil))
+    s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"contended":$contended,"contention_reasons":$rs,"cpus":$cpus,"cpu_mt_mbps":${ms(s01.cpuMt)}$sf1Frag,"detail":"$out","sf":"$sfDir"}"""
   }
 }

@@ -1,14 +1,17 @@
 package graft.tools
 
-/** Standalone host-health probe: the bench's deterministic CPU/memory
-  * throughput score (single-thread + all-cores MB/s of the same 64-bit
-  * mixing loop `graft.Bench` records per pass as cpu_st_mbps /
-  * cpu_mt_mbps) without starting Spark or sbt-locking the repo for
-  * more than a few seconds. Run BEFORE launching a protocol bench:
-  * r11-r13 established that `mt` below ~30,000 MB/s on this 32-vCPU
-  * box means host memory-bandwidth contention (invisible to
-  * loadavg/steal) and the warm totals will not be cross-round
-  * comparable.
+/** Standalone host-health probe: the bench's deterministic CPU
+  * throughput score (single-thread + all-cores MB/s-equivalent of the
+  * same 64-bit mixing loop `graft.Bench` records per pass as
+  * cpu_st_mbps / cpu_mt_mbps) without starting Spark or sbt-locking
+  * the repo for more than a few seconds. The loop is register-only ALU
+  * work, so the number measures delivered CPU/SMT throughput — host
+  * CPU contention — not memory bandwidth; it is named mbps for
+  * cross-round continuity with the bench artifact field. Run BEFORE
+  * launching a protocol bench: r11-r13 established empirically that
+  * `mt` below ~30,000 on this 32-vCPU box correlates 1:1 with the
+  * bench-degrading host condition (invisible to loadavg/steal) and
+  * the warm totals will not be cross-round comparable.
   *
   * Usage: runMain graft.tools.HostProbe
   */

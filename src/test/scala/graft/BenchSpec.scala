@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench harness verdict logic — the pure pieces a spec can pin
+  * without a 15-minute timed run: the absolute CPU-throughput
+  * contention reason (VERDICT r13 next #2) and the compact final
+  * stdout summary's size budget + field set (next #8). */
+class BenchSpec extends AnyFunSuite {
+
+  test("mtReason fires below the synthetic threshold, stays silent at/above it") {
+    val r = Bench.mtReason("sf1", cpuMt = 19100.0, minMt = 24000.0)
+    assert(r.isDefined)
+    assert(r.get.startsWith("sf1:cpu_mt_"))
+    assert(r.get.contains("below"))
+    assert(Bench.mtReason("sf1", cpuMt = 28100.0, minMt = 24000.0).isEmpty)
+    assert(Bench.mtReason("sf1", cpuMt = 24000.0, minMt = 24000.0).isEmpty)
+    // a failed probe (non-positive score) must not manufacture a verdict
+    assert(Bench.mtReason("sf1", cpuMt = 0.0, minMt = 24000.0).isEmpty)
+    assert(Bench.mtReason("sf1", cpuMt = -1.0, minMt = 24000.0).isEmpty)
+  }
+
+  test("default MinMtMbps splits the observed clean/degraded window clusters") {
+    // r11-r13 evidence: 27.0-33.5 produced consistent warm totals,
+    // 19.1-20.3 produced phantom outliers — the default must separate
+    // them (env override recalibrates for other host classes)
+    assert(Bench.MinMtMbps > 20300.0 && Bench.MinMtMbps < 27000.0)
+  }
+
+  private def pass(warm: Double, cold: Double, mt: Double,
+      reasons: Seq[String] = Nil): Bench.Pass =
+    Bench.Pass(cold, warm, warm * 0.95, 0.3, 100, forked = true, 1.0,
+      3500.0, mt, reasons, "[]", "{}", "{}", "{}", "[]", "{}", "{}")
+
+  test("compact summary is tail-parseable: bounded size, headline fields, valid JSON") {
+    val longReasons = (1 to 20).map(i => s"sf01:reason_$i")
+    val s = Bench.compactSummary(
+      pass(48.123, 132.456, 31000.0, longReasons),
+      Some((pass(57.9, 140.0, 30500.0), Seq(pass(57.9, 140.0, 30500.0)), 1)),
+      contended = true, reasons = longReasons, cpus = 32,
+      sfDir = "/root/testdata/sf0.1", out = "bench_out.json")
+    assert(s.length < 1200, s"summary too long for a 2KB log tail: ${s.length}")
+    for (f <- Seq("\"metric\":", "\"value\":", "\"unit\":", "\"warm_total\":",
+        "\"contended\":true", "\"contention_reasons\":", "\"cpus\":32",
+        "\"cpu_mt_mbps\":", "\"sf1_warm_total\":", "\"sf1_contended\":",
+        "\"detail\":\"bench_out.json\""))
+      assert(s.contains(f), s"missing $f in $s")
+    // reasons list is bounded but the truncation is declared
+    assert(s.contains("_more"))
+    // single line, balanced braces (a scraper splits on newline)
+    assert(!s.contains("\n"))
+    assert(s.count(_ == '{') == s.count(_ == '}'))
+  }
+
+  test("compact summary without an sf1 leg still carries the sf1_warm_total field") {
+    val s = Bench.compactSummary(pass(48.0, 130.0, 31000.0), None,
+      contended = false, reasons = Nil, cpus = 32, sfDir = "d", out = "o")
+    assert(s.contains("\"sf1_warm_total\":0.000"))
+    assert(s.contains("\"contended\":false"))
+    assert(s.length < 600)
+  }
+}
