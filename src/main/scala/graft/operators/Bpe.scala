@@ -44,6 +44,38 @@ object Bpe {
     * summed word-frequency occurrences. */
   final case class Merge(a: String, b: String, weight: Long)
 
+  /** A trained tokenizer loaded from a committed store artifact
+    * (`tokenizer/v<k>` — [[VectorStore.trainTokenizer]] /
+    * [[VectorStore.loadTokenizer]]): the BPE merge list, the optional
+    * WordPiece piece vocabulary, and the training provenance a
+    * production pipeline pins a dataset to (ONE committed tokenizer
+    * across sessions and feeds — re-training per session silently
+    * shifts every downstream token count/budget/packing decision).
+    * `corpusFp` is the deterministic fingerprint (per-doc xxhash64, bit_xor-folded) of the
+    * training corpus text; a consumer can compare it against a
+    * candidate corpus to detect tokenizing with a stale artifact. */
+  final case class TokenizerArtifact(version: Int, merges: Seq[Merge],
+      pieces: Seq[String], bpeK: Int, wordpieceV: Int, maxPieceLen: Int,
+      corpusFp: Long, nDocs: Long) {
+
+    /** Per-document BPE token counts under the LOADED merges — same
+      * dictionary-join shape as [[Bpe.tokenCounts]], no training pass. */
+    def tokenCounts(docs: DataFrame, textCol: String = "text",
+        idCol: String = "doc_id"): DataFrame =
+      Bpe.tokenCounts(docs,
+        applyMerges(initState(wordFreq(docs, textCol)), merges),
+        textCol, idCol)
+
+    /** Per-document WordPiece greedy token counts under the LOADED
+      * piece vocabulary. */
+    def wordpieceTokenCounts(docs: DataFrame, textCol: String = "text",
+        idCol: String = "doc_id"): DataFrame = {
+      require(pieces.nonEmpty,
+        s"graft: tokenizer v$version was trained without a WordPiece vocab (wordpieceV=0)")
+      Bpe.wordpieceTokenCounts(docs, pieces, textCol, idCol)
+    }
+  }
+
   /** Word-frequency dictionary of a corpus column: one corpus pass,
     * one shuffle. Callers iterating merges should persist the result. */
   def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =

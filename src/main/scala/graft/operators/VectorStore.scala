@@ -1447,7 +1447,7 @@ class VectorStore(spark: SparkSession, val root: String,
     }
     for (t <- Seq("upsert_tmp", "delete_tmp", "data_compact_tmp", "data_tmp",
       "manifest_tmp.parquet", "ann_tmp", "dup_tmp", "eigen_tmp.parquet",
-      "contentidx_tmp", "neardupidx_tmp")) {
+      "contentidx_tmp", "neardupidx_tmp", "tokenizer_tmp")) {
       val p = new Path(s"$root/$t")
       if (fs.exists(p) && expired(p)) fs.delete(p, true)
     }
@@ -1509,6 +1509,12 @@ class VectorStore(spark: SparkSession, val root: String,
     val curDup = dupVersions().lastOption
     for (v <- dupVersions() if !curDup.contains(v)) {
       val p = new Path(s"$dupRoot/v$v")
+      if (expired(p)) fs.delete(p, true)
+    }
+    // superseded tokenizer versions: same versioned-commit contract
+    val curTok = tokenizerVersions.lastOption
+    for (v <- tokenizerVersions if !curTok.contains(v)) {
+      val p = new Path(s"$tokenizerRoot/v$v")
       if (expired(p)) fs.delete(p, true)
     }
   }
@@ -2284,6 +2290,116 @@ class VectorStore(spark: SparkSession, val root: String,
   }
 
   // ---- near-dup pair graph: a versioned store artifact ----
+
+  // ---- versioned tokenizer artifact (VERDICT r13 next #4) ------------
+  // A production pipeline tokenizes with ONE committed tokenizer across
+  // sessions and feeds; until r13 the BPE merges / WordPiece vocab were
+  // only returned values (Bpe.train / Bpe.pieceVocab), so every caller
+  // had to re-train or self-manage the merge list. tokenizer/v<k>
+  // inherits the store's artifact lifecycle: staged tmp + one rename to
+  // a versioned name that never pre-exists (writer lock serializes the
+  // version allocation), superseded versions readable until [[vacuum]].
+
+  private val tokenizerRoot = s"$root/tokenizer"
+
+  /** Committed tokenizer versions, oldest -> newest — the loadable
+    * history until [[vacuum]] reclaims superseded versions. */
+  def tokenizerVersions: Seq[Int] =
+    if (!fs.exists(new Path(tokenizerRoot))) Nil
+    else fs.listStatus(new Path(tokenizerRoot)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.stripPrefix("v").toInt).sorted
+
+  /** Train a tokenizer over `docs` and COMMIT it as `tokenizer/v<k+1>`:
+    * BPE merges ([[Bpe.train]], `bpeK` merges, `checkpointEvery`
+    * bounding lineage for realistic merge counts) plus, when
+    * `wordpieceV` > 0, the WordPiece piece vocabulary
+    * ([[Bpe.pieceVocab]]). The corpus is fingerprinted (xxhash64 bit_xor
+    * over `textCol` + doc count — deterministic, one cheap agg pass)
+    * into the artifact meta so consumers can detect training/serving
+    * corpus drift. Returns the committed version. One corpus pass
+    * total: both trainers share the persisted word-frequency
+    * dictionary. */
+  def trainTokenizer(docs: DataFrame, bpeK: Int,
+      wordpieceV: Int = 0, maxPieceLen: Int = 4,
+      textCol: String = "text", checkpointEvery: Int = 0): Int =
+    withWriterLock() {
+      import spark.implicits._
+      val words = Bpe.wordFreq(docs, textCol).persist()
+      try {
+        val merges = Bpe.train(words, bpeK, checkpointEvery)
+        val pieces =
+          if (wordpieceV > 0) Bpe.pieceVocab(words, maxPieceLen, wordpieceV)
+          else Seq.empty[String]
+        // bit_xor, not sum: order-insensitive like sum but cannot
+        // overflow under ANSI mode (sum of 500 xxhash64 values already
+        // threw ARITHMETIC_OVERFLOW at sf0.01)
+        val fp = docs.agg(
+          coalesce(expr(s"bit_xor(xxhash64(`$textCol`))"), lit(0L)).as("fp"),
+          count(lit(1)).as("n")).head()
+        val tmp = new Path(s"$root/tokenizer_tmp")
+        fs.delete(tmp, true)
+        merges.zipWithIndex
+          .map { case (m, i) => (i + 1, m.a, m.b, m.weight) }
+          .toDF("step", "a", "b", "n")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$tmp/merges.parquet")
+        // ord preserves the EXACT trained order (greedy segmentation is
+        // order-insensitive today, but the artifact must round-trip the
+        // trainer's output, not a canonicalization of it)
+        pieces.zipWithIndex.map { case (p, i) => (i, p) }.toDF("ord", "piece")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$tmp/pieces.parquet")
+        val out = fs.create(new Path(s"$tmp/_meta.json"), true)
+        try out.write(
+          s"""{"bpe_k":$bpeK,"wordpiece_v":$wordpieceV,"max_piece_len":$maxPieceLen,"corpus_fp":${fp.getLong(0)},"n_docs":${fp.getLong(1)}}"""
+            .getBytes("UTF-8"))
+        finally out.close()
+        val next = tokenizerVersions.lastOption.map(_ + 1).getOrElse(0)
+        fs.mkdirs(new Path(tokenizerRoot))
+        require(fs.rename(tmp, new Path(s"$tokenizerRoot/v$next")),
+          s"graft: tokenizer commit rename to v$next failed")
+        next
+      } finally words.unpersist(blocking = false)
+    }
+
+  /** Load a committed tokenizer — newest version by default, or a
+    * specific historical `version` (time travel, until vacuumed). The
+    * artifact is model-sized by construction (bpeK merges + V pieces),
+    * so the driver-side collect is bounded like the ANN codebook. */
+  def loadTokenizer(version: Int = -1): Bpe.TokenizerArtifact = {
+    val vs = tokenizerVersions
+    require(vs.nonEmpty,
+      s"graft: no tokenizer artifact at $tokenizerRoot — trainTokenizer first")
+    val v =
+      if (version < 0) vs.last
+      else {
+        require(vs.contains(version),
+          s"graft: no tokenizer v$version (have ${vs.mkString(",")} — vacuumed?)")
+        version
+      }
+    val d = s"$tokenizerRoot/v$v"
+    val merges = spark.read.parquet(s"$d/merges.parquet")
+      .orderBy("step").collect().toSeq
+      .map(r => Bpe.Merge(r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("n")))
+    val pieces = spark.read.parquet(s"$d/pieces.parquet")
+      .orderBy("ord").collect().toSeq.map(_.getAs[String]("piece"))
+    val metaTxt = {
+      val in = fs.open(new Path(s"$d/_meta.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    def field(n: String): Long =
+      s""""$n":\\s*(-?[0-9]+)""".r.findFirstMatchIn(metaTxt)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft: tokenizer v$v meta missing $n: $metaTxt"))
+    Bpe.TokenizerArtifact(v, merges, pieces,
+      bpeK = field("bpe_k").toInt, wordpieceV = field("wordpiece_v").toInt,
+      maxPieceLen = field("max_piece_len").toInt,
+      corpusFp = field("corpus_fp"), nDocs = field("n_docs"))
+  }
 
   private val dupRoot = s"$root/dup"
 
