@@ -46,12 +46,22 @@ object BpeKernel {
     new GenericArrayData(out)
   }
 
+  // a null slot read via getUTF8String lands a null in a struct/array
+  // declared containsNull = false (ADVICE r13 #3) — raise instead; the
+  // ACCEPTED input type keeps containsNull = true because encoders and
+  // parquet scans declare it for every Seq column regardless of data
+  private def nonNull(syms: ArrayData, i: Int, kernel: String): Unit =
+    if (syms.isNullAt(i))
+      throw new IllegalArgumentException(s"$kernel: null element at index $i")
+
   def adjacentPairs(syms: ArrayData): ArrayData = {
     val n = syms.numElements()
     if (n < 2) return new GenericArrayData(new Array[Any](0))
     val out = new Array[Any](n - 1)
     var i = 0
     while (i < n - 1) {
+      nonNull(syms, i, "graft_adj_pairs")
+      nonNull(syms, i + 1, "graft_adj_pairs")
       out(i) = InternalRow(syms.getUTF8String(i), syms.getUTF8String(i + 1))
       i += 1
     }
@@ -63,6 +73,10 @@ object BpeKernel {
     val out = new java.util.ArrayList[Any](n)
     var i = 0
     while (i < n) {
+      nonNull(syms, i, "graft_merge_pair")
+      // the lookahead slot is read unguarded by the match below; a
+      // merged i+1 is otherwise never revisited as i
+      if (i + 1 < n) nonNull(syms, i + 1, "graft_merge_pair")
       if (i + 1 < n && syms.getUTF8String(i).equals(a)
           && syms.getUTF8String(i + 1).equals(b)) {
         out.add(UTF8String.concat(a, b))

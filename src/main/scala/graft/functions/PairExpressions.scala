@@ -31,6 +31,11 @@ object PairKernel {
     var k = 0
     var i = 0
     while (i < n) {
+      // getLong on a null slot silently reads 0L — raise instead
+      // (ADVICE r13 #3; no legitimate producer emits null items)
+      if (items.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_pairs: null element at index $i")
       val a = items.getLong(i)
       var j = i + 1
       while (j < n) {
@@ -56,6 +61,10 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
     containsNull = false)
   override def prettyName: String = "graft_pairs"
 
+  // containsNull = true is ACCEPTED at analysis time (encoders and
+  // parquet scans declare it for any Seq column regardless of data);
+  // actual null elements raise inside the kernel (ADVICE r13 #3 — they
+  // previously read as a silent 0L in an emitted pair).
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

@@ -52,6 +52,27 @@ class BpeSpec extends AnyFunSuite {
       || ex.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("null array elements raise a named error instead of silent 0L/null structs (ADVICE r13 #3)") {
+    graft.functions.GraftFunctions.register(spark)
+    // the error can surface at execution OR optimization time (the
+    // single-row LocalRelation is projected eagerly by the optimizer),
+    // so walk the whole cause chain for the kernel's named message
+    def named(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(c => Option(c.getMessage).exists(_.contains("null element")))
+    val strDf = Seq(Seq(Option("a"), None, Option("b"))).toDF("syms")
+    assert(named(intercept[Throwable] {
+      strDf.select(explode(adjPairs(col("syms")))).collect()
+    }))
+    assert(named(intercept[Throwable] {
+      strDf.select(mergePair(col("syms"), "a", "b")).collect()
+    }))
+    val longDf = Seq(Seq(Option(1L), None, Option(3L))).toDF("items")
+    assert(named(intercept[Throwable] {
+      longDf.select(call_function("graft_pairs", col("items"))).collect()
+    }))
+  }
+
   test("adjacent-pairs kernel == HOF transform form") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(
