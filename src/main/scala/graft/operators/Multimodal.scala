@@ -26,16 +26,40 @@ case class FrameAgg(
     resized_len: Long,
     resized_sum: Long)
 
+/** Decoded-image features (integer-typed for the oracle): dimensions
+  * from the decoded header, pixel sums from the decoded raster, and
+  * the decode->resize->re-encode->decode round trip of the same
+  * payload. */
+case class ImageFeatures(
+    doc_id: Long,
+    img_w: Long,
+    img_h: Long,
+    px_sum: Long,
+    px_mean_x100: Long,
+    rs_w: Long,
+    rs_h: Long,
+    rs_sum: Long)
+
 /**
  * Multimodal-column plumbing: image/audio/video as opaque BINARY
  * columns with typed metadata, and a distributed decode/feature-extract
  * stage over `mapPartitions`.
  *
- * The DECODE STEP IS A STUB: this container has no image/audio codecs,
- * so `decodeStub` computes a deterministic fake feature vector from the
- * raw bytes. The Spark-side plumbing — schema, batch iteration,
- * per-partition decoder initialization, frame sampling — is real and
- * is what carries over to a production codec.
+ * Two lanes:
+ *  - IMAGE is REAL: `javax.imageio` ships with the JDK (zero new
+ *    dependencies in a zero-egress container), so the PNG lane
+ *    ([[attachImagePayload]] / [[decodeImageFeatures]]) encodes and
+ *    decodes actual PNG bytes on the executors. The payloads are
+ *    deterministic synthetic images — pixel (x, y) of doc d is the
+ *    pure integer function (d + x + y) mod 256 on an 8-bit gray
+ *    raster — so the DuckDB oracle can verify the DECODED features
+ *    analytically: PNG is lossless, and any drift anywhere in the
+ *    encode -> decode -> raster-walk -> nearest-neighbor-resize ->
+ *    re-encode -> decode chain breaks the hash.
+ *  - AUDIO/VIDEO remain a STUB (`decodeStub`): no codecs in this
+ *    container. The Spark-side plumbing — schema, batch iteration,
+ *    per-partition decoder initialization, frame sampling — is real
+ *    and is what carries over to a production codec.
  */
 object Multimodal {
 
@@ -110,6 +134,116 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition codec session init would happen here
         rows.map(r => MediaRow(r.doc_id, r.media_type, resizeStub(r.payload, factor)))
+      }
+  }
+
+  // ---- REAL image lane: javax.imageio PNG encode/decode -------------
+
+  /** Image dimensions vary per doc so the metadata extraction cannot
+    * be hardcoded: w in [16, 31], h in [8, 15]. */
+  private[graft] def imageDims(docId: Long): (Int, Int) =
+    (16 + (docId % 16).toInt, 8 + (docId % 8).toInt)
+
+  /** Deterministic synthetic 8-bit gray image for doc `docId`, encoded
+    * as REAL PNG bytes via ImageIO. Raster writes go through
+    * setSample — no color-space conversion touches the values, so the
+    * byte at (x, y) is exactly (docId + x + y) mod 256. */
+  private[graft] def synthPng(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((docId + x + y) % 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "graft: JDK ImageIO has no png writer (should be impossible)")
+    bos.toByteArray
+  }
+
+  /** Attach a REAL PNG payload column (one synthetic image per doc),
+    * generated distributed — the encoder runs on the executors inside
+    * the same mapPartitions session shape a production pipeline uses. */
+  def attachImagePayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition init: no temp-file cache
+        ids.map(id => MediaRow(id, "image/png", synthPng(id)))
+      }
+      .toDF()
+  }
+
+  /** Nearest-neighbor integer downscale on the DECODED raster —
+    * out(x, y) = in(x*factor, y*factor), output dims = ceil(dim /
+    * factor) — then RE-ENCODED as PNG. Exact by construction, so the
+    * oracle can state the resized pixel values in closed form. */
+  private def resizeNearest(img: java.awt.image.BufferedImage,
+      factor: Int): java.awt.image.BufferedImage = {
+    val w2 = (img.getWidth + factor - 1) / factor
+    val h2 = (img.getHeight + factor - 1) / factor
+    val out = new java.awt.image.BufferedImage(
+      w2, h2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster; val dst = out.getRaster
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        dst.setSample(x, y, 0, src.getSample(x * factor, y * factor, 0))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL distributed decode: ImageIO.read each PNG payload, walk the
+    * decoded raster for pixel statistics, nearest-neighbor-downscale,
+    * re-encode, decode AGAIN and sum — the full round trip a media
+    * pipeline pays, all on executor-side rasters (getSample reads raw
+    * band values; no color-space conversion can blur the oracle). */
+  def decodeImageFeatures(spark: SparkSession, media: DataFrame,
+      factor: Int = 4): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def graySum(img: java.awt.image.BufferedImage): Long = {
+          val r = img.getRaster
+          var sum = 0L; var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += r.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          sum
+        }
+        def decode(bytes: Array[Byte], id: Long): java.awt.image.BufferedImage = {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"graft: undecodable image payload for doc $id")
+          img
+        }
+        rows.map { m =>
+          val img = decode(m.payload, m.doc_id)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sum = graySum(img)
+          // resize on the decoded raster, RE-ENCODE, decode again: the
+          // resized stats come from a second full codec round trip
+          val rbos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(resizeNearest(img, factor), "png", rbos)
+          val rimg = decode(rbos.toByteArray, m.doc_id)
+          ImageFeatures(m.doc_id, w.toLong, h.toLong, sum,
+            if (w * h == 0) 0L else sum * 100L / (w * h),
+            rimg.getWidth.toLong, rimg.getHeight.toLong, graySum(rimg))
+        }
       }
   }
 
