@@ -159,11 +159,38 @@ object Search {
     val toks = docs.select(col(idCol).as("doc_id"),
         posexplode(graft.operators.Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
       .where(col("tok").isin(terms: _*)) // prune before any shuffle
-    val aligned = phrase.zipWithIndex.map { case (t, i) =>
-      toks.where(col("tok") === t)
-        .select(col("doc_id"), (col("pos") - i).as("base"))
-    }.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
-    aligned.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    phraseHits(toks, phrase)
+  }
+
+  /** Shared tail of both phrase operators: OVERLAPPING occurrence
+    * counts from a pruned positional stream `toks`(doc_id, pos, tok) —
+    * ONE stream pass, no self-joins (VERDICT r13 next #6: the old tail
+    * built one filtered stream per phrase SLOT and reduced over
+    * (doc, base) equi-joins, so an L-term phrase paid L corpus
+    * tokenize/scan passes plus L-1 shuffle joins; exchange reuse never
+    * kicks in because the legs differ by filter).
+    *
+    * Each posting emits one row per phrase slot its token occupies
+    * (the slot list is a task-constant CASE over the <= L distinct
+    * terms). An occurrence at `base` exists iff slot i matched at
+    * pos = base + i for ALL i — and for a fixed (doc, base, slot) at
+    * most one posting can contribute (its pos is determined), so a
+    * plain partial-aggregated count reaching L IS full alignment: no
+    * count(distinct) needed. One shuffle on (doc_id, base) carrying
+    * the same sum(df(term)) postings the join legs each moved. */
+  private def phraseHits(toks: DataFrame, phrase: Seq[String]): DataFrame = {
+    val slots: Seq[(String, Seq[Int])] = phrase.distinct.map(t =>
+      t -> phrase.zipWithIndex.collect { case (`t`, i) => i })
+    val slotsCol = slots.foldLeft(lit(null).cast("array<int>")) {
+      case (acc, (t, idxs)) =>
+        when(col("tok") === t, array(idxs.map(lit): _*)).otherwise(acc)
+    }
+    toks
+      .select(col("doc_id"), col("pos"), explode(slotsCol).as("slot"))
+      .groupBy(col("doc_id"), (col("pos") - col("slot")).as("base"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") === phrase.length)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
   /** Term -> bucket for the on-disk posting index: CRC32 of the token
@@ -226,11 +253,7 @@ object Search {
     val toks = base
       .where(col("tb").isin(tbs: _*))       // static partition pruning
       .where(col("tok").isin(terms: _*))    // pushed row-group filter
-    val aligned = phrase.zipWithIndex.map { case (t, i) =>
-      toks.where(col("tok") === t)
-        .select(col("doc_id"), (col("pos") - i).as("base"))
-    }.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
-    aligned.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    phraseHits(toks, phrase)
   }
 
   /** Per-rank nDCG gain table: floor(1e6 / log2(r + 1)) for r = 1..k.

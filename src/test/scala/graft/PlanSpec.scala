@@ -762,6 +762,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plainRows.sameElements(saltRows))
   }
 
+  test("phrase search: ONE tokenize pass, no per-term join legs (VERDICT r13 #6)") {
+    // the old tail built one filtered token stream per phrase slot and
+    // reduced over (doc, base) equi-joins: an L-term phrase paid L
+    // corpus tokenize/scan passes (exchange reuse cannot dedup legs
+    // that differ by filter). The slot-alignment shape pays exactly one
+    // Generate (posexplode) over exactly one corpus scan and zero joins.
+    val df = SparkEntry.queries("text_phrase_search")(spark, dir)
+    val p = df.queryExecution.sparkPlan // pre-AQE: full tree, no stages
+    def nodes(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      n +: n.children.flatMap(nodes)
+    val all = nodes(p)
+    val scans = all.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    val gens = all.count(_.nodeName.contains("Generate"))
+    val joins = all.count(_.nodeName.toLowerCase.contains("join"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n${p.toString.take(2000)}")
+    assert(gens <= 2, s"expected one tokenize posexplode + one slot explode, got $gens")
+    assert(joins == 0, s"phrase alignment must not join, got $joins:\n${p.toString.take(2000)}")
+    // executes clean (no hits at sf0.001 — overlapping-occurrence
+    // semantics are value-gated in OperatorSpec and the oracle row)
+    df.collect()
+  }
+
   test("posting-index probe: STATIC tb partition pruning, corpus never scanned") {
     // the phrase resolves to a tb IN-list on the DRIVER (crc32 of each
     // term), so the index scan must carry it as PartitionFilters —
