@@ -58,6 +58,10 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.TagSupersetPruning
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TermBucketPruning)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TermBucketPruning
+    }
   }
 
   // ---- Column API (requires register(spark) once per session) ----
@@ -168,5 +172,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectOptimizerRule(_ => FuseQuantizedKernels)
     ext.injectOptimizerRule(_ => graft.plans.TagSupersetPruning)
+    ext.injectOptimizerRule(_ => graft.plans.TermBucketPruning)
   }
 }

@@ -185,6 +185,21 @@ object PostingIndex {
   def scan(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/v${liveVersion(spark, path)}")
 
+  /** Register the live version for PLAIN SQL (VERDICT r13 next #7):
+    * `SELECT ... FROM <name> WHERE tok IN ('a','b')` prunes statically
+    * to the terms' bucket directories via
+    * [[graft.plans.TermBucketPruning]] — the same economics the facade
+    * probe ([[Search.phraseMatchIndexed]]) computes on the driver.
+    * `buckets` is the index's create-time identity (append/compact
+    * never change it), so the registration stays valid across appends;
+    * re-register after a compact to point the view at the new version
+    * root. */
+  def registerSqlTable(spark: SparkSession, path: String, name: String): Unit = {
+    graft.functions.GraftFunctions.register(spark) // kernels + the rule
+    scan(spark, path).createOrReplaceTempView(name)
+    graft.plans.TermBucketPruning.register(path, buckets(spark, path))
+  }
+
   /** Merge all generations of the live version into gen=0 of a NEW
     * version root (staged, one rename). Old versions stay on disk for
     * in-flight readers until [[vacuum]]. */

@@ -762,6 +762,37 @@ class PlanSpec extends AnyFunSuite {
     assert(plainRows.sameElements(saltRows))
   }
 
+  test("posting index via PLAIN SQL: tok predicate becomes static tb partition pruning (VERDICT r13 #7)") {
+    // a SQL user never computes crc32 buckets — the TermBucketPruning
+    // rule must derive tb IN (...) from the tok conjunct so the scan
+    // lists only the terms' bucket dirs, same economics as the facade
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val idx = Files.createTempDirectory("graft-postings-sql").toString + "/i"
+    graft.operators.PostingIndex.create(docs, idx)
+    graft.operators.PostingIndex.registerSqlTable(spark, idx, "graft_postings_sql")
+    val df = spark.sql(
+      "SELECT doc_id, pos FROM graft_postings_sql WHERE tok IN ('order', 'fast')")
+    val p = plan(df)
+    assert(p.linesIterator.find(_.contains("PartitionFilters"))
+        .exists(l => l.contains("tb") && l.contains("IN")),
+      "plain SQL tok IN did not prune tb partitions:\n" + p.take(3000))
+    // value identity vs the unregistered (row-filter-only) read
+    val want = graft.operators.PostingIndex.scan(spark, idx)
+      .where(col("tok").isin("order", "fast"))
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // equality form prunes too; an OR that cannot pin tok must NOT
+    assert(plan(spark.sql(
+        "SELECT count(*) AS n FROM graft_postings_sql WHERE tok = 'order'"))
+      .linesIterator.find(_.contains("PartitionFilters"))
+      .exists(l => l.contains("tb")))
+    val orPlan = plan(spark.sql(
+      "SELECT count(*) AS n FROM graft_postings_sql WHERE tok = 'order' OR pos = 3"))
+    assert(!orPlan.linesIterator.find(_.contains("PartitionFilters"))
+      .exists(l => l.contains("tb IN")), orPlan.take(2000))
+  }
+
   test("phrase search: ONE tokenize pass, no per-term join legs (VERDICT r13 #6)") {
     // the old tail built one filtered token stream per phrase slot and
     // reduced over (doc, base) equi-joins: an L-term phrase paid L
