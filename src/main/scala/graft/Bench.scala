@@ -829,8 +829,14 @@ object Bench {
     // SPARK_GRAFT_CPUS (default 4) produces a healthy-looking but
     // 2-8x-slow artifact that no contention detector can flag — record
     // it so cross-round comparisons can check config equivalence
-    // mechanically
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // mechanically. Parsed defensively: a malformed value (e.g. a
+    // trailing space) must record as -1, never throw AFTER the
+    // 15-minute run — main's crash handler would overwrite the
+    // just-written good artifact with a bench_crashed one. (session()
+    // reads the raw env independently; a malformed value fails THERE,
+    // before anything is timed, which is the right place.)
+    val cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      .trim.toIntOption.getOrElse(-1)
     val json =
       s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"pca_scale":$pcaScale,"fuzzy_scale":$fuzzyScale,"bpe_scale":$bpeScale,"triangles_full":$trianglesFull,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
     println(json)
@@ -854,7 +860,7 @@ object Bench {
     // log tail 13 rounds straight, so its parse always saw a truncated
     // fragment. This line carries the headline numbers + verdicts and
     // stays tail-parseable; the full artifact lives in bench_out.json.
-    println(compactSummary(s01, sf1, contended, reasons, cpus.toInt,
+    println(compactSummary(s01, sf1, contended, reasons, cpus,
       sfDir, out))
   }
 

@@ -51,7 +51,7 @@ object Bpe {
     * production pipeline pins a dataset to (ONE committed tokenizer
     * across sessions and feeds — re-training per session silently
     * shifts every downstream token count/budget/packing decision).
-    * `corpusFp` is the deterministic fingerprint (per-doc xxhash64, bit_xor-folded) of the
+    * `corpusFp` is the deterministic fingerprint (per-doc xxhash64 folded by xor + modular sum) of the
     * training corpus text; a consumer can compare it against a
     * candidate corpus to detect tokenizing with a stale artifact. */
   final case class TokenizerArtifact(version: Int, merges: Seq[Merge],

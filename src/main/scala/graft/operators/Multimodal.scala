@@ -236,9 +236,13 @@ object Multimodal {
           val (w, h) = (img.getWidth, img.getHeight)
           val sum = graySum(img)
           // resize on the decoded raster, RE-ENCODE, decode again: the
-          // resized stats come from a second full codec round trip
+          // resized stats come from a second full codec round trip.
+          // The write's boolean is checked (same as synthPng): an
+          // unchecked false would leave rbos empty and surface as a
+          // misattributed "undecodable payload" on the decode below
           val rbos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(resizeNearest(img, factor), "png", rbos)
+          require(javax.imageio.ImageIO.write(resizeNearest(img, factor), "png", rbos),
+            s"graft: executor ImageIO has no png writer (doc ${m.doc_id})")
           val rimg = decode(rbos.toByteArray, m.doc_id)
           ImageFeatures(m.doc_id, w.toLong, h.toLong, sum,
             if (w * h == 0) 0L else sum * 100L / (w * h),

@@ -190,10 +190,14 @@ object PostingIndex {
     * to the terms' bucket directories via
     * [[graft.plans.TermBucketPruning]] — the same economics the facade
     * probe ([[Search.phraseMatchIndexed]]) computes on the driver.
-    * `buckets` is the index's create-time identity (append/compact
-    * never change it), so the registration stays valid across appends;
-    * re-register after a compact to point the view at the new version
-    * root. */
+    *
+    * Re-register after ANY write. The RULE registration stays valid
+    * across appends (`buckets` is the index's create-time identity),
+    * but the VIEW does not: a temp view over a parquet read pins the
+    * file listing captured at registration time, so SQL over a stale
+    * view silently misses generations appended afterwards (the facade
+    * [[scan]] always re-lists). A compact additionally moves the live
+    * version root, which only a re-registration can follow. */
   def registerSqlTable(spark: SparkSession, path: String, name: String): Unit = {
     graft.functions.GraftFunctions.register(spark) // kernels + the rule
     scan(spark, path).createOrReplaceTempView(name)

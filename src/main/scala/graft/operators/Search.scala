@@ -139,16 +139,13 @@ object Search {
    *
    * Plan shape — the inverted-index probe, not a corpus scan:
    * positional postings (doc, pos, term) are FILTERED to the phrase's
-   * terms before anything shuffles, so the join pipeline only ever
-   * moves `sum(df(term_i))` postings — bounded by the rarest term —
-   * never the corpus. Occurrences are alignments of all k terms at
-   * consecutive positions: postings for term_i project
-   * `(doc, pos - i)` and k-1 equi-joins on (doc, base) intersect them;
-   * every join keys on the SAME (doc, base) pair, so Catalyst reuses
-   * one exchange per side and the chain is one shuffle stage deep.
-   * Against a term-bucketed on-disk posting store the same filter
-   * becomes static partition pruning (read df(term) rows of the index,
-   * zero corpus IO) — this operator is the query-side plan either way.
+   * terms before anything shuffles, so only `sum(df(term_i))` postings
+   * ever move — bounded by the rarest term — never the corpus.
+   * Alignment is the single-pass slot shape ([[phraseHits]]): one
+   * tokenize pass, one (doc, base) shuffle, zero joins. Against a
+   * term-bucketed on-disk posting store the same filter becomes static
+   * partition pruning (read df(term) rows of the index, zero corpus
+   * IO) — this operator is the query-side plan either way.
    */
   def phraseMatch(docs: DataFrame, phrase: Seq[String],
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -173,11 +170,16 @@ object Search {
     * Each posting emits one row per phrase slot its token occupies
     * (the slot list is a task-constant CASE over the <= L distinct
     * terms). An occurrence at `base` exists iff slot i matched at
-    * pos = base + i for ALL i — and for a fixed (doc, base, slot) at
-    * most one posting can contribute (its pos is determined), so a
-    * plain partial-aggregated count reaching L IS full alignment: no
-    * count(distinct) needed. One shuffle on (doc_id, base) carrying
-    * the same sum(df(term)) postings the join legs each moved. */
+    * pos = base + i for ALL i, tested as collect_set(slot) reaching
+    * size L — the set partial-aggregates map-side with <= L elements,
+    * so it is still ONE shuffle on (doc_id, base) carrying the same
+    * sum(df(term)) postings the join legs each moved. A plain count
+    * would equal L on duplicate-free input, but DUPLICATED postings
+    * (the same doc_id inserted twice, or an id appended twice to a
+    * posting index — an explicitly caller-owned degenerate state) give
+    * every group m = k*L != L and would silently DROP a doc that
+    * plainly contains the phrase; the set form instead collapses
+    * multiplicity, finding each occurrence exactly once. */
   private def phraseHits(toks: DataFrame, phrase: Seq[String]): DataFrame = {
     val slots: Seq[(String, Seq[Int])] = phrase.distinct.map(t =>
       t -> phrase.zipWithIndex.collect { case (`t`, i) => i })
@@ -188,7 +190,7 @@ object Search {
     toks
       .select(col("doc_id"), col("pos"), explode(slotsCol).as("slot"))
       .groupBy(col("doc_id"), (col("pos") - col("slot")).as("base"))
-      .agg(count(lit(1)).as("m"))
+      .agg(size(collect_set(col("slot"))).as("m"))
       .where(col("m") === phrase.length)
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }

@@ -2314,8 +2314,11 @@ class VectorStore(spark: SparkSession, val root: String,
     * BPE merges ([[Bpe.train]], `bpeK` merges, `checkpointEvery`
     * bounding lineage for realistic merge counts) plus, when
     * `wordpieceV` > 0, the WordPiece piece vocabulary
-    * ([[Bpe.pieceVocab]]). The corpus is fingerprinted (xxhash64 bit_xor
-    * over `textCol` + doc count — deterministic, one cheap agg pass)
+    * ([[Bpe.pieceVocab]]). The corpus is fingerprinted (per-doc xxhash64
+    * folded by bit_xor AND a modular sum, combined — deterministic,
+    * order-insensitive, one cheap agg pass; the dual fold keeps
+    * even-multiplicity duplicate swaps detectable where xor alone
+    * self-cancels)
     * into the artifact meta so consumers can detect training/serving
     * corpus drift. Returns the committed version. One corpus pass
     * total: both trainers share the persisted word-frequency
@@ -2331,12 +2334,18 @@ class VectorStore(spark: SparkSession, val root: String,
         val pieces =
           if (wordpieceV > 0) Bpe.pieceVocab(words, maxPieceLen, wordpieceV)
           else Seq.empty[String]
-        // bit_xor, not sum: order-insensitive like sum but cannot
-        // overflow under ANSI mode (sum of 500 xxhash64 values already
-        // threw ARITHMETIC_OVERFLOW at sf0.01)
+        // Two order-insensitive folds, combined: bit_xor alone
+        // self-cancels on even multiplicities ([A,B,C,C] and [A,B,D,D]
+        // xor AND count identically), so a modular sum rides along —
+        // pmod keeps the per-doc term < 1e6+3, safely summable under
+        // ANSI at any realistic corpus size (a raw xxhash64 sum threw
+        // ARITHMETIC_OVERFLOW at 500 docs). The driver-side combine
+        // multiplies with silent Long wrap-around (intended).
         val fp = docs.agg(
-          coalesce(expr(s"bit_xor(xxhash64(`$textCol`))"), lit(0L)).as("fp"),
+          coalesce(expr(s"bit_xor(xxhash64(`$textCol`))"), lit(0L)).as("x"),
+          coalesce(sum(pmod(xxhash64(col(textCol)), lit(1000003L))), lit(0L)).as("s"),
           count(lit(1)).as("n")).head()
+        val fingerprint = fp.getLong(0) ^ (fp.getLong(1) * 0x9E3779B97F4A7C15L)
         val tmp = new Path(s"$root/tokenizer_tmp")
         fs.delete(tmp, true)
         merges.zipWithIndex
@@ -2352,7 +2361,7 @@ class VectorStore(spark: SparkSession, val root: String,
           .parquet(s"$tmp/pieces.parquet")
         val out = fs.create(new Path(s"$tmp/_meta.json"), true)
         try out.write(
-          s"""{"bpe_k":$bpeK,"wordpiece_v":$wordpieceV,"max_piece_len":$maxPieceLen,"corpus_fp":${fp.getLong(0)},"n_docs":${fp.getLong(1)}}"""
+          s"""{"bpe_k":$bpeK,"wordpiece_v":$wordpieceV,"max_piece_len":$maxPieceLen,"corpus_fp":$fingerprint,"n_docs":${fp.getLong(2)}}"""
             .getBytes("UTF-8"))
         finally out.close()
         val next = tokenizerVersions.lastOption.map(_ + 1).getOrElse(0)

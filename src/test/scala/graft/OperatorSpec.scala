@@ -1593,6 +1593,16 @@ class OperatorSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Search.phraseMatch(docs, Seq("Bad Term")))
     assert(e.getMessage.contains("normalized"), e.getMessage)
+    // DUPLICATED postings (same doc_id twice — the caller-owned
+    // degenerate state PostingIndex documents for a double append):
+    // the doc must still be FOUND, each occurrence once, not silently
+    // dropped (a plain alignment count would be 2L != L) nor inflated
+    // (the old join shape returned 2^L copies)
+    val dup = Seq((7L, "fast order now"), (7L, "fast order now"))
+      .toDF("doc_id", "text")
+    val hits = Search.phraseMatch(dup, Seq("fast", "order")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits == Map(7L -> 1L), hits.toString)
   }
 
   test("priority sample: md5-exact integer priorities, weight-monotone, guards") {

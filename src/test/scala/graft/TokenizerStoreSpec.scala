@@ -51,6 +51,21 @@ class TokenizerStoreSpec extends AnyFunSuite {
     assert(store3.loadTokenizer().corpusFp != tok.corpusFp)
   }
 
+  test("fingerprint detects even-multiplicity duplicate swaps (xor alone self-cancels)") {
+    // [A, A] vs [B, B]: xxhash64(A)^xxhash64(A) == 0 == xxhash64(B)^xxhash64(B)
+    // and the doc counts match — only the modular-sum fold separates them
+    def fpOf(texts: Seq[String]): Long = {
+      val store = new VectorStore(spark,
+        Files.createTempDirectory("graft-tok-fp").toString)
+      store.trainTokenizer(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        bpeK = 1, wordpieceV = 0)
+      store.loadTokenizer().corpusFp
+    }
+    assert(fpOf(Seq("alpha beta", "alpha beta"))
+      != fpOf(Seq("gamma delta", "gamma delta")))
+  }
+
   test("loaded artifact tokenizes identically to the inline pipeline (BPE + WordPiece)") {
     val store = new VectorStore(spark,
       Files.createTempDirectory("graft-tok-id").toString)
