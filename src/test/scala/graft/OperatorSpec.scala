@@ -1605,6 +1605,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits == Map(7L -> 1L), hits.toString)
   }
 
+  test("phrase match == brute-force sliding window on randomized corpora (slot-alignment property)") {
+    import spark.implicits._
+    import graft.operators.Search
+    // small alphabet forces heavy overlap + repeated phrase terms —
+    // the regimes where the slot-alignment count proof could break
+    val rnd = new scala.util.Random(1405L)
+    for (round <- 1 to 8) {
+      val alphabet = Seq("a", "b", "c")
+      val docs = (1L to 40L).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(14))(alphabet(rnd.nextInt(3))).mkString(" ")
+      }
+      val phraseLen = 1 + rnd.nextInt(3)
+      val phrase = Seq.fill(phraseLen)(alphabet(rnd.nextInt(3)))
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val n = toks.sliding(phraseLen).count(_ == phrase)
+        if (toks.size >= phraseLen && n > 0) Some(id -> n.toLong) else None
+      }.toMap
+      val got = Search.phraseMatch(docs.toDF("doc_id", "text"), phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"round $round phrase=${phrase.mkString(" ")}")
+    }
+  }
+
   test("priority sample: md5-exact integer priorities, weight-monotone, guards") {
     import spark.implicits._
     import graft.operators.Curation
