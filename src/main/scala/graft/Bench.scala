@@ -196,17 +196,22 @@ object Bench {
   /** Absolute floor for the all-cores CPU-throughput probe (VERDICT
     * r13 next #2): the relative signals (steal, loadavg, parallel
     * ratio, rep spread) all stayed silent while the r13 closing sf1
-    * child ran in a 19.1 GB/s window and the driver's sf1 leg blew up
-    * 3-10x mid-pass. Empirically on this 32-vCPU box: windows at
-    * 27-33.5 produced cross-round-consistent warm totals, windows at
-    * 19-20.3 produced phantom 6-9x outliers on untouched queries —
-    * the floor sits between the two clusters. Note the probe measures
+    * child ran in a degraded window and the driver's sf1 leg blew up
+    * 3-10x mid-pass. RECALIBRATED in r14 for the fixed steady-state
+    * probe (see [[graft.tools.HostProbe.score]] — the old methodology
+    * timed thread construction, so old readings of 19-33.5 GB/s are
+    * not comparable). Fixed-probe calibration on this 32-vCPU box
+    * (2026-08-16): idle window 67-71 GB/s; 8 competing busy-loops
+    * (25% of vCPUs stolen) 48.7; 16 busy-loops 42.3; 32 busy-loops
+    * (half-machine) 19.3. The floor at 45,000 flags anything at or
+    * beyond ~50%-stolen severity (the phantom-outlier regime) while
+    * tolerating ~33% clean-day drift. Note the probe measures
     * delivered CPU/SMT throughput (register-only ALU loop), not memory
-    * bandwidth — see [[graft.tools.HostProbe]]. Env-overridable so a
-    * different host class can recalibrate without a code change. */
+    * bandwidth. Env-overridable so a different host class can
+    * recalibrate without a code change. */
   private[graft] val MinMtMbps: Double =
     sys.env.get("SPARK_GRAFT_MIN_MT_MBPS").flatMap(_.toDoubleOption)
-      .getOrElse(24000.0)
+      .getOrElse(45000.0)
 
   /** The absolute-throughput contention verdict, pure so a spec can
     * exercise it with a synthetic threshold. */
@@ -515,8 +520,6 @@ object Bench {
       recall, steady)
   }
 
-  @volatile private var blackhole = 0L
-
   /** Deterministic CPU throughput probe (MB/s of a fixed 64-bit mixing
     * loop, single-thread and all-cores): the r8 finding was a UNIFORM
     * 1.4-1.5x warm inflation across completely untouched queries with
@@ -524,36 +527,19 @@ object Bench {
     * slower than during the previous round's window, and nothing in
     * the artifact could prove it. A per-pass CPU score makes
     * cross-round comparisons normalizable mechanically: same plans +
-    * lower cpu_mt_mbps = environment, not regression. */
-  private def cpuScore(): (Double, Double) = {
-    val words = 1 << 20 // 8 MB buffer
-    def mix(rounds: Int): Long = {
-      var acc = 0x243F6A8885A308D3L
-      var r = 0
-      while (r < rounds) {
-        var i = 0
-        while (i < words) {
-          acc = java.lang.Long.rotateLeft(acc * 0x9E3779B97F4A7C15L + i, 31)
-          i += 1
-        }
-        r += 1
-      }
-      acc
-    }
-    blackhole ^= mix(2) // JIT warm
-    val mbPerRound = 8.0
-    val t0 = System.nanoTime()
-    blackhole ^= mix(8)
-    val st = 8 * mbPerRound / ((System.nanoTime() - t0) / 1e9)
-    val n = Runtime.getRuntime.availableProcessors
-    val t1 = System.nanoTime()
-    val threads = (0 until n).map { _ =>
-      new Thread(() => { blackhole ^= mix(4); () })
-    }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    val mt = n * 4 * mbPerRound / ((System.nanoTime() - t1) / 1e9)
-    (st, mt)
-  }
+    * lower cpu_mt_mbps = environment, not regression.
+    *
+    * Delegates to [[graft.tools.HostProbe.score]] — the ONE
+    * implementation, fixed in r14 to time only start()+join() of
+    * pre-constructed threads after an untimed warm burst. The old
+    * inline version timed thread CONSTRUCTION (Range.map + lambda
+    * linkage) inside the region, which in a freshly forked child JVM
+    * pays a JVM-warmth-dependent classload penalty before the first
+    * thread starts — the r14 sf1 children's sub-floor readings were
+    * partly this artifact, and a standalone cold-JVM probe was capped
+    * at ~10 GB/s outright. Readings are NOT comparable across the
+    * methodology change; MinMtMbps was recalibrated (see above). */
+  private def cpuScore(): (Double, Double) = graft.tools.HostProbe.score()
 
   /** Stream every file under `dir` through a blackhole so the fixture
     * sits in the page cache before the cold pass. Without this, "cold"
