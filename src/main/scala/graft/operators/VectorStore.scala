@@ -350,13 +350,44 @@ class VectorStore(spark: SparkSession, val root: String,
   /** One-call migration from a reference-format (.bin) store directory
     * — see [[graft.sources.VictorBin]]. Content-less embeddings carry
     * an empty string (the reference panics on lookup of a missing id;
-    * a migration keeps the row). Refuses a PCA-projected source store
-    * (`eigen.bin` present — existence is the reference's projected
-    * flag, src/db.rs:233-237): its vectors are projection-space
-    * coordinates and would silently serve wrong similarities here. */
-  def importVictor(dir: String, quantize: Boolean = false): Unit =
-    insert(graft.sources.VictorBin.importStore(spark, dir)
-      .na.fill("", Seq("content")), quantize)
+    * a migration keeps the row).
+    *
+    * A PCA-projected source store (`eigen.bin` present — existence is
+    * the reference's projected flag, src/db.rs:233-237) migrates WITH
+    * its semantics: the basis + means are parsed from `eigen.bin`
+    * ([[graft.sources.VictorBin.readProjection]]), the k-dim
+    * projection-space coordinates import as-is, and the basis is
+    * committed as this store's projection model — so the migrated
+    * store is projected-mode from the first query, raw-space queries
+    * are projected at search time, and raw-space inserts are projected
+    * at write time, exactly like the reference (src/db.rs:233-241,
+    * 480-499). Requires an EMPTY target store (mixing an adopted basis
+    * with existing raw data has no right answer). Crash window: if the
+    * process dies after the data commit but before the basis commit,
+    * the store holds projection-space rows with `isProjected` false —
+    * detectable (re-running refuses on the non-empty store) and
+    * recoverable (`clear(force = true)` + re-import); the window is a
+    * one-call migration's, not steady-state ingest's. */
+  def importVictor(dir: String, quantize: Boolean = false): Unit = {
+    val src = graft.sources.VictorBin
+    val df = src.importStore(spark, dir, acceptProjected = true)
+      .na.fill("", Seq("content"))
+    if (!src.isProjected(dir)) insert(df, quantize)
+    else {
+      val model = src.readProjection(dir)
+      withWriterLock() {
+        require(!isProjected, "graft: store is already projected — import into a fresh store")
+        require(storedDim().isEmpty,
+          "graft: projected-store import requires an EMPTY target store (existing raw rows cannot adopt a foreign basis)")
+        val dims = df.agg(min(size(col("vector"))), max(size(col("vector")))).head()
+        require(dims.getInt(0) == model.k && dims.getInt(1) == model.k,
+          s"graft: victor store at $dir is marked projected (k=${model.k}) but holds " +
+            s"${dims.getInt(0)}..${dims.getInt(1)}-dim vectors — corrupt source store")
+        insertLocked(df, quantize)
+        saveModel(model)
+      }
+    }
+  }
 
   /** Insert body — callers must hold the writer lock. The store's
     * LAYOUT wins over the flag, exactly like upsert: appending

@@ -29,18 +29,22 @@ import org.apache.spark.sql.types._
  *    Record size for dimension d = 24 + (8 + d + 8) = d + 40.
  *  - `content.bin` (src/db.rs:557-605): bincode
  *    `HashMap<Uuid, String>` — u64 count + (uuid, u64 len + utf8).
- *  - `eigen.bin` (PCA projection, nalgebra serde) is NOT read here:
- *    its nalgebra 0.32 matrix layout cannot be cross-validated in
- *    this container. In the reference its EXISTENCE is the projected
+ *  - `eigen.bin` (src/db.rs:38-42, written :369-392): bincode of
+ *    `VectorProjection { eigen: DMatrix<f32>, means: Vec<f32> }` —
+ *    see [[readProjection]] for the pinned nalgebra-0.32/bincode-1
+ *    byte layout. In the reference its EXISTENCE is the projected
  *    flag (src/db.rs:233-237) and projection rewrites every vector
  *    file to k=500 (src/db.rs:301-367), so a projected store is
  *    dimensionally self-consistent — the vectors are PCA-space
  *    coordinates, not raw embeddings, and no downstream dimension
- *    check can catch that. [[importStore]] therefore probes for
- *    `eigen.bin` and refuses loudly unless the caller passes
- *    `acceptProjected = true` (which imports the coordinates as-is:
- *    valid only if ALL future queries are projected through the same
- *    basis by the caller).
+ *    check can catch that. [[importStore]] (the DataFrame-level
+ *    API, which returns vectors without the basis) therefore probes
+ *    for `eigen.bin` and refuses loudly unless the caller passes
+ *    `acceptProjected = true`;
+ *    [[graft.operators.VectorStore.importVictor]] instead ADOPTS
+ *    the parsed basis so the migrated store keeps the reference's
+ *    projected-mode semantics (raw queries projected at search
+ *    time).
  *
  * Cross-validation without a Rust toolchain: the reference's OWN unit
  * test pins the codec byte sizes (src/packed_vector.rs:63-79 — a
@@ -252,6 +256,80 @@ object VictorBin {
     * truncated one is corrupt-projected, not raw. */
   def isProjected(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "eigen.bin"))
+
+  /** Parse `eigen.bin` into the store's projection model. Layout =
+    * bincode-1 fixint LE of
+    * `VectorProjection { eigen: DMatrix<f32>, means: Vec<f32> }`
+    * (reference src/db.rs:38-42, written src/db.rs:369-392):
+    * nalgebra 0.32's Matrix serde serializes ONLY its storage
+    * (matrix.rs `Serialize` impl delegates to `self.data`), and
+    * `VecStorage` is a serde-derived struct with field order
+    * (data: Vec<f32>, nrows: Dyn, ncols: Dyn) where `Dyn` is a
+    * usize newtype — so the bytes are: u64 n (= d*k), n f32s in
+    * COLUMN-MAJOR order (VecStorage layout), u64 nrows (= d), u64
+    * ncols (= k), then the means vec: u64 d + d f32s. The eigen
+    * matrix is d x k with projected = (x - means) · eigen
+    * (src/db.rs:456-469), i.e. exactly [[graft.operators.Pca.Model]]
+    * with basis(i)(j) = data(j*d + i). Validates the internal
+    * redundancy loudly: n == nrows*ncols, means length == nrows,
+    * nrows > ncols (a basis at least as wide as the input is not a
+    * projection), zero trailing bytes. */
+  def readProjection(dir: String): graft.operators.Pca.Model = {
+    val p = java.nio.file.Paths.get(dir, "eigen.bin")
+    require(java.nio.file.Files.exists(p), s"graft: no eigen.bin under $dir")
+    val b = buf(java.nio.file.Files.readAllBytes(p))
+    val n = readU64(b).toInt
+    val data = new Array[Float](n)
+    var i = 0
+    while (i < n) { data(i) = b.getFloat; i += 1 }
+    val d = readU64(b).toInt
+    val k = readU64(b).toInt
+    require(n == d * k,
+      s"graft: corrupt eigen.bin — data length $n != nrows $d * ncols $k")
+    require(d > k,
+      s"graft: corrupt eigen.bin — basis $d x $k is not a projection (nrows must exceed ncols)")
+    val nMeans = readU64(b).toInt
+    require(nMeans == d,
+      s"graft: corrupt eigen.bin — means length $nMeans != input dimension $d")
+    val means = new Array[Double](d)
+    i = 0
+    while (i < d) { means(i) = b.getFloat.toDouble; i += 1 }
+    require(b.remaining() == 0,
+      s"graft: corrupt eigen.bin — ${b.remaining()} trailing bytes")
+    val basis = Array.tabulate(d, k)((r, c) => data(c * d + r).toDouble)
+    graft.operators.Pca.Model(basis, means)
+  }
+
+  /** Write a projection model AS `eigen.bin` (inverse of
+    * [[readProjection]] — export symmetry + round-trip validation).
+    * f64 -> f32 narrowing matches the reference's f32 store. */
+  def writeProjection(dir: String, model: graft.operators.Pca.Model): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = model.d; val k = model.k
+    require(d > k, s"graft: basis $d x $k is not a projection")
+    writeU64(out, (d * k).toLong)
+    val t = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    var c = 0
+    while (c < k) { // column-major, VecStorage layout
+      var r = 0
+      while (r < d) {
+        t.clear(); t.putFloat(model.basis(r)(c).toFloat)
+        out.write(t.array(), 0, 4)
+        r += 1
+      }
+      c += 1
+    }
+    writeU64(out, d.toLong); writeU64(out, k.toLong)
+    writeU64(out, d.toLong)
+    var i = 0
+    while (i < d) {
+      t.clear(); t.putFloat(model.means(i).toFloat)
+      out.write(t.array(), 0, 4)
+      i += 1
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "eigen.bin"), out.toByteArray)
+  }
 
   /** The full store as (id, vector, content, tags) — left join so
     * content-less embeddings survive with null content (the reference

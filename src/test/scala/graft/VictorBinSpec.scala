@@ -92,7 +92,7 @@ class VictorBinSpec extends AnyFunSuite {
     store.clear()
   }
 
-  test("projected victor store (eigen.bin present) is refused loudly, accepted only explicitly") {
+  test("projected victor store (eigen.bin present): importStore refuses, opt-in imports as-is") {
     // A projected store is dimensionally self-consistent (the reference
     // rewrites every vector file to k=500, src/db.rs:301-367), so only
     // the eigen.bin probe can catch it (existence = projected flag,
@@ -106,13 +106,126 @@ class VictorBinSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { VictorBin.importStore(spark, dir) }
     assert(e.getMessage.contains("PCA-projected"))
     assert(e.getMessage.contains("eigen.bin"))
-    // importVictor (the one-call migration) refuses through the same probe
+    // importVictor would ADOPT the basis — a garbage eigen.bin must
+    // fail the parse loudly, never import silently
     val store = new graft.operators.VectorStore(
       spark, Files.createTempDirectory("graft-victor-proj-store").toString)
-    val e2 = intercept[IllegalArgumentException] { store.importVictor(dir) }
-    assert(e2.getMessage.contains("PCA-projected"))
+    intercept[Exception] { store.importVictor(dir) }
+    assert(!store.isProjected)
     // explicit opt-in still imports the coordinates as-is
     assert(VictorBin.importStore(spark, dir, acceptProjected = true).count() == 1)
+  }
+
+  test("eigen.bin byte layout: golden bytes, round trip, corruption cases") {
+    import graft.operators.Pca
+    // golden: hand-built bincode-1 bytes for d=3, k=2 (column-major
+    // data + trailing dims + means), NOT via our writer
+    val d = 3; val k = 2
+    val basis = Array(Array(1.0, 4.0), Array(2.0, 5.0), Array(3.0, 6.0))
+    val means = Array(0.5, -1.0, 2.0)
+    val bb = java.nio.ByteBuffer.allocate(8 + 6 * 4 + 8 * 3 + 3 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(6L) // Vec<f32> len = d*k
+    Seq(1f, 2f, 3f, 4f, 5f, 6f).foreach(bb.putFloat) // column-major
+    bb.putLong(3L).putLong(2L) // nrows, ncols (VecStorage field order)
+    bb.putLong(3L) // means len
+    Seq(0.5f, -1f, 2f).foreach(bb.putFloat)
+    val dir = Files.createTempDirectory("graft-eigen-golden").toString
+    Files.write(java.nio.file.Paths.get(dir, "eigen.bin"), bb.array())
+    val m = VictorBin.readProjection(dir)
+    assert(m.d == d && m.k == k)
+    assert(m.basis.map(_.toSeq).toSeq == basis.map(_.toSeq).toSeq)
+    assert(m.means.toSeq == means.toSeq)
+    // round trip through our writer
+    val dir2 = Files.createTempDirectory("graft-eigen-rt").toString
+    VictorBin.writeProjection(dir2, Pca.Model(basis, means))
+    val m2 = VictorBin.readProjection(dir2)
+    assert(m2.basis.map(_.toSeq).toSeq == m.basis.map(_.toSeq).toSeq)
+    assert(m2.means.toSeq == m.means.toSeq)
+    // corruption: data length != nrows*ncols
+    val badDir = Files.createTempDirectory("graft-eigen-bad").toString
+    val bad = java.nio.ByteBuffer.allocate(8 + 4 + 8 * 3 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.putLong(1L); bad.putFloat(1f)
+    bad.putLong(3L).putLong(2L); bad.putLong(1L); bad.putFloat(0f)
+    Files.write(java.nio.file.Paths.get(badDir, "eigen.bin"), bad.array())
+    val e1 = intercept[IllegalArgumentException] { VictorBin.readProjection(badDir) }
+    assert(e1.getMessage.contains("corrupt eigen.bin"))
+    // corruption: square basis is not a projection
+    val sqDir = Files.createTempDirectory("graft-eigen-sq").toString
+    intercept[IllegalArgumentException] {
+      VictorBin.writeProjection(sqDir, Pca.Model(Array(Array(1.0), Array(2.0)).map(_.padTo(2, 0.0)), Array(0.0, 0.0)))
+    }
+    // corruption: trailing bytes
+    val trDir = Files.createTempDirectory("graft-eigen-tr").toString
+    VictorBin.writeProjection(trDir, Pca.Model(basis, means))
+    val pth = java.nio.file.Paths.get(trDir, "eigen.bin")
+    Files.write(pth, Files.readAllBytes(pth) ++ Array[Byte](0))
+    val e2 = intercept[IllegalArgumentException] { VictorBin.readProjection(trDir) }
+    assert(e2.getMessage.contains("trailing"))
+  }
+
+  test("projected victor store migrates WITH its semantics: basis adopted, raw queries projected") {
+    import graft.operators.Pca
+    // A raw 3-dim corpus, projected to k=2 exactly like the reference:
+    // center with column means, multiply by the basis (src/db.rs:456-469)
+    val basis = Array(Array(0.8, -0.6), Array(0.6, 0.8), Array(0.0, 0.0))
+    val means = Array(1.0, 2.0, 3.0)
+    val model = Pca.Model(basis, means)
+    val raw = Seq(
+      (uuid(31), Seq(2f, 2f, 3f), "east", Seq("t")),
+      (uuid(32), Seq(1f, 3f, 3f), "north", Seq("t")),
+      (uuid(33), Seq(0f, 1f, 3f), "southwest", Seq("t")))
+    val dir = Files.createTempDirectory("graft-victor-proj-mig").toString
+    VictorBin.export(raw.map { case (id, v, c, t) =>
+      (id, Pca.projectOne(model, v).toSeq, c, t)
+    }.toDF("id", "vector", "content", "tags"), dir)
+    VictorBin.writeProjection(dir, model)
+    val store = new graft.operators.VectorStore(
+      spark, Files.createTempDirectory("graft-victor-proj-mig-store").toString)
+    store.importVictor(dir)
+    assert(store.isProjected) // the migrated store kept projected mode
+    // raw-space query served correctly: searchAuto projects it through
+    // the adopted basis; nearest to (2,2,3) in projected space is itself
+    val hit = store.searchAuto(Seq(2f, 2f, 3f), k = 1).head()
+    assert(hit.getAs[String]("content") == "east")
+    // raw-space insert is projected at write time through the SAME basis
+    store.insert(Seq((uuid(34), Seq(0.5f, 1f, 3f), "close-to-sw", Seq("t")))
+      .toDF("id", "vector", "content", "tags"))
+    val hit2 = store.searchAuto(Seq(0f, 1f, 3f), k = 2)
+      .select("content").collect().map(_.getString(0)).toSet
+    assert(hit2 == Set("southwest", "close-to-sw"))
+    // a second projected import into the now-projected store refuses
+    val e = intercept[IllegalArgumentException] { store.importVictor(dir) }
+    assert(e.getMessage.contains("already projected"))
+    store.clear()
+  }
+
+  test("projected import refuses a non-empty target and a k-mismatched source") {
+    import graft.operators.Pca
+    val basis = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.0, 0.0))
+    val means = Array(0.0, 0.0, 0.0)
+    // non-empty target
+    val dir = Files.createTempDirectory("graft-victor-proj-ne").toString
+    VictorBin.export(Seq((uuid(41), Seq(1f, 0f), "p", Seq("t")))
+      .toDF("id", "vector", "content", "tags"), dir)
+    VictorBin.writeProjection(dir, Pca.Model(basis, means))
+    val store = new graft.operators.VectorStore(
+      spark, Files.createTempDirectory("graft-victor-proj-ne-store").toString)
+    store.insert(Seq((uuid(42), Seq(1f, 2f, 3f), "existing", Seq("t")))
+      .toDF("id", "vector", "content", "tags"))
+    val e = intercept[IllegalArgumentException] { store.importVictor(dir) }
+    assert(e.getMessage.contains("EMPTY target store"))
+    store.clear(force = true)
+    // k mismatch: eigen says k=2, vectors are 3-dim
+    val dir2 = Files.createTempDirectory("graft-victor-proj-km").toString
+    VictorBin.export(Seq((uuid(43), Seq(1f, 0f, 0f), "p", Seq("t")))
+      .toDF("id", "vector", "content", "tags"), dir2)
+    VictorBin.writeProjection(dir2, Pca.Model(basis, means))
+    val store2 = new graft.operators.VectorStore(
+      spark, Files.createTempDirectory("graft-victor-proj-km-store").toString)
+    val e2 = intercept[IllegalArgumentException] { store2.importVictor(dir2) }
+    assert(e2.getMessage.contains("corrupt source store"))
   }
 
   test("corrupt inputs fail loudly: bad record size, truncated file, bad uuid length") {
