@@ -1223,6 +1223,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode: synthetic-but-REAL RIFF/WAVE payloads (sample
+    // n of doc d = ((d*31 + n*17) mod 4001) - 2000 on 16-bit mono PCM,
+    // 200..299 samples per doc) encoded AND decoded with the JDK's
+    // javax.sound.sampled on the executors; features walk the DECODED
+    // stream, then a decimate-by-4 re-encodes and decodes AGAIN. PCM
+    // is lossless, so the oracle states every decoded sample in closed
+    // form. (Video stays a documented stub: no video codec in the JDK.)
+    "mm_audio" -> ((s, dir) => {
+      val media = Multimodal.attachAudioPayload(
+        s, Tables.load(s, dir, "documents"))
+      Multimodal.decodeAudioFeatures(s, media).toDF()
+        .orderBy("doc_id")
+    }),
+
     // ---- event stream (batch form of the streaming ops) ----
 
     "ev_hourly" -> ((s, dir) =>
@@ -3563,6 +3577,27 @@ object SparkEntry {
           |       a.px_sum, CAST(a.px_sum * 100 // a.n AS BIGINT) AS px_mean_x100,
           |       CAST(d.rw AS BIGINT) AS rs_w, CAST(d.rh AS BIGINT) AS rs_h, ra.rs_sum
           |FROM dims d JOIN a USING (doc_id) JOIN ra USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+
+      "mm_audio" ->
+        """WITH lens AS (SELECT doc_id, 200 + doc_id % 100 AS n FROM documents),
+          |s AS (SELECT l.doc_id, i.i AS n,
+          |             (l.doc_id * 31 + i.i * 17) % 4001 - 2000 AS v
+          |      FROM lens l,
+          |           LATERAL (SELECT unnest(generate_series(0, l.n - 1)) AS i) i),
+          |w AS (SELECT doc_id, n, v,
+          |             lag(v) OVER (PARTITION BY doc_id ORDER BY n) AS pv
+          |      FROM s)
+          |SELECT doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_samples,
+          |       CAST(sum(abs(v)) AS BIGINT) AS amp_sum,
+          |       CAST(sum(v * v) AS BIGINT) AS sq_sum,
+          |       CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_x,
+          |       CAST(max(abs(v)) AS BIGINT) AS peak,
+          |       CAST(sum(CASE WHEN n % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ds_n,
+          |       CAST(sum(CASE WHEN n % 4 = 0 THEN abs(v) ELSE 0 END) AS BIGINT) AS ds_amp_sum
+          |FROM w GROUP BY doc_id
           |ORDER BY doc_id""".stripMargin,
 
       "ev_retention" ->

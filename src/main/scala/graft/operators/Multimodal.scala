@@ -17,6 +17,19 @@ case class MediaFeatures(
 /** One sampled frame (frame-sampling output shape). */
 case class Frame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
 
+/** Decoded-audio features (integer-typed for the oracle): PCM sample
+  * statistics from the decoded stream, and the decode -> decimate ->
+  * re-encode -> decode round trip of the same payload. */
+case class AudioFeatures(
+    doc_id: Long,
+    n_samples: Long,
+    amp_sum: Long,
+    sq_sum: Long,
+    zero_x: Long,
+    peak: Long,
+    ds_n: Long,
+    ds_amp_sum: Long)
+
 /** Per-document frame-sampling + resize statistics (integer-typed for
   * the oracle). */
 case class FrameAgg(
@@ -56,10 +69,18 @@ case class ImageFeatures(
  *    analytically: PNG is lossless, and any drift anywhere in the
  *    encode -> decode -> raster-walk -> nearest-neighbor-resize ->
  *    re-encode -> decode chain breaks the hash.
- *  - AUDIO/VIDEO remain a STUB (`decodeStub`): no codecs in this
- *    container. The Spark-side plumbing — schema, batch iteration,
- *    per-partition decoder initialization, frame sampling — is real
- *    and is what carries over to a production codec.
+ *  - AUDIO is REAL too: `javax.sound.sampled` also ships with the JDK,
+ *    so the WAV lane ([[attachAudioPayload]] / [[decodeAudioFeatures]])
+ *    encodes and decodes actual RIFF/WAVE PCM bytes on the executors.
+ *    Payloads are deterministic synthetic signals — sample n of doc d
+ *    is the pure integer function ((d*31 + n*17) mod 4001) - 2000 on
+ *    16-bit mono PCM — so the oracle states every decoded sample
+ *    analytically: PCM is lossless, and the features walk the DECODED
+ *    stream, then a decimate -> re-encode -> decode round trip.
+ *  - VIDEO remains a STUB (`decodeStub`): no video codec in the JDK.
+ *    The Spark-side plumbing — schema, batch iteration, per-partition
+ *    decoder initialization, frame sampling — is real and is what
+ *    carries over to a production codec.
  */
 object Multimodal {
 
@@ -247,6 +268,119 @@ object Multimodal {
           ImageFeatures(m.doc_id, w.toLong, h.toLong, sum,
             if (w * h == 0) 0L else sum * 100L / (w * h),
             rimg.getWidth.toLong, rimg.getHeight.toLong, graySum(rimg))
+        }
+      }
+  }
+
+  // ---- REAL audio lane: javax.sound.sampled WAV encode/decode -------
+
+  /** PCM length varies per doc so the frame-count extraction cannot be
+    * hardcoded: 200..299 samples. */
+  private[graft] def audioLen(docId: Long): Int = 200 + (docId % 100).toInt
+
+  /** Sample n of doc d — pure integer, stated verbatim in the oracle.
+    * Range [-2000, 2000]; ascends by 17 and wraps mod 4001, so every
+    * doc has sign structure (crossings) the features can see. */
+  private[graft] def sampleAt(docId: Long, n: Int): Int =
+    (((docId * 31 + n * 17) % 4001) - 2000).toInt
+
+  private def pcmFormat: javax.sound.sampled.AudioFormat =
+    new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /*signed*/ true, /*bigEndian*/ false)
+
+  /** Encode 16-bit LE mono PCM frames as REAL RIFF/WAVE bytes via the
+    * JDK's AudioSystem. */
+  private def wavBytes(pcm: Array[Byte], frames: Int): Array[Byte] = {
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), pcmFormat, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    val n = javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    require(n > 0, "graft: JDK AudioSystem wrote an empty WAV (should be impossible)")
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic mono 16-bit PCM signal for doc `docId`,
+    * encoded as REAL WAV bytes. */
+  private[graft] def synthWav(docId: Long): Array[Byte] = {
+    val n = audioLen(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleAt(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    wavBytes(pcm, n)
+  }
+
+  /** Attach a REAL WAV payload column (one synthetic signal per doc),
+    * generated distributed on the executors. */
+  def attachAudioPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "audio/wav", synthWav(id))))
+      .toDF()
+  }
+
+  /** Decode WAV bytes to 16-bit samples, validating the format loudly
+    * (a silent format drift would corrupt every downstream number). */
+  private def decodeWav(bytes: Array[Byte], id: Long): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian
+        && f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"graft: doc $id decoded to an unexpected audio format $f")
+    val pcm = ais.readAllBytes()
+    require(pcm.length % 2 == 0, s"graft: doc $id odd PCM byte count ${pcm.length}")
+    val out = new Array[Int](pcm.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** REAL distributed audio decode: AudioSystem reads each WAV payload,
+    * the features walk the DECODED sample stream (amplitude sum, energy,
+    * zero crossings, peak), then a decimate-by-`factor` of the decoded
+    * samples RE-ENCODES as WAV, decodes AGAIN and sums — the full codec
+    * round trip, all executor-side. */
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame,
+      factor: Int = 4): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val s = decodeWav(m.payload, m.doc_id)
+          var amp = 0L; var sq = 0L; var zx = 0L; var peak = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i)
+            val a = math.abs(v).toLong
+            amp += a; sq += v.toLong * v; if (a > peak) peak = a
+            if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zx += 1
+            i += 1
+          }
+          // decimate the DECODED stream, re-encode, decode again
+          val dn = (s.length + factor - 1) / factor
+          val pcm = new Array[Byte](dn * 2)
+          i = 0
+          while (i < dn) {
+            val v = s(i * factor)
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ds = decodeWav(wavBytes(pcm, dn), m.doc_id)
+          var dsAmp = 0L
+          i = 0
+          while (i < ds.length) { dsAmp += math.abs(ds(i)).toLong; i += 1 }
+          AudioFeatures(m.doc_id, s.length.toLong, amp, sq, zx, peak,
+            ds.length.toLong, dsAmp)
         }
       }
   }
