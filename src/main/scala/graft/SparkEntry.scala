@@ -1214,8 +1214,8 @@ object SparkEntry {
     // raster, then a nearest-neighbor downscale re-encodes and decodes
     // AGAIN. PNG is lossless, so the oracle states every decoded value
     // in closed form — any drift in the codec round trip breaks the
-    // hash. (The audio/video lane stays a documented stub: no codecs
-    // in this container.)
+    // hash. (mm_audio / mm_video below give audio and multi-frame
+    // video the same real-codec treatment.)
     "mm_decode" -> ((s, dir) => {
       val media = Multimodal.attachImagePayload(
         s, Tables.load(s, dir, "documents"))
@@ -1229,11 +1229,28 @@ object SparkEntry {
     // javax.sound.sampled on the executors; features walk the DECODED
     // stream, then a decimate-by-4 re-encodes and decodes AGAIN. PCM
     // is lossless, so the oracle states every decoded sample in closed
-    // form. (Video stays a documented stub: no video codec in the JDK.)
+    // form.
     "mm_audio" -> ((s, dir) => {
       val media = Multimodal.attachAudioPayload(
         s, Tables.load(s, dir, "documents"))
       Multimodal.decodeAudioFeatures(s, media).toDF()
+        .orderBy("doc_id")
+    }),
+
+    // REAL video decode at the container level: synthetic-but-REAL
+    // multi-frame (animated) GIF payloads — pixel (x,y) of frame f of
+    // doc d = (d + 11f + x + 2y) mod 256, 3..6 frames per doc —
+    // written AND read with the JDK's GIF ImageWriter/ImageReader on
+    // the executors (interlace disabled: the JDK's default interlaced
+    // write does not round-trip). Frame SAMPLING decodes only every
+    // 2nd frame off the container index; features = sampled pixel sum
+    // + motion proxy between consecutive sampled frames. The gray
+    // palette is lossless, so the oracle states every decoded pixel
+    // in closed form.
+    "mm_video" -> ((s, dir) => {
+      val media = Multimodal.attachVideoPayload(
+        s, Tables.load(s, dir, "documents"))
+      Multimodal.decodeVideoFeatures(s, media).toDF()
         .orderBy("doc_id")
     }),
 
@@ -3598,6 +3615,29 @@ object SparkEntry {
           |       CAST(sum(CASE WHEN n % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ds_n,
           |       CAST(sum(CASE WHEN n % 4 = 0 THEN abs(v) ELSE 0 END) AS BIGINT) AS ds_amp_sum
           |FROM w GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      "mm_video" ->
+        """WITH dims AS (SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+          |                     3 + doc_id % 4 AS nf
+          |              FROM documents),
+          |px AS (SELECT d.doc_id,
+          |              (d.doc_id + 11 * f.f + i.i + 2 * j.j) % 256 AS v,
+          |              CASE WHEN f.f >= 2
+          |                   THEN abs((d.doc_id + 11 * f.f + i.i + 2 * j.j) % 256
+          |                          - (d.doc_id + 11 * (f.f - 2) + i.i + 2 * j.j) % 256)
+          |                   ELSE 0 END AS dv
+          |       FROM dims d,
+          |            LATERAL (SELECT unnest(generate_series(0, d.nf - 1, 2)) AS f) f,
+          |            LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS i) i,
+          |            LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS j) j)
+          |SELECT d.doc_id, CAST(d.w AS BIGINT) AS vid_w, CAST(d.h AS BIGINT) AS vid_h,
+          |       CAST(d.nf AS BIGINT) AS n_frames,
+          |       CAST((d.nf + 1) // 2 AS BIGINT) AS n_sampled,
+          |       CAST(sum(p.v) AS BIGINT) AS px_sum,
+          |       CAST(sum(p.dv) AS BIGINT) AS motion_sum
+          |FROM dims d JOIN px p USING (doc_id)
+          |GROUP BY d.doc_id, d.w, d.h, d.nf
           |ORDER BY doc_id""".stripMargin,
 
       "ev_retention" ->

@@ -30,6 +30,19 @@ case class AudioFeatures(
     ds_n: Long,
     ds_amp_sum: Long)
 
+/** Decoded-video features (integer-typed for the oracle): frame count
+  * from the container, pixel statistics from the SAMPLED decoded
+  * frames, and a motion proxy (sum of absolute pixel deltas between
+  * consecutive sampled frames). */
+case class VideoFeatures(
+    doc_id: Long,
+    vid_w: Long,
+    vid_h: Long,
+    n_frames: Long,
+    n_sampled: Long,
+    px_sum: Long,
+    motion_sum: Long)
+
 /** Per-document frame-sampling + resize statistics (integer-typed for
   * the oracle). */
 case class FrameAgg(
@@ -77,10 +90,20 @@ case class ImageFeatures(
  *    16-bit mono PCM — so the oracle states every decoded sample
  *    analytically: PCM is lossless, and the features walk the DECODED
  *    stream, then a decimate -> re-encode -> decode round trip.
- *  - VIDEO remains a STUB (`decodeStub`): no video codec in the JDK.
- *    The Spark-side plumbing — schema, batch iteration, per-partition
- *    decoder initialization, frame sampling — is real and is what
- *    carries over to a production codec.
+ *  - VIDEO is REAL at the multi-frame-container level: the JDK's GIF
+ *    ImageWriter/ImageReader handle animated (multi-frame) GIF, so
+ *    the video lane ([[attachVideoPayload]] / [[decodeVideoFeatures]])
+ *    writes and reads actual multi-frame GIF bytes, and frame
+ *    SAMPLING decodes only every `every`-th frame off the container
+ *    index — the keyframe-extraction shape. GIF's 256-entry palette
+ *    holds 8-bit gray losslessly, so the oracle is closed-form, BUT
+ *    only with interlacing disabled: the JDK's default interlaced
+ *    write round-trips with permuted/zeroed rows (measured on
+ *    Temurin 17; `setProgressiveMode(MODE_DISABLED)` round-trips
+ *    exactly, and [[synthGif]] pins that). A general-purpose codec
+ *    (H.264 et al) is still out of container scope — GIF covers the
+ *    container/frame-index/sampling semantics, not inter-frame
+ *    compression.
  */
 object Multimodal {
 
@@ -381,6 +404,116 @@ object Multimodal {
           while (i < ds.length) { dsAmp += math.abs(ds(i)).toLong; i += 1 }
           AudioFeatures(m.doc_id, s.length.toLong, amp, sq, zx, peak,
             ds.length.toLong, dsAmp)
+        }
+      }
+  }
+
+  // ---- REAL video lane: javax.imageio multi-frame GIF ---------------
+
+  /** Frame geometry/count vary per doc: w in [8, 15], h in [4, 7],
+    * frames in [3, 6]. */
+  private[graft] def videoDims(docId: Long): (Int, Int, Int) =
+    (8 + (docId % 8).toInt, 4 + (docId % 4).toInt, 3 + (docId % 4).toInt)
+
+  /** Pixel (x, y) of frame f for doc d — pure integer, stated verbatim
+    * in the oracle. */
+  private[graft] def videoPixel(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((docId + 11L * f + x + 2L * y) % 256L).toInt
+
+  /** Deterministic synthetic multi-frame (animated) GIF for doc
+    * `docId`. Interlacing is explicitly DISABLED: the JDK GIF writer's
+    * default interlaced output does not round-trip (rows permute /
+    * zero on read back — measured), while MODE_DISABLED round-trips
+    * every 8-bit gray pixel exactly. */
+  private[graft] def synthGif(docId: Long): Array[Byte] = {
+    val (w, h, frames) = videoDims(docId)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, videoPixel(docId, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Attach a REAL multi-frame GIF payload column (one synthetic clip
+    * per doc), generated distributed on the executors. */
+  def attachVideoPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map(id => MediaRow(id, "image/gif", synthGif(id)))
+      }
+      .toDF()
+  }
+
+  /** REAL distributed video decode with frame SAMPLING: the container
+    * index (getNumImages) is read for every payload, but only every
+    * `every`-th frame is DECODED (reader.read(i) is per-frame lazy —
+    * the unsampled majority never decompresses), the keyframe-
+    * extraction cost shape. Features: sampled pixel sum + a motion
+    * proxy (absolute pixel delta between consecutive sampled frames,
+    * both already decoded — no extra reads). */
+  def decodeVideoFeatures(spark: SparkSession, media: DataFrame,
+      every: Int = 2): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { m =>
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          try {
+            reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(m.payload)))
+            val n =
+              try reader.getNumImages(true)
+              catch { case e: Exception =>
+                throw new IllegalArgumentException(
+                  s"graft: undecodable video payload for doc ${m.doc_id}", e) }
+            require(n > 0, s"graft: empty video container for doc ${m.doc_id}")
+            var pxSum = 0L; var motion = 0L; var sampled = 0L
+            var w = 0L; var h = 0L
+            var prev: Array[Int] = null
+            var f = 0
+            while (f < n) {
+              val img = reader.read(f) // only sampled frames reach here
+              if (w == 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+              val cur = new Array[Int](img.getWidth * img.getHeight)
+              var i = 0; var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val v = img.getRGB(x, y) & 0xff // gray palette: R=G=B
+                  cur(i) = v; pxSum += v
+                  if (prev != null) motion += math.abs(v - prev(i)).toLong
+                  i += 1; x += 1
+                }
+                y += 1
+              }
+              sampled += 1; prev = cur
+              f += every
+            }
+            VideoFeatures(m.doc_id, w, h, n.toLong, sampled, pxSum, motion)
+          } finally reader.dispose()
         }
       }
   }

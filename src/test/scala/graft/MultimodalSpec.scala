@@ -101,6 +101,57 @@ class MultimodalSpec extends AnyFunSuite {
       || Option(c.getMessage).exists(_.contains("audio format"))))
   }
 
+  test("synthGif round-trips exact pixels through a real multi-frame GIF codec") {
+    for (docId <- Seq(0L, 5L, 250L)) {
+      val bytes = Multimodal.synthGif(docId)
+      assert(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') // real container
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val (w, h, frames) = Multimodal.videoDims(docId)
+      assert(reader.getNumImages(true) == frames)
+      for (f <- 0 until frames) {
+        val img = reader.read(f)
+        assert(img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w)
+          assert((img.getRGB(x, y) & 0xff) == Multimodal.videoPixel(docId, f, x, y),
+            s"doc $docId frame $f pixel ($x,$y)")
+      }
+      reader.dispose()
+    }
+  }
+
+  test("decodeVideoFeatures matches hand-computed closed-form values") {
+    val ids = Seq(0L, 3L, 6L)
+    val media = Multimodal.attachVideoPayload(spark, ids.toDF("doc_id"))
+    val got = Multimodal.decodeVideoFeatures(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    for (d <- ids) {
+      val (w, h, nf) = Multimodal.videoDims(d)
+      val sampled = 0 until nf by 2
+      val pxSum = (for (f <- sampled; y <- 0 until h; x <- 0 until w)
+        yield Multimodal.videoPixel(d, f, x, y).toLong).sum
+      val motion = (for (f <- sampled if f >= 2; y <- 0 until h; x <- 0 until w)
+        yield math.abs(Multimodal.videoPixel(d, f, x, y)
+          - Multimodal.videoPixel(d, f - 2, x, y)).toLong).sum
+      val v = got(d)
+      assert((v.vid_w, v.vid_h, v.n_frames, v.n_sampled, v.px_sum, v.motion_sum)
+        == (w.toLong, h.toLong, nf.toLong, sampled.length.toLong, pxSum, motion), s"doc $d")
+    }
+  }
+
+  test("undecodable video payload fails loudly with the doc id") {
+    val junk = Seq((4L, "image/gif",
+      Array[Byte]('G', 'I', 'F', 1, 2, 3))).toDF("doc_id", "media_type", "payload")
+    val e = intercept[Exception] {
+      Multimodal.decodeVideoFeatures(spark, junk).collect()
+    }
+    def chain(t: Throwable) =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(m => m.contains("video") && m.contains("4"))))
+  }
+
   test("undecodable payload fails loudly with the doc id") {
     val junk = Seq((9L, "application/octet-stream",
       Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media_type", "payload")
