@@ -368,6 +368,22 @@ class VectorStore(spark: SparkSession, val root: String,
     * detectable (re-running refuses on the non-empty store) and
     * recoverable (`clear(force = true)` + re-import); the window is a
     * one-call migration's, not steady-state ingest's. */
+  /** Inverse of [[importVictor]]: export this store AS a
+    * reference-format (.bin) directory — vectors through the 8-bit
+    * packed codec, content blob, tag-set index, and, when this store
+    * is projected, `eigen.bin` carrying the basis + means
+    * ([[graft.sources.VictorBin.writeProjection]]) so the exported
+    * store keeps its projected-mode semantics (existence of eigen.bin
+    * IS the flag there, reference src/db.rs:233-237). Driver-side by
+    * the format's own single-directory design — the row cap guards a
+    * miscalled corpus-sized export. */
+  def exportVictor(dir: String, maxRows: Int = 1000000): Unit = {
+    graft.sources.VictorBin.export(
+      table().select("id", "vector", "content", "tags"), dir, maxRows)
+    if (isProjected)
+      graft.sources.VictorBin.writeProjection(dir, loadModel())
+  }
+
   def importVictor(dir: String, quantize: Boolean = false): Unit = {
     val src = graft.sources.VictorBin
     val df = src.importStore(spark, dir, acceptProjected = true)

@@ -201,6 +201,54 @@ class VictorBinSpec extends AnyFunSuite {
     store.clear()
   }
 
+  test("bidirectional migration: a PROJECTED graft store exports with eigen.bin and re-imports intact") {
+    // build a projected graft store the honest way: raw inserts, then
+    // projectAll fits + adopts a basis
+    val store = new graft.operators.VectorStore(
+      spark, Files.createTempDirectory("graft-ev-src").toString)
+    val raw = Seq(
+      (uuid(51), Seq(10f, 0f, 0f), "xward", Seq("t")),
+      (uuid(52), Seq(0f, 10f, 0f), "yward", Seq("t")),
+      (uuid(53), Seq(0f, 0f, 10f), "zward", Seq("t")),
+      (uuid(54), Seq(9f, 1f, 0f), "near-x", Seq("t")),
+      (uuid(55), Seq(1f, 9f, 1f), "near-y", Seq("t")))
+    store.insert(raw.toDF("id", "vector", "content", "tags"))
+    store.projectAll(k = 2)
+    assert(store.isProjected)
+    val dir = Files.createTempDirectory("graft-ev-out").toString
+    store.exportVictor(dir)
+    // the export IS a projected victor store: eigen.bin present
+    assert(VictorBin.isProjected(dir))
+    val m = VictorBin.readProjection(dir)
+    val m0 = store.loadModel()
+    assert(m.d == m0.d && m.k == m0.k)
+    for (i <- 0 until m.d) {
+      assert(math.abs(m.means(i) - m0.means(i)) < 1e-5, s"mean $i")
+      for (j <- 0 until m.k)
+        assert(math.abs(m.basis(i)(j) - m0.basis(i)(j)) < 1e-5, s"basis $i,$j")
+    }
+    // re-import into a fresh store: projected mode + behavior survive
+    // the round trip (vectors pass the 8-bit packed codec, so compare
+    // BEHAVIOR — raw-space queries serve the same nearest content)
+    val back = new graft.operators.VectorStore(
+      spark, Files.createTempDirectory("graft-ev-back").toString)
+    back.importVictor(dir)
+    assert(back.isProjected)
+    // a stored vector queries back to itself exactly...
+    val self = store.searchAuto(Seq(10f, 0f, 0f), k = 1).head().getAs[String]("content")
+    assert(self == "xward")
+    // ...and for arbitrary raw queries the ROUND-TRIPPED store serves
+    // the same answer the direct store does (nearest-in-projected-space
+    // is the semantic; the two stores must agree on it)
+    for (q <- Seq(Seq(10f, 0f, 0f), Seq(0f, 9f, 0f), Seq(0f, 1f, 10f),
+        Seq(5f, 5f, 0f))) {
+      val a = store.searchAuto(q, k = 1).head().getAs[String]("content")
+      val b = back.searchAuto(q, k = 1).head().getAs[String]("content")
+      assert(a == b, s"query $q: direct=$a roundtrip=$b")
+    }
+    store.clear(force = true); back.clear(force = true)
+  }
+
   test("projected import refuses a non-empty target and a k-mismatched source") {
     import graft.operators.Pca
     val basis = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.0, 0.0))
