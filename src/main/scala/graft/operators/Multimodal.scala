@@ -495,8 +495,22 @@ object Multimodal {
             var prev: Array[Int] = null
             var f = 0
             while (f < n) {
-              val img = reader.read(f) // only sampled frames reach here
+              // only sampled frames reach read(); carry the doc id on a
+              // corrupt-frame failure (the container index parsed, so
+              // the getNumImages guard above can no longer catch it)
+              val img =
+                try reader.read(f)
+                catch { case e: Exception =>
+                  throw new IllegalArgumentException(
+                    s"graft: undecodable video frame $f for doc ${m.doc_id}", e) }
               if (w == 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+              // delta/sub-rect frames (real-world animated GIFs often
+              // encode only the changed rectangle) would misalign the
+              // motion diff or overrun prev — refuse loudly rather than
+              // compute a silently wrong number
+              require(img.getWidth.toLong == w && img.getHeight.toLong == h,
+                s"graft: doc ${m.doc_id} frame $f is ${img.getWidth}x${img.getHeight}, " +
+                  s"container is ${w}x$h — delta-frame video is not supported")
               val cur = new Array[Int](img.getWidth * img.getHeight)
               var i = 0; var y = 0
               while (y < img.getHeight) {

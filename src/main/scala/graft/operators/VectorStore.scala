@@ -347,6 +347,33 @@ class VectorStore(spark: SparkSession, val root: String,
   def insert(df: DataFrame, quantize: Boolean = false): Unit =
     withWriterLock() { insertLocked(df, quantize) }
 
+  /** Inverse of [[importVictor]]: export this store AS a
+    * reference-format (.bin) directory — vectors through the 8-bit
+    * packed codec, content blob, tag-set index, and, when this store
+    * is projected, `eigen.bin` carrying the basis + means
+    * ([[graft.sources.VictorBin.writeProjection]]) so the exported
+    * store keeps its projected-mode semantics (existence of eigen.bin
+    * IS the flag there, reference src/db.rs:233-237). Ordering is
+    * fail-safe: a stale `eigen.bin` from a previous export into the
+    * same directory is removed BEFORE the data lands (raw vectors next
+    * to a leftover basis would read as a projected store), and a
+    * projected store's basis is written BEFORE the data (a crash
+    * mid-export then leaves basis-without-data, which fails loudly on
+    * import — the inverse order would leave projection-space vectors
+    * that pass as a raw store). Driver-side by the format's own
+    * single-directory design — the row cap guards a miscalled
+    * corpus-sized export. */
+  def exportVictor(dir: String, maxRows: Int = 1000000): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    if (isProjected)
+      graft.sources.VictorBin.writeProjection(dir, loadModel())
+    else
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "eigen.bin"))
+    graft.sources.VictorBin.export(
+      table().select("id", "vector", "content", "tags"), dir, maxRows)
+  }
+
   /** One-call migration from a reference-format (.bin) store directory
     * — see [[graft.sources.VictorBin]]. Content-less embeddings carry
     * an empty string (the reference panics on lookup of a missing id;
@@ -362,28 +389,15 @@ class VectorStore(spark: SparkSession, val root: String,
     * are projected at search time, and raw-space inserts are projected
     * at write time, exactly like the reference (src/db.rs:233-241,
     * 480-499). Requires an EMPTY target store (mixing an adopted basis
-    * with existing raw data has no right answer). Crash window: if the
-    * process dies after the data commit but before the basis commit,
-    * the store holds projection-space rows with `isProjected` false —
-    * detectable (re-running refuses on the non-empty store) and
-    * recoverable (`clear(force = true)` + re-import); the window is a
-    * one-call migration's, not steady-state ingest's. */
-  /** Inverse of [[importVictor]]: export this store AS a
-    * reference-format (.bin) directory — vectors through the 8-bit
-    * packed codec, content blob, tag-set index, and, when this store
-    * is projected, `eigen.bin` carrying the basis + means
-    * ([[graft.sources.VictorBin.writeProjection]]) so the exported
-    * store keeps its projected-mode semantics (existence of eigen.bin
-    * IS the flag there, reference src/db.rs:233-237). Driver-side by
-    * the format's own single-directory design — the row cap guards a
-    * miscalled corpus-sized export. */
-  def exportVictor(dir: String, maxRows: Int = 1000000): Unit = {
-    graft.sources.VictorBin.export(
-      table().select("id", "vector", "content", "tags"), dir, maxRows)
-    if (isProjected)
-      graft.sources.VictorBin.writeProjection(dir, loadModel())
-  }
-
+    * with existing raw data has no right answer). The basis commits
+    * via stage + atomic rename (same as projectAll), so a concurrent
+    * reader sees either no basis or the complete one, never a partial
+    * parquet write. Crash window: if the process dies after the data
+    * commit but before the basis rename, the store holds
+    * projection-space rows with `isProjected` false — detectable
+    * (re-running refuses on the non-empty store) and recoverable
+    * (`clear(force = true)` + re-import); the window is a one-call
+    * migration's, not steady-state ingest's. */
   def importVictor(dir: String, quantize: Boolean = false): Unit = {
     val src = graft.sources.VictorBin
     val df = src.importStore(spark, dir, acceptProjected = true)
@@ -395,12 +409,26 @@ class VectorStore(spark: SparkSession, val root: String,
         require(!isProjected, "graft: store is already projected — import into a fresh store")
         require(storedDim().isEmpty,
           "graft: projected-store import requires an EMPTY target store (existing raw rows cannot adopt a foreign basis)")
-        val dims = df.agg(min(size(col("vector"))), max(size(col("vector")))).head()
-        require(dims.getInt(0) == model.k && dims.getInt(1) == model.k,
-          s"graft: victor store at $dir is marked projected (k=${model.k}) but holds " +
-            s"${dims.getInt(0)}..${dims.getInt(1)}-dim vectors — corrupt source store")
-        insertLocked(df, quantize)
-        saveModel(model)
+        // one source parse: the dim check and the insert share the plan
+        val cached = df.persist()
+        try {
+          val dims = cached.agg(min(size(col("vector"))), max(size(col("vector")))).head()
+          // an EMPTY projected source is valid (basis, no rows yet):
+          // the min/max aggregate returns nulls — skip the row insert
+          // and adopt the basis over zero rows
+          if (!dims.isNullAt(0)) {
+            require(dims.getInt(0) == model.k && dims.getInt(1) == model.k,
+              s"graft: victor store at $dir is marked projected (k=${model.k}) but holds " +
+                s"${dims.getInt(0)}..${dims.getInt(1)}-dim vectors — corrupt source store")
+            insertLocked(cached, quantize)
+          }
+        } finally cached.unpersist(blocking = false)
+        // stage + rename, exactly like projectAll's basis commit: a
+        // reader racing the migration must never see a partial parquet
+        val staged = s"$root/eigen_tmp.parquet"
+        saveModelAt(model, staged)
+        require(fs.rename(new Path(staged), new Path(eigenPath)),
+          s"graft: adopted-basis rename to $eigenPath failed")
       }
     }
   }

@@ -12,6 +12,9 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  private def chain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+
   test("synthPng round-trips exact pixel values through a real PNG codec") {
     for (docId <- Seq(0L, 7L, 300L)) {
       val bytes = Multimodal.synthPng(docId)
@@ -92,8 +95,6 @@ class MultimodalSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       Multimodal.decodeAudioFeatures(spark, junk).collect()
     }
-    def chain(t: Throwable) =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
     // AudioSystem raises its own UnsupportedAudioFileException on junk —
     // loud either way; our format require adds the doc id when the file
     // parses but the format drifts
@@ -146,8 +147,6 @@ class MultimodalSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       Multimodal.decodeVideoFeatures(spark, junk).collect()
     }
-    def chain(t: Throwable) =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
     assert(chain(e).exists(c =>
       Option(c.getMessage).exists(m => m.contains("video") && m.contains("4"))))
   }
@@ -158,8 +157,6 @@ class MultimodalSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       Multimodal.decodeImageFeatures(spark, junk).collect()
     }
-    def chain(t: Throwable) =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
     assert(chain(e).exists(c =>
       Option(c.getMessage).exists(m => m.contains("undecodable") && m.contains("9"))))
   }
