@@ -187,7 +187,7 @@ object Bench {
   // quarter-sample row's wedge volume — benched once per protocol run
   // as the named `triangles_full` fragment (after the timed passes),
   // not inside the suite totals.
-  private val skip = Set("dedup_jaccard", "dedup_embedding",
+  private val skip = Set("dedup_jaccard", "dedup_embedding", "dedup_eval",
     "graph_triangles_full")
 
   private val WarmReps = 3

@@ -750,6 +750,26 @@ object SparkEntry {
         .select(col("d1"), col("d2"), round(col("j"), 4).as("jac_r"))
         .orderBy("d1", "d2")),
 
+    // near-dup QUALITY evaluation: the banded MinHash-LSH path scored
+    // against the exact all-pairs Jaccard baseline — integer confusion
+    // counts + floor-division recall, the dedup twin of ann_eval /
+    // text_rank_eval. The LSH path verifies candidates with exact
+    // Jaccard, so false positives are structurally zero and the whole
+    // question is recall (banding misses). Uses the O(n^2) baseline ->
+    // bench-excluded like dedup_jaccard itself.
+    "dedup_eval" -> ((s, dir) => {
+      val exact = Dedup.exactNearDups(Tables.load(s, dir, "documents"))
+        .select("d1", "d2")
+      val found = minhashPairsCached(s, dir).select("d1", "d2")
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nFound = found.agg(count(lit(1)).as("n_found"))
+      val nMissed = exact.join(found, Seq("d1", "d2"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      nExact.crossJoin(nFound).crossJoin(nMissed)
+        .select(col("n_exact"), col("n_found"), col("n_missed"),
+          expr("n_found * 10000 DIV n_exact").as("recall_x10k"))
+    }),
+
     // pairs -> dedup groups: connected components of the MinHash near-dup
     // graph (hash-to-min label propagation; oracle = recursive CTE)
     "dedup_clusters" -> ((s, dir) =>
@@ -2742,6 +2762,24 @@ object SparkEntry {
            |${OracleSql.jaccardCte}
            |SELECT d1, d2, round(j, 4) AS jac_r FROM jac
            |WHERE j >= ${OracleSql.JaccardThreshold} ORDER BY d1, d2""".stripMargin,
+
+      "dedup_eval" ->
+        s"""WITH ${OracleSql.shingleCte},
+           |${OracleSql.minhashCte},
+           |${OracleSql.lshCandidatesCte},
+           |${OracleSql.jaccardCte},
+           |ex AS (SELECT d1, d2 FROM jac WHERE j >= ${OracleSql.JaccardThreshold}),
+           |fo AS (SELECT j.d1, j.d2
+           |       FROM jac j JOIN (SELECT DISTINCT d1, d2 FROM cand) c
+           |         ON j.d1 = c.d1 AND j.d2 = c.d2
+           |       WHERE j.j >= ${OracleSql.JaccardThreshold})
+           |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+           |       CAST((SELECT count(*) FROM fo) AS BIGINT) AS n_found,
+           |       CAST((SELECT count(*) FROM ex
+           |             WHERE NOT EXISTS (SELECT 1 FROM fo
+           |                               WHERE fo.d1 = ex.d1 AND fo.d2 = ex.d2)) AS BIGINT) AS n_missed,
+           |       CAST((SELECT count(*) FROM fo) * 10000
+           |            // (SELECT count(*) FROM ex) AS BIGINT) AS recall_x10k""".stripMargin,
 
       "dedup_clusters" -> clustersSql,
       "dedup_clusters_stars" -> clustersSql,
