@@ -405,6 +405,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(3000))
   }
 
+  test("multimodal codec lanes are single-scan mapPartitions pipelines: no Exchange") {
+    // encode -> decode -> feature-extract stays inside one partition-
+    // local pass per lane (ordering aside); any Exchange before the
+    // final orderBy means a codec stage accidentally shuffled payloads
+    for (n <- Seq("mm_decode", "mm_audio", "mm_video")) {
+      val df = SparkEntry.queries(n)(spark, dir)
+      val body = df.queryExecution.executedPlan.toString
+      // the inventory row ends in orderBy (oracle determinism); strip
+      // its final range-partitioning sort and require nothing below it
+      // shuffles
+      val belowSort = body.split("\n").dropWhile(l => l.contains("Sort") ||
+        l.contains("Exchange rangepartitioning") || l.contains("AdaptiveSparkPlan") ||
+        l.contains("== Final Plan ==") || l.contains("== Initial Plan ==") ||
+        l.trim.isEmpty).mkString("\n")
+      assert(!belowSort.contains("Exchange hashpartitioning"),
+        s"$n shuffles below the output sort:\n${belowSort.take(2000)}")
+      assert(!belowSort.contains("CartesianProduct"), n)
+    }
+  }
+
   test("r6 query family: no CartesianProduct anywhere") {
     for (n <- Seq("text_keywords", "text_lm_score", "ev_funnel", "ann_maxsim",
                   "hybrid_rrf", "text_pack", "text_shards", "pipeline_prepare",
