@@ -1316,6 +1316,30 @@ object SparkEntry {
           col("content"))
         .orderBy("doc_id")),
 
+    // HTML -> text extraction (the step between WARC and quality
+    // filtering): in-query synthetic HTML wraps each doc — title, h1,
+    // a style block, a script block whose body contains a bare '<'
+    // (the case naive tag-stripping corrupts; block removal must come
+    // first), and entity-encoded text incl. the &amp;lt; double-decode
+    // trap. The transform is a strict regexp/replace builtin chain
+    // (codegen, no UDF) the oracle states identically.
+    "text_html_extract" -> ((s, dir) => {
+      val html = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style type=\"text/css\">p { color: red; }</style>" +
+            "</head><body><h1 class=\"t\">Doc "), col("doc_id"),
+          lit(" &amp; friends</h1><script>var x = 1; if (x < 2) { x = 2; }" +
+            "</script><p>"),
+          col("text"),
+          lit("</p><p>&lt;i&gt; &quot;q&quot; &#39;t&#39; &amp;lt;</p>" +
+            "</body></html>")).as("html"))
+      html.select(col("doc_id"),
+          TextAnalysis.htmlExtract(col("html")).as("content"))
+        .withColumn("content_chars", length(col("content")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // ---- event stream (batch form of the streaming ops) ----
 
     "ev_hourly" -> ((s, dir) =>
@@ -3719,6 +3743,29 @@ object SparkEntry {
           |FROM dims d JOIN px p USING (doc_id)
           |GROUP BY d.doc_id, d.w, d.h, d.nf
           |ORDER BY doc_id""".stripMargin,
+
+      "text_html_extract" ->
+        """WITH h AS (SELECT doc_id,
+          |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+          |  || '</title><style type="text/css">p { color: red; }</style></head><body><h1 class="t">Doc '
+          |  || CAST(doc_id AS VARCHAR)
+          |  || ' &amp; friends</h1><script>var x = 1; if (x < 2) { x = 2; }</script><p>'
+          |  || text
+          |  || '</p><p>&lt;i&gt; &quot;q&quot; &#39;t&#39; &amp;lt;</p></body></html>' AS html
+          |  FROM documents),
+          |x AS (SELECT doc_id,
+          |  trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(
+          |      regexp_replace(
+          |        regexp_replace(
+          |          regexp_replace(html, '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
+          |          '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+          |        '<[^>]*>', ' ', 'g'),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          |    '\s+', ' ', 'g')) AS content
+          |  FROM h)
+          |SELECT doc_id, content, CAST(length(content) AS BIGINT) AS content_chars
+          |FROM x ORDER BY doc_id""".stripMargin,
 
       "warc_read" ->
         """SELECT doc_id,

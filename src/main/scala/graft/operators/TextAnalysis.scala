@@ -216,6 +216,28 @@ object TextAnalysis {
     * replaced by its type token, patterns applied in declaration order
     * (email first, so an address's digit runs can't re-match as
     * numbers). */
+  /**
+   * HTML -> text extraction (the step between WARC ingestion and
+   * quality filtering in a web-corpus pipeline): drop script/style
+   * blocks wholesale, strip remaining tags, decode the five core
+   * entities, collapse whitespace. Deliberately a STRICT chain of
+   * regexp/replace builtins — codegen'd, no UDF, linear at 100 TB, and
+   * simple enough that an oracle can state the identical transform.
+   * Entity order matters: `&amp;` decodes LAST so `&amp;lt;` becomes
+   * the literal text `&lt;`, not `<` (the standard double-decode bug).
+   */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&") // &amp; last
+    val decoded = entities.foldLeft(noTags) {
+      case (acc, (e, ch)) => regexp_replace(acc, java.util.regex.Pattern.quote(e), ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def redactCol(text: Column): Column =
     piiPatterns.foldLeft(text) {
       case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)

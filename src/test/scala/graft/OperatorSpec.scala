@@ -2004,6 +2004,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(fw == Seq((1L, Some("a")), (2L, None)))
   }
 
+  test("htmlExtract: block removal before tag strip, entity order, whitespace collapse") {
+    import spark.implicits._
+    val got = Seq(
+      // a bare '<' inside script: naive tag-stripping would eat
+      // "< 2) { x = 2; }</script><p>hi" as one tag — block-first keeps "hi"
+      "<p>a</p><script>if (x < 2) { x = 2; }</script><p>hi</p>",
+      // &amp;lt; must decode to the literal text "&lt;", not "<"
+      "x &amp;lt; y &lt;b&gt;",
+      // style block + attributes + multiline whitespace
+      "<style a=\"b\">h1 { x: y; }</style>\n\n<h1\nclass=\"z\">t</h1>  end")
+      .toDF("html")
+      .select(graft.operators.TextAnalysis.htmlExtract(col("html")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a hi", "x &lt; y <b>", "t end"))
+  }
+
   test("every query runs at sf0.001 and every oracle key has a query") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
