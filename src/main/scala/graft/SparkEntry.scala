@@ -363,6 +363,24 @@ object SparkEntry {
     * rep: warm reps measure the probe the plan gate proves, and the
     * one-time build cost is reported separately (BASELINE.md). Same
     * staleness contract as [[dupPairsCache]]. */
+  /** Synthetic HTML wrapper for doc (id, text) — ONE expression shared
+    * by text_html_extract and the pipeline_web WARC fixture so the two
+    * rows can never drift. Deliberately adversarial: a script block
+    * whose body contains a bare '<' (naive tag-stripping corrupts it),
+    * a style block, attributes, and entity-encoded text including the
+    * `&amp;lt;` double-decode trap. The oracle SQL states the same
+    * string verbatim. */
+  private def htmlWrap(docId: Column, text: Column): Column =
+    concat(
+      lit("<html><head><title>Doc "), docId,
+      lit("</title><style type=\"text/css\">p { color: red; }</style>" +
+        "</head><body><h1 class=\"t\">Doc "), docId,
+      lit(" &amp; friends</h1><script>var x = 1; if (x < 2) { x = 2; }" +
+        "</script><p>"),
+      text,
+      lit("</p><p>&lt;i&gt; &quot;q&quot; &#39;t&#39; &amp;lt;</p>" +
+        "</body></html>"))
+
   /** WARC fixture shards for a fixture dir, generated once per
     * (session, dir): the documents table rendered as Common Crawl
     * layout `.warc.gz` (per-record gzip members, 2 shards). Reps reuse
@@ -382,6 +400,29 @@ object SparkEntry {
             concat(lit("http://corpus.local/doc/"), col("doc_id")).as("target_uri"),
             lit("2026-01-01T00:00:00Z").as("warc_date"),
             col("text").as("content")),
+          path, shards = 2, gzip = true)
+        path
+      })
+  }
+
+  /** The pipeline_web twin of [[warcFixturePath]]: same shard layout,
+    * content = the synthetic HTML ([[htmlWrap]]) instead of raw text —
+    * the payload a real web crawl delivers. */
+  private val warcHtmlFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def warcHtmlFixturePath(s: SparkSession, dir: String): String = {
+    warcHtmlFixtureCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    warcHtmlFixtureCache.computeIfAbsent((s, dir),
+      { _ =>
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-warc-html").toString
+        graft.sources.Warc.writeFixture(
+          Tables.load(s, dir, "documents").select(
+            concat(lit("00000000-0000-4000-8000-"),
+              lpad(col("doc_id").cast("string"), 12, "0")).as("record_id"),
+            concat(lit("http://corpus.local/doc/"), col("doc_id")).as("target_uri"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            htmlWrap(col("doc_id"), col("text")).as("content")),
           path, shards = 2, gzip = true)
         path
       })
@@ -1324,19 +1365,32 @@ object SparkEntry {
     // trap. The transform is a strict regexp/replace builtin chain
     // (codegen, no UDF) the oracle states identically.
     "text_html_extract" -> ((s, dir) => {
-      val html = Tables.load(s, dir, "documents").select(col("doc_id"),
-        concat(
-          lit("<html><head><title>Doc "), col("doc_id"),
-          lit("</title><style type=\"text/css\">p { color: red; }</style>" +
-            "</head><body><h1 class=\"t\">Doc "), col("doc_id"),
-          lit(" &amp; friends</h1><script>var x = 1; if (x < 2) { x = 2; }" +
-            "</script><p>"),
-          col("text"),
-          lit("</p><p>&lt;i&gt; &quot;q&quot; &#39;t&#39; &amp;lt;</p>" +
-            "</body></html>")).as("html"))
+      val html = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), htmlWrap(col("doc_id"), col("text")).as("html"))
       html.select(col("doc_id"),
           TextAnalysis.htmlExtract(col("html")).as("content"))
         .withColumn("content_chars", length(col("content")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // the composed web-ingest flow a Common Crawl user runs end to
+    // end: .warc.gz shards (HTML payloads) -> distributed framing
+    // parse -> HTML -> text extraction -> langid + quality gate. The
+    // oracle re-states the whole chain (synth HTML, extraction,
+    // stats) over the documents table — ingest/extract/filter drift
+    // anywhere is a hash mismatch. Near-dup removal composition is
+    // gated separately by pipeline_curate.
+    "pipeline_web" -> ((s, dir) => {
+      val warc = graft.sources.Warc.readClean(
+        s, warcHtmlFixturePath(s, dir) + "/*")
+      val docs = warc.select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        TextAnalysis.htmlExtract(col("content")).as("text"))
+      TextAnalysis.stats(docs)
+        .where(col("pred_lang") === "en" && col("quality") >= 0.5)
+        .select(col("doc_id"), col("pred_lang"),
+          round(col("quality"), 4).as("quality_r"))
         .orderBy("doc_id")
     }),
 
@@ -3766,6 +3820,42 @@ object SparkEntry {
           |  FROM h)
           |SELECT doc_id, content, CAST(length(content) AS BIGINT) AS content_chars
           |FROM x ORDER BY doc_id""".stripMargin,
+
+      "pipeline_web" ->
+        s"""WITH h AS (SELECT doc_id,
+           |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           |  || '</title><style type="text/css">p { color: red; }</style></head><body><h1 class="t">Doc '
+           |  || CAST(doc_id AS VARCHAR)
+           |  || ' &amp; friends</h1><script>var x = 1; if (x < 2) { x = 2; }</script><p>'
+           |  || text
+           |  || '</p><p>&lt;i&gt; &quot;q&quot; &#39;t&#39; &amp;lt;</p></body></html>' AS html
+           |  FROM documents),
+           |x AS (SELECT doc_id,
+           |  trim(regexp_replace(
+           |    replace(replace(replace(replace(replace(
+           |      regexp_replace(
+           |        regexp_replace(
+           |          regexp_replace(html, '(?s)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+           |          '(?s)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+           |        '<[^>]*>', ' ', 'g'),
+           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           |    '\\s+', ' ', 'g')) AS text
+           |  FROM h),
+           |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM x),
+           |c AS (SELECT doc_id,
+           |        CAST(len(ws) AS DOUBLE) AS n_tok,
+           |        CAST(len(list_distinct(ws)) AS DOUBLE) AS n_typ,
+           |        CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','in','to'))) AS DOUBLE) AS n_stop,
+           |        ${OracleSql.langIdSql(TextAnalysis.langMarkers)} AS pred_lang
+           |      FROM t),
+           |q AS (SELECT doc_id, pred_lang,
+           |        least(1.0, n_tok/100.0) * 0.4
+           |          + (CASE WHEN n_tok > 0 THEN n_typ/n_tok ELSE 0.0 END) * 0.4
+           |          + least(1.0, n_stop/5.0) * 0.2 AS quality
+           |      FROM c)
+           |SELECT doc_id, pred_lang, round(quality, 4) AS quality_r
+           |FROM q WHERE pred_lang = 'en' AND quality >= 0.5
+           |ORDER BY doc_id""".stripMargin,
 
       "warc_read" ->
         """SELECT doc_id,
