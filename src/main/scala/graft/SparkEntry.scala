@@ -1373,6 +1373,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL-rule filtering (the FIRST web-pipeline gate, before fetch or
+    // extraction): deterministic synthetic URLs exercise every rule —
+    // blocklisted hosts, crawl-trap path depth, tracking-parameter
+    // aliases — and the kept/reason columns make the filter auditable.
+    // First-hit-wins rule order is part of the gated contract.
+    "text_url_filter" -> ((s, dir) => {
+      val urls = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(lit("http://"),
+          when(col("doc_id") % 7 === 0, lit("casino.bad"))
+            .when(col("doc_id") % 7 === 1, lit("ads.tracker.bad"))
+            .otherwise(concat(lit("site-"), col("doc_id") % 50, lit(".com"))),
+          expr("repeat('/seg', CAST(doc_id % 8 AS INT))"),
+          when(col("doc_id") % 5 === 0, lit("?utm_source=x&id=1"))
+            .otherwise(lit(""))).as("url"))
+      Curation.urlFilter(urls).orderBy("doc_id")
+    }),
+
     // the composed web-ingest flow a Common Crawl user runs end to
     // end: .warc.gz shards (HTML payloads) -> distributed framing
     // parse -> HTML -> text extraction -> langid + quality gate. The
@@ -3820,6 +3837,30 @@ object SparkEntry {
           |  FROM h)
           |SELECT doc_id, content, CAST(length(content) AS BIGINT) AS content_chars
           |FROM x ORDER BY doc_id""".stripMargin,
+
+      "text_url_filter" ->
+        """WITH u AS (SELECT doc_id,
+          |  'http://'
+          |  || (CASE WHEN doc_id % 7 = 0 THEN 'casino.bad'
+          |           WHEN doc_id % 7 = 1 THEN 'ads.tracker.bad'
+          |           ELSE 'site-' || CAST(doc_id % 50 AS VARCHAR) || '.com' END)
+          |  || repeat('/seg', CAST(doc_id % 8 AS INT))
+          |  || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&id=1' ELSE '' END) AS url
+          |  FROM documents),
+          |r AS (SELECT doc_id, url,
+          |  regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
+          |  len(string_split(regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)?', 1), '/')) - 1 AS depth
+          |  FROM u)
+          |SELECT doc_id, url,
+          |  CASE WHEN host LIKE '%.bad' THEN 'blocked_host'
+          |       WHEN depth > 5 THEN 'path_too_deep'
+          |       WHEN regexp_matches(url, '[?&](utm_[a-z]+|session)=') THEN 'tracking_params'
+          |       ELSE NULL END AS reject_reason,
+          |  (CASE WHEN host LIKE '%.bad' THEN 'blocked_host'
+          |        WHEN depth > 5 THEN 'path_too_deep'
+          |        WHEN regexp_matches(url, '[?&](utm_[a-z]+|session)=') THEN 'tracking_params'
+          |        ELSE NULL END) IS NULL AS kept
+          |FROM r ORDER BY doc_id""".stripMargin,
 
       "pipeline_web" ->
         s"""WITH h AS (SELECT doc_id,

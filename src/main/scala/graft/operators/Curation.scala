@@ -57,6 +57,39 @@ object Curation {
   }
 
   /**
+   * URL-rule filtering — the FIRST gate of a web-corpus pipeline
+   * (C4/RefinedWeb run URL rules before fetching or extracting
+   * anything): rules evaluate in a fixed order, first hit wins, and
+   * the row keeps its rejection reason so the filter is auditable
+   * (silent drops are how corpora rot). Rules:
+   *   1. `blocked_host` — host ends with a blocklisted suffix. The
+   *      blocklist is an in-plan literal chain here; at 100 TB a real
+   *      blocklist (UT1 et al, ~4M entries) becomes a broadcast semi
+   *      join on the registrable domain — same shape as the
+   *      decontamination probe;
+   *   2. `path_too_deep` — more than `maxDepth` path segments
+   *      (calendar/faceted-navigation crawl traps);
+   *   3. `tracking_params` — utm_ / session query parameters (dedup
+   *      poison: the same page under infinite URL aliases).
+   * Pure codegen builtins (regexp + split), no UDF, linear at scale.
+   */
+  def urlFilter(docs: DataFrame, urlCol: String = "url",
+      blockedSuffixes: Seq[String] = Seq(".bad"),
+      maxDepth: Int = 5): DataFrame = {
+    val host = regexp_extract(col(urlCol), "^[a-z]+://([^/?]+)", 1)
+    val path = regexp_extract(col(urlCol), "^[a-z]+://[^/?]+(/[^?]*)?", 1)
+    val depth = size(split(path, "/")) - 1
+    val blocked = blockedSuffixes
+      .map(sfx => host.endsWith(sfx)).reduce(_ || _)
+    val reason = when(blocked, lit("blocked_host"))
+      .when(depth > maxDepth, lit("path_too_deep"))
+      .when(col(urlCol).rlike("[?&](utm_[a-z]+|session)="), lit("tracking_params"))
+      .otherwise(lit(null).cast("string"))
+    docs.withColumn("reject_reason", reason)
+      .withColumn("kept", col("reject_reason").isNull)
+  }
+
+  /**
    * Benchmark decontamination: corpus docs sharing >= `minOverlap`
    * distinct word `n`-gram codes with ANY benchmark doc (eval-set
    * leakage check — a standard pre-training hygiene pass). LONG n-grams

@@ -2020,6 +2020,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq("a hi", "x &lt; y <b>", "t end"))
   }
 
+  test("urlFilter: first-hit-wins rule order, depth boundary, auditable reasons") {
+    import spark.implicits._
+    val got = Seq(
+      ("http://x.bad/a/b/c/d/e/f/g?utm_source=1", "blocked_host"), // all 3 match -> rule 1
+      ("http://ok.com/a/b/c/d/e/f?utm_source=1", "path_too_deep"), // 2+3 match -> rule 2
+      ("http://ok.com/a/b/c/d/e?utm_source=1", "tracking_params"), // depth == 5 passes rule 2
+      ("http://ok.com/a?id=1&session=z", "tracking_params"),
+      ("http://ok.com/a/b/c/d/e", null),
+      ("http://ok.com", null),
+      ("http://ok.com/?x=utm_source", null)) // utm_ as a VALUE, not a param
+    val out = graft.operators.Curation.urlFilter(
+        got.map(_._1).toDF("url"))
+      .select("url", "reject_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((u, want) <- got) assert(out(u) == want, u)
+  }
+
   test("every query runs at sf0.001 and every oracle key has a query") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
