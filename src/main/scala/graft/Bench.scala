@@ -796,6 +796,10 @@ object Bench {
     // fuzzy-join vocabulary-scale counters (VERDICT r11 #6)
     val fuzzyScale = scaleCheck("fuzzy")(graft.tools.RefWidthCheck.fuzzyAtVocabScale)
 
+    // WARC ingestion throughput at volume (~160 MB raw content; the
+    // fixture rows only parse a few MB)
+    val warcScale = scaleCheck("warc")(graft.tools.RefWidthCheck.warcAtVolumeScale)
+
     // ---- verdicts ----
     val sf1Contended = sf1.exists(_._1.contended)
     val reasons = s01.reasons ++ (if (sf1Contended) Seq("sf1") else Nil) ++
@@ -834,7 +838,7 @@ object Bench {
     val cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       .trim.toIntOption.getOrElse(-1)
     val json =
-      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"pca_scale":$pcaScale,"fuzzy_scale":$fuzzyScale,"bpe_scale":$bpeScale,"triangles_full":$trianglesFull,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"pca_scale":$pcaScale,"fuzzy_scale":$fuzzyScale,"bpe_scale":$bpeScale,"warc_scale":$warcScale,"triangles_full":$trianglesFull,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
     println(json)
     // the stdout line sits mid-tail between sbt [info] noise; the file
     // artifact is machine-readable without scraping the log tail

@@ -68,7 +68,7 @@ object Warc {
     out
   }
 
-  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+  private[graft] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
     gz.write(bytes); gz.close()

@@ -170,6 +170,69 @@ object RefWidthCheck {
     } finally words.unpersist(blocking = false)
   }
 
+  /** WARC ingestion at volume: the fixture rows parse a few MB, which
+    * says nothing about the format's 100 TB behavior — this check
+    * writes ~40k documents (~4 KB each, ~160 MB raw) as per-record-
+    * gzip `.warc.gz` shards DISTRIBUTED (one shard per partition, the
+    * production export shape) and times the distributed read, cold +
+    * steady. The interesting number is read MB/s of raw content: the
+    * reader's cost is gunzip + framing scan, both linear, and one task
+    * per shard file is the industry parallelism grain — throughput
+    * here is what a 1000-executor cluster would see per core. */
+  def warcAtVolumeScale(spark: SparkSession): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-scale").toString
+    val nDocs = 40000L
+    val wordsPerDoc = 600
+    val t0 = System.nanoTime()
+    spark.range(0L, nDocs, 1L, 32).as[Long].foreachPartition { (ids: Iterator[Long]) =>
+      if (ids.hasNext) {
+        val first = ids.next()
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+          s"$dir/shard-${"%08d".format(first)}.warc.gz"), 1 << 20)
+        try (Iterator(first) ++ ids).foreach { id =>
+          val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 5L)
+          val sb = new StringBuilder(wordsPerDoc * 7)
+          var i = 0
+          while (i < wordsPerDoc) {
+            if (i > 0) sb.append(' ')
+            val len = 3 + rnd.nextInt(8)
+            var j = 0
+            while (j < len) { sb.append(('a' + rnd.nextInt(26)).toChar); j += 1 }
+            i += 1
+          }
+          val rec = graft.sources.Warc.renderRecord("response",
+            f"00000000-0000-4000-8000-$id%012d", s"http://x.local/doc/$id",
+            "2026-01-01T00:00:00Z",
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.write(graft.sources.Warc.gzipMember(rec))
+        } finally out.close()
+      }
+    }
+    val writeSec = (System.nanoTime() - t0) / 1e9
+    val gzBytes = new java.io.File(dir).listFiles().map(_.length).sum
+    def readOnce(): (Long, Long, Double) = {
+      val t = System.nanoTime()
+      val agg = graft.sources.Warc.readClean(spark, s"$dir/*")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("content_len"))).head()
+      (agg.getLong(0), agg.getLong(1), (System.nanoTime() - t) / 1e9)
+    }
+    val (n1, raw1, cold) = readOnce()
+    val (n2, _, s1) = readOnce()
+    val (_, _, s2) = readOnce()
+    require(n1 == nDocs && n2 == nDocs, s"graft: warc scale check lost records ($n1/$n2 of $nDocs)")
+    val steady = math.min(s1, s2)
+    val rawMb = raw1 / 1e6
+    try f"""{"docs":$nDocs,"raw_mb":$rawMb%.1f,"gz_mb":${gzBytes / 1e6}%.1f,"write_sec":$writeSec%.3f,"read_cold_sec":$cold%.3f,"read_steady_sec":$steady%.3f,"read_mb_per_sec":${rawMb / steady}%.1f}"""
+    finally {
+      val d = new java.io.File(dir)
+      d.listFiles().foreach(_.delete()); d.delete(); ()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -185,6 +248,8 @@ object RefWidthCheck {
         println("[scalecheck] fuzzy " + fuzzyAtVocabScale(spark))
       if (args.isEmpty || args.contains("bpe"))
         println("[scalecheck] bpe " + bpeAtVocabScale(spark))
+      if (args.isEmpty || args.contains("warc"))
+        println("[scalecheck] warc " + warcAtVolumeScale(spark))
     } finally spark.stop()
   }
 }
