@@ -382,51 +382,39 @@ object SparkEntry {
         "</body></html>"))
 
   /** WARC fixture shards for a fixture dir, generated once per
-    * (session, dir): the documents table rendered as Common Crawl
-    * layout `.warc.gz` (per-record gzip members, 2 shards). Reps reuse
-    * the shards so the timed work is the READ — the scale path. */
-  private val warcFixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-  private def warcFixturePath(s: SparkSession, dir: String): String = {
-    warcFixtureCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    warcFixtureCache.computeIfAbsent((s, dir),
+    * (session, dir, variant): the documents table rendered as Common
+    * Crawl layout `.warc.gz` (per-record gzip members, 2 shards).
+    * Variants: "text" (content = raw text, the warc_read row) and
+    * "html" (content = [[htmlWrap]] synthetic HTML, the pipeline_web
+    * row — the payload a real crawl delivers). Reps reuse the shards
+    * so the timed work is the READ — the scale path. One helper owns
+    * cache/sweep/render for both so the twin rows cannot drift. */
+  private val warcFixtureCaches =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
+  private def warcFixture(s: SparkSession, dir: String, variant: String): String = {
+    warcFixtureCaches.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    warcFixtureCaches.computeIfAbsent((s, dir, variant),
       { _ =>
         val path = java.nio.file.Files
-          .createTempDirectory("graft-warc").toString
+          .createTempDirectory(s"graft-warc-$variant").toString
+        val content =
+          if (variant == "html") htmlWrap(col("doc_id"), col("text"))
+          else col("text")
         graft.sources.Warc.writeFixture(
           Tables.load(s, dir, "documents").select(
             concat(lit("00000000-0000-4000-8000-"),
               lpad(col("doc_id").cast("string"), 12, "0")).as("record_id"),
             concat(lit("http://corpus.local/doc/"), col("doc_id")).as("target_uri"),
             lit("2026-01-01T00:00:00Z").as("warc_date"),
-            col("text").as("content")),
+            content.as("content")),
           path, shards = 2, gzip = true)
         path
       })
   }
-
-  /** The pipeline_web twin of [[warcFixturePath]]: same shard layout,
-    * content = the synthetic HTML ([[htmlWrap]]) instead of raw text —
-    * the payload a real web crawl delivers. */
-  private val warcHtmlFixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-  private def warcHtmlFixturePath(s: SparkSession, dir: String): String = {
-    warcHtmlFixtureCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    warcHtmlFixtureCache.computeIfAbsent((s, dir),
-      { _ =>
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-warc-html").toString
-        graft.sources.Warc.writeFixture(
-          Tables.load(s, dir, "documents").select(
-            concat(lit("00000000-0000-4000-8000-"),
-              lpad(col("doc_id").cast("string"), 12, "0")).as("record_id"),
-            concat(lit("http://corpus.local/doc/"), col("doc_id")).as("target_uri"),
-            lit("2026-01-01T00:00:00Z").as("warc_date"),
-            htmlWrap(col("doc_id"), col("text")).as("content")),
-          path, shards = 2, gzip = true)
-        path
-      })
-  }
+  private def warcFixturePath(s: SparkSession, dir: String): String =
+    warcFixture(s, dir, "text")
+  private def warcHtmlFixturePath(s: SparkSession, dir: String): String =
+    warcFixture(s, dir, "html")
 
   private val postingIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
@@ -832,7 +820,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_missed"))
       nExact.crossJoin(nFound).crossJoin(nMissed)
         .select(col("n_exact"), col("n_found"), col("n_missed"),
-          expr("n_found * 10000 DIV n_exact").as("recall_x10k"))
+          // empty ground truth -> vacuous full recall (the DuckDB //
+          // would ERROR on /0 where Spark DIV yields null — guard both)
+          expr("CASE WHEN n_exact = 0 THEN 10000 ELSE n_found * 10000 DIV n_exact END")
+            .as("recall_x10k"))
     }),
 
     // pairs -> dedup groups: connected components of the MinHash near-dup
@@ -2915,8 +2906,9 @@ object SparkEntry {
            |       CAST((SELECT count(*) FROM ex
            |             WHERE NOT EXISTS (SELECT 1 FROM fo
            |                               WHERE fo.d1 = ex.d1 AND fo.d2 = ex.d2)) AS BIGINT) AS n_missed,
-           |       CAST((SELECT count(*) FROM fo) * 10000
-           |            // (SELECT count(*) FROM ex) AS BIGINT) AS recall_x10k""".stripMargin,
+           |       CAST(CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 10000
+           |                 ELSE (SELECT count(*) FROM fo) * 10000
+           |                      // (SELECT count(*) FROM ex) END AS BIGINT) AS recall_x10k""".stripMargin,
 
       "dedup_clusters" -> clustersSql,
       "dedup_clusters_stars" -> clustersSql,
@@ -3829,8 +3821,8 @@ object SparkEntry {
           |    replace(replace(replace(replace(replace(
           |      regexp_replace(
           |        regexp_replace(
-          |          regexp_replace(html, '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
-          |          '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+          |          regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+          |          '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
           |        '<[^>]*>', ' ', 'g'),
           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
           |    '\s+', ' ', 'g')) AS content
@@ -3848,17 +3840,17 @@ object SparkEntry {
           |  || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&id=1' ELSE '' END) AS url
           |  FROM documents),
           |r AS (SELECT doc_id, url,
-          |  regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
-          |  len(string_split(regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)?', 1), '/')) - 1 AS depth
+          |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?]*@)?([^/:?]+)', 1)) AS host,
+          |  len(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+(/[^?]*)?', 1), '/')) - 1 AS depth
           |  FROM u)
           |SELECT doc_id, url,
           |  CASE WHEN host LIKE '%.bad' THEN 'blocked_host'
           |       WHEN depth > 5 THEN 'path_too_deep'
-          |       WHEN regexp_matches(url, '[?&](utm_[a-z]+|session)=') THEN 'tracking_params'
+          |       WHEN regexp_matches(url, '(?i)[?&](utm_[a-z]+|session)=') THEN 'tracking_params'
           |       ELSE NULL END AS reject_reason,
           |  (CASE WHEN host LIKE '%.bad' THEN 'blocked_host'
           |        WHEN depth > 5 THEN 'path_too_deep'
-          |        WHEN regexp_matches(url, '[?&](utm_[a-z]+|session)=') THEN 'tracking_params'
+          |        WHEN regexp_matches(url, '(?i)[?&](utm_[a-z]+|session)=') THEN 'tracking_params'
           |        ELSE NULL END) IS NULL AS kept
           |FROM r ORDER BY doc_id""".stripMargin,
 
@@ -3876,8 +3868,8 @@ object SparkEntry {
            |    replace(replace(replace(replace(replace(
            |      regexp_replace(
            |        regexp_replace(
-           |          regexp_replace(html, '(?s)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-           |          '(?s)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+           |          regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+           |          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
            |        '<[^>]*>', ' ', 'g'),
            |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
            |    '\\s+', ' ', 'g')) AS text

@@ -76,14 +76,20 @@ object Curation {
   def urlFilter(docs: DataFrame, urlCol: String = "url",
       blockedSuffixes: Seq[String] = Seq(".bad"),
       maxDepth: Int = 5): DataFrame = {
-    val host = regexp_extract(col(urlCol), "^[a-z]+://([^/?]+)", 1)
-    val path = regexp_extract(col(urlCol), "^[a-z]+://[^/?]+(/[^?]*)?", 1)
+    // normalize before matching: scheme case-insensitive, optional
+    // userinfo@ stripped, :port stripped, host lowercased — each is a
+    // real-world blocklist bypass otherwise (http://Casino.BAD:8080/)
+    val host = lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?]*@)?([^/:?]+)", 1))
+    val path = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+(/[^?]*)?", 1)
     val depth = size(split(path, "/")) - 1
     val blocked = blockedSuffixes
-      .map(sfx => host.endsWith(sfx)).reduce(_ || _)
+      .map(sfx => host.endsWith(sfx.toLowerCase))
+      .foldLeft(lit(false))(_ || _) // fold: an empty blocklist is legal
     val reason = when(blocked, lit("blocked_host"))
       .when(depth > maxDepth, lit("path_too_deep"))
-      .when(col(urlCol).rlike("[?&](utm_[a-z]+|session)="), lit("tracking_params"))
+      .when(col(urlCol).rlike("(?i)[?&](utm_[a-z]+|session)="), lit("tracking_params"))
       .otherwise(lit(null).cast("string"))
     docs.withColumn("reject_reason", reason)
       .withColumn("kept", col("reject_reason").isNull)

@@ -227,8 +227,8 @@ object TextAnalysis {
    * the literal text `&lt;`, not `<` (the standard double-decode bug).
    */
   def htmlExtract(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?s)<script\\b[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style\\b[^>]*>.*?</style>", " ")
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
     val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&") // &amp; last

@@ -101,7 +101,7 @@ object Warc {
 
   // ---- reader (the scale path) ---------------------------------------
 
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+  private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     // GZIPInputStream reads CONCATENATED members transparently — the
     // per-record-member layout decompresses as one logical stream
     val in = new java.util.zip.GZIPInputStream(
@@ -168,9 +168,27 @@ object Warc {
       if (contentLen < 0 || pos + contentLen > bytes.length) {
         corrupt(s"bad Content-Length $contentLen"); return out.iterator
       }
-      val content = new String(bytes, pos, contentLen.toInt, StandardCharsets.UTF_8)
-      pos += contentLen.toInt
-      out += Row(warcType, recordId, targetUri, date, content, contentLen, null)
+      // WARC-Type is mandatory (ISO 28500 §5.5) and readClean keys on
+      // it — a well-framed record missing it quarantines (the framing
+      // is intact, so parsing CONTINUES with the next record)
+      if (warcType == null) {
+        corrupt("missing mandatory WARC-Type header")
+        pos += contentLen.toInt
+      } else {
+        // STRICT UTF-8 decode: this is the text lane, and a malformed
+        // byte sequence must quarantine loudly, not silently become
+        // U+FFFD mush that no longer matches content_len (a binary-
+        // payload lane would carry bytes, not String)
+        val dec = StandardCharsets.UTF_8.newDecoder() // REPORT on malformed
+        try {
+          val content = dec.decode(java.nio.ByteBuffer.wrap(
+            bytes, pos, contentLen.toInt)).toString
+          out += Row(warcType, recordId, targetUri, date, content, contentLen, null)
+        } catch { case _: java.nio.charset.CharacterCodingException =>
+          corrupt(s"record block is not valid UTF-8 (id=$recordId)")
+        }
+        pos += contentLen.toInt
+      }
     }
     out.iterator
   }
@@ -184,9 +202,17 @@ object Warc {
       .select(col("path"), col("content"))
       .rdd.flatMap { r =>
         val body = r.getAs[Array[Byte]](1)
-        val bytes =
-          if (r.getString(0).endsWith(".gz")) gunzipAll(body) else body
-        parseFile(bytes)
+        // gzip-layer corruption (truncated member, 0-byte shard) is
+        // quarantined like framing corruption — the contract is
+        // never-fatal, and the gzip stream dies BEFORE parseFile's
+        // own quarantine could see anything
+        if (r.getString(0).endsWith(".gz")) {
+          try parseFile(gunzipAll(body))
+          catch { case e: java.io.IOException =>
+            Iterator(Row("_corrupt", null, null, null, null, 0L,
+              s"gzip stream failed in ${r.getString(0).split('/').last}: ${e.getMessage}"))
+          }
+        } else parseFile(body)
       }
     spark.createDataFrame(parsed, schema)
   }

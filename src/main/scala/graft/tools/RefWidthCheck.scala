@@ -184,6 +184,7 @@ object RefWidthCheck {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-scale").toString
     val nDocs = 40000L
     val wordsPerDoc = 600
+    try {
     val t0 = System.nanoTime()
     spark.range(0L, nDocs, 1L, 32).as[Long].foreachPartition { (ids: Iterator[Long]) =>
       if (ids.hasNext) {
@@ -226,10 +227,12 @@ object RefWidthCheck {
     require(n1 == nDocs && n2 == nDocs, s"graft: warc scale check lost records ($n1/$n2 of $nDocs)")
     val steady = math.min(s1, s2)
     val rawMb = raw1 / 1e6
-    try f"""{"docs":$nDocs,"raw_mb":$rawMb%.1f,"gz_mb":${gzBytes / 1e6}%.1f,"write_sec":$writeSec%.3f,"read_cold_sec":$cold%.3f,"read_steady_sec":$steady%.3f,"read_mb_per_sec":${rawMb / steady}%.1f}"""
-    finally {
+    f"""{"docs":$nDocs,"raw_mb":$rawMb%.1f,"gz_mb":${gzBytes / 1e6}%.1f,"write_sec":$writeSec%.3f,"read_cold_sec":$cold%.3f,"read_steady_sec":$steady%.3f,"read_mb_per_sec":${rawMb / steady}%.1f}"""
+    } finally {
+      // covers the write+read body too: a failed check must not leak
+      // ~120 MB of shards into /tmp on every degraded protocol run
       val d = new java.io.File(dir)
-      d.listFiles().foreach(_.delete()); d.delete(); ()
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete(); ()
     }
   }
 

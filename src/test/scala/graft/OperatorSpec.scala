@@ -2010,6 +2010,8 @@ class OperatorSpec extends AnyFunSuite {
       // a bare '<' inside script: naive tag-stripping would eat
       // "< 2) { x = 2; }</script><p>hi" as one tag — block-first keeps "hi"
       "<p>a</p><script>if (x < 2) { x = 2; }</script><p>hi</p>",
+      // real web HTML mixes tag case: block removal must be (?i)
+      "<SCRIPT>var s=1;</Script><STYLE>p{}</style><p>up</p>",
       // &amp;lt; must decode to the literal text "&lt;", not "<"
       "x &amp;lt; y &lt;b&gt;",
       // style block + attributes + multiline whitespace
@@ -2017,7 +2019,7 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("html")
       .select(graft.operators.TextAnalysis.htmlExtract(col("html")).as("t"))
       .collect().map(_.getString(0)).toSeq
-    assert(got == Seq("a hi", "x &lt; y <b>", "t end"))
+    assert(got == Seq("a hi", "up", "x &lt; y <b>", "t end"))
   }
 
   test("urlFilter: first-hit-wins rule order, depth boundary, auditable reasons") {
@@ -2029,7 +2031,12 @@ class OperatorSpec extends AnyFunSuite {
       ("http://ok.com/a?id=1&session=z", "tracking_params"),
       ("http://ok.com/a/b/c/d/e", null),
       ("http://ok.com", null),
-      ("http://ok.com/?x=utm_source", null)) // utm_ as a VALUE, not a param
+      ("http://ok.com/?x=utm_source", null), // utm_ as a VALUE, not a param
+      // normalization: port, userinfo, case must not bypass the rules
+      ("http://casino.bad:8080/", "blocked_host"),
+      ("http://user:pw@casino.bad/", "blocked_host"),
+      ("HTTP://Casino.BAD/", "blocked_host"),
+      ("http://ok.com/a?UTM_Source=x", "tracking_params"))
     val out = graft.operators.Curation.urlFilter(
         got.map(_._1).toDF("url"))
       .select("url", "reject_reason").collect()

@@ -37,19 +37,6 @@ class WarcPropertySpec extends AnyFunSuite {
   private def cases[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
 
-  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(bytes); gz.close()
-    bos.toByteArray
-  }
-
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try in.readAllBytes() finally in.close()
-  }
-
   test("any record batch round-trips byte-exactly through render -> parse, plain and gzip") {
     for (i <- 0 until 40) {
       val recs = cases(genRecord, 1 + i % 7, 0xAA00L + i)
@@ -58,7 +45,7 @@ class WarcPropertySpec extends AnyFunSuite {
           c.getBytes(StandardCharsets.UTF_8))
       }
       val plain = body.flatten.toArray
-      val gz = gunzipAll(body.map(gzipMember).flatten.toArray)
+      val gz = Warc.gunzipAll(body.map(Warc.gzipMember).flatten.toArray)
       for ((bytes, tag) <- Seq((plain, "plain"), (gz, "gzip"))) {
         val rows = Warc.parseFile(bytes).toSeq
         assert(rows.length == recs.length, s"case $i $tag: row count")

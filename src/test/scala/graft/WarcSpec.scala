@@ -87,6 +87,54 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.readClean(spark, s"$dir/*").count() == 1)
   }
 
+  test("gzip-layer corruption quarantines, never kills the read: 0-byte and truncated .gz shards") {
+    val dir = Files.createTempDirectory("graft-warc-gzbad").toString
+    Warc.writeFixture(fixtureDf.limit(1), dir, shards = 1, gzip = true)
+    val goodGz = new java.io.File(dir).listFiles().head
+    // 0-byte shard (also what writeFixture(shards > rows) produces):
+    // binaryFile skips empty files, so it contributes NO rows — zero
+    // records lost, not a quarantine case
+    Files.write(java.nio.file.Paths.get(dir, "empty.warc.gz"), Array.emptyByteArray)
+    // truncated member: drop the second half of a valid gz file
+    val gzBytes = Files.readAllBytes(goodGz.toPath)
+    Files.write(java.nio.file.Paths.get(dir, "trunc.warc.gz"),
+      java.util.Arrays.copyOfRange(gzBytes, 0, gzBytes.length / 2))
+    val rows = Warc.read(spark, s"$dir/*").collect()
+    val clean = rows.filter(_.getString(0) != "_corrupt")
+    val corrupt = rows.filter(_.getString(0) == "_corrupt")
+    assert(clean.length == 1)
+    assert(corrupt.length == 1)
+    assert(corrupt.head.getString(6).contains("gzip stream failed"))
+    assert(corrupt.head.getString(6).contains("trunc.warc.gz"))
+  }
+
+  test("missing mandatory WARC-Type and invalid-UTF-8 blocks quarantine, parse continues") {
+    val dir = Files.createTempDirectory("graft-warc-hdr").toString
+    val noType = ("WARC/1.0\r\nWARC-Record-ID: <urn:uuid:id-2>\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val good = Warc.renderRecord("response", "id-3", "http://x/3",
+      "2026-01-01T00:00:00Z", "fine".getBytes(StandardCharsets.UTF_8))
+    // well-framed record whose block is malformed UTF-8 (lone 0xFF)
+    val badUtf8 = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:id-4>\r\nContent-Length: 3\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8) ++
+      Array[Byte](0x61, -1, 0x62) ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    val good2 = Warc.renderRecord("response", "id-5", "http://x/5",
+      "2026-01-01T00:00:00Z", "tail".getBytes(StandardCharsets.UTF_8))
+    Files.write(java.nio.file.Paths.get(dir, "x.warc"),
+      noType ++ good ++ badUtf8 ++ good2)
+    val rows = Warc.read(spark, s"$dir/*").collect()
+    val clean = rows.filter(_.getString(0) != "_corrupt")
+    val corrupt = rows.filter(_.getString(0) == "_corrupt")
+    // BOTH well-framed bad records quarantine and BOTH good records
+    // survive — framing-intact corruption does not stop the parse
+    assert(clean.map(_.getString(1)).toSet == Set("id-3", "id-5"))
+    assert(corrupt.length == 2)
+    assert(corrupt.exists(_.getString(6).contains("missing mandatory WARC-Type")))
+    assert(corrupt.exists(r => r.getString(6).contains("not valid UTF-8")
+      && r.getString(6).contains("id-4")))
+  }
+
   test("unknown headers are legal and skipped; extra inter-record padding tolerated") {
     val dir = Files.createTempDirectory("graft-warc-extra").toString
     val rec = ("WARC/1.0\r\nWARC-Type: response\r\nX-Custom: whatever\r\n" +
