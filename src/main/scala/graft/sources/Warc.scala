@@ -101,79 +101,258 @@ object Warc {
 
   // ---- reader (the scale path) ---------------------------------------
 
+  /** Streams the decompressed concatenation of a multi-member gzip
+    * file MEMBER BY MEMBER with O(buffer) memory — never a whole-shard
+    * byte array (real Common Crawl shards are ~1 GB compressed and
+    * 4-5 GB raw, past the 2 GB JVM array bound). Unlike
+    * `GZIPInputStream`'s transparent concatenated-member mode — which
+    * silently treats a corrupt next-member header or inter-member
+    * garbage as end-of-stream, dropping every record after it — this
+    * decoder FAILS LOUDLY (IOException) on:
+    *
+    *  - bytes between members that are not a gzip magic header,
+    *  - a truncated member, header, or trailer,
+    *  - corrupt deflate data,
+    *  - a per-member CRC32 or ISIZE trailer mismatch.
+    *
+    * The caller maps the exception to a `_corrupt` quarantine row, so
+    * the module's never-dropped-silently contract holds through the
+    * gzip layer too. Immediate EOF before the first member (a 0-byte
+    * shard) is a legal empty stream, not corruption. */
+  private[graft] final class GzipMembersInputStream(raw: java.io.InputStream)
+      extends java.io.InputStream {
+    private val in = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(raw, 64 * 1024), 64 * 1024)
+    private val inBuf = new Array[Byte](32 * 1024)
+    private var lastLen = 0 // bytes of the current setInput segment
+    private var inf: java.util.zip.Inflater = null
+    private val crc = new java.util.zip.CRC32()
+    private var memberBytes = 0L
+    private var done = false
+    private val one = new Array[Byte](1)
+
+    private def fail(msg: String): Nothing = throw new java.io.IOException(msg)
+
+    private def readFully(n: Int, what: String): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(b, off, n - off)
+        if (r < 0) fail(s"truncated gzip $what")
+        off += r
+      }
+      b
+    }
+
+    private def skipZeroTerminated(what: String): Unit = {
+      var b = in.read()
+      while (b > 0) b = in.read()
+      if (b < 0) fail(s"truncated gzip $what")
+    }
+
+    /** Position `in` at the current member's deflate data, or set
+      * `done` on clean EOF at a member boundary. RFC 1952 header:
+      * magic, CM, FLG, MTIME(4), XFL, OS, then FLG-gated fields. */
+    private def startMember(): Unit = {
+      val b1 = in.read()
+      if (b1 < 0) { done = true; return }
+      val b2 = in.read()
+      if (b2 < 0 || (b1 & 0xff) != 0x1f || (b2 & 0xff) != 0x8b)
+        fail(f"garbage between gzip members (0x${b1 & 0xff}%02x) where a member header was expected")
+      val hdr = readFully(8, "member header")
+      if ((hdr(0) & 0xff) != 8) fail(s"unsupported gzip compression method ${hdr(0) & 0xff}")
+      val flg = hdr(1) & 0xff
+      if ((flg & 0x04) != 0) { // FEXTRA
+        val xl = readFully(2, "FEXTRA length")
+        readFully((xl(0) & 0xff) | ((xl(1) & 0xff) << 8), "FEXTRA field")
+      }
+      if ((flg & 0x08) != 0) skipZeroTerminated("FNAME field")
+      if ((flg & 0x10) != 0) skipZeroTerminated("FCOMMENT field")
+      if ((flg & 0x02) != 0) readFully(2, "FHCRC field")
+      inf = new java.util.zip.Inflater(true)
+      lastLen = 0
+      crc.reset(); memberBytes = 0L
+    }
+
+    /** Verify the 8-byte CRC32+ISIZE trailer and return over-read
+      * bytes (the inflater's readahead) to the stream — they belong to
+      * the trailer and the next member. */
+    private def finishMember(): Unit = {
+      val rem = inf.getRemaining
+      if (rem > 0) in.unread(inBuf, lastLen - rem, rem)
+      inf.end(); inf = null
+      val tr = readFully(8, "member trailer")
+      def u32(o: Int): Long = (tr(o) & 0xffL) | ((tr(o + 1) & 0xffL) << 8) |
+        ((tr(o + 2) & 0xffL) << 16) | ((tr(o + 3) & 0xffL) << 24)
+      if (u32(0) != crc.getValue) fail("gzip member CRC32 mismatch")
+      if (u32(4) != (memberBytes & 0xffffffffL)) fail("gzip member ISIZE mismatch")
+    }
+
+    override def read(): Int =
+      if (read(one, 0, 1) < 0) -1 else one(0) & 0xff
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (done) return -1
+        if (inf == null) startMember()
+        else if (inf.finished()) finishMember()
+        else {
+          if (inf.needsInput) {
+            val n = in.read(inBuf)
+            if (n < 0) fail("truncated gzip member (deflate stream ends at EOF)")
+            lastLen = n
+            inf.setInput(inBuf, 0, n)
+          }
+          val n = try inf.inflate(b, off, len) catch {
+            case e: java.util.zip.DataFormatException =>
+              fail(s"corrupt deflate data: ${e.getMessage}")
+          }
+          if (n > 0) { crc.update(b, off, n); memberBytes += n; return n }
+          if (inf.finished()) finishMember()
+        }
+      }
+      -1 // unreachable
+    }
+
+    override def close(): Unit = {
+      if (inf != null) { inf.end(); inf = null }
+      in.close()
+    }
+  }
+
+  /** Decompress a multi-member gzip byte array (test/fixture-sized —
+    * the scale path streams via [[GzipMembersInputStream]] directly). */
   private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    // GZIPInputStream reads CONCATENATED members transparently — the
-    // per-record-member layout decompresses as one logical stream
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val in = new GzipMembersInputStream(new java.io.ByteArrayInputStream(bytes))
     try in.readAllBytes() finally in.close()
   }
 
-  /** Parse one (decompressed) WARC file body into records. Malformed
-    * framing yields one `_corrupt` row for the unparseable tail and
-    * stops — a length-framed format cannot resynchronize reliably
-    * after a broken Content-Length, and guessing silently corrupts
-    * record boundaries. */
-  private[graft] def parseFile(bytes: Array[Byte]): Iterator[Row] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    var pos = 0
-    def corrupt(msg: String): Unit = {
-      out += Row(s"_corrupt", null, null, null, null, 0L, s"$msg at offset $pos")
+  /** Headers are tiny (ISO 28500 named fields); a "header line" past
+    * this bound means the framing is broken, and an unbounded line
+    * accumulator would defeat the O(record) memory guarantee. */
+  private val MaxHeaderLine = 64 * 1024
+
+  /** Parse a decompressed WARC stream into records INCREMENTALLY —
+    * memory is O(one record), never O(shard). Malformed framing yields
+    * one `_corrupt` row for the unparseable tail and stops — a
+    * length-framed format cannot resynchronize reliably after a broken
+    * Content-Length, and guessing silently corrupts record boundaries.
+    * Framing-intact corruption (missing WARC-Type, invalid UTF-8
+    * block) quarantines that record and CONTINUES. IOExceptions from
+    * the underlying stream (e.g. the gzip layer) propagate — the
+    * caller quarantines them per file. */
+  private[graft] def parseStream(in0: java.io.InputStream): Iterator[Row] = new Iterator[Row] {
+    private val in = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(in0, 64 * 1024), 4)
+    private var pos = 0L      // decompressed offset, for corrupt messages
+    private var stopped = false // fatal framing corruption: no resync
+    private var eof = false
+    private var pending: Row = null
+    private var overlong = false
+
+    def hasNext: Boolean = {
+      if (pending == null && !stopped && !eof) advance()
+      pending != null
     }
-    // index of the CRLF ending the line starting at `from`, -1 if the
-    // data ends without one (truncated header)
-    def lineEnd(from: Int): Int = {
-      var i = from
-      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-      if (i + 1 < bytes.length) i else -1
+    def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException("WARC stream exhausted")
+      val r = pending; pending = null; r
     }
-    while (pos < bytes.length) {
-      // skip inter-record padding (tolerate extra CRLFs)
-      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n') pos += 2
-      if (pos >= bytes.length) return out.iterator
-      val vEnd = lineEnd(pos)
-      if (vEnd < 0) { corrupt("truncated version line"); return out.iterator }
-      val version = new String(bytes, pos, vEnd - pos, StandardCharsets.UTF_8)
-      if (!version.startsWith("WARC/")) { corrupt(s"expected WARC version line, got '${version.take(40)}'"); return out.iterator }
-      pos = vEnd + 2
+
+    private def corruptRow(msg: String): Row =
+      Row("_corrupt", null, null, null, null, 0L, s"$msg at offset $pos")
+    private def fatal(msg: String): Unit = { pending = corruptRow(msg); stopped = true }
+
+    /** CRLF-terminated line; null = EOF (or the MaxHeaderLine bound,
+      * flagged via `overlong`) before the terminator. Lone CRs stay in
+      * the line, matching the two-byte-delimiter scan semantics. */
+    private def readLine(): String = {
+      overlong = false
+      val sb = new java.io.ByteArrayOutputStream(64)
+      while (sb.size <= MaxHeaderLine) {
+        val b = in.read()
+        if (b < 0) return null
+        pos += 1
+        if (b == '\r') {
+          val b2 = in.read()
+          if (b2 < 0) return null
+          pos += 1
+          if (b2 == '\n') return new String(sb.toByteArray, StandardCharsets.UTF_8)
+          sb.write(b); sb.write(b2)
+        } else sb.write(b)
+      }
+      overlong = true
+      null
+    }
+
+    private def advance(): Unit = {
+      // skip inter-record padding (tolerate extra CRLFs); clean EOF
+      // is only legal at a record boundary
+      while (true) {
+        val b1 = in.read()
+        if (b1 < 0) { eof = true; return }
+        if (b1 == '\r') {
+          val b2 = in.read()
+          if (b2 == '\n') { pos += 2 }
+          else {
+            if (b2 >= 0) in.unread(b2)
+            in.unread(b1)
+            parseRecord(); return
+          }
+        } else { in.unread(b1); parseRecord(); return }
+      }
+    }
+
+    private def parseRecord(): Unit = {
+      val version = readLine()
+      if (version == null) {
+        fatal(if (overlong) s"header line exceeds $MaxHeaderLine bytes" else "truncated version line"); return
+      }
+      if (!version.startsWith("WARC/")) {
+        fatal(s"expected WARC version line, got '${version.take(40)}'"); return
+      }
       var warcType: String = null; var recordId: String = null
       var targetUri: String = null; var date: String = null
       var contentLen: Long = -1L
-      var headerOk = true
       var done = false
-      while (!done && headerOk) {
-        val hEnd = lineEnd(pos)
-        if (hEnd < 0) { corrupt("unterminated header block"); headerOk = false }
-        else {
-          val line = new String(bytes, pos, hEnd - pos, StandardCharsets.UTF_8)
-          pos = hEnd + 2
-          if (line.isEmpty) done = true
-          else line.split(":", 2) match {
-            case Array(k, v) =>
-              k.trim.toLowerCase match {
-                case "warc-type" => warcType = v.trim
-                case "warc-record-id" =>
-                  recordId = v.trim.stripPrefix("<urn:uuid:").stripSuffix(">")
-                case "warc-target-uri" => targetUri = v.trim
-                case "warc-date" => date = v.trim
-                case "content-length" =>
-                  contentLen = v.trim.toLongOption.getOrElse(-1L)
-                case _ => () // unknown headers are legal, skipped
-              }
-            case _ => corrupt(s"malformed header line '${line.take(40)}'"); headerOk = false
-          }
+      while (!done) {
+        val line = readLine()
+        if (line == null) {
+          fatal(if (overlong) s"header line exceeds $MaxHeaderLine bytes" else "unterminated header block"); return
+        }
+        if (line.isEmpty) done = true
+        else line.split(":", 2) match {
+          case Array(k, v) =>
+            k.trim.toLowerCase match {
+              case "warc-type" => warcType = v.trim
+              case "warc-record-id" =>
+                recordId = v.trim.stripPrefix("<urn:uuid:").stripSuffix(">")
+              case "warc-target-uri" => targetUri = v.trim
+              case "warc-date" => date = v.trim
+              case "content-length" =>
+                contentLen = v.trim.toLongOption.getOrElse(-1L)
+              case _ => () // unknown headers are legal, skipped
+            }
+          case _ => fatal(s"malformed header line '${line.take(40)}'"); return
         }
       }
-      if (!headerOk) return out.iterator
-      if (contentLen < 0 || pos + contentLen > bytes.length) {
-        corrupt(s"bad Content-Length $contentLen"); return out.iterator
+      // a >2 GB single record breaks the JVM's array/String bound and
+      // is far outside any sane WARC — quarantine like a negative
+      if (contentLen < 0 || contentLen > Int.MaxValue - 16) {
+        fatal(s"bad Content-Length $contentLen"); return
+      }
+      val block = in.readNBytes(contentLen.toInt)
+      if (block.length < contentLen) {
+        pos += block.length
+        fatal(s"bad Content-Length $contentLen"); return
       }
       // WARC-Type is mandatory (ISO 28500 §5.5) and readClean keys on
       // it — a well-framed record missing it quarantines (the framing
       // is intact, so parsing CONTINUES with the next record)
       if (warcType == null) {
-        corrupt("missing mandatory WARC-Type header")
-        pos += contentLen.toInt
+        pending = corruptRow("missing mandatory WARC-Type header")
+        pos += contentLen
       } else {
         // STRICT UTF-8 decode: this is the text lane, and a malformed
         // byte sequence must quarantine loudly, not silently become
@@ -181,39 +360,83 @@ object Warc {
         // payload lane would carry bytes, not String)
         val dec = StandardCharsets.UTF_8.newDecoder() // REPORT on malformed
         try {
-          val content = dec.decode(java.nio.ByteBuffer.wrap(
-            bytes, pos, contentLen.toInt)).toString
-          out += Row(warcType, recordId, targetUri, date, content, contentLen, null)
+          val content = dec.decode(java.nio.ByteBuffer.wrap(block)).toString
+          pending = Row(warcType, recordId, targetUri, date, content, contentLen, null)
         } catch { case _: java.nio.charset.CharacterCodingException =>
-          corrupt(s"record block is not valid UTF-8 (id=$recordId)")
+          pending = corruptRow(s"record block is not valid UTF-8 (id=$recordId)")
         }
-        pos += contentLen.toInt
+        pos += contentLen
       }
     }
-    out.iterator
   }
 
-  /** Read WARC shards DISTRIBUTED: one binaryFile task per shard file
-    * (`.warc` plain or `.warc.gz` multi-member), executor-side framing
-    * parse. Corrupt framing surfaces as `warc_type = '_corrupt'` rows
-    * with the reason — filter them out or fail on them explicitly. */
-  def read(spark: SparkSession, glob: String): DataFrame = {
-    val parsed = spark.read.format("binaryFile").load(glob)
-      .select(col("path"), col("content"))
-      .rdd.flatMap { r =>
-        val body = r.getAs[Array[Byte]](1)
-        // gzip-layer corruption (truncated member, 0-byte shard) is
-        // quarantined like framing corruption — the contract is
-        // never-fatal, and the gzip stream dies BEFORE parseFile's
-        // own quarantine could see anything
-        if (r.getString(0).endsWith(".gz")) {
-          try parseFile(gunzipAll(body))
-          catch { case e: java.io.IOException =>
-            Iterator(Row("_corrupt", null, null, null, null, 0L,
-              s"gzip stream failed in ${r.getString(0).split('/').last}: ${e.getMessage}"))
-          }
-        } else parseFile(body)
+  /** Whole-array parse (tests/fixtures); the scale path is [[parseStream]]. */
+  private[graft] def parseFile(bytes: Array[Byte]): Iterator[Row] =
+    parseStream(new java.io.ByteArrayInputStream(bytes))
+
+  /** Pull-parse one shard; ANY IOException from the gzip/IO layer
+    * becomes one final `_corrupt` row for the tail — records already
+    * emitted before the corruption point stay emitted (mid-file
+    * corruption loses THAT tail only), and the quarantine row carries
+    * the shard name + cause. The stream opens lazily on first pull and
+    * closes on exhaustion or failure. */
+  private def fileRows(path: String, open: () => java.io.InputStream,
+      isGz: Boolean): Iterator[Row] = new Iterator[Row] {
+    private var base: java.io.InputStream = null
+    private var under: Iterator[Row] = null
+    private var pending: Row = null
+    private var closed = false
+
+    private def quarantine(e: java.io.IOException): Unit = {
+      val kind = if (isGz) "gzip stream failed" else "read failed"
+      pending = Row("_corrupt", null, null, null, null, 0L,
+        s"$kind in ${path.split('/').last}: ${e.getMessage}")
+      closeNow(); under = Iterator.empty
+    }
+    private def closeNow(): Unit = if (!closed) {
+      closed = true
+      if (base != null) try base.close() catch { case _: java.io.IOException => () }
+    }
+
+    def hasNext: Boolean = {
+      if (pending != null) return true
+      try {
+        if (under == null) {
+          if (closed) return false
+          base = open()
+          under = parseStream(if (isGz) new GzipMembersInputStream(base) else base)
+        }
+        val h = under.hasNext
+        if (!h) closeNow()
+        h
+      } catch { case e: java.io.IOException => quarantine(e); true }
+    }
+    def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException("WARC shard exhausted")
+      if (pending != null) { val p = pending; pending = null; p }
+      else try under.next() catch {
+        case e: java.io.IOException => quarantine(e); val p = pending; pending = null; p
       }
+    }
+  }
+
+  /** Read WARC shards DISTRIBUTED AND STREAMED: one task per shard
+    * file (`.warc` plain or `.warc.gz` multi-member), executor-side
+    * framing parse, memory bounded at O(one record) — a shard is never
+    * materialized as a byte array, compressed or decompressed (real
+    * Common Crawl shards decompress past the 2 GB JVM array bound).
+    * The parallelism grain stays one-file-per-task (`binaryFiles`
+    * packs small shards into combined splits); per-member gzip makes
+    * in-file splitting pointless for a batch engine — the file count
+    * IS the parallelism at 100 TB. Corrupt framing, gzip-layer
+    * corruption (garbage between members, truncated member, CRC
+    * mismatch), and IO failure all surface as `warc_type = '_corrupt'`
+    * rows with the reason — filter them out or fail on them
+    * explicitly. */
+  def read(spark: SparkSession, glob: String): DataFrame = {
+    val parsed = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
+      fileRows(path, () => pds.open(), path.endsWith(".gz"))
+    }
     spark.createDataFrame(parsed, schema)
   }
 

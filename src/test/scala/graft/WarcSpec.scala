@@ -108,6 +108,76 @@ class WarcSpec extends AnyFunSuite {
     assert(corrupt.head.getString(6).contains("trunc.warc.gz"))
   }
 
+  test("garbage between gzip members quarantines the tail LOUDLY, keeps prior records") {
+    // GZIPInputStream's concatenated-member mode silently treats a
+    // corrupt next-member header as EOF — every record after it would
+    // be dropped with no quarantine row. The member-by-member decoder
+    // must instead fail loudly and quarantine.
+    val dir = Files.createTempDirectory("graft-warc-gzgap").toString
+    val rec1 = Warc.renderRecord("response", "id-1", "http://x/1",
+      "2026-01-01T00:00:00Z", "before".getBytes(StandardCharsets.UTF_8))
+    val rec2 = Warc.renderRecord("response", "id-2", "http://x/2",
+      "2026-01-01T00:00:00Z", "after".getBytes(StandardCharsets.UTF_8))
+    Files.write(java.nio.file.Paths.get(dir, "gap.warc.gz"),
+      Warc.gzipMember(rec1) ++ "JUNK-BETWEEN-MEMBERS".getBytes(StandardCharsets.UTF_8) ++
+        Warc.gzipMember(rec2))
+    val rows = Warc.read(spark, s"$dir/*").collect()
+    val clean = rows.filter(_.getString(0) != "_corrupt")
+    val corrupt = rows.filter(_.getString(0) == "_corrupt")
+    assert(clean.length == 1 && clean.head.getString(1) == "id-1")
+    assert(corrupt.length == 1)
+    assert(corrupt.head.getString(6).contains("garbage between gzip members"))
+  }
+
+  test("corrupted member payload (flipped byte) quarantines via deflate/CRC check, keeps prior records") {
+    val dir = Files.createTempDirectory("graft-warc-gzflip").toString
+    val rec1 = Warc.renderRecord("response", "id-1", "http://x/1",
+      "2026-01-01T00:00:00Z", "before".getBytes(StandardCharsets.UTF_8))
+    val rec2 = Warc.renderRecord("response", "id-2", "http://x/2",
+      "2026-01-01T00:00:00Z", "corrupt me".getBytes(StandardCharsets.UTF_8))
+    val m2 = Warc.gzipMember(rec2)
+    m2(m2.length / 2) = (m2(m2.length / 2) ^ 0x55).toByte // mid-deflate flip
+    Files.write(java.nio.file.Paths.get(dir, "flip.warc.gz"),
+      Warc.gzipMember(rec1) ++ m2)
+    val rows = Warc.read(spark, s"$dir/*").collect()
+    val clean = rows.filter(_.getString(0) != "_corrupt")
+    val corrupt = rows.filter(_.getString(0) == "_corrupt")
+    assert(clean.length == 1 && clean.head.getString(1) == "id-1")
+    assert(corrupt.length == 1)
+    assert(corrupt.head.getString(6).contains("gzip stream failed in flip.warc.gz"))
+  }
+
+  test("scale: a > 2.5 GB-decompressed shard streams with O(record) memory (past the 2 GB array bound)") {
+    // the old whole-shard path (readAllBytes into one Array[Byte])
+    // hard-fails above Int.MaxValue bytes regardless of heap; the
+    // member-by-member stream must parse it with flat per-record
+    // memory. One ~1 MiB record gzipped once, its member bytes
+    // repeated 2600x — decompressed 2.6e9 bytes, compressed ~10 MB.
+    val dir = Files.createTempDirectory("graft-warc-scale").toString
+    val unit = "the quick brown fox jumps over the lazy dog 0123456789 "
+    val content = (unit * (1048576 / unit.length + 1)).take(1048576)
+    val member = Warc.gzipMember(Warc.renderRecord("response",
+      "00000000-0000-4000-8000-00000000cafe", "http://corpus.local/big",
+      "2026-01-01T00:00:00Z", content.getBytes(StandardCharsets.UTF_8)))
+    val n = 2600
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+      s"$dir/scale-00000.warc.gz"), 1 << 20)
+    try (0 until n).foreach(_ => out.write(member)) finally out.close()
+    val decompressed = n.toLong * (content.length + 200) // > 2.6e9
+    assert(decompressed > Int.MaxValue.toLong, "fixture must exceed the array bound")
+    import org.apache.spark.sql.functions._
+    val agg = Warc.read(spark, s"$dir/*")
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(col("content_len")).as("bytes"),
+        sum(when(col("warc_type") === "_corrupt", 1).otherwise(0)).as("corrupt"))
+      .collect().head
+    assert(agg.getLong(0) == n.toLong)
+    assert(agg.getLong(1) == n.toLong * content.length)
+    assert(agg.getLong(1) > 2500000000L)
+    assert(agg.getLong(2) == 0L)
+  }
+
   test("missing mandatory WARC-Type and invalid-UTF-8 blocks quarantine, parse continues") {
     val dir = Files.createTempDirectory("graft-warc-hdr").toString
     val noType = ("WARC/1.0\r\nWARC-Record-ID: <urn:uuid:id-2>\r\n" +
