@@ -2137,7 +2137,11 @@ object SparkEntry {
     // the sorted basket by the compiled [[graft.functions.SortedPairs]]
     // kernel (lines-per-order is bounded — TPC-H <= 7 — so fan-out is
     // <= 21 per order, never quadratic in the table; the interpreted
-    // HOF form measured 1.4 s of the budget by itself). The
+    // HOF form measured 1.4 s of the budget by itself). Since r15 the
+    // kernel is rank-distance-capped at SortedPairs.DefaultCap (256):
+    // bit-identical here (baskets <= 7), a structural O(w x cap) bound
+    // on what one power-law basket can emit on an organic corpus —
+    // GraftFunctions.basketOverflow is the loud counter. The
     // dictionary-sized item-count table broadcasts to BOTH rule sides
     // through one shared BroadcastExchange (aliases + explicit join
     // conditions keep the two subplans canonically identical, so
@@ -3840,8 +3844,8 @@ object SparkEntry {
           |  || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&id=1' ELSE '' END) AS url
           |  FROM documents),
           |r AS (SELECT doc_id, url,
-          |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?]*@)?([^/:?]+)', 1)) AS host,
-          |  len(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+(/[^?]*)?', 1), '/')) - 1 AS depth
+          |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+          |  len(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1), '/')) - 1 AS depth
           |  FROM u)
           |SELECT doc_id, url,
           |  CASE WHEN host LIKE '%.bad' THEN 'blocked_host'

@@ -37,6 +37,9 @@ object GraftFunctions {
       "graft_bloom_contains" -> (e => BloomContainsExpr(e(0), e(1))),
       "graft_del_variants" -> (e => DeletionVariants(e(0), e(1))),
       "graft_pairs" -> (e => SortedPairs(e(0))),
+      // cap must be a foldable int literal (plan-construction constant)
+      "graft_pairs_capped" -> (e => SortedPairs(e(0),
+        e(1).eval(null).asInstanceOf[Number].intValue())),
       "graft_chars" -> (e => CharSymbols(e(0))),
       "graft_adj_pairs" -> (e => AdjacentPairs(e(0))),
       "graft_merge_pair" -> (e => MergeAdjacentPair(e(0), e(1), e(2))),
@@ -109,9 +112,27 @@ object GraftFunctions {
   def delVariants(key: Column, d: Int): Column =
     call_function("graft_del_variants", key, lit(d))
 
-  /** All index-ordered (i < j) pairs of a long-array column as
-    * array<struct<a,b>> — see [[SortedPairs]]. */
+  /** Index-ordered (i < j) pairs of a long-array column as
+    * array<struct<a,b>>, rank-distance-capped at
+    * [[SortedPairs.DefaultCap]] — ALL pairs for any basket up to
+    * cap + 1 wide, a bounded chain for degenerate hot baskets (see
+    * [[PairKernel.sortedPairs]]). Pair [[basketOverflow]] with any
+    * capped aggregate for the loud overflow signal. */
   def pairs(items: Column): Column = call_function("graft_pairs", items)
+
+  /** [[pairs]] with an explicit rank-distance cap. */
+  def pairs(items: Column, cap: Int): Column =
+    call_function("graft_pairs_capped", items, lit(cap))
+
+  /** Count of baskets wider than cap + 1 — the LOUD overflow signal
+    * for [[pairs]]' rank-distance cap (the [[graft.operators.Dedup
+    * .bandedBucketOverflow]] pattern): zero on organic corpora,
+    * nonzero exactly when some capped basket stopped emitting
+    * beyond-cap pairs. */
+  def basketOverflow(baskets: org.apache.spark.sql.DataFrame,
+                     itemsCol: String,
+                     cap: Int = SortedPairs.DefaultCap): Long =
+    baskets.where(size(col(itemsCol)) > cap + 1).count()
 
   /** Single-character symbol array of a word (BPE initial state). */
   def charSymbols(word: Column): Column = call_function("graft_chars", word)

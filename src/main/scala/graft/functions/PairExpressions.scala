@@ -25,9 +25,29 @@ import org.apache.spark.sql.types._
  * downstream groupBy.
  */
 object PairKernel {
-  def sortedPairs(items: ArrayData): ArrayData = {
+  /** Pairs within rank distance `cap`: each items(i) pairs with the
+    * (up to) `cap` FOLLOWING items. A basket of width w <= cap + 1
+    * produces all w(w-1)/2 pairs — bit-identical to the uncapped
+    * kernel; a degenerate hot basket produces O(w x cap) rank-chained
+    * pairs instead of O(w^2) (the banded-LSH bucket-cap design,
+    * [[graft.operators.Dedup.EmbLshBucketCap]]: the blow-up is avoided
+    * structurally — one 100k-item basket would otherwise emit 5e9
+    * structs in a single task). Overflow is observable via
+    * [[GraftFunctions.basketOverflow]] — run it loudly next to any
+    * capped aggregate. */
+  def sortedPairs(items: ArrayData, cap: Int): ArrayData = {
     val n = items.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    if (cap < 1)
+      throw new IllegalArgumentException(s"graft_pairs: cap $cap must be >= 1")
+    // exact output length under the rank-distance cap (long math: the
+    // uncapped n*(n-1)/2 overflows Int at n ~ 2^16.5)
+    val len: Long =
+      if (n.toLong - 1 <= cap) n.toLong * (n - 1) / 2
+      else (n.toLong - cap) * cap + cap.toLong * (cap - 1) / 2
+    if (len > Int.MaxValue - 8)
+      throw new IllegalArgumentException(
+        s"graft_pairs: basket of $n items emits $len pairs even rank-capped at $cap — lower the cap")
+    val out = new Array[Any](len.toInt)
     var k = 0
     var i = 0
     while (i < n) {
@@ -37,8 +57,9 @@ object PairKernel {
         throw new IllegalArgumentException(
           s"graft_pairs: null element at index $i")
       val a = items.getLong(i)
+      val jEnd = math.min(n.toLong, i.toLong + 1 + cap).toInt
       var j = i + 1
-      while (j < n) {
+      while (j < jEnd) {
         out(k) = InternalRow(a, items.getLong(j))
         k += 1
         j += 1
@@ -49,11 +70,21 @@ object PairKernel {
   }
 }
 
+object SortedPairs {
+  /** Default rank-distance cap (VERDICT r14 #3): far above any organic
+    * basket (TPC-H orders <= 7 items; organic co-occurrence baskets
+    * are tens), a hard ceiling on what one power-law row can emit —
+    * 10^5-item boilerplate basket: 25.6M chained pairs, not 5e9. */
+  val DefaultCap = 256
+}
+
 /** graft_pairs(array<bigint>) -> ARRAY<STRUCT<a: BIGINT, b: BIGINT>>
-  * of all index-ordered pairs (i < j). On a SORTED input array the
-  * pairs are value-ordered, matching the `x.pk < y.pk` self-join form
-  * the oracle SQL keeps. */
-case class SortedPairs(child: Expression) extends UnaryExpression {
+  * of index-ordered pairs (i < j) within rank distance `cap` (all
+  * pairs for baskets <= cap + 1 wide — see [[PairKernel.sortedPairs]]).
+  * On a SORTED input array the pairs are value-ordered, matching the
+  * `x.pk < y.pk` self-join form the oracle SQL keeps. */
+case class SortedPairs(child: Expression,
+                       cap: Int = SortedPairs.DefaultCap) extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("a", LongType, nullable = false),
@@ -72,11 +103,11 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
   }
 
   protected override def nullSafeEval(items: Any): Any =
-    PairKernel.sortedPairs(items.asInstanceOf[ArrayData])
+    PairKernel.sortedPairs(items.asInstanceOf[ArrayData], cap)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, items =>
-      s"${ev.value} = graft.functions.PairKernel.sortedPairs($items);")
+      s"${ev.value} = graft.functions.PairKernel.sortedPairs($items, $cap);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -77,12 +77,15 @@ object Curation {
       blockedSuffixes: Seq[String] = Seq(".bad"),
       maxDepth: Int = 5): DataFrame = {
     // normalize before matching: scheme case-insensitive, optional
-    // userinfo@ stripped, :port stripped, host lowercased — each is a
-    // real-world blocklist bypass otherwise (http://Casino.BAD:8080/)
+    // userinfo@ stripped, :port stripped, host lowercased, and '#'
+    // terminates host AND path — each is a real-world blocklist bypass
+    // otherwise (http://Casino.BAD:8080/, http://casino.bad#frag —
+    // ADVICE r14: without '#' in the excluded classes the fragment
+    // rode along in the host and dodged the suffix match)
     val host = lower(regexp_extract(col(urlCol),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?]*@)?([^/:?]+)", 1))
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
     val path = regexp_extract(col(urlCol),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+(/[^?]*)?", 1)
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
     val depth = size(split(path, "/")) - 1
     val blocked = blockedSuffixes
       .map(sfx => host.endsWith(sfx.toLowerCase))

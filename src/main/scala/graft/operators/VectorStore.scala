@@ -1335,7 +1335,7 @@ class VectorStore(spark: SparkSession, val root: String,
    * callers drain it (AvailableNow in tests) and read `outDir/results`.
    */
   def serveStream(queries: DataFrame, outDir: String, k: Int = 10,
-                  nprobe: Int = 2, quantized: Boolean = false,
+                  nprobe: Int = 0, quantized: Boolean = false,
                   exact: Boolean = false,
                   trigger: org.apache.spark.sql.streaming.Trigger =
                     org.apache.spark.sql.streaming.Trigger.AvailableNow(),
@@ -2055,16 +2055,23 @@ class VectorStore(spark: SparkSession, val root: String,
 
   def hasAnnIndex: Boolean = currentAnnDir.isDefined
 
-  /** (k, seed, rebuildFraction, baseRows, appendedRows) of the live
-    * index. Tiny driver-side JSON, no Spark job. */
+  /** The build-time-calibrated auto nprobe of the live index (None: no
+    * index, or uncalibrated legacy meta — see [[resolveNprobe]]). */
+  def annCalibratedNprobe: Option[Int] =
+    currentAnnDir.flatMap(readAnnMeta).map(_.calibratedNprobe).filter(_ > 0)
+
+  /** (k, seed, rebuildFraction, baseRows, appendedRows,
+    * calibratedNprobe) of the live index. Tiny driver-side JSON, no
+    * Spark job. `calibratedNprobe = 0` = uncalibrated (legacy build). */
   private case class AnnMeta(k: Int, seed: Long, rebuildFraction: Double,
-                             baseRows: Long, appendedRows: Long)
+                             baseRows: Long, appendedRows: Long,
+                             calibratedNprobe: Int = 0)
 
   private def writeAnnMeta(dir: String, m: AnnMeta): Unit = {
     val tmp = new Path(s"$dir/_meta.json.tmp")
     val out = fs.create(tmp, true)
     out.write(
-      s"""{"k":${m.k},"seed":${m.seed},"rebuild_fraction":${m.rebuildFraction},"base_rows":${m.baseRows},"appended_rows":${m.appendedRows}}"""
+      s"""{"k":${m.k},"seed":${m.seed},"rebuild_fraction":${m.rebuildFraction},"base_rows":${m.baseRows},"appended_rows":${m.appendedRows},"calibrated_nprobe":${m.calibratedNprobe}}"""
         .getBytes("UTF-8"))
     out.close()
     val dst = new Path(s"$dir/_meta.json")
@@ -2087,9 +2094,99 @@ class VectorStore(spark: SparkSession, val root: String,
       Some(AnnMeta(
         field("k").get.toInt, field("seed").get.toLong,
         field("rebuild_fraction").get.toDouble,
-        field("base_rows").get.toLong, field("appended_rows").get.toLong))
+        field("base_rows").get.toLong, field("appended_rows").get.toLong,
+        field("calibrated_nprobe").map(_.toInt).getOrElse(0)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Facade-default recall target: an uninformed `searchAnn()` call
+    * must not silently serve sub-0.4 recall (the measured nprobe=2
+    * floor on near-isotropic data, BASELINE.md r10 curve). The END
+    * promise is >=0.90; the calibration measures LIST-COVERAGE recall
+    * only, so it targets 0.95 as margin for what it cannot see — the
+    * ADC-preselect loss in [[searchAnnPq]] and the ~±0.017 one-sigma
+    * sampling noise of the 32x10 calibration sample (r15 measured:
+    * coverage-calibrated-at-0.90 served 0.888 end-to-end on sf0.1). */
+  private val AnnRecallTarget = 0.95
+  private val AnnCalibrationQueries = 32
+  private val AnnCalibrationK = 10
+
+  /** Measure the recall-vs-probe-coverage curve AT BUILD TIME and
+    * return the smallest nprobe whose recall@10 meets
+    * [[AnnRecallTarget]] — stored in the index `_meta` so the facade
+    * default is an evidence-backed operating point for THIS corpus and
+    * THIS codebook, not a hardcoded guess (clustered corpora calibrate
+    * to small nprobe; near-isotropic ones honestly report that high
+    * coverage is required).
+    *
+    * Protocol: a deterministic sample of stored vectors queries the
+    * corpus (self-match excluded by id). Ground truth is the exact
+    * metric-matched top-k via the bounded-heap aggregator — shuffle is
+    * k rows per query per partition, never the scored corpus. For each
+    * true neighbor we record the RANK of its assigned centroid in the
+    * query's probe order, so ONE exact pass yields recall at every
+    * nprobe simultaneously: recall@p = fraction of true neighbors
+    * whose list would be probed at nprobe=p. Cost: one corpus scan +
+    * the tiny heap shuffle — noise next to the k-means fit passes that
+    * precede it. */
+  private def calibrateNprobe(codebook: Seq[(Long, Seq[Float])]): Int = {
+    val nlist = codebook.size
+    if (nlist <= 1) return 1
+    val metric = if (isProjected) "euclidean" else "cosine"
+    val qs = table().select(col("id"), col("vector"))
+      .limit(AnnCalibrationQueries).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1)))
+    if (qs.length < 2) return nlist
+    import spark.implicits._
+    // per-query full probe order over the driver-side codebook;
+    // cids from kmeansCentroids are dense 0..nlist-1, so rank lives in
+    // a literal ranks[qidx][cid] lookup — a projection, no join
+    val probeRanks: Seq[Seq[Int]] = qs.toSeq.map { case (_, qv) =>
+      val arr = new Array[Int](nlist)
+      SimilaritySearch.probeCids(codebook, qv, nlist)
+        .zipWithIndex.foreach { case (cid, r) => arr(cid.toInt) = r }
+      arr.toSeq
+    }
+    val qdf = broadcast(qs.toSeq.zipWithIndex
+      .map { case ((id, v), i) => (i.toLong, id, v) }
+      .toDF("qid", "qid_str", "qvec")
+      .withColumn("qvec", col("qvec").cast("array<float>")))
+    val simCol =
+      if (metric == "euclidean") -euclidean(col("vector"), col("qvec"))
+      else cosine(col("vector"), col("qvec"))
+    val scored = table()
+      .select(col("id"),
+        SimilaritySearch.nearestCentroid(col("vector"), codebook).as("acid"),
+        col("vector"))
+      .join(qdf) // broadcast nested-loop: corpus x |sample|
+      .where(col("id") =!= col("qid_str"))
+      .select(col("qid"),
+        element_at(
+          element_at(typedLit(probeRanks), (col("qid") + 1).cast("int")),
+          (col("acid") + 1).cast("int")).cast("long").as("cid"),
+        simCol.as("sim"))
+      .where(!isnan(col("sim")))
+    // `cid` carries the PROBE RANK (heap tie-break on it is harmless:
+    // equal-sim ties are resolved toward lower-rank lists, a rounding
+    // detail of the estimate, not of any served result)
+    val ranks = TopK.perQueryTopKHeap(spark, scored, AnnCalibrationK)
+      .select("cid").collect().map(_.getLong(0).toInt)
+    if (ranks.isEmpty) return nlist
+    val total = ranks.length.toDouble
+    (1 to nlist).find(p => ranks.count(_ < p) / total >= AnnRecallTarget)
+      .getOrElse(nlist)
+  }
+
+  /** AUTO nprobe (`nprobe <= 0`): the build-time calibrated >=90%-
+    * recall operating point from the index meta; a legacy uncalibrated
+    * index falls back to 3/4 list coverage — recall-first, because a
+    * DEFAULT that is silently fast-but-wrong is a correctness bug at
+    * the facade (callers tune DOWN explicitly, with the measured curve
+    * in hand). */
+  private def resolveNprobe(dir: String, nprobe: Int, nlist: Int): Int =
+    if (nprobe > 0) nprobe
+    else readAnnMeta(dir).map(_.calibratedNprobe).filter(_ > 0)
+      .getOrElse(math.max(1, (3 * nlist + 3) / 4))
 
   /** Fit a k-means codebook over the stored vectors and write the
     * cid-partitioned index. One corpus pass for assignment (the argmin
@@ -2144,7 +2241,8 @@ class VectorStore(spark: SparkSession, val root: String,
     }
     // count(*) over the staged files is footer metadata, not a data scan
     val built = spark.read.parquet(tmp.toString).count()
-    writeAnnMeta(tmp.toString, AnnMeta(k, seed, rebuildFraction, built, 0L))
+    writeAnnMeta(tmp.toString,
+      AnnMeta(k, seed, rebuildFraction, built, 0L, calibrateNprobe(codebook)))
     // commit = one rename to a versioned name that never pre-exists (the
     // writer lock serializes version allocation); the old version stays
     // readable until vacuum, so concurrent searches never hit a gap
@@ -2157,11 +2255,14 @@ class VectorStore(spark: SparkSession, val root: String,
   /** Approximate top-k over the ANN index: probe the `nprobe` nearest
     * centroid lists (driver-side codebook argmin, like the reference's
     * in-memory index metadata), scan only those partitions. Same result
-    * shape as [[search]]. `quantized = true` scores the packed codec
+    * shape as [[search]]. `nprobe = 0` (the default) resolves the
+    * build-time-calibrated >=90%-recall operating point from the index
+    * meta ([[resolveNprobe]]) — tune DOWN explicitly for speed with
+    * the measured curve in hand. `quantized = true` scores the packed codec
     * column (stores written with quantize=true index it alongside), and
     * the FuseQuantizedKernels rule collapses cosine/euclidean-over-
     * unpack into the packed kernels — 4x less I/O on the probed lists. */
-  def searchAnn(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 2,
+  def searchAnn(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 0,
                 quantized: Boolean = false, tags: Seq[String] = Nil): DataFrame = {
     // resolve the version ONCE: codebook, meta, and data all come from
     // the same committed dir, so a rebuild landing mid-plan can't pair
@@ -2176,7 +2277,8 @@ class VectorStore(spark: SparkSession, val root: String,
       else (queryVec, "cosine")
     val codebook = SimilaritySearch.collectCodebook(
       spark.read.parquet(codebookPathIn(dir)))
-    val probes = SimilaritySearch.probeCids(codebook, qv, nprobe)
+    val probes = SimilaritySearch.probeCids(codebook, qv,
+      resolveNprobe(dir, nprobe, codebook.size))
     // filtered ANN: the tag-superset predicate rides INSIDE the probed
     // cid partitions (row filter on the pruned scan, same semantics as
     // search()'s superset filter). A tight filter thins the probed
@@ -2310,13 +2412,14 @@ class VectorStore(spark: SparkSession, val root: String,
    * (qid, rank, similarity, id, content, tags).
    */
   def searchManyAnn(queries: DataFrame, k: Int = 10,
-                    nprobe: Int = 2, quantized: Boolean = false,
+                    nprobe: Int = 0, quantized: Boolean = false,
                     tags: Seq[String] = Nil): DataFrame = {
     val dir = currentAnnDir.getOrElse(
       throw new IllegalStateException(
         "graft: no ANN index — call buildAnnIndex(k) first"))
     val codebook = SimilaritySearch.collectCodebook(
       spark.read.parquet(codebookPathIn(dir)))
+    val np = resolveNprobe(dir, nprobe, codebook.size)
     val (qproj, metric) = queryColumnMode()
     val q = queries.select(col("qid"), qproj(col("qvec")).as("qv"))
     val centsLit = array(codebook.sortBy(_._1).map { case (cid, cv) =>
@@ -2329,7 +2432,7 @@ class VectorStore(spark: SparkSession, val root: String,
       .select(col("qid"), col("qv"), col("c.lid").as("lid"),
         GraftFunctions.euclidean(col("qv"), col("c.cv")).as("dist"))
       .withColumn("prn", row_number().over(pw))
-      .where(col("prn") <= nprobe)
+      .where(col("prn") <= np)
       .select(col("qid"), col("qv"), col("lid"))
       // pin the probe assignment to ONE evaluation (ADVICE r7 #2): the
       // IN-list collect below and the broadcast join both consume it,
@@ -2651,7 +2754,7 @@ class VectorStore(spark: SparkSession, val root: String,
    * exact refine pass makes the end result's quality that of the
    * preselect recall, not the code granularity.
    */
-  def searchAnnPq(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 2,
+  def searchAnnPq(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 0,
                   refineK: Int = 0): DataFrame = {
     val dir = currentAnnDir.getOrElse(
       throw new IllegalStateException(
@@ -2664,7 +2767,8 @@ class VectorStore(spark: SparkSession, val root: String,
       else (queryVec, "cosine")
     val codebook = SimilaritySearch.collectCodebook(
       spark.read.parquet(codebookPathIn(dir)))
-    val probes = SimilaritySearch.probeCids(codebook, qv, nprobe)
+    val probes = SimilaritySearch.probeCids(codebook, qv,
+      resolveNprobe(dir, nprobe, codebook.size))
     val pruned = spark.read.parquet(dir).where(col("cid").isin(probes: _*))
     val dsub = qv.length / books.size
     def lutCol(f: (Seq[Float], Seq[Float]) => Double): Column =

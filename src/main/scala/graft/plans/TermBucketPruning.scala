@@ -28,11 +28,16 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
  * predicate into the filter and letting FileSourceStrategy turn it
  * into `PartitionFilters`, reusing the whole built-in parquet stack.
  *
- * Soundness: only TOP-LEVEL conjuncts of the forms `tok = <lit>` /
- * `tok IN (<lits>)` contribute (a disjunct inside an OR constrains
- * nothing); the injected `tb IN (<crc32 buckets of those lits>)` is
- * implied by the conjunct it derives from, so the rewrite can never
- * change results — only skip directories that cannot hold matches.
+ * Soundness: a TOP-LEVEL conjunct contributes when it PINS `tok` —
+ * `tok = <lit>`, `tok IN (<lits>)`, or an OR whose EVERY disjunct
+ * pins `tok` (possibly inside that disjunct's own conjunction, e.g.
+ * `(tok = 'a' AND pos < 3) OR tok = 'b'`): any satisfying row
+ * satisfies some disjunct, hence lands in that disjunct's buckets,
+ * hence in the UNION the rule injects. An OR with any non-pinning
+ * disjunct (`tok = 'a' OR pos = 3`) constrains nothing and the rule
+ * bails. The injected `tb IN (<crc32 buckets>)` is implied by the
+ * conjunct it derives from, so the rewrite can never change results —
+ * only skip directories that cannot hold matches.
  * Unlike the store rule there is no staleness dimension: `buckets` is
  * the index's create-time identity (append/compact never change it),
  * so a prefix registration stays valid across appends.
@@ -46,8 +51,16 @@ object TermBucketPruning extends Rule[LogicalPlan] {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
-  private def norm(p: String): String =
-    if (p.endsWith("/")) p else p + "/"
+  /** Compare on the scheme-less path component: registration passes
+    * the raw index root (`/tmp/x/i`) while a resolved relation's
+    * rootPaths are filesystem-qualified (`file:/tmp/x/i/v0`) — the
+    * qualified form must still match (r15: the unnormalized compare
+    * silently never pruned in a session whose reads qualify paths —
+    * a no-prune is invisible to correctness gates, only to plans). */
+  private def norm(p: String): String = {
+    val raw = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    if (raw.endsWith("/")) raw else raw + "/"
+  }
 
   def register(indexRoot: String, buckets: Int): Unit = {
     require(buckets > 0, s"graft: buckets $buckets must be positive")
@@ -79,6 +92,13 @@ object TermBucketPruning extends Rule[LogicalPlan] {
           case _ => false
         } =>
       Some(vs.map { case Literal(t, StringType) => t.toString })
+    // an OR pins tok iff EVERY disjunct pins it (each possibly via one
+    // of its own conjuncts); the union of their terms is then implied
+    case Or(l, r) =>
+      for {
+        a <- conjuncts(l).flatMap(termsOf).headOption
+        b <- conjuncts(r).flatMap(termsOf).headOption
+      } yield a ++ b
     case _ => None
   }
 

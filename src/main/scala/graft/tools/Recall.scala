@@ -133,10 +133,13 @@ object Recall {
     // coverage, proving ADC+refine lose nothing — the ceiling is the
     // isotropy of the data, the same structural note as the LSH
     // paragraph above, not an index defect). store_pq records the
-    // production default (nprobe=2); store_pq_np12 records the
-    // >=0.9 operating point this fixture demands (12/16 coverage) —
-    // clustered organic corpora reach it at small nprobe.
-    val (storePq, storePqWide): ((String, Set[(Long, Long)]), (String, Set[(Long, Long)])) = {
+    // production default — since r15 that is nprobe=0 AUTO, the
+    // build-time-calibrated >=0.9-recall operating point stored in the
+    // index meta (VERDICT r14 #2: the old hardcoded nprobe=2 silently
+    // served 0.39 recall here; store_pq_np2 keeps that point of the
+    // curve visible). Clustered organic corpora calibrate to small
+    // nprobe; this near-isotropic fixture honestly calibrates high.
+    val (storePq, storePqNarrow): ((String, Set[(Long, Long)]), (String, Set[(Long, Long)])) = {
       val root = java.nio.file.Files
         .createTempDirectory("graft_recall_store").toString
       val store = new graft.operators.VectorStore(spark, root)
@@ -150,14 +153,14 @@ object Recall {
         store.searchAnnPq(qv, k = k, nprobe = nprobe, refineK = 16 * k).collect()
           .map(r => (qid, r.getAs[String]("id").stripPrefix("v").toLong))
       }.toSet
-      val r = ("store_pq" -> run(2), "store_pq_np12" -> run(12))
+      val r = ("store_pq" -> run(0), "store_pq_np2" -> run(2))
       store.clear()
       r
     }
 
     val families: Seq[(String, Set[(Long, Long)])] = Seq(
       storePq,
-      storePqWide,
+      storePqNarrow,
       single("lsh")(qv => SimilaritySearch.lshSearchVec(corpusEmb, qv, k, d)),
       single("ivf")(qv =>
         SimilaritySearch.ivfSearchVec(corpusEmb, centroids, qv, nprobe = 2, k = k)),

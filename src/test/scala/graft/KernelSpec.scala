@@ -407,4 +407,66 @@ class KernelSpec extends AnyFunSuite {
       spark.sql("SELECT graft_pairs(array('a', 'b'))").collect())
     assert(bad.getMessage.contains("array<bigint>"), bad.getMessage)
   }
+
+  test("pair kernel rank-distance cap: identity below cap, bounded chain on a degenerate 1e5 basket") {
+    import graft.functions.{GraftFunctions, PairKernel, SortedPairs}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    def kernel(items: Array[Long], cap: Int): Seq[(Long, Long)] = {
+      val out = PairKernel.sortedPairs(new GenericArrayData(items.map(_.asInstanceOf[Any])), cap)
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+    }
+    // cap >= n - 1: bit-identical to the uncapped all-pairs form
+    val basket = Array(3L, 7L, 9L, 20L, 41L)
+    val all = for (i <- basket.indices; j <- i + 1 until basket.length)
+      yield (basket(i), basket(j))
+    assert(kernel(basket, 4) == all)
+    assert(kernel(basket, 1000) == all)
+    // capped: exactly the pairs within rank distance cap, chain order
+    val capped = kernel(basket, 2)
+    val expected = for (i <- basket.indices;
+                        j <- i + 1 until math.min(basket.length, i + 3))
+      yield (basket(i), basket(j))
+    assert(capped == expected)
+    // degenerate hot basket (VERDICT r14 #3): 1e5 items — uncapped
+    // would emit ~5e9 structs in one task (Int overflow + OOM death);
+    // capped emits the exact O(w x cap) chain and completes
+    val hot = Array.tabulate(100000)(_.toLong)
+    val cap = SortedPairs.DefaultCap
+    val n = hot.length.toLong
+    val expectedLen = (n - cap) * cap + cap.toLong * (cap - 1) / 2
+    val got = PairKernel.sortedPairs(
+      new GenericArrayData(hot.map(_.asInstanceOf[Any])), cap)
+    assert(got.numElements().toLong == expectedLen, s"${got.numElements()} vs $expectedLen")
+    // spot invariants: first pair (0,1); every pair within rank cap
+    val first = got.getStruct(0, 2)
+    assert(first.getLong(0) == 0L && first.getLong(1) == 1L)
+    val last = got.getStruct(got.numElements() - 1, 2)
+    assert(last.getLong(0) == n - 2 && last.getLong(1) == n - 1)
+    // a cap that still emits > Int.MaxValue pairs raises loudly, never
+    // a negative-size allocation
+    val huge = new GenericArrayData(new Array[Any](0)) {
+      override def numElements(): Int = 50000000 // 5e7 x 256 > IntMax
+    }
+    val err = intercept[IllegalArgumentException](PairKernel.sortedPairs(huge, cap * 256))
+    assert(err.getMessage.contains("lower the cap"))
+    // Spark-level: explode of a degenerate basket completes with the
+    // bounded count, and the loud overflow counter sees it
+    import spark.implicits._
+    val df = Seq((1L, (0 until 20000).map(_.toLong))).toDF("id", "items")
+    val cnt = df.select(explode(GraftFunctions.pairs($"items")))
+      .count()
+    assert(cnt == (20000L - cap) * cap + cap.toLong * (cap - 1) / 2)
+    assert(GraftFunctions.basketOverflow(df, "items") == 1L)
+    assert(GraftFunctions.basketOverflow(
+      Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "items"), "items") == 0L)
+    // explicit-cap Column overload (SQL-side graft_pairs_capped)
+    val small = Seq((1L, (0 until 10).map(_.toLong))).toDF("id", "items")
+    assert(small.select(size(GraftFunctions.pairs($"items", 3))).head().getInt(0)
+      == 7 * 3 + 3 * 2 / 2) // (n-cap)*cap + cap*(cap-1)/2
+    assert(small.select(size(GraftFunctions.pairs($"items", 9))).head().getInt(0)
+      == 10 * 9 / 2)
+  }
 }

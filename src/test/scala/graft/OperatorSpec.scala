@@ -2036,7 +2036,12 @@ class OperatorSpec extends AnyFunSuite {
       ("http://casino.bad:8080/", "blocked_host"),
       ("http://user:pw@casino.bad/", "blocked_host"),
       ("HTTP://Casino.BAD/", "blocked_host"),
-      ("http://ok.com/a?UTM_Source=x", "tracking_params"))
+      ("http://ok.com/a?UTM_Source=x", "tracking_params"),
+      // fragment must terminate the host/path (ADVICE r14: '#frag'
+      // riding in the host dodged the suffix match)
+      ("http://casino.bad#frag", "blocked_host"),
+      ("http://casino.bad#/a/b/c/d/e/f/g", "blocked_host"),
+      ("http://ok.com/a#/b/c/d/e/f/g", null))
     val out = graft.operators.Curation.urlFilter(
         got.map(_._1).toDF("url"))
       .select("url", "reject_reason").collect()

@@ -811,6 +811,19 @@ class PlanSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM graft_postings_sql WHERE tok = 'order' OR pos = 3"))
     assert(!orPlan.linesIterator.find(_.contains("PartitionFilters"))
       .exists(l => l.contains("tb IN")), orPlan.take(2000))
+    // a tok-pinning OR prunes to the UNION of buckets (VERDICT r14 #6),
+    // including a disjunct that pins tok inside its own conjunction —
+    // and stays value-identical to the row-filter-only read
+    val orTok = spark.sql("SELECT doc_id, pos FROM graft_postings_sql " +
+      "WHERE (tok = 'order' AND pos < 30) OR tok = 'fast'")
+    assert(plan(orTok).linesIterator.find(_.contains("PartitionFilters"))
+        .exists(l => l.contains("tb") && l.contains("IN")),
+      "tok-pinning OR did not prune tb partitions:\n" + plan(orTok).take(3000))
+    val orWant = graft.operators.PostingIndex.scan(spark, idx)
+      .where((col("tok") === "order" && col("pos") < 30) || col("tok") === "fast")
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val orGot = orTok.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(orGot == orWant && orGot.nonEmpty)
   }
 
   test("phrase search: ONE tokenize pass, no per-term join legs (VERDICT r13 #6)") {
