@@ -68,7 +68,7 @@ object Bench {
     * usefulness as a feedback loop; these are the queries whose plans
     * change character with volume (shuffling aggs, windows, banded
     * joins, the distributed component iteration). */
-  private val sf1Suite = Seq(
+  private[graft] val sf1Suite = Seq(
     "q1_agg", "q3_top_revenue", "q_window_rank", "q_salted_agg",
     "ev_hourly", "ev_sessions", "ev_asof",
     "knn_topk", "knn_multiquery_heap", "ann_lsh_join",

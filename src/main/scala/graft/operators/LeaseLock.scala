@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/**
+ * Advisory single-writer LEASE lock on a filesystem path (VERDICT r14
+ * #5) — shared by [[VectorStore]] and [[PostingIndex]].
+ *
+ * Acquisition is atomic create-if-absent (O_CREAT|O_EXCL through
+ * java.io on the local FS — Hadoop's RawLocalFileSystem create is
+ * check-then-act; `create(overwrite = false)` elsewhere, atomic on
+ * HDFS; object stores without atomic create should front this with an
+ * external lock service, like every Hadoop committer documents).
+ *
+ * The lock is a LEASE, not a tombstone: the holder heartbeats the
+ * file's mtime from a daemon thread (leaseMs/4 cadence), and waiters
+ * STEAL a lock whose age exceeds the lease — a crashed holder delays
+ * the next writer by ~one lease, not the whole acquisition timeout,
+ * and a human deleting the lock (or `clear(force)`) stops being the
+ * only recovery. The steal cannot race other stealers: the stale lock
+ * is RENAMED to a unique tombstone first — exactly one stealer wins
+ * the rename — then everyone re-contends on the normal create path.
+ *
+ * A LIVE holder is never stolen (its heartbeat keeps the lock young);
+ * a holder frozen past the lease (multi-minute GC / VM pause) is
+ * indistinguishable from dead and loses the lock. Releases are
+ * OWNER-CHECKED (a uuid stamped into the lock at acquisition): a
+ * zombie holder resuming after a steal must not delete its
+ * successor's lock on top of its own lateness — it logs loudly and
+ * leaves the lock alone.
+ */
+private[operators] object LeaseLock {
+
+  private def tryLock(fs: FileSystem, lock: Path): Boolean =
+    if ("file" == Option(lock.toUri.getScheme).getOrElse(fs.getScheme))
+      try new java.io.File(lock.toUri.getPath).createNewFile()
+      catch {
+        case _: java.io.IOException => // parent vanished mid-spin
+          fs.mkdirs(lock.getParent); false
+      }
+    else
+      try { fs.create(lock, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+
+  private def ageMs(fs: FileSystem, lock: Path): Long =
+    try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+    catch { case _: java.io.IOException => -1L }
+
+  private def tryStealStale(fs: FileSystem, lock: Path, leaseMs: Long): Unit =
+    if (leaseMs > 0 && ageMs(fs, lock) > leaseMs) {
+      val tomb = new Path(lock.getParent,
+        s"${lock.getName}.stale.${java.util.UUID.randomUUID().toString.take(8)}")
+      val won = try fs.rename(lock, tomb)
+      catch { case _: java.io.IOException => false }
+      if (won) fs.delete(tomb, false)
+    }
+
+  /** Run `f` holding the lease lock at `lock`: spin (100 ms) up to
+    * `timeoutMs`, stealing stale locks along the way, then fail loudly
+    * with the lock's age (`what` prefixes the message with the
+    * caller's context). Only exists-contention reads as "lock held":
+    * genuine I/O errors propagate instead of masquerading as a busy
+    * writer for the whole timeout. */
+  def withLock[T](fs: FileSystem, lock: Path, timeoutMs: Long,
+                  leaseMs: Long, what: String)(f: => T): T = {
+    fs.mkdirs(lock.getParent)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!tryLock(fs, lock)) {
+      tryStealStale(fs, lock, leaseMs)
+      if (System.currentTimeMillis() > deadline) {
+        throw new IllegalStateException(
+          s"graft: $what $lock not acquired in ${timeoutMs} ms" +
+            s" (lock age ${ageMs(fs, lock) / 1000} s). A live writer is" +
+            s" heartbeating it (stale locks self-steal after ${leaseMs} ms)" +
+            " — raise the lock timeout or wait.")
+      }
+      Thread.sleep(100)
+    }
+    // stamp ownership for the owner-checked release
+    val owner = java.util.UUID.randomUUID().toString
+    try {
+      val out = fs.create(lock, true)
+      out.write(owner.getBytes("UTF-8")); out.close()
+    } catch { case _: java.io.IOException => () }
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(200L, leaseMs / 4))
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () } // lost lock: stop quietly
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-${lock.getParent}")
+    beat.setDaemon(true)
+    if (leaseMs > 0) beat.start()
+    try f finally {
+      beat.interrupt()
+      val mine = try {
+        val in = fs.open(lock)
+        val held = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        held == owner
+      } catch { case _: java.io.IOException => false }
+      if (mine) fs.delete(lock, false)
+      else System.err.println(
+        s"graft: $what $lock no longer owned at release — this writer" +
+          " exceeded its lease and the lock was stolen; its work raced" +
+          " the successor's (single-writer contract: size the lease" +
+          " above worst-case JVM pauses)")
+    }
+  }
+}

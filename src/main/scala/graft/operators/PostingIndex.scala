@@ -48,41 +48,16 @@ object PostingIndex {
   /** Writer-lock spin timeout: index writes at scale run minutes; a
     * short default would tempt operators into deleting a LIVE lock. */
   var lockTimeoutMs: Long = 600000L
+  /** Lease: a lock whose mtime is older than this is a crashed
+    * holder's wreckage and self-steals ([[LeaseLock]]). */
+  var lockLeaseMs: Long = 60000L
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def tryLock(fs: org.apache.hadoop.fs.FileSystem, lock: Path): Boolean =
-    if ("file" == Option(lock.toUri.getScheme).getOrElse(fs.getScheme))
-      try new java.io.File(lock.toUri.getPath).createNewFile()
-      catch { case _: java.io.IOException => fs.mkdirs(lock.getParent); false }
-    else
-      try { fs.create(lock, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-
-  private def withWriterLock[T](spark: SparkSession, path: String)(f: => T): T = {
-    val fs = fsOf(spark, path)
-    fs.mkdirs(new Path(path))
-    val lock = new Path(s"$path/_writer_lock")
-    val deadline = System.currentTimeMillis() + lockTimeoutMs
-    while (!tryLock(fs, lock)) {
-      if (System.currentTimeMillis() > deadline) {
-        val ageS = try {
-          (System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime) / 1000
-        } catch { case _: java.io.IOException => -1L }
-        throw new IllegalStateException(
-          s"graft: posting-index writer lock $lock not acquired in" +
-            s" ${lockTimeoutMs} ms (lock age ${ageS} s). A writer may still" +
-            " be running — wait or raise PostingIndex.lockTimeoutMs; delete" +
-            " the lock ONLY if its owner is known dead (crashed writer).")
-      }
-      Thread.sleep(100)
-    }
-    try f finally fs.delete(lock, false)
-  }
+  private def withWriterLock[T](spark: SparkSession, path: String)(f: => T): T =
+    LeaseLock.withLock(fsOf(spark, path), new Path(s"$path/_writer_lock"),
+      lockTimeoutMs, lockLeaseMs, "posting-index writer lock")(f)
 
   private def metaPath(path: String) = new Path(s"$path/_postings.json")
 
@@ -104,14 +79,33 @@ object PostingIndex {
   private def versionOf(name: String): Option[Int] =
     if (name.startsWith("v")) name.drop(1).toIntOption else None
 
+  /** Marker written strictly LAST into every committed gen dir and
+    * version dir (VERDICT r14 #4): on an object store a "rename" is
+    * per-object copy + delete, so a crash mid-commit leaves a PARTIAL
+    * dir at the final name — the marker keeps it invisible to readers.
+    * A marker-less dir in a store with NO markers anywhere is a legacy
+    * pre-marker commit (readable; adopted — stamped — by the next
+    * locked write); once any marker exists, marker-less means
+    * wreckage. */
+  private val CommittedMarker = "_COMMITTED"
+
+  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String): Seq[(Int, Boolean)] =
+    if (!fs.exists(new Path(path))) Nil
+    else fs.listStatus(new Path(path)).toSeq.filter(_.isDirectory)
+      .flatMap(s => versionOf(s.getPath.getName).map(v =>
+        (v, fs.exists(new Path(s.getPath, CommittedMarker)))))
+      .sortBy(_._1)
+
   private def liveVersion(spark: SparkSession, path: String): Int = {
-    val fs = fsOf(spark, path)
-    val vs = fs.listStatus(new Path(path)).toSeq
-      .filter(_.isDirectory).flatMap(s => versionOf(s.getPath.getName))
-    vs.sorted.lastOption.getOrElse(throw new IllegalStateException(
-      s"graft: posting index at $path has no committed version"))
+    val all = versionsOf(fsOf(spark, path), path)
+    val marked = all.filter(_._2)
+    (if (marked.nonEmpty) marked else all).map(_._1).lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"graft: posting index at $path has no committed version"))
   }
 
+  /** ALL gen dirs of v<k> — allocation and adoption see partials too. */
   private def gensOf(spark: SparkSession, path: String, v: Int): Seq[Int] = {
     val fs = fsOf(spark, path)
     fs.listStatus(new Path(s"$path/v$v")).toSeq.filter(_.isDirectory)
@@ -119,6 +113,16 @@ object PostingIndex {
       .filter(_.startsWith("gen="))
       .flatMap(_.drop(4).toIntOption)
       .sorted
+  }
+
+  /** Gens safe to READ: the marked ones; all when none is marked
+    * (legacy pre-marker version). */
+  private def committedGens(spark: SparkSession, path: String, v: Int): Seq[Int] = {
+    val fs = fsOf(spark, path)
+    val all = gensOf(spark, path, v)
+    val marked = all.filter(g =>
+      fs.exists(new Path(s"$path/v$v/gen=$g/$CommittedMarker")))
+    if (marked.nonEmpty) marked else all
   }
 
   private def postings(docs: DataFrame, nBuckets: Int,
@@ -144,6 +148,11 @@ object PostingIndex {
     require(!fs.exists(destPath), s"graft: posting commit target $dest exists")
     require(fs.rename(stage, destPath),
       s"graft: posting index commit rename to $dest failed")
+    // markers strictly LAST: gen dir first, then the version dir —
+    // readers require both, so a crash anywhere above leaves the
+    // previous committed state fully intact
+    fs.create(new Path(destPath, CommittedMarker), true).close()
+    fs.create(new Path(destPath.getParent, CommittedMarker), true).close()
   }
 
   /** Initialize the index from the current corpus: meta + v0/gen=0. */
@@ -171,8 +180,18 @@ object PostingIndex {
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     withWriterLock(spark, path) {
+      val fs = fsOf(spark, path)
       val b = buckets(spark, path)
       val v = liveVersion(spark, path)
+      // adopt a legacy (pre-marker) live version under the lock: stamp
+      // its gens committed so the mixed marked/unmarked state cannot
+      // hide them from the committed-gens scan
+      if (!fs.exists(new Path(s"$path/v$v/$CommittedMarker")))
+        gensOf(spark, path, v).foreach { g =>
+          fs.create(new Path(s"$path/v$v/gen=$g/$CommittedMarker"), true).close()
+        }
+      // allocate past ALL gen dirs (a crashed partial gen must never
+      // be re-targeted — its rename would fail)
       val g = gensOf(spark, path, v).lastOption.map(_ + 1).getOrElse(0)
       stageAndCommit(postings(docs, b, idCol, textCol), path,
         s"$path/v$v/gen=$g", s"""{"op":"append","version":$v,"gen":$g}""")
@@ -181,9 +200,17 @@ object PostingIndex {
 
   /** Every committed posting of the live version: (doc_id, pos, tok,
     * tb, gen) — one partition-discovered scan, statically prunable on
-    * tb across all generations. */
-  def scan(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/v${liveVersion(spark, path)}")
+    * tb across all generations. Crash-partial gen dirs (marker-less in
+    * a marked version) are excluded via an explicit path list under
+    * the same basePath, so partition columns survive. */
+  def scan(spark: SparkSession, path: String): DataFrame = {
+    val v = liveVersion(spark, path)
+    val all = gensOf(spark, path, v)
+    val committed = committedGens(spark, path, v)
+    if (committed == all) spark.read.parquet(s"$path/v$v")
+    else spark.read.option("basePath", s"$path/v$v")
+      .parquet(committed.map(g => s"$path/v$v/gen=$g"): _*)
+  }
 
   /** Register the live version for PLAIN SQL (VERDICT r13 next #7):
     * `SELECT ... FROM <name> WHERE tok IN ('a','b')` prunes statically
@@ -210,9 +237,12 @@ object PostingIndex {
   def compact(spark: SparkSession, path: String): Unit =
     withWriterLock(spark, path) {
       val v = liveVersion(spark, path)
-      val gens = gensOf(spark, path, v)
+      val gens = committedGens(spark, path, v)
       val merged = scan(spark, path).select("doc_id", "pos", "tok", "tb")
-      stageAndCommit(merged, path, s"$path/v${v + 1}/gen=0",
+      // allocate past ALL version dirs incl. a crashed partial compact
+      val next = versionsOf(fsOf(spark, path), path)
+        .map(_._1).lastOption.map(_ + 1).getOrElse(0)
+      stageAndCommit(merged, path, s"$path/v$next/gen=0",
         s"""{"op":"compact","from_version":$v,"merged_gens":${gens.size}}""")
     }
 
@@ -222,10 +252,12 @@ object PostingIndex {
     withWriterLock(spark, path) {
       val fs = fsOf(spark, path)
       val live = liveVersion(spark, path)
-      fs.listStatus(new Path(path)).toSeq.filter(_.isDirectory)
-        .flatMap(s => versionOf(s.getPath.getName).map(s.getPath -> _))
-        .filter(_._2 < live)
-        .foreach { case (p, _) => fs.delete(p, true) }
+      val all = versionsOf(fs, path)
+      val anyMarked = all.exists(_._2)
+      // superseded versions, plus crash-partial ones (marker-less in a
+      // marked store — they sit ABOVE live, left by a crashed compact)
+      all.filter { case (v, m) => v < live || (anyMarked && !m && v != live) }
+        .foreach { case (v, _) => fs.delete(new Path(s"$path/v$v"), true) }
       require(fs.exists(new Path(s"$path/v$live")),
         s"graft: vacuum invariant broken — live version v$live missing")
     }

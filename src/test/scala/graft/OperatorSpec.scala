@@ -1842,6 +1842,21 @@ class OperatorSpec extends AnyFunSuite {
     // appends keep working after compaction (next gen in the new root)
     PostingIndex.append(docs.limit(0), inc)
     assert(hits(inc) == want)
+    // object-store crash window (VERDICT r14 #4): a PARTIAL gen dir —
+    // a copy+delete "rename" dying mid-copy leaves it marker-less,
+    // full of garbage — must be invisible to the scan and never
+    // re-targeted by the next append
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(inc)).toSeq
+      .map(_.getPath.getName).filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
+    val partial = new org.apache.hadoop.fs.Path(s"$inc/v$live/gen=9")
+    fs.mkdirs(partial)
+    val gout = fs.create(
+      new org.apache.hadoop.fs.Path(partial, "part-00000.parquet"), true)
+    gout.write("this is not a parquet file".getBytes("UTF-8")); gout.close()
+    assert(hits(inc) == want, "partial gen dir leaked into the probe")
+    PostingIndex.append(docs.limit(0), inc) // allocates gen=10, past the wreckage
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$inc/v$live/gen=10/_COMMITTED")))
+    assert(hits(inc) == want)
     // guards: double-create refused; bucket meta round-trips
     val e = intercept[IllegalArgumentException](PostingIndex.create(docs, inc))
     assert(e.getMessage.contains("already exists"), e.getMessage)

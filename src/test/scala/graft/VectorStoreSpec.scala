@@ -1357,6 +1357,76 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("writer-lock lease: a crashed holder's stale lock self-steals, a LIVE lock is never stolen") {
+    // VERDICT r14 #5: previously a crashed holder stalled every writer
+    // for the full timeout and recovery was a human running force
+    val root = Files.createTempDirectory("graft-lease").toString
+    val store = new VectorStore(spark, root, writerLeaseMs = 500)
+    store.insert(df(Seq(("a", Array(1f, 0f), "x", Seq("t")))))
+    // crashed holder: lock file with an old mtime and no heartbeat
+    val lock = new java.io.File(s"$root/_lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 60000))
+    store.insert(df(Seq(("b", Array(0f, 1f), "y", Seq("t"))))) // steals, no force
+    assert(store.table().count() == 2)
+    assert(!lock.exists(), "lock not released after the stolen write")
+    // a LIVE lock (fresh mtime, as a heartbeat would keep it) is never
+    // stolen: acquisition times out loudly instead
+    assert(lock.createNewFile())
+    val waiter = new VectorStore(spark, root,
+      writerLockTimeoutMs = 1200, writerLeaseMs = 60000)
+    val e = intercept[IllegalStateException](
+      waiter.insert(df(Seq(("c", Array(1f, 1f), "z", Seq("t"))))))
+    assert(e.getMessage.contains("not acquired"))
+    assert(lock.delete())
+    store.clear()
+  }
+
+  test("object-store-safe commits: partial (marker-less) version dirs are invisible and never re-targeted") {
+    // VERDICT r14 #4: on S3-class stores "rename" is copy+delete, so a
+    // crash mid-commit leaves a PARTIAL dir at the final versioned
+    // name. Simulate exactly that — marker-less dirs full of garbage
+    // that would break any reader touching them — and require readers
+    // to refuse them, allocation to skip past them, vacuum to reap them.
+    val root = Files.createTempDirectory("graft-marker").toString
+    val store = new VectorStore(spark, root)
+    val rng = new scala.util.Random(5)
+    store.insert(df((0 until 50).map { i =>
+      (s"v$i", Array.fill(8)(rng.nextGaussian().toFloat), s"c$i", Seq("t"))
+    } :+ (("x", Array.fill(8)(0.5f), "cx", Seq("u")))))
+    store.buildAnnIndex(k = 4)
+    def plantGarbage(dir: String): Unit = {
+      val d = new java.io.File(dir)
+      assert(d.mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-00000.parquet"),
+        "this is not a parquet file".getBytes("UTF-8"))
+    }
+    plantGarbage(s"$root/manifest/v1.parquet") // crashed copy, no marker
+    plantGarbage(s"$root/ann/v1")
+    // readers resolve the newest COMMITTED version, not the wreckage
+    assert(store.manifest().count() == 2)
+    val qv = Seq.fill(8)(0.1f)
+    assert(store.searchAnn(qv, k = 5, nprobe = 4).count() == 5)
+    // the next commits allocate PAST the partial dirs (v2), and serve
+    store.buildAnnIndex(k = 4)
+    assert(new java.io.File(s"$root/ann/v2/_COMMITTED").exists())
+    assert(store.searchAnn(qv, k = 5, nprobe = 4).count() == 5)
+    // delete publishes via a manifest-base rename (THE commit point):
+    // it must mint v2 past the wreckage, marker last
+    import spark.implicits._
+    store.delete(Seq("x").toDF("id"))
+    assert(new java.io.File(s"$root/manifest/v2.parquet/_COMMITTED").exists())
+    assert(store.manifest().count() == 1)
+    assert(store.table().count() == 50)
+    // vacuum reaps the wreckage with superseded versions
+    store.vacuum(graceMs = 0L)
+    assert(!new java.io.File(s"$root/manifest/v1.parquet").exists())
+    assert(!new java.io.File(s"$root/ann/v1").exists())
+    assert(store.manifest().count() == 1)
+    store.clear()
+  }
+
   test("clear(force) resets a store whose writer crashed holding the lock") {
     val root = Files.createTempDirectory("graft-stale-lock").toString
     val store = new VectorStore(spark, root)
