@@ -98,14 +98,21 @@ private[operators] object LeaseLock {
     if (leaseMs > 0) beat.start()
     try f finally {
       beat.interrupt()
-      val mine = try {
-        val in = fs.open(lock)
-        val held = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                   finally in.close()
-        held == owner
-      } catch { case _: java.io.IOException => false }
-      if (mine) fs.delete(lock, false)
-      else System.err.println(
+      // release states: MINE -> delete; GONE (f itself wiped the root —
+      // clear() — or a force reset) -> nothing to do, NOT a steal;
+      // THEIRS -> a stealer took it past our lease: leave the
+      // successor's lock alone and say so loudly
+      val state = try {
+        if (!fs.exists(lock)) "gone"
+        else {
+          val in = fs.open(lock)
+          val held = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+          if (held == owner) "mine" else "theirs"
+        }
+      } catch { case _: java.io.IOException => "theirs" }
+      if (state == "mine") fs.delete(lock, false)
+      else if (state == "theirs") System.err.println(
         s"graft: $what $lock no longer owned at release — this writer" +
           " exceeded its lease and the lock was stolen; its work raced" +
           " the successor's (single-writer contract: size the lease" +

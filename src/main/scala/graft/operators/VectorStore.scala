@@ -1563,6 +1563,11 @@ class VectorStore(spark: SparkSession, val root: String,
       val p = new Path(s"$root/$t")
       if (fs.exists(p) && expired(p)) fs.delete(p, true)
     }
+    // lock-steal tombstones: a stealer that crashed between its rename
+    // and its delete leaves `_lock.stale.<uuid>` debris ([[LeaseLock]])
+    for (st <- fs.listStatus(new Path(root))
+           if st.getPath.getName.startsWith("_lock.stale.") && expired(st.getPath))
+      fs.delete(st.getPath, false)
     // content-fingerprint sidecar: fold the per-trigger append files
     // back to ~one per bucket (vacuum never changes live contents, so
     // this is purely a small-files compaction under the marker dance)

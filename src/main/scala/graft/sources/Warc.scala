@@ -209,6 +209,10 @@ object Warc {
               fail(s"corrupt deflate data: ${e.getMessage}")
           }
           if (n > 0) { crc.update(b, off, n); memberBytes += n; return n }
+          // gzip never uses preset dictionaries (RFC 1952 has no field
+          // for one) — a needsDictionary inflater here means corrupt
+          // data, and looping on it would spin forever
+          if (inf.needsDictionary) fail("deflate stream demands a preset dictionary (corrupt gzip member)")
           if (inf.finished()) finishMember()
         }
       }
