@@ -1348,6 +1348,21 @@ object SparkEntry {
           col("content"))
         .orderBy("doc_id")),
 
+    // the SAME shards through the DataSource V2 source (`spark.read
+    // .format("graft-warc")`): Catalyst-planned scan, column pruning
+    // reaching the parse (WarcV2Spec plan-gates it), SQL-registerable.
+    // Shares warc_read's oracle values — the two entry points cannot
+    // drift because they share Warc.fileRows.
+    "warc_read_v2" -> ((s, dir) =>
+      s.read.format("graft-warc").load(warcFixturePath(s, dir) + "/*")
+        .where(col("warc_type") =!= "_corrupt")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("record_id"), col("content_len"),
+          col("content"))
+        .orderBy("doc_id")),
+
     // HTML -> text extraction (the step between WARC and quality
     // filtering): in-query synthetic HTML wraps each doc — title, h1,
     // a style block, a script block whose body contains a bare '<'
@@ -3895,6 +3910,15 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin,
 
       "warc_read" ->
+        """SELECT doc_id,
+          |       'response' AS warc_type,
+          |       '00000000-0000-4000-8000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS record_id,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+          |       text AS content
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      "warc_read_v2" ->
         """SELECT doc_id,
           |       'response' AS warc_type,
           |       '00000000-0000-4000-8000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS record_id,

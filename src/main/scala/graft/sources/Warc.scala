@@ -245,8 +245,15 @@ object Warc {
     * Framing-intact corruption (missing WARC-Type, invalid UTF-8
     * block) quarantines that record and CONTINUES. IOExceptions from
     * the underlying stream (e.g. the gzip layer) propagate — the
-    * caller quarantines them per file. */
-  private[graft] def parseStream(in0: java.io.InputStream): Iterator[Row] = new Iterator[Row] {
+    * caller quarantines them per file.
+    *
+    * `withContent = false` (a column-pruned scan): record blocks are
+    * SKIPPED unread — no allocation, no UTF-8 decode — and `content`
+    * is null. The parquet economics apply: content-level corruption
+    * (invalid UTF-8) surfaces only when the content column is read;
+    * framing corruption always surfaces. */
+  private[graft] def parseStream(in0: java.io.InputStream,
+      withContent: Boolean = true): Iterator[Row] = new Iterator[Row] {
     private val in = new java.io.PushbackInputStream(
       new java.io.BufferedInputStream(in0, 64 * 1024), 4)
     private var pos = 0L      // decompressed offset, for corrupt messages
@@ -346,16 +353,24 @@ object Warc {
       if (contentLen < 0 || contentLen > Int.MaxValue - 16) {
         fatal(s"bad Content-Length $contentLen"); return
       }
-      val block = in.readNBytes(contentLen.toInt)
-      if (block.length < contentLen) {
-        pos += block.length
-        fatal(s"bad Content-Length $contentLen"); return
-      }
+      var block: Array[Byte] = null
+      val short =
+        if (withContent) {
+          block = in.readNBytes(contentLen.toInt)
+          if (block.length < contentLen) { pos += block.length; true } else false
+        } else {
+          try { in.skipNBytes(contentLen); false }
+          catch { case _: java.io.EOFException => true }
+        }
+      if (short) { fatal(s"bad Content-Length $contentLen"); return }
       // WARC-Type is mandatory (ISO 28500 §5.5) and readClean keys on
       // it — a well-framed record missing it quarantines (the framing
       // is intact, so parsing CONTINUES with the next record)
       if (warcType == null) {
         pending = corruptRow("missing mandatory WARC-Type header")
+        pos += contentLen
+      } else if (!withContent) {
+        pending = Row(warcType, recordId, targetUri, date, null, contentLen, null)
         pos += contentLen
       } else {
         // STRICT UTF-8 decode: this is the text lane, and a malformed
@@ -384,8 +399,8 @@ object Warc {
     * corruption loses THAT tail only), and the quarantine row carries
     * the shard name + cause. The stream opens lazily on first pull and
     * closes on exhaustion or failure. */
-  private def fileRows(path: String, open: () => java.io.InputStream,
-      isGz: Boolean): Iterator[Row] = new Iterator[Row] {
+  private[sources] def fileRows(path: String, open: () => java.io.InputStream,
+      isGz: Boolean, withContent: Boolean = true): Iterator[Row] = new Iterator[Row] {
     private var base: java.io.InputStream = null
     private var under: Iterator[Row] = null
     private var pending: Row = null
@@ -408,7 +423,8 @@ object Warc {
         if (under == null) {
           if (closed) return false
           base = open()
-          under = parseStream(if (isGz) new GzipMembersInputStream(base) else base)
+          under = parseStream(
+            if (isGz) new GzipMembersInputStream(base) else base, withContent)
         }
         val h = under.hasNext
         if (!h) closeNow()
