@@ -85,12 +85,33 @@ private[operators] object LeaseLock {
       val out = fs.create(lock, true)
       out.write(owner.getBytes("UTF-8")); out.close()
     } catch { case _: java.io.IOException => () }
+    // each beat VERIFIES ownership first: a zombie holder whose lock
+    // was stolen must stop beating (refreshing the successor's lock
+    // would keep a later-crashed successor's lock perpetually young,
+    // reintroducing the full-timeout stall). setTimes failures fall
+    // back to rewriting the lock (owner content, fresh mtime); ANY
+    // non-fatal error (e.g. an UnsupportedOperationException from a
+    // FileSystem shim — NOT just IOException) must never kill the
+    // thread silently, or the lease silently disables and a LIVE
+    // writer gets stolen from.
     val beat = new Thread(() => {
       try {
-        while (!Thread.interrupted()) {
+        var live = true
+        while (live && !Thread.interrupted()) {
           Thread.sleep(math.max(200L, leaseMs / 4))
-          try fs.setTimes(lock, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () } // lost lock: stop quietly
+          try {
+            val in = fs.open(lock)
+            val held = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                       finally in.close()
+            if (held != owner) live = false // stolen: stop quietly
+            else {
+              try fs.setTimes(lock, System.currentTimeMillis(), -1)
+              catch { case scala.util.control.NonFatal(_) =>
+                val out = fs.create(lock, true)
+                out.write(owner.getBytes("UTF-8")); out.close()
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => () } // transient: retry next beat
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lock-heartbeat-${lock.getParent}")

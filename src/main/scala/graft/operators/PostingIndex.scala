@@ -258,6 +258,11 @@ object PostingIndex {
       // marked store — they sit ABOVE live, left by a crashed compact)
       all.filter { case (v, m) => v < live || (anyMarked && !m && v != live) }
         .foreach { case (v, _) => fs.delete(new Path(s"$path/v$v"), true) }
+      // crashed lock-steal tombstones ([[LeaseLock]]), same sweep as
+      // the store's vacuum
+      for (st <- fs.listStatus(new Path(path))
+             if st.getPath.getName.startsWith("_writer_lock.stale."))
+        fs.delete(st.getPath, false)
       require(fs.exists(new Path(s"$path/v$live")),
         s"graft: vacuum invariant broken — live version v$live missing")
     }

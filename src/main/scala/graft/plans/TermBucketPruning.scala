@@ -51,27 +51,41 @@ object TermBucketPruning extends Rule[LogicalPlan] {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
-  /** Compare on the scheme-less path component: registration passes
-    * the raw index root (`/tmp/x/i`) while a resolved relation's
-    * rootPaths are filesystem-qualified (`file:/tmp/x/i/v0`) — the
-    * qualified form must still match (r15: the unnormalized compare
-    * silently never pruned in a session whose reads qualify paths —
-    * a no-prune is invisible to correctness gates, only to plans). */
+  /** Registration passes the raw index root (`/tmp/x/i`) while a
+    * resolved relation's rootPaths are filesystem-qualified
+    * (`file:/tmp/x/i/v0`) — the qualified form must still match (r15:
+    * the unqualified compare silently never pruned in a session whose
+    * reads qualify paths — a no-prune is invisible to correctness
+    * gates, only to plans). BUT the scheme cannot simply be stripped
+    * from both sides: `/data/idx` on the local FS and
+    * `hdfs://nn/data/idx` are DIFFERENT indexes (different bucket
+    * counts -> pruning with the wrong one silently drops rows). Rule:
+    * a SCHEME-QUALIFIED registration matches only roots with the same
+    * scheme; a scheme-less registration (the common local form)
+    * matches on the path component alone. */
   private def norm(p: String): String = {
     val raw = new org.apache.hadoop.fs.Path(p).toUri.getPath
     if (raw.endsWith("/")) raw else raw + "/"
   }
 
+  private def schemeOf(p: String): Option[String] =
+    Option(new org.apache.hadoop.fs.Path(p).toUri.getScheme)
+
+  /** Does relation root `r` live under registered root `reg`? */
+  private def underRoot(r: String, reg: String): Boolean =
+    norm(r).startsWith(norm(reg)) &&
+      (schemeOf(reg).isEmpty || schemeOf(reg) == schemeOf(r))
+
   def register(indexRoot: String, buckets: Int): Unit = {
     require(buckets > 0, s"graft: buckets $buckets must be positive")
-    registry.put(norm(indexRoot), buckets); ()
+    registry.put(indexRoot, buckets); ()
   }
 
   private def bucketsFor(rel: HadoopFsRelation): Option[Int] = {
-    val roots = rel.location.rootPaths.map(p => norm(p.toString))
+    val roots = rel.location.rootPaths.map(_.toString)
     if (roots.isEmpty) None
     else registry.asScala.collectFirst {
-      case (root, b) if roots.forall(_.startsWith(root)) => b
+      case (root, b) if roots.forall(underRoot(_, root)) => b
     }
   }
 

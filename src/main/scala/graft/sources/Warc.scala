@@ -277,7 +277,10 @@ object Warc {
 
     /** CRLF-terminated line; null = EOF (or the MaxHeaderLine bound,
       * flagged via `overlong`) before the terminator. Lone CRs stay in
-      * the line, matching the two-byte-delimiter scan semantics. */
+      * the line, matching the two-byte-delimiter scan semantics — the
+      * byte AFTER a lone CR is UNREAD so it can itself start a CRLF
+      * (a 'x\r\r\n' line must terminate at the second CR, exactly as
+      * the old whole-array scan did). */
     private def readLine(): String = {
       overlong = false
       val sb = new java.io.ByteArrayOutputStream(64)
@@ -288,9 +291,12 @@ object Warc {
         if (b == '\r') {
           val b2 = in.read()
           if (b2 < 0) return null
-          pos += 1
-          if (b2 == '\n') return new String(sb.toByteArray, StandardCharsets.UTF_8)
-          sb.write(b); sb.write(b2)
+          if (b2 == '\n') {
+            pos += 1
+            return new String(sb.toByteArray, StandardCharsets.UTF_8)
+          }
+          sb.write(b)
+          in.unread(b2)
         } else sb.write(b)
       }
       overlong = true
@@ -400,8 +406,10 @@ object Warc {
     * the shard name + cause. The stream opens lazily on first pull and
     * closes on exhaustion or failure. */
   private[sources] def fileRows(path: String, open: () => java.io.InputStream,
-      isGz: Boolean, withContent: Boolean = true): Iterator[Row] = new Iterator[Row] {
-    private var base: java.io.InputStream = null
+      isGz: Boolean, withContent: Boolean = true)
+      : Iterator[Row] with AutoCloseable =
+    new Iterator[Row] with AutoCloseable {
+    private var wrapped: java.io.InputStream = null // owns base + inflater
     private var under: Iterator[Row] = null
     private var pending: Row = null
     private var closed = false
@@ -412,19 +420,24 @@ object Warc {
         s"$kind in ${path.split('/').last}: ${e.getMessage}")
       closeNow(); under = Iterator.empty
     }
+    // closes the WRAPPER, not just the base stream: for a gzip shard
+    // that is the only place a mid-member Inflater's native zlib state
+    // is released (quarantine and early termination both stop mid-member)
     private def closeNow(): Unit = if (!closed) {
       closed = true
-      if (base != null) try base.close() catch { case _: java.io.IOException => () }
+      if (wrapped != null) try wrapped.close() catch { case _: java.io.IOException => () }
     }
+    /** Early-termination hook (limit/take): same as exhaustion. */
+    override def close(): Unit = closeNow()
 
     def hasNext: Boolean = {
       if (pending != null) return true
       try {
         if (under == null) {
           if (closed) return false
-          base = open()
-          under = parseStream(
-            if (isGz) new GzipMembersInputStream(base) else base, withContent)
+          val base = open()
+          wrapped = if (isGz) new GzipMembersInputStream(base) else base
+          under = parseStream(wrapped, withContent)
         }
         val h = under.hasNext
         if (!h) closeNow()

@@ -65,22 +65,41 @@ private[sources] object WarcSource {
     all
   }
 
-  /** Expand globs and directories to the shard FILE list (hidden
-    * files skipped, like any file source). Driver-side metadata. */
-  def resolveFiles(paths: Seq[String], conf: Configuration): Seq[String] =
-    paths.flatMap { p =>
+  /** Expand globs and directories to the shard FILE list — directories
+    * RECURSIVELY (crawl layouts nest shards under segment dirs), hidden
+    * files skipped, like any file source. Driver-side metadata. Zero
+    * resolved files FAILS LOUDLY: a nested layout that silently
+    * resolved to an empty scan would read as an empty crawl. */
+  def resolveFiles(paths: Seq[String], conf: Configuration): Seq[String] = {
+    val files = paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      def hidden(rel: String): Boolean =
+        rel.split('/').exists(n => n.startsWith("_") || n.startsWith("."))
       matched.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-        else Seq(st)
+        if (!st.isDirectory) {
+          if (hidden(st.getPath.getName)) Nil else Seq(st.getPath.toString)
+        } else {
+          // hidden components are judged BELOW the matched root only —
+          // a dot-dir ancestor the user explicitly pointed at is theirs
+          val rootStr = st.getPath.toString
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) {
+            val f = it.next().getPath.toString
+            if (!hidden(f.stripPrefix(rootStr).stripPrefix("/"))) out += f
+          }
+          out
+        }
       }
-    }.map(_.getPath.toString)
-      .filterNot { f =>
-        val n = f.split('/').last
-        n.startsWith("_") || n.startsWith(".")
-      }.distinct.sorted
+    }.distinct.sorted
+    require(files.nonEmpty,
+      s"graft-warc: ${paths.mkString(",")} resolved to ZERO shard files" +
+        " — wrong glob or empty crawl (an empty scan here would silently" +
+        " read as an empty corpus)")
+    files
+  }
 }
 
 /** Hadoop Configuration is not Serializable (it is Writable); the
@@ -150,11 +169,9 @@ private[sources] class WarcPartitionReader(file: String, conf: Configuration,
   // UTF8String, content_len stays long
   private val idx: Array[Int] = required.fieldNames.map(Warc.schema.fieldIndex)
   private val withContent = required.fieldNames.contains("content")
-  private var base: java.io.InputStream = null
   private val rows = Warc.fileRows(file, () => {
     val p = new Path(file)
-    base = p.getFileSystem(conf).open(p)
-    base
+    p.getFileSystem(conf).open(p)
   }, file.endsWith(".gz"), withContent)
   private var cur: InternalRow = _
 
@@ -180,6 +197,7 @@ private[sources] class WarcPartitionReader(file: String, conf: Configuration,
 
   override def close(): Unit =
     // fileRows closes on exhaustion/corruption; this covers EARLY
-    // termination (limit/take) — FSDataInputStream close is idempotent
-    if (base != null) try base.close() catch { case _: java.io.IOException => () }
+    // termination (limit/take), releasing a mid-member Inflater's
+    // native state too (the iterator closes its gzip wrapper)
+    rows.close()
 }

@@ -225,9 +225,26 @@ object RefWidthCheck {
     val (n2, _, s1) = readOnce()
     val (_, _, s2) = readOnce()
     require(n1 == nDocs && n2 == nDocs, s"graft: warc scale check lost records ($n1/$n2 of $nDocs)")
+    // V2 metadata-only scan: column pruning reaches the parse (content
+    // blocks skipped unread) — the economics a 100 TB crawl's metadata
+    // queries actually pay. Same files, same steady protocol.
+    def readMetaOnce(): (Long, Double) = {
+      val t = System.nanoTime()
+      val n = spark.read.format("graft-warc").load(s"$dir/*")
+        .where(org.apache.spark.sql.functions.col("warc_type") === "response")
+        .select("target_uri", "content_len")
+        .count()
+      (n, (System.nanoTime() - t) / 1e9)
+    }
+    val (m1, metaCold) = readMetaOnce()
+    val (m2, meta1) = readMetaOnce()
+    val (_, meta2) = readMetaOnce()
+    require(m1 == nDocs && m2 == nDocs,
+      s"graft: warc v2 metadata scan lost records ($m1/$m2 of $nDocs)")
+    val metaSteady = math.min(meta1, meta2)
     val steady = math.min(s1, s2)
     val rawMb = raw1 / 1e6
-    f"""{"docs":$nDocs,"raw_mb":$rawMb%.1f,"gz_mb":${gzBytes / 1e6}%.1f,"write_sec":$writeSec%.3f,"read_cold_sec":$cold%.3f,"read_steady_sec":$steady%.3f,"read_mb_per_sec":${rawMb / steady}%.1f}"""
+    f"""{"docs":$nDocs,"raw_mb":$rawMb%.1f,"gz_mb":${gzBytes / 1e6}%.1f,"write_sec":$writeSec%.3f,"read_cold_sec":$cold%.3f,"read_steady_sec":$steady%.3f,"read_mb_per_sec":${rawMb / steady}%.1f,"v2_meta_cold_sec":$metaCold%.3f,"v2_meta_steady_sec":$metaSteady%.3f,"v2_meta_mb_per_sec":${rawMb / metaSteady}%.1f}"""
     } finally {
       // covers the write+read body too: a failed check must not leak
       // ~120 MB of shards into /tmp on every degraded protocol run

@@ -62,6 +62,24 @@ class WarcV2Spec extends AnyFunSuite {
     assert(v2(s"$gzDir/*").limit(1).collect().length == 1)
   }
 
+  test("directory loads resolve shards RECURSIVELY; zero resolved files fails loudly") {
+    // crawl layouts nest shards under segment dirs — a dir load that
+    // silently resolved to zero partitions would read as an empty crawl
+    val root = Files.createTempDirectory("graft-warcv2-nest").toString
+    val seg = s"$root/segments/seg-00001"
+    Warc.writeFixture(fixtureDf, seg, shards = 2, gzip = true)
+    assert(v2(root).count() == 3)
+    // hidden staging dirs below the root are skipped
+    val staged = s"$root/_stage"
+    Warc.writeFixture(fixtureDf, staged, shards = 1, gzip = true)
+    assert(v2(root).count() == 3)
+    // an empty resolution is an error, not an empty DataFrame
+    val empty = Files.createTempDirectory("graft-warcv2-empty").toString
+    val e = intercept[Exception](v2(empty).count())
+    assert(String.valueOf(e.getMessage).contains("ZERO shard files")
+      || String.valueOf(e.getCause).contains("ZERO shard files"), e.toString)
+  }
+
   test("SQL registration: a temp view over the v2 source serves plain SQL") {
     v2(s"$gzDir/*").createOrReplaceTempView("warc_v2_t")
     val n = spark.sql(
