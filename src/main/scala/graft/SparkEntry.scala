@@ -1348,6 +1348,33 @@ object SparkEntry {
           col("content"))
         .orderBy("doc_id")),
 
+    // STREAMING ingestion of the same shards (`spark.readStream
+    // .format("graft-warc")`): micro-batch over newly-arrived shard
+    // files (monotone-name offset, WarcStreamingSpec), drained
+    // AvailableNow into a parquet sink and read back — the live-crawl
+    // arrival lane, hash-gated against the same oracle values as the
+    // batch reads.
+    "warc_streamed" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-warc-streamq").toString
+      val q = s.readStream.format("graft-warc")
+        .load(warcFixturePath(s, dir) + "/*")
+        .where(col("warc_type") =!= "_corrupt")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.read.parquet(s"$root/out")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("record_id"), col("content_len"),
+          col("content"))
+        .orderBy("doc_id")
+    }),
+
     // the SAME shards through the DataSource V2 source (`spark.read
     // .format("graft-warc")`): Catalyst-planned scan, column pruning
     // reaching the parse (WarcV2Spec plan-gates it), SQL-registerable.
@@ -3919,6 +3946,15 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin,
 
       "warc_read_v2" ->
+        """SELECT doc_id,
+          |       'response' AS warc_type,
+          |       '00000000-0000-4000-8000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS record_id,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+          |       text AS content
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      "warc_streamed" ->
         """SELECT doc_id,
           |       'response' AS warc_type,
           |       '00000000-0000-4000-8000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS record_id,

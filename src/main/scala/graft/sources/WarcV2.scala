@@ -68,9 +68,12 @@ private[sources] object WarcSource {
   /** Expand globs and directories to the shard FILE list — directories
     * RECURSIVELY (crawl layouts nest shards under segment dirs), hidden
     * files skipped, like any file source. Driver-side metadata. Zero
-    * resolved files FAILS LOUDLY: a nested layout that silently
-    * resolved to an empty scan would read as an empty crawl. */
-  def resolveFiles(paths: Seq[String], conf: Configuration): Seq[String] = {
+    * resolved files FAILS LOUDLY in batch mode: a nested layout that
+    * silently resolved to an empty scan would read as an empty crawl
+    * (`allowEmpty` for streaming, where an empty dir just means no
+    * shards have arrived yet). */
+  def resolveFiles(paths: Seq[String], conf: Configuration,
+      allowEmpty: Boolean = false): Seq[String] = {
     val files = paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
@@ -94,7 +97,7 @@ private[sources] object WarcSource {
         }
       }
     }.distinct.sorted
-    require(files.nonEmpty,
+    require(allowEmpty || files.nonEmpty,
       s"graft-warc: ${paths.mkString(",")} resolved to ZERO shard files" +
         " — wrong glob or empty crawl (an empty scan here would silently" +
         " read as an empty corpus)")
@@ -121,7 +124,7 @@ private[sources] class WarcTable(paths: Seq[String]) extends Table with Supports
   override def name(): String = s"graft-warc ${paths.mkString(",")}"
   override def schema(): StructType = Warc.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths)
 }
@@ -138,6 +141,9 @@ private[sources] class WarcScan(paths: Seq[String], required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(paths, required, checkpointLocation)
   override def description(): String =
     s"graft-warc ${paths.mkString(",")} (columns: ${required.fieldNames.mkString(",")})"
 

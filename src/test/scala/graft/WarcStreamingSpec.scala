@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Warc
+
+/** Micro-batch WARC ingestion: newly-arrived shards per batch,
+  * checkpointed offsets across restarts, value identity with the batch
+  * read, loud monotone-name contract violation. */
+class WarcStreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(ids: Range) = ids.map { i =>
+    (f"00000000-0000-4000-8000-$i%012d", s"http://corpus.local/doc/$i",
+      "2026-01-01T00:00:00Z", s"doc number $i body")
+  }.toDF("record_id", "target_uri", "warc_date", "content")
+
+  /** One shard file with a monotonically increasing name. */
+  private def shard(dir: String, seq: Int, ids: Range): Unit = {
+    val tmp = Files.createTempDirectory("graft-warcstream-tmp").toString
+    Warc.writeFixture(docs(ids), tmp, shards = 1, gzip = true)
+    val src = new java.io.File(tmp).listFiles().head
+    java.nio.file.Files.move(src.toPath,
+      java.nio.file.Paths.get(dir, f"shard-$seq%05d.warc.gz"))
+  }
+
+  private def drainOnce(dir: String, out: String, ckpt: String): Unit = {
+    val q = spark.readStream.format("graft-warc").load(s"$dir")
+      .where($"warc_type" =!= "_corrupt")
+      .select("record_id", "target_uri", "content")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "stream did not drain in time")
+  }
+
+  test("each micro-batch ingests only newly-arrived shards; offsets survive restart; values match batch") {
+    val dir = Files.createTempDirectory("graft-warcstream").toString
+    val out = Files.createTempDirectory("graft-warcstream-out").toString + "/p"
+    val ckpt = Files.createTempDirectory("graft-warcstream-ck").toString
+
+    shard(dir, 0, 0 until 4)
+    drainOnce(dir, out, ckpt)
+    val after1 = spark.read.parquet(out)
+    assert(after1.count() == 4)
+
+    // new shards arrive; a RESTARTED stream (same checkpoint) must
+    // ingest only them — the parquet sink would duplicate rows if the
+    // committed offset were not honored
+    shard(dir, 1, 4 until 9)
+    shard(dir, 2, 9 until 12)
+    drainOnce(dir, out, ckpt)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 12, s"expected 12 rows, got ${all.count()}")
+    // value identity with the batch read over the same shards
+    val batch = spark.read.format("graft-warc").load(dir)
+      .where($"warc_type" =!= "_corrupt")
+      .select("record_id", "target_uri", "content")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(key(all) == key(batch))
+    // nothing new: a third drain appends nothing
+    drainOnce(dir, out, ckpt)
+    assert(spark.read.parquet(out).count() == 12)
+  }
+
+  test("a shard arriving BELOW the committed offset violates the monotone-name contract loudly") {
+    val dir = Files.createTempDirectory("graft-warcstream-late").toString
+    val out = Files.createTempDirectory("graft-warcstream-late-out").toString + "/p"
+    val ckpt = Files.createTempDirectory("graft-warcstream-late-ck").toString
+    shard(dir, 5, 0 until 3)
+    drainOnce(dir, out, ckpt)
+    assert(spark.read.parquet(out).count() == 3)
+    // late arrival: sorts below shard-00005 AND is younger than the
+    // commit — would be skipped silently forever without the check
+    Thread.sleep(50)
+    shard(dir, 1, 3 until 6)
+    shard(dir, 9, 6 until 8) // plus a legitimate new one
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainOnce(dir, out, ckpt)
+    }
+    assert(String.valueOf(e.getCause).contains("monotone-shard-name"),
+      String.valueOf(e.getCause).take(500))
+  }
+}
