@@ -193,6 +193,52 @@ object Bench {
   private val WarmReps = 3
   private val MaxRetries = 2
 
+  // ---- wall budget (VERDICT r15 next #1: the r15 driver bench run
+  // timed out — rc=124, parsed:null — leaving the round with NO
+  // driver-verified bench artifact; the harness had grown a retry loop,
+  // an sf1 fork and five scale checks with no notion of how much wall
+  // its caller allows). The budget is a soft deadline this process
+  // enforces on ITSELF: optional stages (retries, the sf1 fork, scale
+  // checks) are skipped with an explicit recorded reason when the
+  // remaining budget cannot fit their estimated cost, and the artifact
+  // is (re)written after EVERY stage — a degraded-but-present artifact
+  // always beats a timeout kill. Default 1500 s: the r14 rc=0 run fit
+  // ~1200 s of stages inside the driver's window, r15's extra retry
+  // (~620 s) blew it; 1500 leaves the driver's timeout headroom for
+  // sbt startup + compile. ----
+  private val BudgetSec: Double =
+    sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").flatMap(_.trim.toDoubleOption)
+      .getOrElse(1500.0)
+  private val benchStartNanos = System.nanoTime()
+  private def elapsedSec: Double = (System.nanoTime() - benchStartNanos) / 1e9
+  private def remainingSec: Double = BudgetSec - elapsedSec
+  /** Reserve kept for the stages that must still run after the current
+    * decision point: final artifact write is cheap, scale checks ~150 s
+    * when they still lie ahead. */
+  private val ScaleChecksReserveSec = 150.0
+  private val FinalizeReserveSec = 20.0
+
+  /** Per-query warm-median floor gate (VERDICT r15 next #2): the
+    * entry/exit probes can miss a MID-pass host collapse — r15's
+    * committed sf1 leg ran three untouched plan-gated queries 3-8x
+    * their clean-window floors yet read `contended:false`. Flag when a
+    * CLUSTER (>=2) of floor-known queries exceeds 3x floor with >0.5 s
+    * absolute excess: the plans and data are fixed per scale, so a
+    * cluster of blowups is the host, not the engine. Ratio 3x + 0.5 s
+    * absolute tolerates clean-day drift AND genuine single-query
+    * regressions (one query over floor = maybe a regression — let the
+    * cross-round diff adjudicate; a cluster = contention). */
+  private[graft] def floorReasons(tag: String, warmMed: Seq[(String, Double)]): Seq[String] = {
+    if (sys.env.get("SPARK_GRAFT_SKIP_FLOORS").contains("1")) return Nil
+    val floors = graft.tools.Floors.of(tag)
+    val blown = warmMed.collect {
+      case (n, med) if floors.get(n).exists(f => med > 3 * f && med - f > 0.5) => n
+    }
+    if (blown.size >= 2)
+      Seq(s"$tag:floor_blowup_${blown.size}_" + blown.take(3).mkString("+"))
+    else Nil
+  }
+
   /** Absolute floor for the all-cores CPU-throughput probe (VERDICT
     * r13 next #2): the relative signals (steal, loadavg, parallel
     * ratio, rep spread) all stayed silent while the r13 closing sf1
@@ -515,7 +561,7 @@ object Bench {
     }.mkString("[", ",", "]")
     Pass(s.coldTotal, s.warmMedTotal, s.warmMin.map(_._2).sum, loadPre,
       procsPre, forked, prewarm, cpuSt, cpuMt,
-      pre ++ cpu ++ s.contentionReasons(tag),
+      pre ++ cpu ++ s.contentionReasons(tag) ++ floorReasons(tag, s.warmMed),
       jsArr(s.failures), js(s.cold), js(s.warmMed), detail, marks,
       recall, steady)
   }
@@ -661,22 +707,44 @@ object Bench {
   /** The recovery loop (VERDICT r7 next #1): take pass 0, and while the
     * latest pass is contended and retries remain, wait for idle and
     * re-run the pass in a fresh forked JVM. Returns (cleanest pass,
-    * all passes in order, retries used). Cleanest = first clean pass,
-    * else fewest reasons, ties broken by lower warm-median total (the
-    * protocol comparable). */
-  private def withRetries(suite: String, dir: String, pass0: Pass): (Pass, Seq[Pass], Int) = {
+    * all passes in order, retries used, budget-skip reasons). Cleanest
+    * = first clean pass, else fewest reasons, ties broken by lower
+    * warm-median total (the protocol comparable).
+    *
+    * Budget-gated (VERDICT r15 next #1): a retry costs ~one full pass
+    * plus the idle-wait; when the remaining wall budget minus that cost
+    * cannot still fit `reserveAfterSec` (the stages that must run after
+    * this suite), the retry is SKIPPED with a recorded reason instead
+    * of running the driver into its timeout — a contended-but-present
+    * artifact beats rc=124. The idle-wait itself is clamped to what the
+    * budget can spare. */
+  private def withRetries(suite: String, dir: String, pass0: Pass,
+      passWallSec: Double, reserveAfterSec: Double):
+      (Pass, Seq[Pass], Int, Seq[String]) = {
     val passes = scala.collection.mutable.ArrayBuffer(pass0)
-    var forkBroken = false
-    while (passes.last.contended && passes.size <= MaxRetries && !forkBroken) {
-      val idle = waitForIdle(maxWaitSec = IdleWaitSec)
-      System.err.println(s"[bench] $suite pass ${passes.size - 1} contended " +
-        s"(${passes.last.reasons.mkString(", ")}); retry ${passes.size}" +
-        (if (idle) " after idle-wait" else " (idle-wait deadline expired)"))
-      forkPass(suite, dir) match {
-        case Some(p) => passes += p
-        case None =>
-          System.err.println(s"[bench] $suite retry fork failed; keeping existing passes")
-          forkBroken = true
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    var stop = false
+    while (passes.last.contended && passes.size <= MaxRetries && !stop) {
+      val retryCost = passWallSec * 1.1
+      val spare = remainingSec - retryCost - reserveAfterSec - FinalizeReserveSec
+      if (spare < 0) {
+        skipped += s"${suite}_retry_skipped_budget"
+        System.err.println(f"[bench] $suite retry skipped on budget: " +
+          f"$remainingSec%.0f s left, retry ~$retryCost%.0f s + " +
+          f"$reserveAfterSec%.0f s reserved ahead")
+        stop = true
+      } else {
+        val idle = waitForIdle(maxWaitSec =
+          math.min(IdleWaitSec.toDouble, spare).toInt.max(0))
+        System.err.println(s"[bench] $suite pass ${passes.size - 1} contended " +
+          s"(${passes.last.reasons.mkString(", ")}); retry ${passes.size}" +
+          (if (idle) " after idle-wait" else " (idle-wait deadline expired)"))
+        forkPass(suite, dir) match {
+          case Some(p) => passes += p
+          case None =>
+            System.err.println(s"[bench] $suite retry fork failed; keeping existing passes")
+            stop = true
+        }
       }
     }
     val best = passes.find(!_.contended).getOrElse(
@@ -684,7 +752,7 @@ object Bench {
     // retries = passes that actually RAN beyond pass 0 — a failed fork
     // is NOT a retry (overloading the counter made the artifact claim
     // attempts that never happened)
-    (best, passes.toSeq, passes.size - 1)
+    (best, passes.toSeq, passes.size - 1, skipped.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -706,125 +774,7 @@ object Bench {
 
   private def run(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-    // ---- sf0.1: pass 0 inline (this process IS a fresh JVM), retries
-    // forked so their cold stays first-touch-comparable ----
-    val p0 = runPass("sf01", sfDir, forked = false, withRecall = true)
-    val (s01, passes01, retries01) = withRetries("sf01", sfDir, p0)
-
-    // sf1 validation in a FRESH JVM. Only triggered when benching the
-    // protocol sf0.1 dir so ad-hoc sf0.01 iteration stays fast; gate on
-    // the path's BASENAME (endsWith let a trailing slash silently skip
-    // scale validation — ADVICE r4 #5). The whole leg is guarded: in r8
-    // an unguarded ScaleUp throw (a fixture-regeneration schema change)
-    // crashed main AFTER the sf0.1 numbers existed, and the driver's
-    // round artifact was rc=1 with NO json line at all — a broken sf1
-    // derivation must degrade to a recorded error, never destroy the
-    // sf0.1 result.
-    var sf1Error: Option[String] = None
-    val sf1: Option[(Pass, Seq[Pass], Int)] =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1")
-          || new java.io.File(sfDir).getName != "sf0.1") None
-      else try {
-        val spark = session()
-        val dir =
-          try ScaleUp.ensure(spark, sfDir,
-            sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
-          finally
-            // release this JVM's executors/heap before the child starts —
-            // the fork exists precisely so the scale numbers see a quiet
-            // machine
-            spark.stop()
-        val pass0 = forkPass("sf1", dir).getOrElse {
-          // fallback: in-process (old behavior), loudly non-forked
-          System.err.println("[bench] sf1 falling back to in-JVM run")
-          runPass("sf1", dir, forked = false, withRecall = false)
-        }
-        Some(
-          if (!pass0.forked) (pass0, Seq(pass0), 0) // fork machinery broken
-          else withRetries("sf1", dir, pass0))
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] sf1 leg failed: $e")
-        sf1Error = Some(e.toString.take(300))
-        None
-      }
-
-    // ---- reference-dimensionality PCA scale check (VERDICT r11 #5):
-    // runs AFTER the timed passes so its CPU burst cannot pollute a
-    // warm median; synthesized 1536-d input, ~25 s. Only in protocol
-    // (sf0.1) runs, skippable via env; a failure is RECORDED, never
-    // fatal — same degradation contract as the sf1 leg. One helper
-    // owns the gate + fresh-session lifecycle + error-JSON degradation
-    // so a contract change cannot silently miss a check. ----
-    def scaleCheck(label: String)(f: SparkSession => String): String =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SCALECHECK").contains("1")
-          || new java.io.File(sfDir).getName != "sf0.1") "{}"
-      else try {
-        val spark = session()
-        try f(spark) finally spark.stop()
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] $label scale check failed: $e")
-        s"""{"error":${jsStr(e.toString.take(300))}}"""
-      }
-
-    val pcaScale = scaleCheck("pca")(graft.tools.RefWidthCheck.pcaAtRefDims)
-
-    // BPE/WordPiece training at a ~1M-word dictionary (the fixture
-    // vocab is ~31 words, so the suite rows never exercise the
-    // vocab-bound iteration cost the design exists for)
-    val bpeScale = scaleCheck("bpe")(graft.tools.RefWidthCheck.bpeAtVocabScale)
-
-    // full co-purchase triangle count (VERDICT r12 #3): the unsampled
-    // graph_triangles_full row, 1 cold + 2 steady reps in this JVM —
-    // the committed artifact now tracks the real operator cost per
-    // round (the suite keeps the cheap quarter-sample as its feedback
-    // loop)
-    val trianglesFull = scaleCheck("triangles_full") { spark =>
-      val fn = SparkEntry.queries("graph_triangles_full")
-      // the row count rides out of the timed reps (ADVICE r13: a 4th
-      // untimed full run of the suite's heaviest fragment just to read
-      // the count doubled the check's cost)
-      var rows = 0L
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        rows = fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      f"""{"cold_sec":${times.head}%.3f,"steady_sec":${times.tail.min}%.3f,"rows":$rows}"""
-    }
-
-    // fuzzy-join vocabulary-scale counters (VERDICT r11 #6)
-    val fuzzyScale = scaleCheck("fuzzy")(graft.tools.RefWidthCheck.fuzzyAtVocabScale)
-
-    // WARC ingestion throughput at volume (~160 MB raw content; the
-    // fixture rows only parse a few MB)
-    val warcScale = scaleCheck("warc")(graft.tools.RefWidthCheck.warcAtVolumeScale)
-
-    // ---- verdicts ----
-    val sf1Contended = sf1.exists(_._1.contended)
-    val reasons = s01.reasons ++ (if (sf1Contended) Seq("sf1") else Nil) ++
-      (if (sf1Error.isDefined) Seq("sf1_setup_failed") else Nil)
-    val contended = reasons.nonEmpty
-    val passesJson01 = passes01.zipWithIndex
-      .map { case (p, i) => p.summaryJson(i) }.mkString("[", ",", "]")
-
-    val protocol = "warm-median (warm_total, sf1_warm_total) is the " +
-      "cross-round comparable; cold is fresh-JVM ENGINE first-touch " +
-      "(JVM+codegen+plan) over a page-cache-prewarmed fixture " +
-      "(prewarm_sec per pass excludes the VM's disk from the number) " +
-      "for every pass (sf0.1 pass 0 is the bench process itself, " +
-      "retries and all sf1 passes are forked) and is NOT comparable " +
-      "to in-JVM-amortized cold from rounds <= 6"
-
-    val fragStr = sf1 match {
-      case Some((p, passes, retries)) =>
-        val passesJson = passes.zipWithIndex
-          .map { case (q, i) => q.summaryJson(i) }.mkString("[", ",", "]")
-        s""","sf1_total":${ms(p.coldTotal)},"sf1_warm_total":${ms(p.warmTotal)},"sf1_warm_min_total":${ms(p.warmMinTotal)},"sf1_contended":${p.contended},"sf1_contention_reasons":${jsArr(p.reasons)},"sf1_load_pre":${ms(p.loadPre)},"sf1_procs_pre":${p.procsPre},"sf1_retries":$retries,"sf1_passes":$passesJson,"sf1_failed":${p.failedJson},"queries_sf1":${p.queriesJson},"queries_sf1_warm":${p.queriesWarmJson},"queries_sf1_warm_detail":${p.warmDetailJson},"sf1_steady":${p.steadyJson},"sf1_env_marks":${p.marksJson},"recall_sf1":${p.recallJson}"""
-      case None =>
-        ""","sf1_total":0.000,"sf1_warm_total":0.000,"queries_sf1":{},"queries_sf1_warm":{}""" +
-          sf1Error.map(e => s""","sf1_error":${jsStr(e)}""").getOrElse("")
-    }
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // the executor thread count is part of the protocol: an unset
     // SPARK_GRAFT_CPUS (default 4) produces a healthy-looking but
     // 2-8x-slow artifact that no contention detector can flag — record
@@ -837,38 +787,217 @@ object Bench {
     // before anything is timed, which is the right place.)
     val cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       .trim.toIntOption.getOrElse(-1)
-    val json =
-      s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(p0.loadPre)},"procs_pre_bench":${p0.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,"pca_scale":$pcaScale,"fuzzy_scale":$fuzzyScale,"bpe_scale":$bpeScale,"warc_scale":$warcScale,"triangles_full":$trianglesFull,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
-    println(json)
-    // the stdout line sits mid-tail between sbt [info] noise; the file
-    // artifact is machine-readable without scraping the log tail
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write $out: $e") }
-    // rich per-query detail: warm min/med/max triples + machine-state
-    // marks — the evidence trail for any contended verdict
-    val detail =
-      s"""{"queries_warm_detail":${s01.warmDetailJson},"env_marks":${s01.marksJson},"sf01_passes":$passesJson01,"sf1_steady":${sf1.map(_._1.steadyJson).getOrElse("{}")}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write bench_detail.json: $e") }
-    // compact summary as the FINAL stdout line (VERDICT r13 next #8):
-    // the full per-query line above grew past the driver's 2,000-char
-    // log tail 13 rounds straight, so its parse always saw a truncated
-    // fragment. This line carries the headline numbers + verdicts and
-    // stays tail-parseable; the full artifact lives in bench_out.json.
-    println(compactSummary(s01, sf1, contended, reasons, cpus,
-      sfDir, out))
+
+    // ---- mutable stage state: the artifact is (re)written from this
+    // after EVERY stage (VERDICT r15 next #1 — a driver timeout kill
+    // must leave behind the most recent complete partial artifact, and
+    // the compact stdout line per stage keeps the log TAIL parseable
+    // even when the kill lands mid-stage) ----
+    var s01: Pass = null
+    var passes01: Seq[Pass] = Nil
+    var retries01 = 0
+    var sf1: Option[(Pass, Seq[Pass], Int)] = None
+    var sf1Error: Option[String] = None
+    val budgetSkipped = scala.collection.mutable.ArrayBuffer[String]()
+    val scales = scala.collection.mutable.LinkedHashMap(
+      "pca_scale" -> "{}", "fuzzy_scale" -> "{}", "bpe_scale" -> "{}",
+      "warc_scale" -> "{}", "triangles_full" -> "{}")
+
+    val protocol = "warm-median (warm_total, sf1_warm_total) is the " +
+      "cross-round comparable; cold is fresh-JVM ENGINE first-touch " +
+      "(JVM+codegen+plan) over a page-cache-prewarmed fixture " +
+      "(prewarm_sec per pass excludes the VM's disk from the number) " +
+      "for every pass (sf0.1 pass 0 is the bench process itself, " +
+      "retries and all sf1 passes are forked) and is NOT comparable " +
+      "to in-JVM-amortized cold from rounds <= 6"
+
+    /** Compose + write the full artifact and print the tail-parseable
+      * compact line for the current stage. `stage` says how far the run
+      * got — "final" means every stage ran or was explicitly skipped. */
+    def emit(stage: String): Unit = {
+      val sf1Contended = sf1.exists(_._1.contended)
+      val reasons = s01.reasons ++ (if (sf1Contended) Seq("sf1") else Nil) ++
+        (if (sf1Error.isDefined) Seq("sf1_setup_failed") else Nil)
+      val contended = reasons.nonEmpty
+      val passesJson01 = passes01.zipWithIndex
+        .map { case (p, i) => p.summaryJson(i) }.mkString("[", ",", "]")
+      val fragStr = sf1 match {
+        case Some((p, passes, retries)) =>
+          val passesJson = passes.zipWithIndex
+            .map { case (q, i) => q.summaryJson(i) }.mkString("[", ",", "]")
+          s""","sf1_total":${ms(p.coldTotal)},"sf1_warm_total":${ms(p.warmTotal)},"sf1_warm_min_total":${ms(p.warmMinTotal)},"sf1_contended":${p.contended},"sf1_contention_reasons":${jsArr(p.reasons)},"sf1_load_pre":${ms(p.loadPre)},"sf1_procs_pre":${p.procsPre},"sf1_retries":$retries,"sf1_passes":$passesJson,"sf1_failed":${p.failedJson},"queries_sf1":${p.queriesJson},"queries_sf1_warm":${p.queriesWarmJson},"queries_sf1_warm_detail":${p.warmDetailJson},"sf1_steady":${p.steadyJson},"sf1_env_marks":${p.marksJson},"recall_sf1":${p.recallJson}"""
+        case None =>
+          ""","sf1_total":0.000,"sf1_warm_total":0.000,"queries_sf1":{},"queries_sf1_warm":{}""" +
+            sf1Error.map(e => s""","sf1_error":${jsStr(e)}""").getOrElse("")
+      }
+      val scalesStr = scales.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val json =
+        s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","stage":"$stage","budget_sec":${ms(BudgetSec)},"elapsed_sec":${ms(elapsedSec)},"budget_skipped":${jsArr(budgetSkipped)},"warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(passes01.head.loadPre)},"procs_pre_bench":${passes01.head.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,$scalesStr,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
+      if (stage == "final")
+        // the full line prints once, at the end — the per-stage line is
+        // the compact one; the file artifact below is always current
+        println(json)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $out: $e") }
+      // rich per-query detail: warm min/med/max triples + machine-state
+      // marks — the evidence trail for any contended verdict
+      val detail =
+        s"""{"queries_warm_detail":${s01.warmDetailJson},"env_marks":${s01.marksJson},"sf01_passes":$passesJson01,"sf1_steady":${sf1.map(_._1.steadyJson).getOrElse("{}")}}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write bench_detail.json: $e") }
+      // compact summary as the FINAL stdout line (VERDICT r13 next #8):
+      // the full per-query line above grew past the driver's 2,000-char
+      // log tail 13 rounds straight, so its parse always saw a truncated
+      // fragment. This line carries the headline numbers + verdicts and
+      // stays tail-parseable; the full artifact lives in bench_out.json.
+      println(compactSummary(s01, sf1, contended, reasons, cpus,
+        sfDir, out, stage))
+    }
+
+    // ---- sf0.1: pass 0 inline (this process IS a fresh JVM), retries
+    // forked so their cold stays first-touch-comparable ----
+    val tP0 = System.nanoTime()
+    val p0 = runPass("sf01", sfDir, forked = false, withRecall = true)
+    val p0WallSec = (System.nanoTime() - tP0) / 1e9
+    s01 = p0; passes01 = Seq(p0)
+    emit("sf01_pass0")
+
+    // sf1 runs on the protocol dir only; its reserve participates in
+    // the sf0.1 retry gate so a retry cannot eat the sf1 leg's budget
+    val sf1Planned = !sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1") &&
+      new java.io.File(sfDir).getName == "sf0.1"
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    // child pass ~ sf0.1 pass wall (52 rows at 10x data vs 152 at 1x),
+    // floor 450 s; +240 s when the sf1 fixture must first be derived
+    def sf1CostEst: Double = math.max(450.0, p0WallSec) +
+      (if (new java.io.File(sf1Dir, "_GRAFT_SCALE_OK").exists()) 0.0 else 240.0)
+    val sf1Reserve = if (sf1Planned) sf1CostEst else 0.0
+
+    locally {
+      val (best, ps, n, skipped) = withRetries("sf01", sfDir, p0, p0WallSec,
+        reserveAfterSec = sf1Reserve + ScaleChecksReserveSec)
+      s01 = best; passes01 = ps; retries01 = n; budgetSkipped ++= skipped
+    }
+    emit("sf01")
+
+    // sf1 validation in a FRESH JVM. Only triggered when benching the
+    // protocol sf0.1 dir so ad-hoc sf0.01 iteration stays fast; gate on
+    // the path's BASENAME (endsWith let a trailing slash silently skip
+    // scale validation — ADVICE r4 #5). The whole leg is guarded: in r8
+    // an unguarded ScaleUp throw (a fixture-regeneration schema change)
+    // crashed main AFTER the sf0.1 numbers existed, and the driver's
+    // round artifact was rc=1 with NO json line at all — a broken sf1
+    // derivation must degrade to a recorded error, never destroy the
+    // sf0.1 result. Budget-gated: skipping with a recorded reason beats
+    // running the driver into its timeout.
+    if (sf1Planned) {
+      if (remainingSec - sf1CostEst < ScaleChecksReserveSec + FinalizeReserveSec) {
+        budgetSkipped += "sf1_skipped_budget"
+        System.err.println(f"[bench] sf1 leg skipped on budget: " +
+          f"$remainingSec%.0f s left, leg ~$sf1CostEst%.0f s")
+      } else sf1 = try {
+        val spark = session()
+        val dir =
+          try ScaleUp.ensure(spark, sfDir, sf1Dir)
+          finally
+            // release this JVM's executors/heap before the child starts —
+            // the fork exists precisely so the scale numbers see a quiet
+            // machine
+            spark.stop()
+        val tSf1 = System.nanoTime()
+        val pass0 = forkPass("sf1", dir).getOrElse {
+          // fallback: in-process (old behavior), loudly non-forked
+          System.err.println("[bench] sf1 falling back to in-JVM run")
+          runPass("sf1", dir, forked = false, withRecall = false)
+        }
+        val sf1WallSec = (System.nanoTime() - tSf1) / 1e9
+        Some(
+          if (!pass0.forked) (pass0, Seq(pass0), 0) // fork machinery broken
+          else {
+            val (best, ps, n, skipped) = withRetries("sf1", dir, pass0,
+              sf1WallSec, reserveAfterSec = ScaleChecksReserveSec)
+            budgetSkipped ++= skipped
+            (best, ps, n)
+          })
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] sf1 leg failed: $e")
+        sf1Error = Some(e.toString.take(300))
+        None
+      }
+      emit("sf1")
+    }
+
+    // ---- reference-dimensionality PCA scale check (VERDICT r11 #5):
+    // runs AFTER the timed passes so its CPU burst cannot pollute a
+    // warm median; synthesized 1536-d input, ~25 s. Only in protocol
+    // (sf0.1) runs, skippable via env; a failure is RECORDED, never
+    // fatal — same degradation contract as the sf1 leg. One helper
+    // owns the gate + fresh-session lifecycle + error-JSON degradation
+    // so a contract change cannot silently miss a check; each check is
+    // individually budget-gated (~60 s nominal) and the artifact is
+    // re-emitted after each so a mid-checks kill loses one check, not
+    // all of them. ----
+    def scaleCheck(label: String)(f: SparkSession => String): String =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALECHECK").contains("1")
+          || new java.io.File(sfDir).getName != "sf0.1") "{}"
+      else if (remainingSec < 90.0 + FinalizeReserveSec) {
+        budgetSkipped += s"${label}_skipped_budget"
+        s"""{"skipped":"budget"}"""
+      } else try {
+        val spark = session()
+        try f(spark) finally spark.stop()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $label scale check failed: $e")
+        s"""{"error":${jsStr(e.toString.take(300))}}"""
+      }
+
+    scales("pca_scale") = scaleCheck("pca")(graft.tools.RefWidthCheck.pcaAtRefDims)
+
+    // BPE/WordPiece training at a ~1M-word dictionary (the fixture
+    // vocab is ~31 words, so the suite rows never exercise the
+    // vocab-bound iteration cost the design exists for)
+    scales("bpe_scale") = scaleCheck("bpe")(graft.tools.RefWidthCheck.bpeAtVocabScale)
+
+    // full co-purchase triangle count (VERDICT r12 #3): the unsampled
+    // graph_triangles_full row, 1 cold + 2 steady reps in this JVM —
+    // the committed artifact now tracks the real operator cost per
+    // round (the suite keeps the cheap quarter-sample as its feedback
+    // loop)
+    scales("triangles_full") = scaleCheck("triangles_full") { spark =>
+      val fn = SparkEntry.queries("graph_triangles_full")
+      // the row count rides out of the timed reps (ADVICE r13: a 4th
+      // untimed full run of the suite's heaviest fragment just to read
+      // the count doubled the check's cost)
+      var rows = 0L
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        rows = fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      f"""{"cold_sec":${times.head}%.3f,"steady_sec":${times.tail.min}%.3f,"rows":$rows}"""
+    }
+    emit("scale_checks_1")
+
+    // fuzzy-join vocabulary-scale counters (VERDICT r11 #6)
+    scales("fuzzy_scale") = scaleCheck("fuzzy")(graft.tools.RefWidthCheck.fuzzyAtVocabScale)
+
+    // WARC ingestion throughput at volume (~160 MB raw content; the
+    // fixture rows only parse a few MB)
+    scales("warc_scale") = scaleCheck("warc")(graft.tools.RefWidthCheck.warcAtVolumeScale)
+
+    emit("final")
   }
 
   /** The headline numbers + verdicts in <~600 chars. Pure + visible so
     * a spec can pin the size budget and the field set. */
   private[graft] def compactSummary(s01: Pass,
       sf1: Option[(Pass, Seq[Pass], Int)], contended: Boolean,
-      reasons: Seq[String], cpus: Int, sfDir: String, out: String): String = {
+      reasons: Seq[String], cpus: Int, sfDir: String, out: String,
+      stage: String = "final"): String = {
     val sf1Frag = sf1 match {
       case Some((p, _, retries)) =>
         s""","sf1_warm_total":${ms(p.warmTotal)},"sf1_cold_total":${ms(p.coldTotal)},"sf1_contended":${p.contended},"sf1_cpu_mt_mbps":${ms(p.cpuMt)},"sf1_retries":$retries"""
@@ -878,6 +1007,6 @@ object Bench {
     // is in the file artifact
     val rs = jsArr(reasons.take(6) ++
       (if (reasons.size > 6) Seq(s"+${reasons.size - 6}_more") else Nil))
-    s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","warm_total":${ms(s01.warmTotal)},"contended":$contended,"contention_reasons":$rs,"cpus":$cpus,"cpu_mt_mbps":${ms(s01.cpuMt)}$sf1Frag,"detail":"$out","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","stage":"$stage","warm_total":${ms(s01.warmTotal)},"contended":$contended,"contention_reasons":$rs,"cpus":$cpus,"cpu_mt_mbps":${ms(s01.cpuMt)}$sf1Frag,"detail":"$out","sf":"$sfDir"}"""
   }
 }

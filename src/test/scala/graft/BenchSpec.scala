@@ -54,6 +54,50 @@ class BenchSpec extends AnyFunSuite {
     assert(s.count(_ == '{') == s.count(_ == '}'))
   }
 
+  test("floor gate flags a CLUSTER of mid-pass blowups the entry/exit probes miss") {
+    // the r15 committed sf1 leg verbatim: three untouched plan-gated
+    // queries 3-8x their clean-window floors, entry probe clean —
+    // exactly the artifact that shipped as contended:false (VERDICT
+    // r15 what's-wrong #2)
+    val blown = Seq(
+      "q_assoc_rules" -> 16.789,     // floor 7.191 — 2.3x, NOT alone enough
+      "text_phrase_search" -> 9.421, // floor 0.934 — 10x
+      "ev_transitions" -> 8.006,     // floor 0.683 — 11.7x
+      "q1_agg" -> 0.986)             // floor 0.722 — clean
+    val r = Bench.floorReasons("sf1", blown)
+    assert(r.nonEmpty, "the r15 mid-pass collapse must flag")
+    assert(r.head.startsWith("sf1:floor_blowup_2"),
+      s"exactly the 2 >3x queries flag (assoc_rules at 2.3x is drift territory): $r")
+    assert(r.head.contains("text_phrase_search") && r.head.contains("ev_transitions"))
+  }
+
+  test("floor gate stays silent on clean passes, single blowups, and unknown queries") {
+    // a clean pass at the recorded floors
+    assert(Bench.floorReasons("sf1",
+      Seq("q1_agg" -> 0.75, "text_bm25" -> 0.74, "ev_transitions" -> 0.7)).isEmpty)
+    // ONE query over 3x floor = possibly a genuine regression — the
+    // cross-round diff adjudicates that; a single blowup must not flag
+    assert(Bench.floorReasons("sf1",
+      Seq("ev_transitions" -> 8.0, "q1_agg" -> 0.73, "text_bm25" -> 0.75)).isEmpty)
+    // tiny queries need >0.5 s absolute excess, not just ratio (3x of
+    // 93 ms is codegen-cache luck, not contention)
+    assert(Bench.floorReasons("sf1",
+      Seq("ev_hourly_late" -> 0.3, "serve_streamed" -> 0.35)).isEmpty)
+    // queries without a recorded floor are unchecked
+    assert(Bench.floorReasons("sf1",
+      Seq("brand_new_row" -> 99.0, "another_new" -> 99.0)).isEmpty)
+    // suites without a floor table are unchecked
+    assert(Bench.floorReasons("adhoc",
+      Seq("q1_agg" -> 99.0, "text_bm25" -> 99.0)).isEmpty)
+  }
+
+  test("compact summary carries the stage marker for mid-run tail parses") {
+    val s = Bench.compactSummary(pass(48.0, 130.0, 31000.0), None,
+      contended = false, reasons = Nil, cpus = 32, sfDir = "d", out = "o",
+      stage = "sf01_pass0")
+    assert(s.contains("\"stage\":\"sf01_pass0\""))
+  }
+
   test("compact summary without an sf1 leg still carries the sf1_warm_total field") {
     val s = Bench.compactSummary(pass(48.0, 130.0, 31000.0), None,
       contended = false, reasons = Nil, cpus = 32, sfDir = "d", out = "o")
