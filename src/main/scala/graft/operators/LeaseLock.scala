@@ -12,9 +12,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * HDFS; object stores without atomic create should front this with an
  * external lock service, like every Hadoop committer documents).
  *
- * The lock is a LEASE, not a tombstone: the holder heartbeats the
- * file's mtime from a daemon thread (leaseMs/4 cadence), and waiters
- * STEAL a lock whose age exceeds the lease — a crashed holder delays
+ * The lock is a LEASE, not a tombstone: the holder heartbeats an
+ * owner-keyed SIBLING file (`<lock>.hb`) from a daemon thread
+ * (leaseMs/4 cadence — see [[holderAlive]] for why the beat never
+ * touches the lock file itself), and waiters STEAL a lock whose
+ * liveness evidence exceeds the lease — a crashed holder delays
  * the next writer by ~one lease, not the whole acquisition timeout,
  * and a human deleting the lock (or `clear(force)`) stops being the
  * only recovery. The steal cannot race other stealers: the stale lock
@@ -49,13 +51,41 @@ private[operators] object LeaseLock {
     try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
     catch { case _: java.io.IOException => -1L }
 
+  private def hbPath(lock: Path): Path =
+    new Path(lock.getParent, s"${lock.getName}.hb")
+
+  private def readContent(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Is the holder provably alive? Either the lock file itself is
+    * young, or a heartbeat sibling exists, is young, AND names the
+    * lock's current owner (a zombie's heartbeat for a STOLEN lock
+    * names the wrong owner and proves nothing). The heartbeat lives in
+    * a sibling file rather than as a lock rewrite/setTimes because a
+    * rewrite (`create(overwrite=true)`) from a zombie whose lock was
+    * stolen mid-beat would clobber the successor's lock — two writers
+    * both believing they hold it (ADVICE r15 #4); the sibling file is
+    * owner-keyed, so a zombie's beats are inert after a steal. */
+  private def holderAlive(fs: FileSystem, lock: Path, leaseMs: Long): Boolean = {
+    val lockAge = ageMs(fs, lock)
+    if (lockAge >= 0 && lockAge <= leaseMs) return true
+    val hb = hbPath(lock)
+    val hbAge = ageMs(fs, hb)
+    hbAge >= 0 && hbAge <= leaseMs &&
+      readContent(fs, hb).exists(o => readContent(fs, lock).contains(o))
+  }
+
   private def tryStealStale(fs: FileSystem, lock: Path, leaseMs: Long): Unit =
-    if (leaseMs > 0 && ageMs(fs, lock) > leaseMs) {
+    if (leaseMs > 0 && !holderAlive(fs, lock, leaseMs)) {
       val tomb = new Path(lock.getParent,
         s"${lock.getName}.stale.${java.util.UUID.randomUUID().toString.take(8)}")
       val won = try fs.rename(lock, tomb)
       catch { case _: java.io.IOException => false }
-      if (won) fs.delete(tomb, false)
+      if (won) { fs.delete(tomb, false); fs.delete(hbPath(lock), false) }
     }
 
   /** Run `f` holding the lease lock at `lock`: spin (100 ms) up to
@@ -79,17 +109,29 @@ private[operators] object LeaseLock {
       }
       Thread.sleep(100)
     }
-    // stamp ownership for the owner-checked release
+    // stamp ownership for the owner-checked release. A FAILED stamp
+    // must propagate (ADVICE r15 #4): swallowing it left an empty lock
+    // whose holder's own heartbeat saw held != owner and stopped —
+    // making a LIVE writer stealable mid-write. Back out the unowned
+    // lock (best-effort) so waiters don't spin on wreckage.
     val owner = java.util.UUID.randomUUID().toString
     try {
       val out = fs.create(lock, true)
       out.write(owner.getBytes("UTF-8")); out.close()
-    } catch { case _: java.io.IOException => () }
+    } catch { case e: java.io.IOException =>
+      try fs.delete(lock, false)
+      catch { case _: java.io.IOException => () }
+      throw new IllegalStateException(
+        s"graft: $what could not stamp ownership into $lock — " +
+          "an unstamped lock cannot be heartbeated and would be " +
+          "stolen from a live writer", e)
+    }
     // each beat VERIFIES ownership first: a zombie holder whose lock
-    // was stolen must stop beating (refreshing the successor's lock
-    // would keep a later-crashed successor's lock perpetually young,
-    // reintroducing the full-timeout stall). setTimes failures fall
-    // back to rewriting the lock (owner content, fresh mtime); ANY
+    // was stolen must stop beating. The beat itself writes the
+    // owner-keyed SIBLING file (see [[holderAlive]]) — never the lock:
+    // setTimes/rewrite variants could clobber a successor's lock from
+    // a zombie (ADVICE r15 #4), and the sibling write is inert after a
+    // steal because its owner no longer matches the lock's. ANY
     // non-fatal error (e.g. an UnsupportedOperationException from a
     // FileSystem shim — NOT just IOException) must never kill the
     // thread silently, or the lease silently disables and a LIVE
@@ -100,16 +142,10 @@ private[operators] object LeaseLock {
         while (live && !Thread.interrupted()) {
           Thread.sleep(math.max(200L, leaseMs / 4))
           try {
-            val in = fs.open(lock)
-            val held = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                       finally in.close()
-            if (held != owner) live = false // stolen: stop quietly
+            if (!readContent(fs, lock).contains(owner)) live = false // stolen: stop quietly
             else {
-              try fs.setTimes(lock, System.currentTimeMillis(), -1)
-              catch { case scala.util.control.NonFatal(_) =>
-                val out = fs.create(lock, true)
-                out.write(owner.getBytes("UTF-8")); out.close()
-              }
+              val out = fs.create(hbPath(lock), true)
+              out.write(owner.getBytes("UTF-8")); out.close()
             }
           } catch { case scala.util.control.NonFatal(_) => () } // transient: retry next beat
         }
@@ -119,20 +155,27 @@ private[operators] object LeaseLock {
     if (leaseMs > 0) beat.start()
     try f finally {
       beat.interrupt()
+      // JOIN, not just interrupt: a beat mid-write when `f` finishes
+      // would otherwise land its hb AFTER the release's cleanup —
+      // leaving a stray owner-keyed hb next to a future holder's lock
+      // (harmless to correctness — its owner can never match a newer
+      // lock — but a dangling file and a test-visible race). Bounded:
+      // a beat wedged in pathological IO past 2 s is abandoned, and
+      // its eventual write is the harmless stray above.
+      try beat.join(2000) catch { case _: InterruptedException => () }
       // release states: MINE -> delete; GONE (f itself wiped the root —
       // clear() — or a force reset) -> nothing to do, NOT a steal;
       // THEIRS -> a stealer took it past our lease: leave the
       // successor's lock alone and say so loudly
       val state = try {
         if (!fs.exists(lock)) "gone"
-        else {
-          val in = fs.open(lock)
-          val held = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                     finally in.close()
-          if (held == owner) "mine" else "theirs"
-        }
+        else if (readContent(fs, lock).contains(owner)) "mine" else "theirs"
       } catch { case _: java.io.IOException => "theirs" }
-      if (state == "mine") fs.delete(lock, false)
+      if (state == "mine") {
+        fs.delete(lock, false)
+        try fs.delete(hbPath(lock), false)
+        catch { case _: java.io.IOException => () }
+      }
       else if (state == "theirs") System.err.println(
         s"graft: $what $lock no longer owned at release — this writer" +
           " exceeded its lease and the lock was stolen; its work raced" +

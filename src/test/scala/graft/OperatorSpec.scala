@@ -1804,6 +1804,54 @@ class OperatorSpec extends AnyFunSuite {
       r.getAs[Int]("tb") == Search.termBucket(r.getString(0), 64)))
   }
 
+  test("crashed FIRST create is wreckage, not legacy: sentinel disambiguates, retry recovers (ADVICE r15 #2)") {
+    import graft.operators.{PostingIndex, Search}
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.load(spark, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft-pidx-crash").toString + "/i"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a first-ever create crashing mid-"rename" on an object
+    // store: a partial v0/gen=0 full of garbage, the format sentinel
+    // already planted (allocation writes it before staging), no
+    // markers, no meta. The OLD protocol read all-marker-less as
+    // "legacy, readable" and the retry wedged on `commit target v0
+    // exists`; now the sentinel marks it wreckage.
+    fs.mkdirs(new Path(s"$idx/v0/gen=0"))
+    val g = fs.create(new Path(s"$idx/v0/gen=0/part-00000.parquet"), true)
+    g.write("not parquet".getBytes("UTF-8")); g.close()
+    fs.create(new Path(s"$idx/_GRAFT_FORMAT"), true).close()
+    // retry: must succeed by committing PAST the wreckage, and the
+    // wreckage must never surface in a scan
+    PostingIndex.create(docs, idx)
+    val hits = Search.phraseMatchIndexed(spark, idx, Seq("table", "hash")).collect()
+    assert(hits.nonEmpty, "recovered index unreadable")
+    assert(fs.exists(new Path(s"$idx/v1/_COMMITTED")),
+      "retry did not allocate past the crashed v0")
+    // vacuum reaps the wreckage, live version survives
+    PostingIndex.vacuum(spark, idx)
+    assert(!fs.exists(new Path(s"$idx/v0")), "vacuum left the crashed v0")
+    assert(Search.phraseMatchIndexed(spark, idx, Seq("table", "hash")).count() == hits.length)
+    // contrast: a GENUINE legacy versioned index (pre-marker data: no
+    // sentinel, no markers anywhere) stays readable and is adopted —
+    // stamped + sentinel'd — by the next locked append
+    val leg = java.nio.file.Files.createTempDirectory("graft-pidx-leg").toString + "/i"
+    PostingIndex.create(docs, leg)
+    val lfs = new Path(leg).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = Search.phraseMatchIndexed(spark, leg, Seq("table", "hash")).collect().length
+    // strip the protocol down to pre-marker state
+    lfs.delete(new Path(s"$leg/_GRAFT_FORMAT"), false)
+    lfs.delete(new Path(s"$leg/v0/_COMMITTED"), false)
+    lfs.delete(new Path(s"$leg/v0/_GRAFT_FORMAT"), false)
+    lfs.delete(new Path(s"$leg/v0/gen=0/_COMMITTED"), false)
+    assert(Search.phraseMatchIndexed(spark, leg, Seq("table", "hash")).count() == want,
+      "legacy (pre-marker) index must stay readable")
+    PostingIndex.append(docs.limit(0), leg) // adopts under the lock
+    assert(lfs.exists(new Path(s"$leg/_GRAFT_FORMAT")))
+    assert(lfs.exists(new Path(s"$leg/v0/_COMMITTED")))
+    assert(lfs.exists(new Path(s"$leg/v0/gen=0/_COMMITTED")))
+    assert(Search.phraseMatchIndexed(spark, leg, Seq("table", "hash")).count() == want)
+  }
+
   test("incremental posting index == rebuild; compaction/vacuum lifecycle; crash stage ignored") {
     import graft.operators.{PostingIndex, Search}
     val docs = Tables.load(spark, dir, "documents")

@@ -538,6 +538,43 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("filtered ANN auto-nprobe escalates under selective tags: facade default holds >=0.85 recall") {
+    // VERDICT r15 next #6: the build-time calibration measures
+    // UNFILTERED list coverage; a selective tag filter thins the probed
+    // lists and the calibrated default silently under-covers. The auto
+    // path now escalates nprobe until the post-filter candidate pool
+    // reaches k x margin (or full probe).
+    val store = freshStore()
+    val rng = new scala.util.Random(61)
+    val rows = (0 until 400).map { i =>
+      (s"v$i", Array.fill(16)(rng.nextGaussian().toFloat), s"c$i",
+        if (i % 10 == 0) Seq("rare", "all") else Seq("common", "all"))
+    }
+    store.insert(df(rows))
+    store.buildAnnIndex(k = 8)
+    // 'rare' keeps 40 of 400 rows — every calibrated-nprobe probe set
+    // is candidate-starved at k=10 x margin=10, so the default MUST
+    // escalate; ground truth is the exact facade under the same filter
+    val recalls = Seq(7, 123, 251, 388).map { qi =>
+      val q = rows(qi)._2.toSeq
+      val annIds = store.searchAnn(q, k = 10, tags = Seq("rare"))
+        .select("id").collect().map(_.getString(0)).toSet
+      val exactIds = store.search(q, tags = Seq("rare"), k = 10)
+        .select("id").collect().map(_.getString(0)).toSet
+      annIds.intersect(exactIds).size.toDouble / exactIds.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85,
+      s"filtered facade-default recall $mean below target (curve: $recalls)")
+    // an EXPLICIT nprobe is never overridden: the plan still prunes to
+    // that single probed partition even under the same selective tag
+    val p = store.searchAnn(rows(7)._2.toSeq, k = 10, nprobe = 1,
+      tags = Seq("rare")).queryExecution.executedPlan.toString
+    assert(p.linesIterator.find(_.contains("PartitionFilters"))
+      .exists(_.contains("cid")), s"explicit-nprobe pruning lost:\n${p.take(1500)}")
+    store.clear()
+  }
+
   test("buildAnnIndex calibrates the auto nprobe: facade DEFAULT search meets the >=0.9-recall target") {
     // VERDICT r14 #2: the old hardcoded nprobe=2 default silently
     // served ~0.39 recall on organic data. The build now measures the
@@ -1379,6 +1416,78 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       waiter.insert(df(Seq(("c", Array(1f, 1f), "z", Seq("t"))))))
     assert(e.getMessage.contains("not acquired"))
     assert(lock.delete())
+    store.clear()
+  }
+
+  test("tagged search serves routing metadata from the manifest snapshot cache: zero Spark jobs on a warm path") {
+    // VERDICT r15 next #3: search() ran a manifest COUNT job (plus the
+    // matchingTagKeys collect) on every tagged call before the
+    // DPP-route decision — a per-query driver job on the serving path.
+    // The cache is keyed by (manifest base version, delta file count),
+    // so a repeat query is pure driver-side set math.
+    val store = freshStore()
+    store.insert(df(Seq(
+      ("a", Array(1f, 0f), "hi", Seq("t1")),
+      ("b", Array(0f, 1f), "bye", Seq("t2")))))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // first call populates the cache (search() itself is lazy — jobs
+    // counted here are exactly the eager manifest count/collect)
+    store.search(Seq(1f, 0f), tags = Seq("t1"), k = 1)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      store.search(Seq(1f, 0f), tags = Seq("t1"), k = 1)
+      store.search(Seq(0f, 1f), tags = Seq("t2"), k = 1)
+      Thread.sleep(300) // listener events are async; drain before asserting
+      assert(jobs.get() == 0,
+        s"warm tagged search still ran ${jobs.get()} manifest job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the cache must INVALIDATE on write: a new tag set is searchable
+    // immediately (the insert appends a manifest delta -> new key)
+    store.insert(df(Seq(("c", Array(1f, 1f), "new", Seq("t3")))))
+    val hit = store.search(Seq(1f, 1f), tags = Seq("t3"), k = 1).collect()
+    assert(hit.length == 1 && hit(0).getAs[String]("content") == "new",
+      "stale manifest cache hid a freshly inserted tag set")
+    store.clear()
+  }
+
+  test("lease liveness via owner-keyed heartbeat sibling: matching hb defends, foreign hb does not") {
+    // ADVICE r15 #4: the old beat fell back to rewriting the LOCK file,
+    // which could clobber a successor's lock from a zombie. Liveness
+    // evidence is now the lock's own age OR a young `.hb` sibling
+    // naming the lock's exact owner — a zombie's hb (wrong owner after
+    // a steal) proves nothing.
+    val root = Files.createTempDirectory("graft-lease-hb").toString
+    // lease LONGER than the acquisition timeout: the planted hb is
+    // static (no live beater refreshes it), so it must stay inside the
+    // lease for the whole spin to prove the defense
+    val store = new VectorStore(spark, root,
+      writerLockTimeoutMs = 1500, writerLeaseMs = 30000)
+    store.insert(df(Seq(("a", Array(1f, 0f), "x", Seq("t")))))
+    val lock = new java.io.File(s"$root/_lock")
+    val hb = new java.io.File(s"$root/_lock.hb")
+    def plant(f: java.io.File, content: String, ageMs: Long): Unit = {
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+      assert(f.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    // old lock + FRESH hb naming the same owner = live long-running
+    // holder: never stolen, acquisition times out loudly
+    plant(lock, "owner-A", 60000)
+    plant(hb, "owner-A", 0)
+    val e = intercept[IllegalStateException](
+      store.insert(df(Seq(("b", Array(0f, 1f), "y", Seq("t"))))))
+    assert(e.getMessage.contains("not acquired"))
+    // old lock + fresh hb naming a DIFFERENT owner (a zombie's beat
+    // surviving past a steal) = no liveness evidence: stolen
+    plant(lock, "owner-B", 60000)
+    plant(hb, "owner-A", 0)
+    store.insert(df(Seq(("c", Array(1f, 1f), "z", Seq("t")))))
+    assert(store.table().count() == 2)
+    assert(!lock.exists() && !hb.exists(),
+      "steal/release must clear both the lock and its hb sibling")
     store.clear()
   }
 
