@@ -1375,6 +1375,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // OUT-OF-ORDER arrival through the ledger mode (VERDICT r15 #5):
+    // the same shards land in a watch dir in REVERSED name order across
+    // two drains — the exact shape the default monotone-name contract
+    // rejects loudly — and `.option("arrival","unordered")` ingests
+    // them exactly once via the bounded (path, mtime) offset ledger.
+    // Hash-gated against the same oracle values as every other WARC
+    // lane.
+    "warc_streamed_unordered" -> ((s, dir) => {
+      val fixture = new java.io.File(warcFixturePath(s, dir))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-warc-uoq").toString
+      val watch = new java.io.File(s"$root/in"); watch.mkdirs()
+      val shards = fixture.listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-warc")
+          .option("arrival", "unordered")
+          .load(s"$root/in")
+          .where(col("warc_type") =!= "_corrupt")
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      def land(src: java.io.File, as: String): Unit =
+        java.nio.file.Files.copy(src.toPath,
+          java.nio.file.Paths.get(watch.toString, as))
+      land(shards.last, "shard-00009.warc.gz") // HIGH name arrives first
+      drain()
+      land(shards.head, "shard-00001.warc.gz") // then one sorting BELOW
+      drain()
+      s.read.parquet(s"$root/out")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("record_id"), col("content_len"),
+          col("content"))
+        .orderBy("doc_id")
+    }),
+
     // the SAME shards through the DataSource V2 source (`spark.read
     // .format("graft-warc")`): Catalyst-planned scan, column pruning
     // reaching the parse (WarcV2Spec plan-gates it), SQL-registerable.
@@ -3955,6 +3997,15 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin,
 
       "warc_streamed" ->
+        """SELECT doc_id,
+          |       'response' AS warc_type,
+          |       '00000000-0000-4000-8000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS record_id,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+          |       text AS content
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      "warc_streamed_unordered" ->
         """SELECT doc_id,
           |       'response' AS warc_type,
           |       '00000000-0000-4000-8000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS record_id,

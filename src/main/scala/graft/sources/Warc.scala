@@ -232,6 +232,145 @@ object Warc {
     try in.readAllBytes() finally in.close()
   }
 
+  /**
+   * Pass-through guard that validates zstandard FRAME STRUCTURE on the
+   * compressed bytes flowing to the decoder (frame format per RFC 8878
+   * §3.1, clean-room): magic, frame-header length from its descriptor,
+   * block headers (last-block flag, type, size), optional content
+   * checksum, skippable frames. Exists because zstd-jni's stream
+   * decoder silently treats EOF after ANY completed frame as
+   * end-of-data — a truncated or garbage TAIL frame in a multi-frame
+   * shard would be silently dropped (byte-for-byte the
+   * GZIPInputStream concatenated-mode failure the gzip member decoder
+   * refuses). The guard throws on EOF mid-frame and on a non-magic
+   * inter-frame byte, so the parse layer quarantines loudly instead.
+   * It never buffers ahead of the caller and adds one state-machine
+   * pass over the bytes.
+   */
+  private[graft] final class ZstdFrameGuardInputStream(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    // modes; `need` = bytes still required by the current element
+    private var mode: Int = 0 // 0=MAGIC 1=DESC 2=HDR_REST 3=BLK_HDR 4=BLK_BODY 5=CKSUM 6=SKIP_SIZE 7=SKIP_BODY
+    private var need: Long = 4L
+    // largest accumulated element: frame-header tail = window(1) +
+    // dictionary id(<=4) + frame content size(<=8) = 13 bytes
+    private val hdr = new Array[Byte](16)
+    private var hdrLen = 0
+    private var checksumFlag = false
+    private var frameStarted = false
+    private val one = new Array[Byte](1)
+
+    private def fail(msg: String): Nothing =
+      throw new java.io.IOException(s"zstd frame guard: $msg")
+
+    private def le(n: Int): Long = {
+      var v = 0L; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (hdr(i) & 0xffL); i -= 1 }
+      v
+    }
+
+    /** Advance the state machine over `len` bytes at b[off..). */
+    private def feed(b: Array[Byte], off: Int, len: Int): Unit = {
+      var i = off
+      val end = off + len
+      while (i < end) {
+        if (mode == 4 || mode == 7) { // content bytes: skip in bulk
+          val take = math.min(need, (end - i).toLong)
+          need -= take; i += take.toInt
+          if (need == 0L) {
+            if (mode == 7) { mode = 0; need = 4 }            // skippable done
+            else if (!lastBlock) { mode = 3; need = 3 }      // next block
+            else if (checksumFlag) { mode = 5; need = 4 }    // frame checksum
+            else { mode = 0; need = 4 }                      // frame complete
+          }
+        } else {
+          hdr(hdrLen) = b(i); hdrLen += 1; i += 1; need -= 1
+          if (need == 0L) dispatch()
+        }
+      }
+    }
+
+    private var lastBlock = false
+
+    private def dispatch(): Unit = {
+      val collected = hdrLen; hdrLen = 0
+      mode match {
+        case 0 => // magic (4 bytes LE)
+          val m = le(4)
+          if (m == 0xFD2FB528L) { frameStarted = true; mode = 1; need = 1 }
+          else if (m >= 0x184D2A50L && m <= 0x184D2A5FL) { mode = 6; need = 4 }
+          else fail(f"bad magic 0x$m%08x — garbage between frames or not zstd")
+        case 1 => // frame header descriptor
+          val d = hdr(0) & 0xff
+          val fcsFlag = d >>> 6
+          val singleSegment = (d & 0x20) != 0
+          checksumFlag = (d & 0x04) != 0
+          if ((d & 0x08) != 0) fail("reserved descriptor bit set")
+          val didLen = Seq(0, 1, 2, 4)((d & 0x03))
+          val fcsLen =
+            if (fcsFlag == 0) { if (singleSegment) 1 else 0 }
+            else Seq(0, 2, 4, 8)(fcsFlag)
+          val rest = (if (singleSegment) 0 else 1) + didLen + fcsLen
+          if (rest == 0) { mode = 3; need = 3 }
+          else { mode = 2; need = rest.toLong }
+        case 2 => // frame header tail consumed
+          mode = 3; need = 3
+        case 3 => // block header (3 bytes LE)
+          val v = le(3)
+          lastBlock = (v & 1L) != 0
+          val btype = ((v >> 1) & 3L).toInt
+          val bsize = v >> 3
+          val content = btype match {
+            case 0 => bsize      // raw
+            case 1 => 1L         // RLE: one byte, bsize = regenerated size
+            case 2 => bsize      // compressed
+            case _ => fail("reserved block type")
+          }
+          if (content == 0L)
+            mode = if (!lastBlock) { need = 3; 3 }
+                   else if (checksumFlag) { need = 4; 5 } else { need = 4; 0 }
+          else { mode = 4; need = content }
+        case 4 => ()
+        case 5 => // content checksum consumed — frame complete
+          mode = 0; need = 4
+        case 6 => // skippable frame size (4 bytes LE)
+          val n = le(4)
+          if (n == 0L) { mode = 0; need = 4 } else { mode = 7; need = n }
+        case _ => ()
+      }
+      require(collected <= hdr.length) // state machine never collects more
+    }
+
+    private def atFrameBoundary: Boolean = mode == 0 && hdrLen == 0
+
+    override def read(): Int = {
+      val r = read(one, 0, 1)
+      if (r < 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val r = in.read(b, off, len)
+      if (r < 0) {
+        if (atFrameBoundary) -1
+        else fail(if (frameStarted) "truncated frame at end of shard"
+                  else "truncated frame header")
+      } else { feed(b, off, r); r }
+    }
+
+    // skip must still pass bytes THROUGH the state machine
+    override def skip(n: Long): Long = {
+      val buf = new Array[Byte](8192)
+      var done = 0L
+      while (done < n) {
+        val r = read(buf, 0, math.min(8192L, n - done).toInt)
+        if (r < 0) return done
+        done += r
+      }
+      done
+    }
+    override def markSupported(): Boolean = false
+  }
+
   /** Headers are tiny (ISO 28500 named fields); a "header line" past
     * this bound means the framing is broken, and an unbounded line
     * accumulator would defeat the O(record) memory guarantee. */
@@ -399,14 +538,24 @@ object Warc {
   private[graft] def parseFile(bytes: Array[Byte]): Iterator[Row] =
     parseStream(new java.io.ByteArrayInputStream(bytes))
 
-  /** Pull-parse one shard; ANY IOException from the gzip/IO layer
+  /** Compression codec from the shard extension: `.gz`/`.gzip` =
+    * member-streaming gunzip (the Common Crawl random-access layout),
+    * `.zst`/`.zstd` = zstandard frames (real CC mirrors increasingly
+    * ship `.warc.zst`; zstd-jni is already on every Spark classpath —
+    * Spark's own shuffle/event-log codec), anything else = plain. */
+  private[sources] def codecOf(path: String): String =
+    if (path.endsWith(".gz") || path.endsWith(".gzip")) "gzip"
+    else if (path.endsWith(".zst") || path.endsWith(".zstd")) "zstd"
+    else "none"
+
+  /** Pull-parse one shard; ANY IOException from the codec/IO layer
     * becomes one final `_corrupt` row for the tail — records already
     * emitted before the corruption point stay emitted (mid-file
     * corruption loses THAT tail only), and the quarantine row carries
     * the shard name + cause. The stream opens lazily on first pull and
     * closes on exhaustion or failure. */
   private[sources] def fileRows(path: String, open: () => java.io.InputStream,
-      isGz: Boolean, withContent: Boolean = true)
+      codec: String, withContent: Boolean = true)
       : Iterator[Row] with AutoCloseable =
     new Iterator[Row] with AutoCloseable {
     private var wrapped: java.io.InputStream = null // owns base + inflater
@@ -415,7 +564,8 @@ object Warc {
     private var closed = false
 
     private def quarantine(e: java.io.IOException): Unit = {
-      val kind = if (isGz) "gzip stream failed" else "read failed"
+      val kind =
+        if (codec == "none") "read failed" else s"$codec stream failed"
       pending = Row("_corrupt", null, null, null, null, 0L,
         s"$kind in ${path.split('/').last}: ${e.getMessage}")
       closeNow(); under = Iterator.empty
@@ -436,7 +586,21 @@ object Warc {
         if (under == null) {
           if (closed) return false
           val base = open()
-          wrapped = if (isGz) new GzipMembersInputStream(base) else base
+          wrapped = codec match {
+            case "gzip" => new GzipMembersInputStream(base)
+            // multi-frame streaming decode (one frame per record, the
+            // gzip-member layout's zstd analogue, or one whole-shard
+            // frame — ZstdInputStreamNoFinalizer reads frame sequences
+            // either way); the frame guard makes a truncated/garbage
+            // TAIL frame throw instead of silently dropping it (the
+            // decoder accepts EOF after any completed frame); explicit
+            // close releases the native context, which is why every
+            // exit path runs closeNow()
+            case "zstd" => new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+              new ZstdFrameGuardInputStream(
+                new java.io.BufferedInputStream(base, 1 << 16)))
+            case _ => base
+          }
           under = parseStream(wrapped, withContent)
         }
         val h = under.hasNext
@@ -468,7 +632,14 @@ object Warc {
     * explicitly. */
   def read(spark: SparkSession, glob: String): DataFrame = {
     val parsed = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
-      fileRows(path, () => pds.open(), path.endsWith(".gz"))
+      val it = fileRows(path, () => pds.open(), codecOf(path))
+      // early termination (limit/take) or task kill must release the
+      // open stream + a mid-member Inflater's native state — flatMap
+      // never drains a truncated iterator, so hook the task lifecycle
+      // (the V2 path gets this via PartitionReader.close; ADVICE r15 #5)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => it.close()))
+      it
     }
     spark.createDataFrame(parsed, schema)
   }

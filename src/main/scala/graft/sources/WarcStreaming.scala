@@ -11,23 +11,45 @@ import org.apache.spark.sql.types.StructType
  * the whole downstream pipeline (extract -> quality -> dedup-on-ingest
  * -> store) rides Structured Streaming's checkpoint/recovery.
  *
- * OFFSET CONTRACT (documented, not guessed): the offset is the
- * lexicographically LARGEST shard path processed so far; a batch is
- * `(start, end]` in sorted-path order. This requires shard names to
- * arrive in non-decreasing sort order — exactly how crawl outputs are
- * written in practice (Common Crawl shards carry zero-padded segment /
- * sequence numbers; our own writers emit `%05d`-padded names). A file
- * that arrives sorting BELOW the committed offset is a contract
- * violation and is detected loudly at the next batch plan (it would
- * otherwise be skipped silently — a missing-data bug, not a crash).
+ * TWO ARRIVAL MODES (`.option("arrival", ...)`):
+ *
+ * `monotone` (default) — the offset is the lexicographically LARGEST
+ * shard path processed so far; a batch is `(start, end]` in
+ * sorted-path order. This requires shard names to arrive in
+ * non-decreasing sort order — exactly how crawl outputs are written in
+ * practice (Common Crawl shards carry zero-padded segment / sequence
+ * numbers; our own writers emit `%05d`-padded names). A file that
+ * arrives sorting BELOW the committed offset is a contract violation
+ * and is detected loudly at the next batch plan (it would otherwise be
+ * skipped silently — a missing-data bug, not a crash). One string of
+ * state per checkpoint; nothing grows with shard count.
+ *
+ * `unordered` — a bounded seen-files LEDGER rides in the offset
+ * (VERDICT r15 next #5: a non-monotone layout must be USABLE, not just
+ * detected): each offset carries the (path, mtime) of files observed
+ * within the expiry window plus a watermark; a batch is exactly
+ * `end.seen -- start.seen` — pure offset arithmetic, deterministic on
+ * checkpoint replay with no re-listing. Entries expire once their
+ * mtime falls `ledgerExpiryMs` (default 1 h) behind the newest
+ * observed mtime, so the ledger is bounded by arrival-rate x expiry,
+ * not corpus size. The documented bound: a file arriving with an
+ * mtime older than the watermark (arrival lateness beyond the expiry
+ * window) is skipped — size `ledgerExpiryMs` above the layout's
+ * worst-case arrival lateness. Crawl shards are immutable once
+ * written (a rewritten mtime would re-ingest).
  *
  * Why not re-implement FileStreamSource's seen-files map: that map is
- * unbounded driver state at crawl scale (millions of shards) and
- * exists to support arbitrary arrival order, which crawl layouts do
- * not need. One string of state per checkpoint beats a persisted set.
+ * unbounded driver state at crawl scale (millions of shards); the
+ * monotone mode needs one string, the unordered mode a window-bounded
+ * ledger with an explicit, loud expiry contract.
  */
 private[sources] class WarcMicroBatchStream(paths: Seq[String],
-    required: StructType, checkpointLocation: String) extends MicroBatchStream {
+    required: StructType, checkpointLocation: String,
+    arrival: String = "monotone",
+    ledgerExpiryMs: Long = 3600000L) extends MicroBatchStream {
+
+  require(arrival == "monotone" || arrival == "unordered",
+    s"graft-warc: arrival mode '$arrival' (use 'monotone' or 'unordered')")
 
   private val conf = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
@@ -35,51 +57,89 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String],
   private def listFiles(): Seq[String] =
     WarcSource.resolveFiles(paths, conf.conf, allowEmpty = true)
 
-  override def initialOffset(): Offset = WarcStreamOffset("")
+  private def mtimeOf(f: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(f)
+      Some(p.getFileSystem(conf.conf).getFileStatus(p).getModificationTime)
+    } catch { case e: java.io.IOException =>
+      // a swallowed status failure must not be SILENT (ADVICE r15 #3:
+      // 'not late' by IOException hid the check's blind spots)
+      System.err.println(s"WARN graft-warc stream: status read failed for $f" +
+        s" ($e) — excluded from late-arrival evidence this plan")
+      None
+    }
 
-  override def latestOffset(): Offset = {
-    val fs = listFiles()
-    WarcStreamOffset(if (fs.isEmpty) "" else fs.max)
-  }
+  override def initialOffset(): Offset =
+    if (arrival == "unordered") WarcLedgerOffset(-1L, Nil)
+    else WarcStreamOffset("")
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = WarcStreamOffset.of(start).last
-    val e = WarcStreamOffset.of(end).last
+  /** Last monotone offset this stream produced or deserialized — plan
+    * times must be REUSED while the file list is unchanged: a fresh
+    * planMs stamp per poll would make every latestOffset() unequal to
+    * the committed one and drive endless empty batches. */
+  @volatile private var lastMono: WarcStreamOffset = null
+
+  override def latestOffset(): Offset =
+    if (arrival == "unordered") latestLedger()
+    else {
+      val fs = listFiles()
+      val last = if (fs.isEmpty) "" else fs.max
+      if (lastMono != null && lastMono.last == last) lastMono
+      else {
+        lastMono = WarcStreamOffset(last, System.currentTimeMillis())
+        lastMono
+      }
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    (if (arrival == "unordered") {
+      val already = WarcLedgerOffset.of(start).seen.map(_._1).toSet
+      WarcLedgerOffset.of(end).seen.map(_._1).filterNot(already)
+    }
+    else planMonotone(WarcStreamOffset.of(start), WarcStreamOffset.of(end)))
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+
+  // ---- monotone mode ----
+
+  private def planMonotone(s: WarcStreamOffset, e: WarcStreamOffset): Seq[String] = {
     val all = listFiles()
     // loud contract check: a shard sorting below a COMMITTED offset
     // arrived out of order and would be skipped silently forever
-    if (s.nonEmpty) {
-      val late = all.filter(_ < s)
+    if (s.last.nonEmpty) {
+      val late = all.filter(_ < s.last)
       // the files at/below `s` that were processed are indistinguishable
       // from violators by name alone; a STRICT count check would need
-      // the seen-set this design avoids. What IS detectable: nothing
-      // below `s` may be YOUNGER than the checkpoint's commit — crawl
-      // shards are immutable once written, so a late mtime means a
-      // late arrival.
-      val commitMs = commitTimeMs()
-      if (commitMs > 0) {
-        val lateArrivals = late.filter { f =>
-          try {
-            val p = new org.apache.hadoop.fs.Path(f)
-            p.getFileSystem(conf.conf).getFileStatus(p).getModificationTime > commitMs
-          } catch { case _: java.io.IOException => false }
-        }
+      // the seen-set this mode avoids. What IS detectable: nothing
+      // below `s` may be YOUNGER than the point the start offset was
+      // PLANNED — crawl shards are immutable once written, so a late
+      // mtime means a late arrival. The plan time rides in the offset
+      // (ADVICE r15 #3: the old commit-mtime reference excluded files
+      // landing between a batch's plan and its commit); offsets from
+      // checkpoints older than the plan-time field fall back to the
+      // commit-log mtime, and a MISSING reference disables the check
+      // LOUDLY, not silently.
+      val refMs = if (s.planMs > 0) s.planMs else commitTimeMs()
+      if (refMs > 0) {
+        val lateArrivals = late.filter(f => mtimeOf(f).exists(_ > refMs))
         require(lateArrivals.isEmpty,
           s"graft-warc stream: ${lateArrivals.size} shard(s) arrived sorting BELOW the " +
-            s"committed offset '$s' (e.g. ${lateArrivals.take(3).mkString(", ")}) — " +
+            s"committed offset '${s.last}' (e.g. ${lateArrivals.take(3).mkString(", ")}) — " +
             "the monotone-shard-name contract is violated and these files would be " +
-            "skipped silently; reprocess with a fresh checkpoint or rename the shards")
-      }
+            "skipped silently; reprocess with a fresh checkpoint, rename the shards, " +
+            "or use .option(\"arrival\", \"unordered\")")
+      } else if (late.nonEmpty)
+        System.err.println("WARN graft-warc stream: no plan-time or commit-log " +
+          s"reference available — cannot verify ${late.size} file(s) sorting below " +
+          s"the committed offset '${s.last}' against the monotone-name contract")
     }
-    all.filter(f => f > s && f <= e)
-      .map(f => WarcInputPartition(f): InputPartition).toArray
+    all.filter(f => f > s.last && f <= e.last)
   }
 
   /** mtime of the newest commit in the checkpoint's commit log — the
-    * reference point for late-arrival detection. 0 when unknown. The
-    * engine hands the SOURCE's checkpoint subdir (`<root>/sources/<i>`)
-    * to toMicroBatchStream, so walk up to the root that owns
-    * `commits/`. */
+    * FALLBACK reference for late-arrival detection when the start
+    * offset predates the plan-time field. 0 when unknown. The engine
+    * hands the SOURCE's checkpoint subdir (`<root>/sources/<i>`) to
+    * toMicroBatchStream, so walk up to the root that owns `commits/`. */
   private def commitTimeMs(): Long =
     try {
       val start = new org.apache.hadoop.fs.Path(checkpointLocation)
@@ -91,20 +151,73 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String],
         .getOrElse(0L)
     } catch { case _: java.io.IOException => 0L }
 
+  // ---- unordered (ledger) mode ----
+
+  /** The newest ledger this stream object has seen: seeded from the
+    * checkpoint via [[deserializeOffset]] on restart, advanced by each
+    * [[latestOffset]]. Only the watermark + membership feed forward —
+    * batch CONTENT is always end-minus-start offset arithmetic. */
+  @volatile private var lastLedger: WarcLedgerOffset = WarcLedgerOffset(-1L, Nil)
+
+  private def remember(l: WarcLedgerOffset): WarcLedgerOffset = {
+    if (l.watermark > lastLedger.watermark ||
+        (l.watermark == lastLedger.watermark && l.seen.size > lastLedger.seen.size))
+      lastLedger = l
+    l
+  }
+
+  private def latestLedger(): WarcLedgerOffset = {
+    val prev = lastLedger
+    val files = listFiles().flatMap(f => mtimeOf(f).map(f -> _))
+    val newest = files.map(_._2).maxOption.getOrElse(prev.watermark)
+    // first listing (watermark -1): ALL existing files are history and
+    // enter the ledger regardless of age; afterwards only files at or
+    // above the watermark are admissible (below = beyond the expiry
+    // window = the documented skip, counted loudly)
+    val wm = math.max(prev.watermark, newest - ledgerExpiryMs)
+    val prevSeen = prev.seen.map(_._1).toSet
+    val fresh = files.filter { case (f, m) =>
+      !prevSeen(f) && (prev.watermark < 0 || m >= wm)
+    }
+    val beyond = if (prev.watermark < 0) Nil
+      else files.filter { case (f, m) => !prevSeen(f) && m < wm }
+    if (beyond.nonEmpty)
+      System.err.println(s"WARN graft-warc stream: ${beyond.size} shard(s) arrived " +
+        s"with mtime beyond the ${ledgerExpiryMs} ms ledger expiry window and were " +
+        s"SKIPPED (e.g. ${beyond.take(3).map(_._1).mkString(", ")}) — raise " +
+        ".option(\"ledgerExpiryMs\", ...) above the layout's worst-case lateness")
+    // expire entries the watermark has passed; keep everything this
+    // batch admits (history files enter at their true mtime but are
+    // floored to the watermark so they survive until the NEXT advance)
+    val kept = prev.seen.filter(_._2 >= wm)
+    val admitted = fresh.map { case (f, m) => (f, math.max(m, wm)) }
+    remember(WarcLedgerOffset(wm, (kept ++ admitted).sortBy(_._1)))
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(conf, required)
 
   override def deserializeOffset(json: String): Offset =
-    WarcStreamOffset.fromJson(json)
+    if (arrival == "unordered") remember(WarcLedgerOffset.fromJson(json))
+    else {
+      val o = WarcStreamOffset.fromJson(json)
+      // seed the plan-time memory from the checkpoint on restart, so a
+      // restarted stream keeps its late-arrival reference
+      if (lastMono == null || lastMono.last <= o.last) lastMono = o
+      o
+    }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** One string of state: the largest processed shard path. */
-private[sources] case class WarcStreamOffset(last: String) extends Offset {
+/** Monotone-mode state: the largest processed shard path, plus the
+  * wall-clock instant this offset was PLANNED (the late-arrival
+  * reference; 0 in offsets checkpointed before the field existed). */
+private[sources] case class WarcStreamOffset(last: String, planMs: Long = 0L)
+    extends Offset {
   override def json(): String =
-    s"""{"last":"${last.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+    s"""{"last":"${last.replace("\\", "\\\\").replace("\"", "\\\"")}","plan_ms":$planMs}"""
 }
 
 private[sources] object WarcStreamOffset {
@@ -116,6 +229,36 @@ private[sources] object WarcStreamOffset {
     val m = "\"last\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(js)
       .getOrElse(throw new IllegalArgumentException(
         s"graft-warc stream: malformed offset json '$js'"))
-    WarcStreamOffset(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    val plan = "\"plan_ms\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(js)
+      .map(_.group(1).toLong).getOrElse(0L)
+    WarcStreamOffset(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"), plan)
+  }
+}
+
+/** Unordered-mode state: watermark + the (path, mtime) ledger of files
+  * observed within the expiry window. Bounded by arrival-rate x
+  * expiry; batch content is pure end-minus-start set arithmetic. */
+private[sources] case class WarcLedgerOffset(watermark: Long,
+    seen: Seq[(String, Long)]) extends Offset {
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+  override def json(): String =
+    s"""{"watermark":$watermark,"seen":[""" +
+      seen.map { case (f, m) => s"""["${esc(f)}",$m]""" }.mkString(",") + "]}"
+}
+
+private[sources] object WarcLedgerOffset {
+  def of(o: Offset): WarcLedgerOffset = o match {
+    case w: WarcLedgerOffset => w
+    case other => fromJson(other.json())
+  }
+  def fromJson(js: String): WarcLedgerOffset = {
+    val wm = "\"watermark\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(js)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-warc stream: malformed ledger offset json '${js.take(200)}'"))
+      .group(1).toLong
+    val seen = "\\[\"((?:[^\"\\\\]|\\\\.)*)\",(\\d+)\\]".r.findAllMatchIn(js)
+      .map(m => (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"),
+        m.group(2).toLong)).toSeq
+    WarcLedgerOffset(wm, seen)
   }
 }

@@ -126,24 +126,30 @@ private[sources] class WarcTable(paths: Seq[String]) extends Table with Supports
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+    new WarcScanBuilder(paths,
+      options.getOrDefault("arrival", "monotone"),
+      options.getLong("ledgerExpiryMs", 3600000L))
 }
 
-private[sources] class WarcScanBuilder(paths: Seq[String])
+private[sources] class WarcScanBuilder(paths: Seq[String],
+    arrival: String, ledgerExpiryMs: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = Warc.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WarcScan(paths, required)
+  override def build(): Scan =
+    new WarcScan(paths, required, arrival, ledgerExpiryMs)
 }
 
-private[sources] class WarcScan(paths: Seq[String], required: StructType)
+private[sources] class WarcScan(paths: Seq[String], required: StructType,
+    arrival: String = "monotone", ledgerExpiryMs: Long = 3600000L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(paths, required, checkpointLocation)
+    new WarcMicroBatchStream(paths, required, checkpointLocation,
+      arrival, ledgerExpiryMs)
   override def description(): String =
     s"graft-warc ${paths.mkString(",")} (columns: ${required.fieldNames.mkString(",")})"
 
@@ -178,7 +184,7 @@ private[sources] class WarcPartitionReader(file: String, conf: Configuration,
   private val rows = Warc.fileRows(file, () => {
     val p = new Path(file)
     p.getFileSystem(conf).open(p)
-  }, file.endsWith(".gz"), withContent)
+  }, Warc.codecOf(file), withContent)
   private var cur: InternalRow = _
 
   override def next(): Boolean =

@@ -55,6 +55,53 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("zstd shards (.warc.zst): multi-frame and whole-shard frames both round-trip; corruption quarantines") {
+    // VERDICT r15 next #5: real Common Crawl mirrors increasingly ship
+    // .warc.zst. Re-compress a plain fixture both ways the wild ships
+    // it — one zstd frame per record (the gzip-member layout's
+    // analogue) and one whole-shard frame — through both entry points.
+    val plain = Files.createTempDirectory("graft-warc-zsrc").toString
+    Warc.writeFixture(fixtureDf, plain, shards = 1, gzip = false)
+    val raw = java.nio.file.Files.readAllBytes(
+      new java.io.File(plain).listFiles().head.toPath)
+    def zstd(bytes: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(bytes, 3)
+    // split the shard at record boundaries (\r\n\r\n after each block;
+    // renderRecord ends every record with CRLF CRLF) — per-record frames
+    val text = new String(raw, StandardCharsets.ISO_8859_1)
+    val cuts = "(?s)WARC/1\\.0.*?\\r\\n\\r\\n.*?\\r\\n\\r\\n".r
+      .findAllIn(text).toSeq
+    assert(cuts.size == 3, s"fixture split found ${cuts.size} records")
+    val dir = Files.createTempDirectory("graft-warc-zst").toString
+    val perRecord = cuts.flatMap(c =>
+      zstd(c.getBytes(StandardCharsets.ISO_8859_1)).toSeq).toArray
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/multi-00000.warc.zst"), perRecord)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/whole-00001.warc.zst"), zstd(raw))
+    for (df <- Seq(Warc.read(spark, s"$dir/*"),
+        spark.read.format("graft-warc").load(s"$dir/*"))) {
+      val got = df.where($"warc_type" =!= "_corrupt").collect()
+      assert(got.length == 6, s"expected 2x3 records, got ${got.length}")
+      val contents = got.map(_.getAs[String]("content")).sorted.toSeq
+      assert(contents == Seq("", "", "hello warc", "hello warc",
+        "second record, longer content body", "second record, longer content body"))
+    }
+    // truncated LAST frame of a multi-frame shard: quarantine row for
+    // the tail, records from the intact earlier frames kept (a tiny
+    // whole-shard frame decodes in one block, so truncating IT loses
+    // everything — which is also correct, just not the case that
+    // proves mid-file behavior)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/multi-00000.warc.zst"),
+      perRecord.dropRight(7))
+    val rows = Warc.read(spark, s"$dir/multi-*").collect()
+    assert(rows.exists(_.getString(0) == "_corrupt"),
+      "truncated zstd shard did not quarantine")
+    assert(rows.count(_.getString(0) == "response") >= 1,
+      "records before the corruption point were lost")
+  }
+
   test("gzip members really are per-record: N records -> N gzip magic headers") {
     val dir = Files.createTempDirectory("graft-warc-members").toString
     Warc.writeFixture(fixtureDf, dir, shards = 1, gzip = true)
