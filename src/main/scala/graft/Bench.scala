@@ -164,7 +164,14 @@ object Bench {
     // dictionary, then vocab-bound iterations (steady ~flat from sf0.1
     // to sf1 by design: iteration cost tracks distinct-word growth,
     // not row growth — the property this row tracks per round)
-    "text_bpe_train")
+    "text_bpe_train",
+    // r16 (VERDICT r15 #7): the plain-SQL tag-superset route — the
+    // TagSupersetPruning rule firing under AQE + DPP interaction at
+    // volume. Plan-gated at fixture scale only before; a regression in
+    // the rule's fire conditions (the scan reading every partition)
+    // now shows up as TIME in the committed artifact, not just a
+    // silent no-prune.
+    "knn_tag_filtered_sql")
 
   /** Queries given extra post-sweep reps in the sf1 child so the
     * artifact records a STEADY-STATE number (VERDICT r7 next #6: the

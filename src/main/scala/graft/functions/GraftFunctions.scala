@@ -116,8 +116,11 @@ object GraftFunctions {
     * array<struct<a,b>>, rank-distance-capped at
     * [[SortedPairs.DefaultCap]] — ALL pairs for any basket up to
     * cap + 1 wide, a bounded chain for degenerate hot baskets (see
-    * [[PairKernel.sortedPairs]]). Pair [[basketOverflow]] with any
-    * capped aggregate for the loud overflow signal. */
+    * [[PairKernel.sortedPairs]]). Truncation is never silent: the
+    * kernel counts ([[PairKernel.truncatedBaskets]]) and WARNs in the
+    * executor log without any opt-in (ADVICE r15 #1); pair
+    * [[basketOverflow]] with any capped aggregate for the exact
+    * distributed count. */
   def pairs(items: Column): Column = call_function("graft_pairs", items)
 
   /** [[pairs]] with an explicit rank-distance cap. */

@@ -25,6 +25,16 @@ import org.apache.spark.sql.types._
  * downstream groupBy.
  */
 object PairKernel {
+  /** Baskets truncated by the rank-distance cap in this JVM (executor-
+    * local; a cluster aggregates via logs — each executor WARNs on its
+    * first truncation and every [[LogEvery]]th after). The NON-opt-in
+    * truncation signal (ADVICE r15 #1): [[GraftFunctions
+    * .basketOverflow]] is the precise queryable counter, but a caller
+    * who doesn't know about the cap would never run it — the kernel
+    * itself must say when it drops beyond-cap pairs. */
+  val truncatedBaskets = new java.util.concurrent.atomic.LongAdder
+  private val LogEvery = 100000L
+
   /** Pairs within rank distance `cap`: each items(i) pairs with the
     * (up to) `cap` FOLLOWING items. A basket of width w <= cap + 1
     * produces all w(w-1)/2 pairs — bit-identical to the uncapped
@@ -32,13 +42,24 @@ object PairKernel {
     * pairs instead of O(w^2) (the banded-LSH bucket-cap design,
     * [[graft.operators.Dedup.EmbLshBucketCap]]: the blow-up is avoided
     * structurally — one 100k-item basket would otherwise emit 5e9
-    * structs in a single task). Overflow is observable via
-    * [[GraftFunctions.basketOverflow]] — run it loudly next to any
-    * capped aggregate. */
+    * structs in a single task). Truncation is LOUD without opt-in:
+    * [[truncatedBaskets]] counts and the executor log WARNs; pair
+    * [[GraftFunctions.basketOverflow]] with any capped aggregate for
+    * the exact distributed count. */
   def sortedPairs(items: ArrayData, cap: Int): ArrayData = {
     val n = items.numElements()
     if (cap < 1)
       throw new IllegalArgumentException(s"graft_pairs: cap $cap must be >= 1")
+    if (n.toLong - 1 > cap) {
+      truncatedBaskets.increment()
+      val seen = truncatedBaskets.sum()
+      if (seen == 1L || seen % LogEvery == 0L)
+        System.err.println(s"WARN graft_pairs: basket of $n items exceeds " +
+          s"rank-distance cap $cap — beyond-cap pairs are NOT emitted " +
+          s"($seen capped baskets so far in this JVM; use " +
+          "graft_pairs_capped with a wider cap, or GraftFunctions" +
+          ".basketOverflow for the exact count)")
+    }
     // exact output length under the rank-distance cap (long math: the
     // uncapped n*(n-1)/2 overflows Int at n ~ 2^16.5)
     val len: Long =

@@ -437,9 +437,19 @@ class KernelSpec extends AnyFunSuite {
     val cap = SortedPairs.DefaultCap
     val n = hot.length.toLong
     val expectedLen = (n - cap) * cap + cap.toLong * (cap - 1) / 2
+    val truncBefore = PairKernel.truncatedBaskets.sum()
     val got = PairKernel.sortedPairs(
       new GenericArrayData(hot.map(_.asInstanceOf[Any])), cap)
     assert(got.numElements().toLong == expectedLen, s"${got.numElements()} vs $expectedLen")
+    // truncation is LOUD without opt-in (ADVICE r15 #1): the kernel
+    // counts every capped basket (and WARNs in the executor log);
+    // basketOverflow below stays the exact queryable signal
+    assert(PairKernel.truncatedBaskets.sum() > truncBefore,
+      "capped basket did not register in the truncation counter")
+    // identity-range calls must NOT count as truncation
+    val cleanBefore = PairKernel.truncatedBaskets.sum()
+    kernel(basket, 1000)
+    assert(PairKernel.truncatedBaskets.sum() == cleanBefore)
     // spot invariants: first pair (0,1); every pair within rank cap
     val first = got.getStruct(0, 2)
     assert(first.getLong(0) == 0L && first.getLong(1) == 1L)
