@@ -235,8 +235,22 @@ object Bench {
     * absolute tolerates clean-day drift AND genuine single-query
     * regressions (one query over floor = maybe a regression — let the
     * cross-round diff adjudicate; a cluster = contention). */
-  private[graft] def floorReasons(tag: String, warmMed: Seq[(String, Double)]): Seq[String] = {
+  private[graft] def floorReasons(tag: String, warmMed: Seq[(String, Double)],
+      dir: String = ""): Seq[String] = {
     if (sys.env.get("SPARK_GRAFT_SKIP_FLOORS").contains("1")) return Nil
+    // floors are recorded AT A SPECIFIC FIXTURE; applying the sf0.1
+    // table to an ad-hoc dir (SPARK_GRAFT_SF_DIR=anything slower or
+    // larger) would flag contention by construction and burn the
+    // recovery retries on a healthy host — gate on the fixture the
+    // floors were measured against, like the sf1-leg trigger does
+    val protocolFixture = tag match {
+      case "sf01" => dir.isEmpty || new java.io.File(dir).getName == "sf0.1"
+      case "sf1" => dir.isEmpty || new java.io.File(dir).getCanonicalFile ==
+        new java.io.File(sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
+          .getCanonicalFile
+      case _ => true
+    }
+    if (!protocolFixture) return Nil
     val floors = graft.tools.Floors.of(tag)
     val blown = warmMed.collect {
       case (n, med) if floors.get(n).exists(f => med > 3 * f && med - f > 0.5) => n
@@ -541,7 +555,8 @@ object Bench {
   private def passFromSweep(s: Sweep, tag: String, loadPre: Double,
                             procsPre: Int, forked: Boolean, prewarm: Double,
                             cpuSt: Double, cpuMt: Double,
-                            recall: String, steady: String): Pass = {
+                            recall: String, steady: String,
+                            dir: String = ""): Pass = {
     // pre-pass load is the one loadavg sample our own work can't
     // pollute; 32 hot threads on this box is us, 4+ BEFORE we start is
     // someone else
@@ -568,7 +583,7 @@ object Bench {
     }.mkString("[", ",", "]")
     Pass(s.coldTotal, s.warmMedTotal, s.warmMin.map(_._2).sum, loadPre,
       procsPre, forked, prewarm, cpuSt, cpuMt,
-      pre ++ cpu ++ s.contentionReasons(tag) ++ floorReasons(tag, s.warmMed),
+      pre ++ cpu ++ s.contentionReasons(tag) ++ floorReasons(tag, s.warmMed, dir),
       jsArr(s.failures), js(s.cold), js(s.warmMed), detail, marks,
       recall, steady)
   }
@@ -659,7 +674,7 @@ object Bench {
         }.mkString("{", ",", "}")
     spark.stop()
     passFromSweep(s, suite, preLoad, preProcs, forked, prewarm,
-      cpuSt, cpuMt, recall, steady)
+      cpuSt, cpuMt, recall, steady, dir)
   }
 
   // ---- child mode: one suite pass in a fresh JVM ----

@@ -1392,7 +1392,7 @@ class VectorStore(spark: SparkSession, val root: String,
     buildTable() // manifest-less legacy layout: no version key to cache on
   }
 
-  @volatile private var tableSnapshotCache: Option[((Int, Int), DataFrame)] = None
+  @volatile private var tableSnapshotCache: Option[((Int, Int, Long), DataFrame)] = None
 
   private def buildTable(): DataFrame = {
     val live =
@@ -1724,19 +1724,28 @@ class VectorStore(spark: SparkSession, val root: String,
   // collected (tag_key, tags) sets are cached too (bounded: <= 10k
   // sets), so a warm serving path runs ZERO manifest Spark jobs. ----
 
-  /** Changes iff the manifest's resolvable content can change. */
-  private def manifestSnapshotKey(): (Int, Int) = {
+  /** Changes iff the manifest's resolvable content can change. The
+    * base dir's mtime rides in the key so an EXTERNAL clear()+rewrite
+    * (which resets version numbering and could otherwise collide on
+    * (version, delta count)) still invalidates — the recreated
+    * v<k>.parquet dir has a new mtime. */
+  private def manifestSnapshotKey(): (Int, Int, Long) = {
     val v = currentManifestVersion.getOrElse(-1)
     val nDelta =
       if (v >= 0 && fs.exists(new Path(deltaPathFor(v))))
         fs.listStatus(new Path(deltaPathFor(v)))
           .count(_.getPath.getName.endsWith(".parquet"))
       else 0
-    (v, nDelta)
+    val baseMtime =
+      if (v >= 0)
+        try fs.getFileStatus(new Path(basePathFor(v))).getModificationTime
+        catch { case _: java.io.IOException => -1L }
+      else -1L
+    (v, nDelta, baseMtime)
   }
 
   @volatile private var manifestSnapshotCache:
-      Option[((Int, Int), Long, Option[Seq[(String, Set[String], Int)]])] = None
+      Option[((Int, Int, Long), Long, Option[Seq[(String, Set[String], Int)]])] = None
 
   /** (set count, collected (tag_key, tags, gen) rows when small) for
     * the current snapshot, computed once per snapshot key. Above
@@ -2383,18 +2392,26 @@ class VectorStore(spark: SparkSession, val root: String,
     // probe order, bounded counts) until the post-filter candidate
     // pool holds at least k x margin rows or every list is probed.
     // Explicit-nprobe callers keep exactly what they asked for.
-    if (tags.nonEmpty && nprobe <= 0 && np < nlist) {
-      val order = SimilaritySearch.probeCids(codebook, qv, nlist)
+    val fullOrder =
+      if (tags.nonEmpty && nprobe <= 0 && np < nlist)
+        SimilaritySearch.probeCids(codebook, qv, nlist)
+      else IndexedSeq.empty[Long]
+    if (fullOrder.nonEmpty) {
       val margin = k.toLong * AnnFilteredMargin
       def candidates(p: Int): Long = tagSuperset(
-        spark.read.parquet(dir).where(col("cid").isin(order.take(p): _*)), tags)
+        spark.read.parquet(dir).where(col("cid").isin(fullOrder.take(p): _*)), tags)
         // limit-bounded probe: the count exists only to compare against
         // the margin, never to fully evaluate a huge filtered scan
         .limit((margin + 1).toInt).count()
       while (np < nlist && candidates(np) < margin)
         np = math.min(nlist, np * 2)
     }
-    val probes = SimilaritySearch.probeCids(codebook, qv, np)
+    // reuse the already-computed probe order (the escalation path
+    // sorted the whole codebook once; recomputing would be a redundant
+    // O(nlist log nlist) on the serving path)
+    val probes =
+      if (fullOrder.nonEmpty) fullOrder.take(np)
+      else SimilaritySearch.probeCids(codebook, qv, np)
     val pruned = tagSuperset(
       spark.read.parquet(dir).where(col("cid").isin(probes: _*)), tags)
     scoreTopK(pruned, qv, k, metric, quantized)
@@ -2529,7 +2546,8 @@ class VectorStore(spark: SparkSession, val root: String,
         "graft: no ANN index — call buildAnnIndex(k) first"))
     val codebook = SimilaritySearch.collectCodebook(
       spark.read.parquet(codebookPathIn(dir)))
-    val np = resolveNprobe(dir, nprobe, codebook.size)
+    val nlist = codebook.size
+    var np = resolveNprobe(dir, nprobe, nlist)
     val (qproj, metric) = queryColumnMode()
     val q = queries.select(col("qid"), qproj(col("qvec")).as("qv"))
     val centsLit = array(codebook.sortBy(_._1).map { case (cid, cv) =>
@@ -2537,24 +2555,58 @@ class VectorStore(spark: SparkSession, val root: String,
     }: _*)
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(asc("dist"), asc("lid"))
-    val probed = q
+    // pin the probe assignment to ONE evaluation (ADVICE r7 #2): the
+    // IN-list collect below and the broadcast join both consume it,
+    // and a nondeterministic caller plan re-evaluating differently
+    // between the two would probe lists outside the pruned scan —
+    // those candidates would silently vanish. localCheckpoint
+    // materializes the (tiny by contract) probe table once.
+    def probeAt(p: Int): DataFrame = q
       .select(col("qid"), col("qv"), explode(centsLit).as("c"))
       .select(col("qid"), col("qv"), col("c.lid").as("lid"),
         GraftFunctions.euclidean(col("qv"), col("c.cv")).as("dist"))
       .withColumn("prn", row_number().over(pw))
-      .where(col("prn") <= np)
+      .where(col("prn") <= p)
       .select(col("qid"), col("qv"), col("lid"))
-      // pin the probe assignment to ONE evaluation (ADVICE r7 #2): the
-      // IN-list collect below and the broadcast join both consume it,
-      // and a nondeterministic caller plan re-evaluating differently
-      // between the two would probe lists outside the pruned scan —
-      // those candidates would silently vanish. localCheckpoint
-      // materializes the (tiny by contract) probe table once.
       .localCheckpoint()
     // distinct probed lists: <= |codebook| values from the QUERY side
     // only — a static IN-list beats relying on DPP to reach the scan
-    val probeLids = probed.select("lid").distinct().collect()
-      .map(_.getLong(0)).toIndexedSeq
+    def lidsOf(probed: DataFrame): IndexedSeq[Long] =
+      probed.select("lid").distinct().collect().map(_.getLong(0)).toIndexedSeq
+    var probed = probeAt(np)
+    var probeLids = lidsOf(probed)
+    // filtered auto-nprobe escalation, batched (VERDICT r15 next #6 —
+    // same under-coverage as searchAnn: the calibration is unfiltered).
+    // The starved query is a PER-QUERY property (tagged rows can be
+    // concentrated in lists only some queries probe), so the check is
+    // one grouped count per round — the filtered pruned scan joined to
+    // the broadcast probe table, counted per qid, MIN across the batch
+    // — and np doubles for everyone until the worst query's pool holds
+    // k x margin candidates or every list is probed. Cost per round is
+    // one aggregate over data the final query scans anyway; rounds are
+    // log-bounded. Explicit nprobe is never overridden.
+    if (tags.nonEmpty && nprobe <= 0 && np < nlist && probeLids.nonEmpty) {
+      val margin = k.toLong * AnnFilteredMargin
+      def worstPool(): Long = {
+        // one job: per-qid candidate counts LEFT-joined back onto the
+        // batch's qids, so a query whose probes hold ZERO filtered
+        // rows (no groupBy row at all) reads as 0, not as absent
+        val cand = tagSuperset(
+            spark.read.parquet(dir).where(col("cid").isin(probeLids: _*)), tags)
+          .withColumnRenamed("cid", "lid")
+          .join(broadcast(probed.select("qid", "lid")), Seq("lid"))
+          .groupBy("qid").agg(count(lit(1)).as("n"))
+        val r = probed.select("qid").distinct()
+          .join(cand, Seq("qid"), "left")
+          .agg(min(coalesce(col("n"), lit(0L)))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      while (np < nlist && worstPool() < margin) {
+        np = math.min(nlist, np * 2)
+        probed = probeAt(np)
+        probeLids = lidsOf(probed)
+      }
+    }
     // filtered ANN, batched: the tag-superset predicate rides inside
     // the union of probed lists (row filter BELOW the broadcast join),
     // same contract as searchAnn(tags) — selective filters are the

@@ -104,7 +104,13 @@ private[operators] object VersionedCommit {
       val dirs = list()
       fs.mkdirs(new Path(root))
       if (isLegacy(dirs))
-        dirs.foreach { case (v, _) => mark(v) }
+        // stamp NEWEST-first: adoption is per-dir fs.create calls and a
+        // crash mid-way leaves only the stamped subset readable — with
+        // descending order the surviving committed set always contains
+        // the true newest version, so readers stay correct and the
+        // unmarked remainder is all BELOW live (reaped by vacuum as
+        // ordinary superseded versions, never the newest data)
+        dirs.sortBy(-_._1).foreach { case (v, _) => mark(v) }
       if (!hasFormatMarker)
         fs.create(new Path(s"$root/$FormatMarker"), true).close()
     }

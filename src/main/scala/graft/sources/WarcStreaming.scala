@@ -101,7 +101,21 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String],
 
   // ---- monotone mode ----
 
+  /** When planInputPartitions LAST ran for a batch ending at a given
+    * offset: the batch's file list is fixed by THAT re-listing, so a
+    * file landing between latestOffset()'s stamp and the partition
+    * plan is still INCLUDED in the batch — judging it by the (earlier)
+    * offset stamp would kill the stream over a file that was in fact
+    * ingested. In-memory only: after a restart the offset's own plan
+    * stamp is the (slightly earlier, conservative) fallback. */
+  @volatile private var lastPlanExec: (String, Long) = ("", 0L)
+
   private def planMonotone(s: WarcStreamOffset, e: WarcStreamOffset): Seq[String] = {
+    // captured BEFORE the listing: a file landing mid-listing may or
+    // may not be in `all`, and with the stamp taken after it would
+    // read as "before this plan" and could skip silently; stamping
+    // first errs toward a loud false positive in a ms-wide window
+    val planExecAt = System.currentTimeMillis()
     val all = listFiles()
     // loud contract check: a shard sorting below a COMMITTED offset
     // arrived out of order and would be skipped silently forever
@@ -110,15 +124,19 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String],
       // the files at/below `s` that were processed are indistinguishable
       // from violators by name alone; a STRICT count check would need
       // the seen-set this mode avoids. What IS detectable: nothing
-      // below `s` may be YOUNGER than the point the start offset was
-      // PLANNED — crawl shards are immutable once written, so a late
-      // mtime means a late arrival. The plan time rides in the offset
-      // (ADVICE r15 #3: the old commit-mtime reference excluded files
-      // landing between a batch's plan and its commit); offsets from
-      // checkpoints older than the plan-time field fall back to the
-      // commit-log mtime, and a MISSING reference disables the check
-      // LOUDLY, not silently.
-      val refMs = if (s.planMs > 0) s.planMs else commitTimeMs()
+      // below `s` may be YOUNGER than the point the batch ENDING at `s`
+      // fixed its file list — crawl shards are immutable once written,
+      // so a late mtime means a late arrival. Reference precedence:
+      // the in-memory partition-PLAN time of that batch (exact),
+      // else the offset's own latestOffset stamp (rides in the
+      // checkpoint as `plan_ms`; conservative by the stamp-to-plan
+      // gap — ADVICE r15 #3), else the commit-log mtime (pre-field
+      // checkpoints). A MISSING reference disables the check LOUDLY,
+      // not silently.
+      val refMs =
+        if (lastPlanExec._1 == s.last && lastPlanExec._2 > 0) lastPlanExec._2
+        else if (s.planMs > 0) s.planMs
+        else commitTimeMs()
       if (refMs > 0) {
         val lateArrivals = late.filter(f => mtimeOf(f).exists(_ > refMs))
         require(lateArrivals.isEmpty,
@@ -132,6 +150,9 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String],
           s"reference available — cannot verify ${late.size} file(s) sorting below " +
           s"the committed offset '${s.last}' against the monotone-name contract")
     }
+    // this batch's file list is fixed by the listing above — record
+    // the (pre-listing) instant for the next plan's late reference
+    lastPlanExec = (e.last, planExecAt)
     all.filter(f => f > s.last && f <= e.last)
   }
 
@@ -166,29 +187,52 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String],
     l
   }
 
+  /** Names already warned as beyond-window, so the (unavoidable)
+    * ambiguity between "processed long ago, ledger entry expired" and
+    * "genuinely lost" is logged ONCE per file per stream object, not
+    * per poll. Bounded: oldest half evicted past 100k entries. */
+  private val warnedBeyond = new java.util.LinkedHashSet[String]()
+
   private def latestLedger(): WarcLedgerOffset = {
     val prev = lastLedger
-    val files = listFiles().flatMap(f => mtimeOf(f).map(f -> _))
+    // mtimes come from the SAME listing (no per-file status RPCs)
+    val files = WarcSource.resolveFileStatuses(paths, conf.conf, allowEmpty = true)
     val newest = files.map(_._2).maxOption.getOrElse(prev.watermark)
-    // first listing (watermark -1): ALL existing files are history and
-    // enter the ledger regardless of age; afterwards only files at or
-    // above the watermark are admissible (below = beyond the expiry
-    // window = the documented skip, counted loudly)
-    val wm = math.max(prev.watermark, newest - ledgerExpiryMs)
+    // Admission is judged against the PREVIOUS watermark: a poll gap
+    // longer than the expiry window must not skip files that arrived
+    // on time in between (the new watermark can jump newest-expiry in
+    // one step; files with mtime between the old and new watermark
+    // were never given a chance to be seen). First listing (watermark
+    // -1): ALL existing files are history and enter regardless of age.
     val prevSeen = prev.seen.map(_._1).toSet
     val fresh = files.filter { case (f, m) =>
-      !prevSeen(f) && (prev.watermark < 0 || m >= wm)
+      !prevSeen(f) && (prev.watermark < 0 || m >= prev.watermark)
     }
+    // below the PREVIOUS watermark and unknown: either lost (arrival
+    // lateness beyond the expiry window) or processed so long ago the
+    // ledger entry expired — indistinguishable by design; warn once
     val beyond = if (prev.watermark < 0) Nil
-      else files.filter { case (f, m) => !prevSeen(f) && m < wm }
-    if (beyond.nonEmpty)
-      System.err.println(s"WARN graft-warc stream: ${beyond.size} shard(s) arrived " +
-        s"with mtime beyond the ${ledgerExpiryMs} ms ledger expiry window and were " +
-        s"SKIPPED (e.g. ${beyond.take(3).map(_._1).mkString(", ")}) — raise " +
+      else files.filter { case (f, m) =>
+        !prevSeen(f) && m < prev.watermark && !warnedBeyond.contains(f)
+      }
+    if (beyond.nonEmpty) {
+      beyond.foreach(b => warnedBeyond.add(b._1))
+      if (warnedBeyond.size > 100000) {
+        val it = warnedBeyond.iterator()
+        var drop = warnedBeyond.size / 2
+        while (drop > 0 && it.hasNext) { it.next(); it.remove(); drop -= 1 }
+      }
+      System.err.println(s"WARN graft-warc stream: ${beyond.size} shard(s) sort " +
+        s"below the ledger watermark and are NOT ingested " +
+        s"(e.g. ${beyond.take(3).map(_._1).mkString(", ")}) — either already " +
+        "processed with the ledger entry since expired, or arrived later than " +
+        s"the ${ledgerExpiryMs} ms expiry window allows; raise " +
         ".option(\"ledgerExpiryMs\", ...) above the layout's worst-case lateness")
-    // expire entries the watermark has passed; keep everything this
-    // batch admits (history files enter at their true mtime but are
-    // floored to the watermark so they survive until the NEXT advance)
+    }
+    // the watermark advances AFTER admission; entries it has passed
+    // expire (admitted files are floored to the watermark so they
+    // survive until the NEXT advance)
+    val wm = math.max(prev.watermark, newest - ledgerExpiryMs)
     val kept = prev.seen.filter(_._2 >= wm)
     val admitted = fresh.map { case (f, m) => (f, math.max(m, wm)) }
     remember(WarcLedgerOffset(wm, (kept ++ admitted).sortBy(_._1)))

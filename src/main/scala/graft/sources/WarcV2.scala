@@ -73,7 +73,15 @@ private[sources] object WarcSource {
     * (`allowEmpty` for streaming, where an empty dir just means no
     * shards have arrived yet). */
   def resolveFiles(paths: Seq[String], conf: Configuration,
-      allowEmpty: Boolean = false): Seq[String] = {
+      allowEmpty: Boolean = false): Seq[String] =
+    resolveFileStatuses(paths, conf, allowEmpty).map(_._1)
+
+  /** Like [[resolveFiles]] but keeps each shard's mtime from the SAME
+    * listing — the streaming ledger mode needs (path, mtime) pairs and
+    * a per-file getFileStatus on top of the listing would be one
+    * redundant RPC per shard per poll. */
+  def resolveFileStatuses(paths: Seq[String], conf: Configuration,
+      allowEmpty: Boolean = false): Seq[(String, Long)] = {
     val files = paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
@@ -82,21 +90,24 @@ private[sources] object WarcSource {
         rel.split('/').exists(n => n.startsWith("_") || n.startsWith("."))
       matched.flatMap { st =>
         if (!st.isDirectory) {
-          if (hidden(st.getPath.getName)) Nil else Seq(st.getPath.toString)
+          if (hidden(st.getPath.getName)) Nil
+          else Seq((st.getPath.toString, st.getModificationTime))
         } else {
           // hidden components are judged BELOW the matched root only —
           // a dot-dir ancestor the user explicitly pointed at is theirs
           val rootStr = st.getPath.toString
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
           val it = fs.listFiles(st.getPath, true)
           while (it.hasNext) {
-            val f = it.next().getPath.toString
-            if (!hidden(f.stripPrefix(rootStr).stripPrefix("/"))) out += f
+            val f = it.next()
+            val name = f.getPath.toString
+            if (!hidden(name.stripPrefix(rootStr).stripPrefix("/")))
+              out += ((name, f.getModificationTime))
           }
           out
         }
       }
-    }.distinct.sorted
+    }.distinctBy(_._1).sortBy(_._1)
     require(allowEmpty || files.nonEmpty,
       s"graft-warc: ${paths.mkString(",")} resolved to ZERO shard files" +
         " — wrong glob or empty crawl (an empty scan here would silently" +

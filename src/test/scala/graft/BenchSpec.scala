@@ -91,6 +91,22 @@ class BenchSpec extends AnyFunSuite {
       Seq("q1_agg" -> 99.0, "text_bm25" -> 99.0)).isEmpty)
   }
 
+  test("floor gate applies only to the fixture its floors were measured against") {
+    // benching an ad-hoc dir (SPARK_GRAFT_SF_DIR=anything larger or
+    // slower) must not flag contention against the sf0.1/sf1 floors —
+    // that would burn the recovery retries on a healthy host
+    val blown = Seq("text_phrase_search" -> 9.4, "ev_transitions" -> 8.0)
+    assert(Bench.floorReasons("sf1", blown, dir = "/tmp/somewhere-else").isEmpty,
+      "floors applied to a non-protocol fixture")
+    assert(Bench.floorReasons("sf01", blown.map { case (n, v) => (n, v) },
+      dir = "/root/testdata/sf0.01").isEmpty)
+    // the protocol fixtures DO gate
+    assert(Bench.floorReasons("sf1", blown, dir = "/tmp/graft_sf1").nonEmpty)
+    assert(Bench.floorReasons("sf01",
+      Seq("text_phrase_search" -> 9.4, "ev_transitions" -> 8.0),
+      dir = "/root/testdata/sf0.1").nonEmpty)
+  }
+
   test("compact summary carries the stage marker for mid-run tail parses") {
     val s = Bench.compactSummary(pass(48.0, 130.0, 31000.0), None,
       contended = false, reasons = Nil, cpus = 32, sfDir = "d", out = "o",

@@ -572,6 +572,22 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       tags = Seq("rare")).queryExecution.executedPlan.toString
     assert(p.linesIterator.find(_.contains("PartitionFilters"))
       .exists(_.contains("cid")), s"explicit-nprobe pruning lost:\n${p.take(1500)}")
+    // the BATCHED facade escalates by the same contract: default
+    // filtered batch recall vs the exact facade per query
+    val qdf = Seq(7, 123, 251, 388).zipWithIndex
+      .map { case (qi, i) => (i.toLong, rows(qi)._2.toSeq) }
+      .toDF("qid", "qvec").withColumn("qvec", col("qvec").cast("array<float>"))
+    val manyIds = store.searchManyAnn(qdf, k = 10, tags = Seq("rare"))
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+    val manyRecalls = Seq(7, 123, 251, 388).zipWithIndex.map { case (qi, i) =>
+      val exactIds = store.search(rows(qi)._2.toSeq, tags = Seq("rare"), k = 10)
+        .select("id").collect().map(_.getString(0)).toSet
+      manyIds(i.toLong).intersect(exactIds).size.toDouble / exactIds.size
+    }
+    val manyMean = manyRecalls.sum / manyRecalls.size
+    assert(manyMean >= 0.85,
+      s"filtered BATCHED facade-default recall $manyMean below target ($manyRecalls)")
     store.clear()
   }
 
@@ -1452,6 +1468,28 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit.length == 1 && hit(0).getAs[String]("content") == "new",
       "stale manifest cache hid a freshly inserted tag set")
     store.clear()
+  }
+
+  test("manifest snapshot cache survives an EXTERNAL clear+rewrite: the mtime key invalidates across instances") {
+    // Review finding (r16): version numbering resets on clear(), so a
+    // rewritten store could collide with a cached (version, delta
+    // count) key held by ANOTHER instance — the base dir's mtime now
+    // rides in the key.
+    val root = Files.createTempDirectory("graft-xclear").toString
+    val writer = new VectorStore(spark, root)
+    val reader = new VectorStore(spark, root)
+    writer.insert(df(Seq(("a", Array(1f, 0f), "old", Seq("t")))))
+    assert(reader.search(Seq(1f, 0f), tags = Seq("t"), k = 1)
+      .head().getAs[String]("content") == "old") // reader caches the snapshot
+    // "external" lifecycle: a DIFFERENT instance clears and rewrites to
+    // the same shape (same version number, same delta count)
+    writer.clear()
+    Thread.sleep(20) // local-FS mtime granularity
+    writer.insert(df(Seq(("b", Array(1f, 0f), "new", Seq("t")))))
+    val got = reader.search(Seq(1f, 0f), tags = Seq("t"), k = 1).collect()
+    assert(got.length == 1 && got(0).getAs[String]("content") == "new",
+      s"reader served a stale snapshot across an external clear+rewrite: ${got.toSeq}")
+    writer.clear()
   }
 
   test("lease liveness via owner-keyed heartbeat sibling: matching hb defends, foreign hb does not") {

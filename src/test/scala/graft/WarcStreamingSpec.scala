@@ -114,6 +114,44 @@ class WarcStreamingSpec extends AnyFunSuite {
     assert(key(spark.read.parquet(out)) == key(batch))
   }
 
+  test("unordered mode: a watermark jump across a poll gap does not skip files that arrived on time") {
+    // Review finding (r16): admission was judged against the NEW
+    // watermark (newest mtime minus expiry), so a poll gap longer than
+    // the expiry window silently dropped files that landed in between.
+    // Admission is now judged against the PREVIOUS poll's watermark.
+    // Shape: tiny expiry (80 ms); drain; shard A lands; a PAUSE longer
+    // than the expiry; shard B lands (newest jumps, new wm passes A's
+    // mtime); drain — A must still be ingested.
+    val dir = Files.createTempDirectory("graft-warcstream-gap").toString
+    val out = Files.createTempDirectory("graft-warcstream-gap-out").toString + "/p"
+    val ckpt = Files.createTempDirectory("graft-warcstream-gap-ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-warc")
+        .option("arrival", "unordered")
+        .option("ledgerExpiryMs", "80")
+        .load(s"$dir")
+        .where($"warc_type" =!= "_corrupt")
+        .select("record_id", "target_uri", "content")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    shard(dir, 0, 0 until 2)
+    drain()
+    assert(spark.read.parquet(out).count() == 2)
+    shard(dir, 3, 2 until 5) // shard A
+    Thread.sleep(300)        // >> expiry: the next poll's wm passes A
+    shard(dir, 7, 5 until 6) // shard B (newest)
+    drain()
+    assert(spark.read.parquet(out).count() == 6,
+      "a file arriving within the poll gap was skipped by the watermark jump")
+    // and nothing duplicates on a further drain
+    drain()
+    assert(spark.read.parquet(out).count() == 6)
+  }
+
   test("a shard arriving BELOW the committed offset violates the monotone-name contract loudly") {
     val dir = Files.createTempDirectory("graft-warcstream-late").toString
     val out = Files.createTempDirectory("graft-warcstream-late-out").toString + "/p"
