@@ -1394,6 +1394,19 @@ class VectorStore(spark: SparkSession, val root: String,
 
   @volatile private var tableSnapshotCache: Option[((Int, Int, Long), DataFrame)] = None
 
+  /** Drop the per-snapshot caches so the next read re-resolves from
+    * the filesystem — the `REFRESH TABLE` analogue for topologies
+    * where ANOTHER process mutates the store out-of-band. Normally
+    * unnecessary: the snapshot key (base version, delta file count,
+    * base mtime) already invalidates on every protocol write,
+    * including external ones; this is the documented escape hatch for
+    * mutations outside the protocol (a manual file copy, a restored
+    * backup) that happen to reproduce the key exactly. */
+  def refresh(): Unit = {
+    manifestSnapshotCache = None
+    tableSnapshotCache = None
+  }
+
   private def buildTable(): DataFrame = {
     val live =
       if (manifestExists)

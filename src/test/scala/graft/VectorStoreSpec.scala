@@ -1489,6 +1489,11 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = reader.search(Seq(1f, 0f), tags = Seq("t"), k = 1).collect()
     assert(got.length == 1 && got(0).getAs[String]("content") == "new",
       s"reader served a stale snapshot across an external clear+rewrite: ${got.toSeq}")
+    // and the explicit REFRESH escape hatch exists for out-of-protocol
+    // mutations (manual file surgery that reproduces the key exactly)
+    reader.refresh()
+    assert(reader.search(Seq(1f, 0f), tags = Seq("t"), k = 1)
+      .head().getAs[String]("content") == "new")
     writer.clear()
   }
 
