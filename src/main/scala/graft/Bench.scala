@@ -245,9 +245,18 @@ object Bench {
     // floors were measured against, like the sf1-leg trigger does
     val protocolFixture = tag match {
       case "sf01" => dir.isEmpty || new java.io.File(dir).getName == "sf0.1"
-      case "sf1" => dir.isEmpty || new java.io.File(dir).getCanonicalFile ==
-        new java.io.File(sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
-          .getCanonicalFile
+      case "sf1" => dir.isEmpty ||
+        // getCanonicalFile does I/O and can throw (ADVICE r16 #4) — an
+        // IO hiccup HERE runs inside passFromSweep AFTER the full timed
+        // pass, and an uncaught throw would let main's crash handler
+        // replace the just-written good artifact with a bench_crashed
+        // one. Degrade to the absolute path comparison instead.
+        scala.util.Try(new java.io.File(dir).getCanonicalFile ==
+          new java.io.File(sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
+            .getCanonicalFile)
+          .getOrElse(new java.io.File(dir).getAbsoluteFile ==
+            new java.io.File(sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
+              .getAbsoluteFile)
       case _ => true
     }
     if (!protocolFixture) return Nil
@@ -342,23 +351,26 @@ object Bench {
     sys.env.get("SPARK_GRAFT_IDLE_WAIT_SEC").flatMap(_.trim.toIntOption)
       .getOrElse(120)
 
-  /** Bounded wait for an idle machine before a retry pass: guest load
-    * below 2 AND a live 2 s steal sample below 2%. Returns whether the
-    * idle condition was met (false = deadline expired; the retry runs
-    * anyway and its own verdict records what it saw). */
+  /** One live window-cleanliness sample (~2-4 s: guest load, a 2 s
+    * steal window, then the throughput probe): guest-idle is not
+    * host-idle, so the parallel capacity AND the absolute throughput a
+    * pass would actually get are required too (same thresholds as the
+    * pass verdict — r13's degraded windows passed the ratio check
+    * while delivering ~2/3 of a clean window's throughput). Shared by
+    * the retry idle-wait and the pre-sf1-fork gate. */
+  private def windowClean(): Boolean =
+    load1() < 2.0 && stealSamplePct(2000) < 0.02 && {
+      val (st, mt) = cpuScore()
+      (st <= 0 || mt / st >= 4.0) && mtReason("probe", mt).isEmpty
+    }
+
+  /** Bounded wait for an idle machine before a retry pass. Returns
+    * whether the idle condition was met (false = deadline expired; the
+    * retry runs anyway and its own verdict records what it saw). */
   private def waitForIdle(maxWaitSec: Int): Boolean = {
     val deadline = System.nanoTime() + maxWaitSec * 1000000000L
     while (System.nanoTime() < deadline) {
-      if (load1() < 2.0 && stealSamplePct(2000) < 0.02) {
-        // guest-idle is not host-idle: also require the parallel
-        // capacity AND the absolute throughput the retry pass will
-        // actually get (same thresholds as the pass verdict — r13's
-        // degraded windows passed the ratio check while delivering
-        // ~2/3 of a clean window's throughput)
-        val (st, mt) = cpuScore()
-        if ((st <= 0 || mt / st >= 4.0) && mtReason("probe", mt).isEmpty)
-          return true
-      }
+      if (windowClean()) return true
       Thread.sleep(5000)
     }
     false
@@ -823,7 +835,8 @@ object Bench {
     val budgetSkipped = scala.collection.mutable.ArrayBuffer[String]()
     val scales = scala.collection.mutable.LinkedHashMap(
       "pca_scale" -> "{}", "fuzzy_scale" -> "{}", "bpe_scale" -> "{}",
-      "warc_scale" -> "{}", "triangles_full" -> "{}")
+      "warc_scale" -> "{}", "warc_ledger_scale" -> "{}",
+      "triangles_full" -> "{}")
 
     val protocol = "warm-median (warm_total, sf1_warm_total) is the " +
       "cross-round comparable; cold is fresh-JVM ENGINE first-touch " +
@@ -871,6 +884,30 @@ object Bench {
         (detail + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write bench_detail.json: $e") }
+      // floors provenance (VERDICT r16 next #5): every GATE-CLEAN,
+      // failure-free protocol pass contributes its warm medians to
+      // floors_delta.json (elementwise min within the run);
+      // graft.tools.FloorsFold folds that into the committed resource —
+      // floors are never hand-typed again. Failure-free matters: a
+      // failed query's sweep time is time-to-throw, which would poison
+      // the floor as an implausibly fast clean median.
+      try {
+        def clean(ps: Seq[Pass]): Seq[Map[String, Double]] =
+          ps.filter(p => !p.contended && p.failedJson == "[]")
+            .map(p => graft.tools.Floors.parseFlat(p.queriesWarmJson))
+        val sf01Protocol = new java.io.File(sfDir).getName == "sf0.1"
+        val tables = Seq(
+          "sf01" -> (if (sf01Protocol) graft.tools.Floors.foldMin(clean(passes01))
+                     else Map.empty[String, Double]),
+          "sf1" -> graft.tools.Floors.foldMin(
+            clean(sf1.map(_._2).getOrElse(Nil))))
+          .filter(_._2.nonEmpty).toMap
+        if (tables.nonEmpty)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("floors_delta.json"),
+            graft.tools.Floors.render(tables).getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write floors_delta.json: $e") }
       // compact summary as the FINAL stdout line (VERDICT r13 next #8):
       // the full per-query line above grew past the driver's 2,000-char
       // log tail 13 rounds straight, so its parse always saw a truncated
@@ -917,7 +954,12 @@ object Bench {
     // sf0.1 result. Budget-gated: skipping with a recorded reason beats
     // running the driver into its timeout.
     if (sf1Planned) {
-      if (remainingSec - sf1CostEst < ScaleChecksReserveSec + FinalizeReserveSec) {
+      // the sf1 leg outranks the scale checks in the budget order
+      // (VERDICT r16 next #1): only the finalize reserve gates it —
+      // the checks self-skip individually later if the leg ate their
+      // time. A committed clean sf1 number is worth more than any of
+      // them.
+      if (remainingSec - sf1CostEst < FinalizeReserveSec) {
         budgetSkipped += "sf1_skipped_budget"
         System.err.println(f"[bench] sf1 leg skipped on budget: " +
           f"$remainingSec%.0f s left, leg ~$sf1CostEst%.0f s")
@@ -930,21 +972,51 @@ object Bench {
             // the fork exists precisely so the scale numbers see a quiet
             // machine
             spark.stop()
-        val tSf1 = System.nanoTime()
-        val pass0 = forkPass("sf1", dir).getOrElse {
-          // fallback: in-process (old behavior), loudly non-forked
-          System.err.println("[bench] sf1 falling back to in-JVM run")
-          runPass("sf1", dir, forked = false, withRecall = false)
+        // ---- pre-fork window gate (VERDICT r16 next #1): the r16
+        // driver run burned a 462 s CONTENDED sf1 cold pass and then
+        // had no budget left for the retry — the sunk cost was
+        // committed before anyone looked at the window. Probe FIRST
+        // (one windowClean sample, ~4 s); on a bad window spend the
+        // idle-wait NOW, before the expensive pass, not only after a
+        // contended verdict; and when the window stays bad AND the
+        // budget cannot absorb a contended pass plus its retry, skip
+        // the leg with the probe evidence in the artifact — an
+        // explicit probe-documented skip beats a doomed pass. ----
+        val passCost = math.max(450.0, p0WallSec)
+        val waitBudget = math.min(IdleWaitSec.toDouble,
+          math.max(0.0, remainingSec - passCost - FinalizeReserveSec)).toInt
+        val idleNow = windowClean() || waitForIdle(waitBudget)
+        val retryHeadroom =
+          remainingSec - 2.0 * passCost - FinalizeReserveSec > 0
+        if (!idleNow && !retryHeadroom) {
+          val (_, mt) = cpuScore()
+          budgetSkipped += f"sf1_skipped_bad_window_mt_${mt}%.0f"
+          System.err.println(f"[bench] sf1 leg skipped: window still bad " +
+            f"after ${waitBudget} s idle-wait (probe $mt%.0f MB/s) and " +
+            f"no budget for a contended pass + retry ($remainingSec%.0f s left)")
+          None
+        } else {
+          if (!idleNow) System.err.println("[bench] sf1 window bad after " +
+            "idle-wait but retry headroom remains — proceeding; the floor " +
+            "gate + recovery loop adjudicate the pass")
+          val tSf1 = System.nanoTime()
+          val pass0 = forkPass("sf1", dir).getOrElse {
+            // fallback: in-process (old behavior), loudly non-forked
+            System.err.println("[bench] sf1 falling back to in-JVM run")
+            runPass("sf1", dir, forked = false, withRecall = false)
+          }
+          val sf1WallSec = (System.nanoTime() - tSf1) / 1e9
+          Some(
+            if (!pass0.forked) (pass0, Seq(pass0), 0) // fork machinery broken
+            else {
+              // reserveAfterSec = 0: the retry outranks the scale
+              // checks (they self-skip), same priority call as the leg
+              val (best, ps, n, skipped) = withRetries("sf1", dir, pass0,
+                sf1WallSec, reserveAfterSec = 0.0)
+              budgetSkipped ++= skipped
+              (best, ps, n)
+            })
         }
-        val sf1WallSec = (System.nanoTime() - tSf1) / 1e9
-        Some(
-          if (!pass0.forked) (pass0, Seq(pass0), 0) // fork machinery broken
-          else {
-            val (best, ps, n, skipped) = withRetries("sf1", dir, pass0,
-              sf1WallSec, reserveAfterSec = ScaleChecksReserveSec)
-            budgetSkipped ++= skipped
-            (best, ps, n)
-          })
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] sf1 leg failed: $e")
         sf1Error = Some(e.toString.take(300))
@@ -1010,6 +1082,13 @@ object Bench {
     // WARC ingestion throughput at volume (~160 MB raw content; the
     // fixture rows only parse a few MB)
     scales("warc_scale") = scaleCheck("warc")(graft.tools.RefWidthCheck.warcAtVolumeScale)
+
+    // unordered-arrival ledger at crawl-scale shard counts (VERDICT r16
+    // next #7): 50k adversarially-ordered shard names through the
+    // offset machinery — ledger growth, offset JSON weight, per-poll
+    // cost, and the expiry churn on the restart path
+    scales("warc_ledger_scale") =
+      scaleCheck("warc_ledger")(graft.sources.WarcLedgerProbe.atScale)
 
     emit("final")
   }

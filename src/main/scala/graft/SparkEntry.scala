@@ -2240,13 +2240,29 @@ object SparkEntry {
       val baskets = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
-      val rules = baskets
+      val cnt = baskets.select(explode(col("items")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      // a-priori prefilter (VERDICT r16 next #3): an item whose GLOBAL
+      // basket count is 1 cannot appear in any pair with n_ab >= 2
+      // (n_ab <= min(n_a, n_b)), so dropping singleton items from the
+      // baskets BEFORE the pair explode is provably answer-preserving
+      // and cuts the quadratic kernel's input on the long tail. The
+      // explode -> broadcast semi-join -> regroup chain re-uses the
+      // baskets agg's hash partitioning on `ok` (Generate and a
+      // broadcast join both preserve it), so the prune costs an
+      // in-partition regroup, not a shuffle. Measured sf1 steady
+      // (QueryLoop, 32 threads): kernel input drops by the singleton
+      // mass of the co-purchase dictionary.
+      val pruned = baskets
+        .select(col("ok"), explode(col("items")).as("pk"))
+        .join(broadcast(cnt.where(col("n") >= 2).select("pk")), Seq("pk"), "left_semi")
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("items"))
+      val rules = pruned
         .select(explode(GraftFunctions.pairs(col("items"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("n_ab"))
         .where(col("n_ab") >= 2)
-      val cnt = baskets.select(explode(col("items")).as("pk"))
-        .groupBy(col("pk")).agg(count(lit(1)).as("n"))
       val nOrders = baskets.select(count(lit(1)).as("n_orders"))
       rules
         .join(broadcast(cnt.as("ca")), col("a") === col("ca.pk"))

@@ -13,7 +13,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * external lock service, like every Hadoop committer documents).
  *
  * The lock is a LEASE, not a tombstone: the holder heartbeats an
- * owner-keyed SIBLING file (`<lock>.hb`) from a daemon thread
+ * owner-keyed SIBLING file (`<lock>.hb.<owner>`) from a daemon thread
  * (leaseMs/4 cadence — see [[holderAlive]] for why the beat never
  * touches the lock file itself), and waiters STEAL a lock whose
  * liveness evidence exceeds the lease — a crashed holder delays
@@ -51,8 +51,24 @@ private[operators] object LeaseLock {
     try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
     catch { case _: java.io.IOException => -1L }
 
-  private def hbPath(lock: Path): Path =
-    new Path(lock.getParent, s"${lock.getName}.hb")
+  /** Heartbeat sibling, keyed by owner IN THE FILENAME (ADVICE r16 #1):
+    * a single shared `<lock>.hb` could be overwritten by a zombie whose
+    * lock was stolen mid-beat (TOCTOU between its ownership read and
+    * its hb write), destroying the successor's liveness evidence for up
+    * to one beat interval — long enough for a third waiter to steal a
+    * LIVE holder's lock. With the owner in the name, a zombie's write
+    * lands in its own dead file and can never clobber anyone's. */
+  private def hbPath(lock: Path, owner: String): Path =
+    new Path(lock.getParent, s"${lock.getName}.hb.$owner")
+
+  /** Best-effort sweep of every heartbeat sibling of `lock` (any
+    * owner) — steal and legacy-cleanup paths. */
+  private def deleteHbSiblings(fs: FileSystem, lock: Path): Unit =
+    try fs.listStatus(lock.getParent).foreach { st =>
+      if (st.getPath.getName.startsWith(s"${lock.getName}.hb"))
+        try fs.delete(st.getPath, false)
+        catch { case _: java.io.IOException => () }
+    } catch { case _: java.io.IOException => () }
 
   private def readContent(fs: FileSystem, p: Path): Option[String] =
     try {
@@ -62,21 +78,26 @@ private[operators] object LeaseLock {
     } catch { case _: java.io.IOException => None }
 
   /** Is the holder provably alive? Either the lock file itself is
-    * young, or a heartbeat sibling exists, is young, AND names the
-    * lock's current owner (a zombie's heartbeat for a STOLEN lock
-    * names the wrong owner and proves nothing). The heartbeat lives in
-    * a sibling file rather than as a lock rewrite/setTimes because a
-    * rewrite (`create(overwrite=true)`) from a zombie whose lock was
-    * stolen mid-beat would clobber the successor's lock — two writers
-    * both believing they hold it (ADVICE r15 #4); the sibling file is
-    * owner-keyed, so a zombie's beats are inert after a steal. */
+    * young, or the heartbeat sibling NAMED BY the lock's current owner
+    * exists and is young. The heartbeat lives in a sibling file rather
+    * than as a lock rewrite/setTimes because a rewrite from a zombie
+    * whose lock was stolen mid-beat would clobber the successor's lock
+    * — two writers both believing they hold it (ADVICE r15 #4) — and
+    * the owner keys the FILENAME, not just the content (ADVICE r16 #1):
+    * with one shared hb file a zombie's in-flight beat could overwrite
+    * the successor's fresh evidence, making a LIVE holder stealable for
+    * up to a beat interval. The file holderAlive consults is chosen by
+    * the lock's own content, so only the true holder can refresh it. */
   private def holderAlive(fs: FileSystem, lock: Path, leaseMs: Long): Boolean = {
     val lockAge = ageMs(fs, lock)
     if (lockAge >= 0 && lockAge <= leaseMs) return true
-    val hb = hbPath(lock)
-    val hbAge = ageMs(fs, hb)
-    hbAge >= 0 && hbAge <= leaseMs &&
-      readContent(fs, hb).exists(o => readContent(fs, lock).contains(o))
+    readContent(fs, lock).exists { o =>
+      val owner = o.trim
+      owner.nonEmpty && {
+        val hbAge = ageMs(fs, hbPath(lock, owner))
+        hbAge >= 0 && hbAge <= leaseMs
+      }
+    }
   }
 
   private def tryStealStale(fs: FileSystem, lock: Path, leaseMs: Long): Unit =
@@ -85,7 +106,7 @@ private[operators] object LeaseLock {
         s"${lock.getName}.stale.${java.util.UUID.randomUUID().toString.take(8)}")
       val won = try fs.rename(lock, tomb)
       catch { case _: java.io.IOException => false }
-      if (won) { fs.delete(tomb, false); fs.delete(hbPath(lock), false) }
+      if (won) { fs.delete(tomb, false); deleteHbSiblings(fs, lock) }
     }
 
   /** Run `f` holding the lease lock at `lock`: spin (100 ms) up to
@@ -144,7 +165,10 @@ private[operators] object LeaseLock {
           try {
             if (!readContent(fs, lock).contains(owner)) live = false // stolen: stop quietly
             else {
-              val out = fs.create(hbPath(lock), true)
+              // owner-keyed FILENAME: even when this check races a
+              // steal (TOCTOU), the write lands in OUR hb file, which
+              // the successor's lock content no longer names — inert
+              val out = fs.create(hbPath(lock, owner), true)
               out.write(owner.getBytes("UTF-8")); out.close()
             }
           } catch { case scala.util.control.NonFatal(_) => () } // transient: retry next beat
@@ -173,7 +197,7 @@ private[operators] object LeaseLock {
       } catch { case _: java.io.IOException => "theirs" }
       if (state == "mine") {
         fs.delete(lock, false)
-        try fs.delete(hbPath(lock), false)
+        try fs.delete(hbPath(lock, owner), false)
         catch { case _: java.io.IOException => () }
       }
       else if (state == "theirs") System.err.println(

@@ -1381,18 +1381,28 @@ class VectorStore(spark: SparkSession, val root: String,
     // which never touches live generations.
     if (manifestExists) {
       val key = manifestSnapshotKey()
-      tableSnapshotCache match {
-        case Some((k, df)) if k == key => return df
+      VectorStore.tableSnapshots.get(cacheKey) match {
+        case (k, df) if k == key => df
         case _ =>
           val df = buildTable()
-          tableSnapshotCache = Some((key, df))
-          return df
+          VectorStore.putTableSnapshot(cacheKey, (key, df))
+          df
       }
     }
-    buildTable() // manifest-less legacy layout: no version key to cache on
+    else buildTable() // manifest-less legacy layout: no version key to cache on
   }
 
-  @volatile private var tableSnapshotCache: Option[((Int, Int, Long), DataFrame)] = None
+  /** Snapshot caches are keyed by (session, root) in the COMPANION, not
+    * per instance (VERDICT r16 what's-wrong #1): the common serving and
+    * bench pattern constructs a fresh facade per query over an
+    * unchanged store, and a per-instance cache made every such query
+    * re-pay the snapshot-construction Spark jobs (manifest count +
+    * collect + parquet footer schema inference — a ~0.2 s per-call
+    * constant). Soundness belongs to the snapshot KEY, not the
+    * instance: (base version, delta count, base mtime) changes on every
+    * protocol write, in-JVM or external, so a hit can only serve a
+    * snapshot the key proves unchanged. */
+  private def cacheKey: (SparkSession, String) = (spark, root)
 
   /** Drop the per-snapshot caches so the next read re-resolves from
     * the filesystem — the `REFRESH TABLE` analogue for topologies
@@ -1402,10 +1412,7 @@ class VectorStore(spark: SparkSession, val root: String,
     * including external ones; this is the documented escape hatch for
     * mutations outside the protocol (a manual file copy, a restored
     * backup) that happen to reproduce the key exactly. */
-  def refresh(): Unit = {
-    manifestSnapshotCache = None
-    tableSnapshotCache = None
-  }
+  def refresh(): Unit = VectorStore.dropSnapshots(cacheKey)
 
   private def buildTable(): DataFrame = {
     val live =
@@ -1757,25 +1764,23 @@ class VectorStore(spark: SparkSession, val root: String,
     (v, nDelta, baseMtime)
   }
 
-  @volatile private var manifestSnapshotCache:
-      Option[((Int, Int, Long), Long, Option[Seq[(String, Set[String], Int)]])] = None
-
   /** (set count, collected (tag_key, tags, gen) rows when small) for
-    * the current snapshot, computed once per snapshot key. Above
-    * [[dppRouteThreshold]] the rows are never collected (the whole
-    * point of the DPP route is not to pull a huge manifest
+    * the current snapshot, computed once per snapshot key — shared
+    * across facade instances via the companion cache (see [[cacheKey]]).
+    * Above [[dppRouteThreshold]] the rows are never collected (the
+    * whole point of the DPP route is not to pull a huge manifest
     * driver-side) — only the count is cached. */
   private def manifestSnapshot(): (Long, Option[Seq[(String, Set[String], Int)]]) = {
     val key = manifestSnapshotKey()
-    manifestSnapshotCache match {
-      case Some((k, n, rows)) if k == key => (n, rows)
+    VectorStore.manifestSnapshots.get(cacheKey) match {
+      case (k, n, rows) if k == key => (n, rows)
       case _ =>
         val n = manifest().select("tag_key").count()
         val rows =
           if (n > dppRouteThreshold) None
           else Some(manifest().select("tag_key", "tags", "gen").collect().toSeq
             .map(r => (r.getString(0), r.getSeq[String](1).toSet, r.getInt(2))))
-        manifestSnapshotCache = Some((key, n, rows))
+        VectorStore.putManifestSnapshot(cacheKey, (key, n, rows))
         (n, rows)
     }
   }
@@ -1932,8 +1937,7 @@ class VectorStore(spark: SparkSession, val root: String,
       fs.delete(new Path(root), true)
       // clearing RESETS version numbering, so a later write can reuse a
       // pre-clear snapshot key — the caches must not survive the wipe
-      manifestSnapshotCache = None
-      tableSnapshotCache = None
+      VectorStore.dropSnapshots(cacheKey)
     }
     if (force) wipe() else withWriterLock()(wipe())
   }
@@ -2228,6 +2232,130 @@ class VectorStore(spark: SparkSession, val root: String,
     * probed ones even when the filter decimates each list. */
   private val AnnFilteredMargin = 10L
 
+  // ---- per-(cid, tag set) index row counts: the filtered-ANN
+  // escalation's driver metadata (VERDICT r16 next #4 / ADVICE r16 #3:
+  // the auto-nprobe escalation re-ran limit-bounded count JOBS on every
+  // tagged serve call — several Spark jobs per query on the warm path
+  // the snapshot caches were built to clear). Written at build/compact
+  // time from the exact staged data; incremental appends only ADD rows,
+  // so a stale table is a LOWER bound on every (cid, tag set) count —
+  // which keeps every decision below recall-safe: "pool >= margin by
+  // stats" implies the true pool is too, and "stats can't reach margin
+  // anywhere" escalates to a full probe, the maximal-recall answer. ----
+
+  private def tagStatsPathIn(dir: String) = s"$dir/_tagstats.parquet"
+
+  /** Stats past this row count are not persisted (collecting them IS
+    * the serve-time plan; a corpus with 10^5+ distinct (cid, tag set)
+    * cells keeps the count-job escalation instead). */
+  private val TagStatsMaxRows = 200000L
+
+  /** Compute and stage `_tagstats.parquet` for the index data in `dir`
+    * (build/compact staging dirs — underscore siblings are invisible to
+    * the data read). Skipped, loudly, past [[TagStatsMaxRows]]. */
+  private def writeTagStats(dir: String): Unit = {
+    val stats = spark.read.parquet(dir)
+      .groupBy(col("cid"), col("tags")).agg(count(lit(1)).as("n"))
+    val n = stats.count()
+    if (n <= TagStatsMaxRows)
+      stats.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tagStatsPathIn(dir))
+    else
+      System.err.println(s"graft: ANN tag stats skipped ($n distinct " +
+        s"(cid, tag set) cells > $TagStatsMaxRows) — filtered auto-nprobe " +
+        "keeps the count-job escalation for this index")
+  }
+
+  /** cid -> (tag set, rows) lower bounds for the index version at
+    * `dir`, loaded once per (session, dir, dir mtime) — the mtime
+    * guards the post-clear() path reuse exactly like the manifest
+    * snapshot key. None: stats absent (legacy index or oversized). */
+  private def tagStatsOf(dir: String): Option[Map[Long, Seq[(Set[String], Long)]]] = {
+    val key = (spark, dir, dirMtime(dir))
+    VectorStore.annTagStats.get(key) match {
+      case null =>
+        val loaded =
+          if (!fs.exists(new Path(tagStatsPathIn(dir)))) None
+          else try {
+            Some(spark.read.parquet(tagStatsPathIn(dir))
+              .select(col("cid"), col("tags"), col("n")).collect().toSeq
+              .map(r => (r.getLong(0), r.getSeq[String](1).toSet, r.getLong(2)))
+              .groupBy(_._1)
+              .map { case (cid, rs) => cid -> rs.map(t => (t._2, t._3)) })
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"graft: ANN tag stats unreadable ($e) — " +
+              "filtered auto-nprobe falls back to count jobs"); None
+          }
+        VectorStore.putAnnTagStats(key, loaded)
+        loaded
+      case cached => cached
+    }
+  }
+
+  /** Per-cid matching-row lower bounds for one tag-superset query —
+    * pure driver arithmetic over [[tagStatsOf]]. */
+  private def tagMatchCounts(stats: Map[Long, Seq[(Set[String], Long)]],
+                             tags: Seq[String]): Map[Long, Long] = {
+    val want = tags.distinct.toSet
+    stats.map { case (cid, sets) =>
+      cid -> sets.collect { case (ts, n) if want.subsetOf(ts) => n }.sum
+    }.filter(_._2 > 0L)
+  }
+
+  /** Collected IVF codebook of the index version at `dir`, cached per
+    * (session, dir, dir mtime) like the tag stats: the codebook read +
+    * collect was 1-2 Spark driver jobs on EVERY ANN serve call —
+    * committed version dirs are immutable (a rebuild commits a NEW
+    * v<k>; clear()-path reuse is what the mtime guards), so the
+    * collected books can only ever be re-read identical. */
+  private def codebookOf(dir: String): Seq[(Long, Seq[Float])] = {
+    val key = (spark, dir, dirMtime(dir))
+    VectorStore.annCodebooks.get(key) match {
+      case null =>
+        val cb = SimilaritySearch.collectCodebook(
+          spark.read.parquet(codebookPathIn(dir)))
+        VectorStore.putAnnCodebook(key, cb)
+        cb
+      case cached => cached
+    }
+  }
+
+  /** PQ sub-codebooks of the index version at `dir` — same cache
+    * contract as [[codebookOf]]. */
+  private def pqBooksOf(dir: String): Option[Seq[Seq[(Long, Seq[Float])]]] = {
+    val key = (spark, dir, dirMtime(dir))
+    VectorStore.annPqBooks.get(key) match {
+      case null =>
+        val books = readPqBooks(dir)
+        VectorStore.putAnnPqBooks(key, books)
+        books
+      case cached => cached
+    }
+  }
+
+  private def dirMtime(dir: String): Long =
+    try fs.getFileStatus(new Path(dir)).getModificationTime
+    catch { case _: java.io.IOException => -1L }
+
+  /** The index data at `dir` as a DataFrame, constructed with an
+    * EXPLICIT schema: schema inference over a parquet dir is a
+    * footer-reading Spark job per call — the last job left on the warm
+    * ANN serve path. Only the SCHEMA is cached (per version dir +
+    * mtime): appends add rows but never columns (maintainAnnIndex
+    * aligns them), while the file listing stays per-call so appended
+    * rows are always visible. */
+  private def annDataOf(dir: String): DataFrame = {
+    val key = (spark, dir, dirMtime(dir))
+    val schema = VectorStore.annSchemas.get(key) match {
+      case null =>
+        val s = spark.read.parquet(dir).schema
+        VectorStore.putAnnSchema(key, s)
+        s
+      case cached => cached
+    }
+    spark.read.schema(schema).parquet(dir)
+  }
+
   /** Measure the recall-vs-probe-coverage curve AT BUILD TIME and
     * return the smallest nprobe whose recall@10 meets
     * [[AnnRecallTarget]] — stored in the index `_meta` so the facade
@@ -2358,6 +2486,7 @@ class VectorStore(spark: SparkSession, val root: String,
     }
     // count(*) over the staged files is footer metadata, not a data scan
     val built = spark.read.parquet(tmp.toString).count()
+    writeTagStats(tmp.toString)
     writeAnnMeta(tmp.toString,
       AnnMeta(k, seed, rebuildFraction, built, 0L, calibrateNprobe(codebook)))
     // commit = rename to a versioned name that never pre-exists (the
@@ -2392,8 +2521,7 @@ class VectorStore(spark: SparkSession, val root: String,
     val (qv, metric) =
       if (isProjected) (Pca.projectOne(loadModel(), queryVec).toSeq, "euclidean")
       else (queryVec, "cosine")
-    val codebook = SimilaritySearch.collectCodebook(
-      spark.read.parquet(codebookPathIn(dir)))
+    val codebook = codebookOf(dir)
     val nlist = codebook.size
     var np = resolveNprobe(dir, nprobe, nlist)
     // filtered ANN: the tag-superset predicate rides INSIDE the probed
@@ -2411,13 +2539,44 @@ class VectorStore(spark: SparkSession, val root: String,
       else IndexedSeq.empty[Long]
     if (fullOrder.nonEmpty) {
       val margin = k.toLong * AnnFilteredMargin
-      def candidates(p: Int): Long = tagSuperset(
-        spark.read.parquet(dir).where(col("cid").isin(fullOrder.take(p): _*)), tags)
-        // limit-bounded probe: the count exists only to compare against
-        // the margin, never to fully evaluate a huge filtered scan
-        .limit((margin + 1).toInt).count()
-      while (np < nlist && candidates(np) < margin)
-        np = math.min(nlist, np * 2)
+      tagStatsOf(dir) match {
+        case Some(stats) =>
+          // metadata-first (VERDICT r16 next #4): the pool estimate is
+          // pure driver arithmetic over the per-(cid, tag set) lower
+          // bounds — ZERO Spark jobs on the warm filtered path. The
+          // bounds can only understate (appends), so "reached margin"
+          // is proof and "cannot reach margin anywhere" escalates to
+          // the full probe, which is recall-maximal by construction.
+          val matched = tagMatchCounts(stats, tags)
+          if (matched.values.sum < margin) np = nlist
+          else {
+            var acc = 0L; var i = 0
+            while (i < fullOrder.length && acc < margin) {
+              acc += matched.getOrElse(fullOrder(i), 0L); i += 1
+            }
+            np = math.max(np, i)
+          }
+        case None =>
+          // legacy/oversized-stats index: limit-bounded count jobs,
+          // with the escalated np memoized per (index version, tag
+          // set) as a STARTING point (ADVICE r16 #3) — repeat queries
+          // usually verify at their memoized np in one count instead
+          // of re-walking the doubling ladder. The verify count stays:
+          // probe ORDER is query-specific, so a cached np is a hint,
+          // never proof.
+          def candidates(p: Int): Long = tagSuperset(
+            annDataOf(dir).where(col("cid").isin(fullOrder.take(p): _*)), tags)
+            // limit-bounded probe: the count exists only to compare
+            // against the margin, never to fully evaluate a huge
+            // filtered scan
+            .limit((margin + 1).toInt).count()
+          val memoKey = (spark, dir, tags.distinct.sorted.mkString(" "))
+          Option(VectorStore.annNpMemo.get(memoKey))
+            .foreach(m => np = math.min(nlist, math.max(np, m.intValue)))
+          while (np < nlist && candidates(np) < margin)
+            np = math.min(nlist, np * 2)
+          VectorStore.putAnnNpMemo(memoKey, np)
+      }
     }
     // reuse the already-computed probe order (the escalation path
     // sorted the whole codebook once; recomputing would be a redundant
@@ -2426,7 +2585,7 @@ class VectorStore(spark: SparkSession, val root: String,
       if (fullOrder.nonEmpty) fullOrder.take(np)
       else SimilaritySearch.probeCids(codebook, qv, np)
     val pruned = tagSuperset(
-      spark.read.parquet(dir).where(col("cid").isin(probes: _*)), tags)
+      annDataOf(dir).where(col("cid").isin(probes: _*)), tags)
     scoreTopK(pruned, qv, k, metric, quantized)
   }
 
@@ -2455,6 +2614,10 @@ class VectorStore(spark: SparkSession, val root: String,
              if fs.exists(new Path(s"$dir/$f")))
           org.apache.hadoop.fs.FileUtil.copy(
             fs, new Path(s"$dir/$f"), fs, new Path(s"$tmp/$f"), false, conf)
+        // tag stats are RECOMPUTED, not copied: the compacted data folds
+        // incremental appends in, so this is the moment the (build-time,
+        // append-stale) lower bounds tighten back to exact
+        writeTagStats(tmp.toString)
         readAnnMeta(dir).foreach(writeAnnMeta(tmp.toString, _))
         val next = allocateVersion(annRoot)
         commitVersionDir(tmp, new Path(s"$annRoot/v$next"), "ANN compaction")
@@ -2557,8 +2720,7 @@ class VectorStore(spark: SparkSession, val root: String,
     val dir = currentAnnDir.getOrElse(
       throw new IllegalStateException(
         "graft: no ANN index — call buildAnnIndex(k) first"))
-    val codebook = SimilaritySearch.collectCodebook(
-      spark.read.parquet(codebookPathIn(dir)))
+    val codebook = codebookOf(dir)
     val nlist = codebook.size
     var np = resolveNprobe(dir, nprobe, nlist)
     val (qproj, metric) = queryColumnMode()
@@ -2600,24 +2762,56 @@ class VectorStore(spark: SparkSession, val root: String,
     // log-bounded. Explicit nprobe is never overridden.
     if (tags.nonEmpty && nprobe <= 0 && np < nlist && probeLids.nonEmpty) {
       val margin = k.toLong * AnnFilteredMargin
-      def worstPool(): Long = {
-        // one job: per-qid candidate counts LEFT-joined back onto the
-        // batch's qids, so a query whose probes hold ZERO filtered
-        // rows (no groupBy row at all) reads as 0, not as absent
-        val cand = tagSuperset(
-            spark.read.parquet(dir).where(col("cid").isin(probeLids: _*)), tags)
-          .withColumnRenamed("cid", "lid")
-          .join(broadcast(probed.select("qid", "lid")), Seq("lid"))
-          .groupBy("qid").agg(count(lit(1)).as("n"))
-        val r = probed.select("qid").distinct()
-          .join(cand, Seq("qid"), "left")
-          .agg(min(coalesce(col("n"), lit(0L)))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      }
-      while (np < nlist && worstPool() < margin) {
-        np = math.min(nlist, np * 2)
-        probed = probeAt(np)
-        probeLids = lidsOf(probed)
+      tagStatsOf(dir) match {
+        case Some(stats) =>
+          // metadata-first, batched: the per-query pool is the sum of
+          // the probed lists' per-cid lower bounds — the (qid, lid)
+          // probe table is already collected driver-side for the
+          // IN-list, so the worst query's pool is pure arithmetic, no
+          // per-round count job over the index data. Store-wide
+          // short-circuit first: when the whole index cannot reach the
+          // margin, every query needs the full probe — jump there
+          // without re-planning rounds.
+          val matched = tagMatchCounts(stats, tags)
+          if (matched.values.sum < margin) {
+            np = nlist
+            probed = probeAt(np)
+            probeLids = lidsOf(probed)
+          } else {
+            def worstPoolMeta(): Long = {
+              val byQ = probed.select("qid", "lid").collect()
+                .groupBy(_.get(0))
+              if (byQ.isEmpty) 0L
+              else byQ.values.map(_.map(r =>
+                matched.getOrElse(r.getLong(1), 0L)).sum).min
+            }
+            while (np < nlist && worstPoolMeta() < margin) {
+              np = math.min(nlist, np * 2)
+              probed = probeAt(np)
+              probeLids = lidsOf(probed)
+            }
+          }
+        case None =>
+          def worstPool(): Long = {
+            // one job: per-qid candidate counts LEFT-joined back onto
+            // the batch's qids, so a query whose probes hold ZERO
+            // filtered rows (no groupBy row at all) reads as 0, not as
+            // absent
+            val cand = tagSuperset(
+                annDataOf(dir).where(col("cid").isin(probeLids: _*)), tags)
+              .withColumnRenamed("cid", "lid")
+              .join(broadcast(probed.select("qid", "lid")), Seq("lid"))
+              .groupBy("qid").agg(count(lit(1)).as("n"))
+            val r = probed.select("qid").distinct()
+              .join(cand, Seq("qid"), "left")
+              .agg(min(coalesce(col("n"), lit(0L)))).head()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
+          while (np < nlist && worstPool() < margin) {
+            np = math.min(nlist, np * 2)
+            probed = probeAt(np)
+            probeLids = lidsOf(probed)
+          }
       }
     }
     // filtered ANN, batched: the tag-superset predicate rides inside
@@ -2625,7 +2819,7 @@ class VectorStore(spark: SparkSession, val root: String,
     // same contract as searchAnn(tags) — selective filters are the
     // caller's nprobe dial, never a re-query fallback
     val idx = tagSuperset(
-        spark.read.parquet(dir).where(col("cid").isin(probeLids: _*)), tags)
+        annDataOf(dir).where(col("cid").isin(probeLids: _*)), tags)
       .withColumnRenamed("cid", "lid")
     require(!quantized || idx.columns.contains("packed"),
       "graft: quantized batched search needs a quantized store (index has no packed column)")
@@ -2924,17 +3118,16 @@ class VectorStore(spark: SparkSession, val root: String,
     val dir = currentAnnDir.getOrElse(
       throw new IllegalStateException(
         "graft: no ANN index — call buildAnnIndex(k) first"))
-    val books = readPqBooks(dir).getOrElse(
+    val books = pqBooksOf(dir).getOrElse(
       throw new IllegalStateException(
         "graft: index has no PQ codes (pre-PQ build or non-divisible dim) — rebuild with buildAnnIndex"))
     val (qv, metric) =
       if (isProjected) (Pca.projectOne(loadModel(), queryVec).toSeq, "euclidean")
       else (queryVec, "cosine")
-    val codebook = SimilaritySearch.collectCodebook(
-      spark.read.parquet(codebookPathIn(dir)))
+    val codebook = codebookOf(dir)
     val probes = SimilaritySearch.probeCids(codebook, qv,
       resolveNprobe(dir, nprobe, codebook.size))
-    val pruned = spark.read.parquet(dir).where(col("cid").isin(probes: _*))
+    val pruned = annDataOf(dir).where(col("cid").isin(probes: _*))
     val dsub = qv.length / books.size
     def lutCol(f: (Seq[Float], Seq[Float]) => Double): Column =
       books.zipWithIndex.map { case (book, s) =>
@@ -3007,12 +3200,11 @@ class VectorStore(spark: SparkSession, val root: String,
 
   private def maintainAnnIndex(batch: DataFrame): Unit = {
     val dir = currentAnnDir.getOrElse(return)
-    val codebook = SimilaritySearch.collectCodebook(
-      spark.read.parquet(codebookPathIn(dir)))
+    val codebook = codebookOf(dir)
     // appended rows must carry the SAME columns as the built index —
     // including PQ codes (encoded with the committed books; ADVICE r4
     // #4's schema-alignment lesson)
-    withPqCodes(batch.drop("gen"), readPqBooks(dir))
+    withPqCodes(batch.drop("gen"), pqBooksOf(dir))
       .withColumn("cid", SimilaritySearch.nearestCentroid(col("vector"), codebook))
       .write.mode(SaveMode.Append).partitionBy("cid").parquet(dir)
     readAnnMeta(dir).foreach { m =>
@@ -3022,5 +3214,114 @@ class VectorStore(spark: SparkSession, val root: String,
       else
         writeAnnMeta(dir, m.copy(appendedRows = appended))
     }
+  }
+}
+
+/** Companion: snapshot caches shared across facade instances — see
+  * [[VectorStore.cacheKey]] for the soundness argument. Bounded: past
+  * [[MaxSnapshotEntries]] distinct (session, root) keys the caches
+  * reset wholesale (they are caches — a reset re-pays one snapshot
+  * construction per live store, never changes an answer). */
+object VectorStore {
+
+  private val MaxSnapshotEntries = 256
+
+  private[operators] val tableSnapshots =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), ((Int, Int, Long), DataFrame)]()
+
+  private[operators] val manifestSnapshots =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String),
+      ((Int, Int, Long), Long, Option[Seq[(String, Set[String], Int)]])]()
+
+  private def prune[V](
+      m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]): Unit = {
+    m.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (m.size >= MaxSnapshotEntries) m.clear()
+  }
+
+  private[operators] def putTableSnapshot(key: (SparkSession, String),
+      v: ((Int, Int, Long), DataFrame)): Unit = {
+    prune(tableSnapshots); tableSnapshots.put(key, v); ()
+  }
+
+  private[operators] def putManifestSnapshot(key: (SparkSession, String),
+      v: ((Int, Int, Long), Long, Option[Seq[(String, Set[String], Int)]])): Unit = {
+    prune(manifestSnapshots); manifestSnapshots.put(key, v); ()
+  }
+
+  private[operators] def dropSnapshots(key: (SparkSession, String)): Unit = {
+    tableSnapshots.remove(key); manifestSnapshots.remove(key); ()
+  }
+
+  /** Per-(session, ann version dir, dir mtime) tag-stats tables —
+    * values are Option: a recorded None (absent/oversized stats) is
+    * itself a cache hit, so a legacy index doesn't re-probe the
+    * filesystem per query. */
+  private[operators] val annTagStats =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Long),
+      Option[Map[Long, Seq[(Set[String], Long)]]]]()
+
+  private[operators] def putAnnTagStats(key: (SparkSession, String, Long),
+      v: Option[Map[Long, Seq[(Set[String], Long)]]]): Unit = {
+    annTagStats.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (annTagStats.size >= MaxSnapshotEntries) annTagStats.clear()
+    annTagStats.put(key, v); ()
+  }
+
+  /** Collected IVF codebooks / PQ sub-codebooks per (session, index
+    * version dir, dir mtime) — serve-path reads of per-version
+    * immutable files. */
+  private[operators] val annCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Long), Seq[(Long, Seq[Float])]]()
+
+  private[operators] def putAnnCodebook(key: (SparkSession, String, Long),
+      v: Seq[(Long, Seq[Float])]): Unit = {
+    annCodebooks.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (annCodebooks.size >= MaxSnapshotEntries) annCodebooks.clear()
+    annCodebooks.put(key, v); ()
+  }
+
+  private[operators] val annPqBooks =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Long), Option[Seq[Seq[(Long, Seq[Float])]]]]()
+
+  /** Index data schemas per (session, version dir, mtime) — appends
+    * add rows, never columns, so the schema is per-version immutable
+    * and supplying it explicitly removes the footer-inference job from
+    * every serve-path `spark.read.parquet(indexDir)`. */
+  private[operators] val annSchemas =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Long), org.apache.spark.sql.types.StructType]()
+
+  private[operators] def putAnnSchema(key: (SparkSession, String, Long),
+      v: org.apache.spark.sql.types.StructType): Unit = {
+    annSchemas.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (annSchemas.size >= MaxSnapshotEntries) annSchemas.clear()
+    annSchemas.put(key, v); ()
+  }
+
+  private[operators] def putAnnPqBooks(key: (SparkSession, String, Long),
+      v: Option[Seq[Seq[(Long, Seq[Float])]]]): Unit = {
+    annPqBooks.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (annPqBooks.size >= MaxSnapshotEntries) annPqBooks.clear()
+    annPqBooks.put(key, v); ()
+  }
+
+  /** Escalated-nprobe memo for the count-job fallback, per (session,
+    * index dir, normalized tag set) — a starting hint, re-verified by
+    * one count per query (probe order is query-specific). */
+  private[operators] val annNpMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), java.lang.Integer]()
+
+  private[operators] def putAnnNpMemo(key: (SparkSession, String, String),
+      np: Int): Unit = {
+    annNpMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (annNpMemo.size >= MaxSnapshotEntries) annNpMemo.clear()
+    annNpMemo.put(key, np); ()
   }
 }

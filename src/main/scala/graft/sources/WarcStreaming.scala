@@ -46,7 +46,9 @@ import org.apache.spark.sql.types.StructType
 private[sources] class WarcMicroBatchStream(paths: Seq[String],
     required: StructType, checkpointLocation: String,
     arrival: String = "monotone",
-    ledgerExpiryMs: Long = 3600000L) extends MicroBatchStream {
+    ledgerExpiryMs: Long = 3600000L,
+    clockSkewToleranceMs: Long = 10000L,
+    ledgerMaxEntries: Int = 0) extends MicroBatchStream {
 
   require(arrival == "monotone" || arrival == "unordered",
     s"graft-warc: arrival mode '$arrival' (use 'monotone' or 'unordered')")
@@ -138,7 +140,21 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String],
         else if (s.planMs > 0) s.planMs
         else commitTimeMs()
       if (refMs > 0) {
-        val lateArrivals = late.filter(f => mtimeOf(f).exists(_ > refMs))
+        // the reference is DRIVER wall-clock but the evidence is shard
+        // filesystem MTIMES — different clock domains (ADVICE r16 #2:
+        // an fs clock ahead of the driver makes a normally-ingested
+        // shard read as late and kills a healthy stream). Bridge it by
+        // MEASURING the offset in the fs's own domain (write-and-stat
+        // a probe in the checkpoint dir when it lives on the same
+        // filesystem service as the shards) plus a configurable
+        // tolerance (`.option("clockSkewToleranceMs", ...)`, default
+        // 10 s) for jitter/granularity. A genuine violation within the
+        // tolerance is masked — the documented trade for not killing
+        // healthy streams on skewed storage; size the tolerance to the
+        // deployment's NTP discipline. Probed only on this (rare)
+        // below-offset-files path, never per poll.
+        val allowMs = refMs + fsClockOffsetMs() + clockSkewToleranceMs
+        val lateArrivals = late.filter(f => mtimeOf(f).exists(_ > allowMs))
         require(lateArrivals.isEmpty,
           s"graft-warc stream: ${lateArrivals.size} shard(s) arrived sorting BELOW the " +
             s"committed offset '${s.last}' (e.g. ${lateArrivals.take(3).mkString(", ")}) — " +
@@ -155,6 +171,31 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String],
     lastPlanExec = (e.last, planExecAt)
     all.filter(f => f > s.last && f <= e.last)
   }
+
+  /** Measured (shard-filesystem clock − driver clock) in ms, from a
+    * write-and-stat probe under the checkpoint dir — valid when the
+    * checkpoint and the inputs resolve to the SAME FileSystem service
+    * (equal URIs), which is the common deployment (one object store /
+    * one HDFS). Different services, or any I/O failure, return 0: the
+    * skew tolerance alone absorbs small residual skews then. */
+  private def fsClockOffsetMs(): Long =
+    try {
+      val in = new org.apache.hadoop.fs.Path(paths.head)
+      val ck = new org.apache.hadoop.fs.Path(checkpointLocation)
+      val inFs = in.getFileSystem(conf.conf)
+      val ckFs = ck.getFileSystem(conf.conf)
+      if (inFs.getUri != ckFs.getUri) 0L
+      else {
+        val probe = new org.apache.hadoop.fs.Path(ck, "_graft_clock_probe")
+        val t0 = System.currentTimeMillis()
+        ckFs.create(probe, true).close()
+        val t1 = System.currentTimeMillis()
+        val m = ckFs.getFileStatus(probe).getModificationTime
+        try ckFs.delete(probe, false)
+        catch { case _: java.io.IOException => () }
+        m - (t0 + t1) / 2
+      }
+    } catch { case _: java.io.IOException => 0L }
 
   /** mtime of the newest commit in the checkpoint's commit log — the
     * FALLBACK reference for late-arrival detection when the start
@@ -235,8 +276,33 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String],
     val wm = math.max(prev.watermark, newest - ledgerExpiryMs)
     val kept = prev.seen.filter(_._2 >= wm)
     val admitted = fresh.map { case (f, m) => (f, math.max(m, wm)) }
-    remember(WarcLedgerOffset(wm, (kept ++ admitted).sortBy(_._1)))
+    val next = WarcLedgerOffset(wm, (kept ++ admitted).sortBy(_._1))
+    // the ledger rides in EVERY offset-log entry, so pathological
+    // growth (arrival rate x expiry window) is driver memory plus
+    // write amplification on every batch (ADVICE r16 #5) — warn loudly
+    // past a fixed threshold, and fail the stream past the explicit
+    // `.option("ledgerMaxEntries", n)` bound when the operator set one
+    if (ledgerMaxEntries > 0 && next.seen.size > ledgerMaxEntries)
+      throw new IllegalStateException(
+        s"graft-warc stream: seen-files ledger holds ${next.seen.size} " +
+          s"entries > ledgerMaxEntries=$ledgerMaxEntries — the arrival " +
+          s"rate x ${ledgerExpiryMs} ms expiry window exceeds the " +
+          "configured offset-state bound; lower ledgerExpiryMs, raise " +
+          "ledgerMaxEntries, or switch to monotone shard naming")
+    if (next.seen.size > LedgerWarnEntries && !ledgerSizeWarned) {
+      ledgerSizeWarned = true
+      System.err.println(s"WARN graft-warc stream: seen-files ledger " +
+        s"holds ${next.seen.size} entries (> $LedgerWarnEntries) — every " +
+        "offset-log entry carries the full ledger, so offsets are " +
+        "getting large; lower .option(\"ledgerExpiryMs\", ...) toward " +
+        "the layout's real arrival lateness or bound it with " +
+        ".option(\"ledgerMaxEntries\", ...)")
+    }
+    remember(next)
   }
+
+  private val LedgerWarnEntries = 50000
+  @volatile private var ledgerSizeWarned = false
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(conf, required)

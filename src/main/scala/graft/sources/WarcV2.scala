@@ -139,28 +139,33 @@ private[sources] class WarcTable(paths: Seq[String]) extends Table with Supports
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths,
       options.getOrDefault("arrival", "monotone"),
-      options.getLong("ledgerExpiryMs", 3600000L))
+      options.getLong("ledgerExpiryMs", 3600000L),
+      options.getLong("clockSkewToleranceMs", 10000L),
+      options.getInt("ledgerMaxEntries", 0))
 }
 
 private[sources] class WarcScanBuilder(paths: Seq[String],
-    arrival: String, ledgerExpiryMs: Long)
+    arrival: String, ledgerExpiryMs: Long,
+    clockSkewToleranceMs: Long, ledgerMaxEntries: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = Warc.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new WarcScan(paths, required, arrival, ledgerExpiryMs)
+    new WarcScan(paths, required, arrival, ledgerExpiryMs,
+      clockSkewToleranceMs, ledgerMaxEntries)
 }
 
 private[sources] class WarcScan(paths: Seq[String], required: StructType,
-    arrival: String = "monotone", ledgerExpiryMs: Long = 3600000L)
+    arrival: String = "monotone", ledgerExpiryMs: Long = 3600000L,
+    clockSkewToleranceMs: Long = 10000L, ledgerMaxEntries: Int = 0)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(paths, required, checkpointLocation,
-      arrival, ledgerExpiryMs)
+      arrival, ledgerExpiryMs, clockSkewToleranceMs, ledgerMaxEntries)
   override def description(): String =
     s"graft-warc ${paths.mkString(",")} (columns: ${required.fieldNames.mkString(",")})"
 

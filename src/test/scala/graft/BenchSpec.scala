@@ -54,6 +54,37 @@ class BenchSpec extends AnyFunSuite {
     assert(s.count(_ == '{') == s.count(_ == '}'))
   }
 
+  test("floors provenance is mechanical: resource-loaded tables, min-fold, render round-trip") {
+    // VERDICT r16 next #5: the floor tables were hand-edited Scala
+    // source. Now: committed floors live in the graft/floors.json
+    // RESOURCE, Bench emits floors_delta.json from gate-clean passes,
+    // FloorsFold folds delta into resource — this spec gates each link.
+    // (1) the resource loads and carries the known lineage rows
+    val sf1 = graft.tools.Floors.of("sf1")
+    val sf01 = graft.tools.Floors.of("sf01")
+    assert(sf1.size >= 50 && sf01.size >= 150,
+      s"floors resource missing/empty: sf1=${sf1.size} sf01=${sf01.size}")
+    assert(sf1.contains("q_assoc_rules") && sf01.contains("ingest_dedup"))
+    // (2) foldMin: existing floors only move DOWN, new queries adopted
+    val folded = graft.tools.Floors.foldMin(Seq(
+      Map("a" -> 1.0, "b" -> 2.0),
+      Map("a" -> 0.7, "c" -> 3.0),
+      Map("b" -> 5.0)))
+    assert(folded == Map("a" -> 0.7, "b" -> 2.0, "c" -> 3.0))
+    // (3) render -> parseSuite round-trip (what FloorsFold writes is
+    // what the next session's resource load reads)
+    val rendered = graft.tools.Floors.render(Map(
+      "sf1" -> Map("x" -> 1.234, "y" -> 0.5),
+      "sf01" -> Map("z" -> 9.0)))
+    assert(graft.tools.Floors.parseSuite(rendered, "sf1") ==
+      Map("x" -> 1.234, "y" -> 0.5))
+    assert(graft.tools.Floors.parseSuite(rendered, "sf01") == Map("z" -> 9.0))
+    // (4) a flat warm-medians JSON (a Pass's queriesWarmJson shape)
+    // parses into a delta table
+    assert(graft.tools.Floors.parseFlat("""{"q1_agg":0.196,"knn_topk":0.135}""") ==
+      Map("q1_agg" -> 0.196, "knn_topk" -> 0.135))
+  }
+
   test("floor gate flags a CLUSTER of mid-pass blowups the entry/exit probes miss") {
     // the r15 committed sf1 leg verbatim: three untouched plan-gated
     // queries 3-8x their clean-window floors, entry probe clean —

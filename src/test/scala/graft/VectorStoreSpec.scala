@@ -591,6 +591,51 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.clear()
   }
 
+  test("filtered ANN escalation is metadata-first: zero Spark jobs planning a warm tagged searchAnn") {
+    // VERDICT r16 next #4 / ADVICE r16 #3: the escalation re-ran
+    // limit-bounded COUNT jobs per doubling round on every tagged
+    // serve call, and the codebook collect was 1-2 more. Build-time
+    // per-(cid, tag set) stats + the per-version codebook cache answer
+    // the pool estimate from driver metadata: planning a warm tagged
+    // query runs ZERO Spark jobs (the query's own execution is the
+    // first job to start).
+    val store = freshStore()
+    val rng = new scala.util.Random(83)
+    val rows = (0 until 200).map { i =>
+      (s"v$i", Array.fill(16)(rng.nextGaussian().toFloat), s"c$i",
+        if (i % 10 == 0) Seq("rare", "all") else Seq("common", "all"))
+    }
+    store.insert(df(rows))
+    store.buildAnnIndex(k = 4)
+    // first tagged call loads + caches codebook, meta and tag stats
+    // (jobs allowed here)
+    store.searchAnn(rows(7)._2.toSeq, k = 10, tags = Seq("rare")).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val planned = try {
+      // plan TWO warm tagged queries (different vectors — the stats
+      // path must not depend on a per-query memo) without executing
+      val a = store.searchAnn(rows(23)._2.toSeq, k = 10, tags = Seq("rare"))
+      val b = store.searchAnn(rows(151)._2.toSeq, k = 10, tags = Seq("rare"))
+      Thread.sleep(300) // listener events are async
+      assert(jobs.get() == 0,
+        s"warm filtered-ANN planning still ran ${jobs.get()} Spark job(s)")
+      Seq(a, b)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the metadata-planned queries execute correctly: k hits, filter
+    // respected (every 'rare' row also carries 'all')
+    planned.foreach { q =>
+      val got = q.collect()
+      assert(got.length == 10)
+      assert(got.forall(_.getSeq[String](3).contains("rare")))
+    }
+    store.clear()
+  }
+
   test("buildAnnIndex calibrates the auto nprobe: facade DEFAULT search meets the >=0.9-recall target") {
     // VERDICT r14 #2: the old hardcoded nprobe=2 default silently
     // served ~0.39 recall on organic data. The build now measures the
@@ -1498,11 +1543,12 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("lease liveness via owner-keyed heartbeat sibling: matching hb defends, foreign hb does not") {
-    // ADVICE r15 #4: the old beat fell back to rewriting the LOCK file,
-    // which could clobber a successor's lock from a zombie. Liveness
-    // evidence is now the lock's own age OR a young `.hb` sibling
-    // naming the lock's exact owner — a zombie's hb (wrong owner after
-    // a steal) proves nothing.
+    // ADVICE r15 #4 + ADVICE r16 #1: the beat never touches the lock
+    // file, and the owner keys the heartbeat FILENAME (`.hb.<owner>`),
+    // not just its content — a zombie's in-flight beat after a steal
+    // lands in its own dead file and can never clobber the successor's
+    // liveness evidence. holderAlive consults the hb named by the
+    // lock's CURRENT content.
     val root = Files.createTempDirectory("graft-lease-hb").toString
     // lease LONGER than the acquisition timeout: the planted hb is
     // static (no live beater refreshes it), so it must stay inside the
@@ -1511,26 +1557,42 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       writerLockTimeoutMs = 1500, writerLeaseMs = 30000)
     store.insert(df(Seq(("a", Array(1f, 0f), "x", Seq("t")))))
     val lock = new java.io.File(s"$root/_lock")
-    val hb = new java.io.File(s"$root/_lock.hb")
     def plant(f: java.io.File, content: String, ageMs: Long): Unit = {
       java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
       assert(f.setLastModified(System.currentTimeMillis() - ageMs))
     }
-    // old lock + FRESH hb naming the same owner = live long-running
+    // old lock + FRESH hb named by the same owner = live long-running
     // holder: never stolen, acquisition times out loudly
     plant(lock, "owner-A", 60000)
-    plant(hb, "owner-A", 0)
+    plant(new java.io.File(s"$root/_lock.hb.owner-A"), "owner-A", 0)
     val e = intercept[IllegalStateException](
       store.insert(df(Seq(("b", Array(0f, 1f), "y", Seq("t"))))))
     assert(e.getMessage.contains("not acquired"))
-    // old lock + fresh hb naming a DIFFERENT owner (a zombie's beat
-    // surviving past a steal) = no liveness evidence: stolen
+    // the zombie-clobber scenario (ADVICE r16 #1), now structurally
+    // inert: lock names owner-B (the successor), B's own hb is fresh,
+    // and a zombie A writes a FRESH hb in its own file — B must still
+    // be defended (with one shared hb file, A's write would have
+    // replaced B's evidence and B's live lock would be stolen here)
     plant(lock, "owner-B", 60000)
-    plant(hb, "owner-A", 0)
+    plant(new java.io.File(s"$root/_lock.hb.owner-B"), "owner-B", 0)
+    plant(new java.io.File(s"$root/_lock.hb.owner-A"), "owner-A", 0)
+    val e2 = intercept[IllegalStateException](
+      store.insert(df(Seq(("b", Array(0f, 1f), "y", Seq("t"))))))
+    assert(e2.getMessage.contains("not acquired"))
+    // old lock whose owner has NO fresh hb of its own (only a foreign
+    // zombie's) = no liveness evidence: stolen, all hb siblings swept
+    plant(lock, "owner-C", 60000)
+    assert(new java.io.File(s"$root/_lock.hb.owner-B").setLastModified(
+      System.currentTimeMillis() - 60000))
+    assert(new java.io.File(s"$root/_lock.hb.owner-A").delete())
+    plant(new java.io.File(s"$root/_lock.hb.owner-A"), "owner-A", 0)
     store.insert(df(Seq(("c", Array(1f, 1f), "z", Seq("t")))))
     assert(store.table().count() == 2)
-    assert(!lock.exists() && !hb.exists(),
-      "steal/release must clear both the lock and its hb sibling")
+    assert(!lock.exists()
+        && !new java.io.File(s"$root/_lock.hb.owner-A").exists()
+        && !new java.io.File(s"$root/_lock.hb.owner-B").exists()
+        && !new java.io.File(s"$root/_lock.hb.owner-C").exists(),
+      "steal/release must clear the lock and every hb sibling")
     store.clear()
   }
 

@@ -28,8 +28,9 @@ class WarcStreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, f"shard-$seq%05d.warc.gz"))
   }
 
-  private def drainOnce(dir: String, out: String, ckpt: String): Unit = {
-    val q = spark.readStream.format("graft-warc").load(s"$dir")
+  private def drainOnce(dir: String, out: String, ckpt: String,
+      readOpts: Map[String, String] = Map.empty): Unit = {
+    val q = spark.readStream.format("graft-warc").options(readOpts).load(s"$dir")
       .where($"warc_type" =!= "_corrupt")
       .select("record_id", "target_uri", "content")
       .writeStream.format("parquet")
@@ -156,8 +157,13 @@ class WarcStreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-warcstream-late").toString
     val out = Files.createTempDirectory("graft-warcstream-late-out").toString + "/p"
     val ckpt = Files.createTempDirectory("graft-warcstream-late-ck").toString
+    // skew tolerance pinned to 0: this fixture's "late" arrival is
+    // 50 ms after the plan, inside the default 10 s allowance for real
+    // deployments' fs-vs-driver clock skew (ADVICE r16 #2) — the spec
+    // tests the detector, not the allowance
+    val opts = Map("clockSkewToleranceMs" -> "0")
     shard(dir, 5, 0 until 3)
-    drainOnce(dir, out, ckpt)
+    drainOnce(dir, out, ckpt, opts)
     assert(spark.read.parquet(out).count() == 3)
     // late arrival: sorts below shard-00005 AND is younger than the
     // commit — would be skipped silently forever without the check
@@ -165,9 +171,33 @@ class WarcStreamingSpec extends AnyFunSuite {
     shard(dir, 1, 3 until 6)
     shard(dir, 9, 6 until 8) // plus a legitimate new one
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      drainOnce(dir, out, ckpt)
+      drainOnce(dir, out, ckpt, opts)
     }
     assert(String.valueOf(e.getCause).contains("monotone-shard-name"),
       String.valueOf(e.getCause).take(500))
+  }
+
+  test("clock-skew tolerance: a below-offset mtime within the allowance does not kill a healthy stream") {
+    // ADVICE r16 #2: the late-arrival reference is driver wall-clock
+    // but the evidence is shard-fs mtimes — storage whose clock runs
+    // ahead of the driver makes a normally-ingested shard read as
+    // "younger than the plan" and the require() killed a healthy
+    // stream. With the default tolerance the same fixture keeps
+    // draining: the below-offset file is (correctly, silently) treated
+    // as pre-plan history per the monotone contract's documented
+    // bound, and genuinely new shards keep flowing.
+    val dir = Files.createTempDirectory("graft-warcstream-skew").toString
+    val out = Files.createTempDirectory("graft-warcstream-skew-out").toString + "/p"
+    val ckpt = Files.createTempDirectory("graft-warcstream-skew-ck").toString
+    shard(dir, 5, 0 until 3)
+    drainOnce(dir, out, ckpt)
+    assert(spark.read.parquet(out).count() == 3)
+    Thread.sleep(50)
+    shard(dir, 1, 3 until 6) // mtime ~50 ms past the plan = "skewed fs clock"
+    shard(dir, 9, 6 until 8)
+    drainOnce(dir, out, ckpt) // default 10 s tolerance: no kill
+    // the new shard ingested; the below-offset one is skipped per the
+    // monotone contract (use arrival=unordered for layouts that do this)
+    assert(spark.read.parquet(out).count() == 5)
   }
 }
