@@ -400,6 +400,10 @@ object SparkEntry {
         val content =
           if (variant == "html") htmlWrap(col("doc_id"), col("text"))
           else col("text")
+        // "zstd" = the text payload through per-record zstd frames —
+        // the other production codec (r17: oracle-gated end to end,
+        // not just WarcSpec's byte-level round trips)
+        val codec = if (variant == "zstd") "zstd" else "gzip"
         graft.sources.Warc.writeFixture(
           Tables.load(s, dir, "documents").select(
             concat(lit("00000000-0000-4000-8000-"),
@@ -417,7 +421,7 @@ object SparkEntry {
           // the chain real width (Warc.read's minPartitions fix is
           // the other half — binaryFiles otherwise COMBINES small
           // shards back into two splits).
-          path, shards = 16, gzip = true)
+          path, shards = 16, gzip = true, codec = codec)
         path
       })
   }
@@ -1434,6 +1438,20 @@ object SparkEntry {
           col("content"))
         .orderBy("doc_id")
     }),
+
+    // the zstd codec lane end to end (r17): the same documents as
+    // per-record `.warc.zst` frames through the SAME readClean entry
+    // point — the RFC 8878 frame guard + ZstdInputStream decode path
+    // is oracle-gated, not just byte-level spec-gated. Shares
+    // warc_read's oracle values: codec choice must be invisible.
+    "warc_read_zstd" -> ((s, dir) =>
+      graft.sources.Warc.readClean(s, warcFixture(s, dir, "zstd") + "/*")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("record_id"), col("content_len"),
+          col("content"))
+        .orderBy("doc_id")),
 
     // the SAME shards through the DataSource V2 source (`spark.read
     // .format("graft-warc")`): Catalyst-planned scan, column pruning
@@ -4028,6 +4046,15 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin,
 
       "warc_read" ->
+        """SELECT doc_id,
+          |       'response' AS warc_type,
+          |       '00000000-0000-4000-8000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS record_id,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+          |       text AS content
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      "warc_read_zstd" ->
         """SELECT doc_id,
           |       'response' AS warc_type,
           |       '00000000-0000-4000-8000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS record_id,

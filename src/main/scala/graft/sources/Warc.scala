@@ -81,13 +81,22 @@ object Warc {
     * Common Crawl layout). Driver-side fixture writer by design; the
     * row cap guards a miscalled corpus-sized export. */
   def writeFixture(df: DataFrame, dir: String, shards: Int = 2,
-      gzip: Boolean = true, maxRows: Int = 1000000): Unit = {
+      gzip: Boolean = true, maxRows: Int = 1000000,
+      codec: String = ""): Unit = {
+    // `codec` ("gzip" | "zstd" | "none") wins over the legacy boolean
+    // when set — zstd shards carry one frame per record, the
+    // random-access layout mirroring the per-member gzip convention
+    val c = if (codec.nonEmpty) codec else if (gzip) "gzip" else "none"
     val rows = df.select(col("record_id"), col("target_uri"),
         col("warc_date"), col("content")).limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"graft: the WARC writer is a fixture generator; > $maxRows rows — production WARC is read, not written")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val ext = if (gzip) "warc.gz" else "warc"
+    val ext = c match {
+      case "gzip" => "warc.gz"
+      case "zstd" => "warc.zst"
+      case _ => "warc"
+    }
     val outs = Array.tabulate(shards) { s =>
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(
         s"$dir/fixture-${"%05d".format(s)}.$ext"))
@@ -95,7 +104,12 @@ object Warc {
     try rows.zipWithIndex.foreach { case (r, i) =>
       val rec = renderRecord("response", r.getString(0), r.getString(1),
         r.getString(2), r.getString(3).getBytes(StandardCharsets.UTF_8))
-      outs(i % shards).write(if (gzip) gzipMember(rec) else rec)
+      val framed = c match {
+        case "gzip" => gzipMember(rec)
+        case "zstd" => com.github.luben.zstd.Zstd.compress(rec)
+        case _ => rec
+      }
+      outs(i % shards).write(framed)
     } finally outs.foreach(_.close())
   }
 
