@@ -2570,7 +2570,10 @@ class VectorStore(spark: SparkSession, val root: String,
             // against the margin, never to fully evaluate a huge
             // filtered scan
             .limit((margin + 1).toInt).count()
-          val memoKey = (spark, dir, tags.distinct.sorted.mkString(" "))
+          // length-prefixed join: tag values may contain any separator
+          // character, so "a b"+"c" must not collide with "a"+"b c"
+          val memoKey = (spark, dir,
+            tags.distinct.sorted.map(t => s"${t.length}:$t").mkString("|"))
           Option(VectorStore.annNpMemo.get(memoKey))
             .foreach(m => np = math.min(nlist, math.max(np, m.intValue)))
           while (np < nlist && candidates(np) < margin)
