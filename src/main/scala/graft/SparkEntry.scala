@@ -2306,8 +2306,7 @@ object SparkEntry {
         .groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
       val rules = baskets
-        .select(explode(GraftFunctions.pairs(col("items"))).as("p"))
-        .select((shiftleft(col("p.a").cast("long"), 32) + col("p.b")).as("pp"))
+        .select(explode(GraftFunctions.pairsPacked(col("items"))).as("pp"))
         .groupBy(col("pp")).agg(count(lit(1)).as("n_ab"))
         .where(col("n_ab") >= 2)
         .select(shiftright(col("pp"), 32).as("a"),

@@ -40,6 +40,7 @@ object GraftFunctions {
       // cap must be a foldable int literal (plan-construction constant)
       "graft_pairs_capped" -> (e => SortedPairs(e(0),
         e(1).eval(null).asInstanceOf[Number].intValue())),
+      "graft_pairs_packed" -> (e => SortedPairsPacked(e(0))),
       "graft_chars" -> (e => CharSymbols(e(0))),
       "graft_adj_pairs" -> (e => AdjacentPairs(e(0))),
       "graft_merge_pair" -> (e => MergeAdjacentPair(e(0), e(1), e(2))),
@@ -122,6 +123,13 @@ object GraftFunctions {
     * [[basketOverflow]] with any capped aggregate for the exact
     * distributed count. */
   def pairs(items: Column): Column = call_function("graft_pairs", items)
+
+  /** [[pairs]] with each pair packed `a << 32 | b` into ONE BIGINT —
+    * the shuffle-key form (one primitive long per pair; decode with
+    * `shiftright(p, 32)` / `p & 0xffffffff` after the aggregate).
+    * Raises on item ids outside unsigned 32 bits. */
+  def pairsPacked(items: Column): Column =
+    call_function("graft_pairs_packed", items)
 
   /** [[pairs]] with an explicit rank-distance cap. */
   def pairs(items: Column, cap: Int): Column =

@@ -89,6 +89,60 @@ object PairKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** [[sortedPairs]] with each pair PACKED into one long
+    * (`a << 32 | b`) and the output a PRIMITIVE long array
+    * (`UnsafeArrayData.fromPrimitiveArray` — no per-pair struct or
+    * boxing; r17, the q_assoc_rules shuffle-key rewrite). Valid only
+    * while every item id fits in an unsigned 32-bit slot — ids outside
+    * that range RAISE (use `graft_pairs` + an explicit struct key for
+    * wider dictionaries; silent truncation would merge distinct
+    * pairs). Same cap semantics, same truncation counter. */
+  def sortedPairsPacked(items: ArrayData, cap: Int): ArrayData = {
+    val n = items.numElements()
+    if (cap < 1)
+      throw new IllegalArgumentException(s"graft_pairs: cap $cap must be >= 1")
+    if (n.toLong - 1 > cap) {
+      truncatedBaskets.increment()
+      val seen = truncatedBaskets.sum()
+      if (seen == 1L || seen % LogEvery == 0L)
+        System.err.println(s"WARN graft_pairs_packed: basket of $n items " +
+          s"exceeds rank-distance cap $cap — beyond-cap pairs are NOT " +
+          s"emitted ($seen capped baskets so far in this JVM)")
+    }
+    val len: Long =
+      if (n.toLong - 1 <= cap) n.toLong * (n - 1) / 2
+      else (n.toLong - cap) * cap + cap.toLong * (cap - 1) / 2
+    if (len > Int.MaxValue - 8)
+      throw new IllegalArgumentException(
+        s"graft_pairs_packed: basket of $n items emits $len pairs even rank-capped at $cap — lower the cap")
+    val out = new Array[Long](len.toInt)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (items.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_pairs_packed: null element at index $i")
+      val a = items.getLong(i)
+      if ((a >>> 32) != 0L)
+        throw new IllegalArgumentException(
+          s"graft_pairs_packed: item id $a does not fit unsigned 32 bits — use graft_pairs")
+      val jEnd = math.min(n.toLong, i.toLong + 1 + cap).toInt
+      var j = i + 1
+      while (j < jEnd) {
+        val b = items.getLong(j)
+        if ((b >>> 32) != 0L)
+          throw new IllegalArgumentException(
+            s"graft_pairs_packed: item id $b does not fit unsigned 32 bits — use graft_pairs")
+        out(k) = (a << 32) | b
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }
 
 object SortedPairs {
@@ -129,6 +183,34 @@ case class SortedPairs(child: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, items =>
       s"${ev.value} = graft.functions.PairKernel.sortedPairs($items, $cap);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_pairs_packed(array<bigint>) -> ARRAY<BIGINT> of index-ordered
+  * pairs packed `a << 32 | b` within rank distance `cap` — the
+  * shuffle-key form of [[SortedPairs]]: one primitive long per pair
+  * (no struct, no boxing), decoded by `shiftright`/`& 0xffffffff`
+  * AFTER the aggregation filter. RAISES on ids outside unsigned
+  * 32 bits (see [[PairKernel.sortedPairsPacked]]). */
+case class SortedPairsPacked(child: Expression,
+                             cap: Int = SortedPairs.DefaultCap) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pairs_packed"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got $t")
+  }
+
+  protected override def nullSafeEval(items: Any): Any =
+    PairKernel.sortedPairsPacked(items.asInstanceOf[ArrayData], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, items =>
+      s"${ev.value} = graft.functions.PairKernel.sortedPairsPacked($items, $cap);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

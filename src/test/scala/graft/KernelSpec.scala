@@ -408,6 +408,35 @@ class KernelSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("array<bigint>"), bad.getMessage)
   }
 
+  test("packed pair kernel: decode == struct kernel, uint32 range guard, primitive output") {
+    import spark.implicits._
+    // nonneg < 2^32 ids (the packed kernel's contract)
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 80).map { i =>
+      (i.toLong, (0 until rnd.nextInt(8)).map(_ => rnd.nextInt(1 << 20).toLong).toArray)
+    }
+    val df = rows.toDF("id", "items")
+    val viaStruct = df.selectExpr("id",
+        "explode(graft_pairs(items)) AS p")
+      .selectExpr("id", "p.a AS a", "p.b AS b")
+      .orderBy("id", "a", "b").collect().map(_.toString)
+    val viaPacked = df.selectExpr("id",
+        "explode(graft_pairs_packed(items)) AS pp")
+      .selectExpr("id", "shiftright(pp, 32) AS a",
+        "pp & 4294967295 AS b")
+      .orderBy("id", "a", "b").collect().map(_.toString)
+    assert(viaStruct.sameElements(viaPacked),
+      s"${viaStruct.take(3).mkString} vs ${viaPacked.take(3).mkString}")
+    // an id outside unsigned 32 bits must RAISE, never silently merge
+    // distinct pairs
+    val e = intercept[Exception](
+      Seq((1L, Array(1L << 33, 2L))).toDF("id", "items")
+        .selectExpr("graft_pairs_packed(items)").collect())
+    assert(e.getMessage.contains("unsigned 32 bits")
+        || String.valueOf(e.getCause).contains("unsigned 32 bits"),
+      String.valueOf(e.getMessage).take(300))
+  }
+
   test("pair kernel rank-distance cap: identity below cap, bounded chain on a degenerate 1e5 basket") {
     import graft.functions.{GraftFunctions, PairKernel, SortedPairs}
     import org.apache.spark.sql.catalyst.util.GenericArrayData
