@@ -1509,25 +1509,29 @@ object SparkEntry {
     // anywhere is a hash mismatch. Near-dup removal composition is
     // gated separately by pipeline_curate.
     "pipeline_web" -> ((s, dir) => {
+      registered(s)
       val warc = graft.sources.Warc.readClean(
         s, warcHtmlFixturePath(s, dir) + "/*")
       val docs = warc.select(
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
           .cast("long").as("doc_id"),
         TextAnalysis.htmlExtract(col("content")).as("text"))
-      // barrier between the stats projection and the quality gate
-      // (r17, VERDICT r16 next #6 — WebProbe attribution): without it,
-      // predicate pushdown inlines the token-derived quality/langid
-      // expressions into BOTH the Filter and the Project above it, and
-      // per-operator codegen subexpression elimination cannot share
-      // across the two — the corpus was tokenized twice (stats-only
-      // 0.48 s vs stats+gate 2.3 s). The exchange moves only the
-      // 3-column per-doc STAT rows (~30 bytes/doc — never the text),
-      // which at any scale is cheaper than re-running the tokenize
-      // kernels over the corpus.
+      // FENCE the token-derived columns before the quality gate (r17
+      // closing; supersedes the repartition "barrier" this round first
+      // tried): without it, predicate pushdown inlines the quality /
+      // langid expression trees into BOTH the Filter and the Project
+      // above it, and per-operator codegen subexpression elimination
+      // cannot share across the two — the corpus was tokenized twice
+      // (WebProbe: stats-only 0.48 s vs stats+gate 2.3 s at the old
+      // task grain). A repartition does NOT stop that (filters push
+      // through RepartitionByExpression — plans/r17/pipeline_web
+      // _before/_after both show the chain inlined at the scan);
+      // GraftFunctions.fence does, with zero runtime cost and no
+      // exchange.
       TextAnalysis.stats(docs)
-        .select(col("doc_id"), col("pred_lang"), col("quality"))
-        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          GraftFunctions.fence(col("pred_lang")).as("pred_lang"),
+          GraftFunctions.fence(col("quality")).as("quality"))
         .where(col("pred_lang") === "en" && col("quality") >= 0.5)
         .select(col("doc_id"), col("pred_lang"),
           round(col("quality"), 4).as("quality_r"))
@@ -2000,14 +2004,21 @@ object SparkEntry {
     "text_rank_eval" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val sets = Seq(0L -> Search.DefaultTerms, 1L -> Search.WideTerms)
-      val results = sets.map { case (qid, terms) =>
-        Search.bm25TopK(docs, terms, 10)
+      // ONE bm25Scored per query set (r17): the top-k leg and the
+      // relevance leg read the SAME scored frame (whose term-count
+      // base is checkpointed inside bm25Scored) — one tokenize pass
+      // per set instead of four (2 calls x stats-agg + final-select)
+      val legs = sets.map { case (qid, terms) =>
+        val scored = Search.bm25Scored(docs, terms)
+        val res = graft.operators.TopK
+          .topKRanked(scored, 10, Seq(desc("score"), asc("doc_id")))
           .select(lit(qid).as("qid"), col("doc_id").as("id"), col("rank"))
-      }.reduce(_ unionByName _)
-      val relevant = sets.map { case (qid, terms) =>
-        Search.bm25Scored(docs, terms).where(col("n_hit") >= 2)
+        val rel = scored.where(col("n_hit") >= 2)
           .select(lit(qid).as("qid"), col("doc_id").as("id"))
-      }.reduce(_ unionByName _)
+        (res, rel)
+      }
+      val results = legs.map(_._1).reduce(_ unionByName _)
+      val relevant = legs.map(_._2).reduce(_ unionByName _)
       Search.rankEval(results, relevant, 10).orderBy("qid")
     }),
 

@@ -45,7 +45,8 @@ object GraftFunctions {
       "graft_adj_pairs" -> (e => AdjacentPairs(e(0))),
       "graft_merge_pair" -> (e => MergeAdjacentPair(e(0), e(1), e(2))),
       "graft_greedy_segment" -> (e => GreedySegment(e(0), e(1))),
-      "graft_optimal_segment_count" -> (e => OptimalSegmentCount(e(0), e(1)))
+      "graft_optimal_segment_count" -> (e => OptimalSegmentCount(e(0), e(1))),
+      "graft_fence" -> (e => Fence(e(0)))
     )
 
   /** Register all graft functions + optimizer rules on the session
@@ -130,6 +131,13 @@ object GraftFunctions {
     * Raises on item ids outside unsigned 32 bits. */
   def pairsPacked(items: Column): Column =
     call_function("graft_pairs_packed", items)
+
+  /** Identity pushdown fence (see [[Fence]]): wraps an EXPENSIVE
+    * derived column so a Filter right above its projection cannot be
+    * pushed through it (which would inline — i.e. re-run — the full
+    * expression tree inside the Filter). Zero runtime cost; requires
+    * [[register]] on the session first. */
+  def fence(c: Column): Column = call_function("graft_fence", c)
 
   /** [[pairs]] with an explicit rank-distance cap. */
   def pairs(items: Column, cap: Int): Column =

@@ -35,8 +35,20 @@ object Curation {
     * exactly [[Dedup.minhashNearDups]](docs). */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
              lang: String = "en", dupPairs: Option[DataFrame] = None): DataFrame = {
+    // FENCE the token-derived columns (r17): the survivor predicate
+    // below filters on pred_lang/quality, and predicate pushdown would
+    // otherwise inline both expression trees through this projection
+    // and below the join — re-tokenizing the corpus inside the pushed
+    // Filter (the pipeline_web pathology, plans/r17). The fence keeps
+    // the gate ABOVE the join: the join then processes unfiltered
+    // stat rows, but they are 3 narrow columns (~20 B/doc) on the
+    // already-chosen join side — at any scale cheaper than running the
+    // tokenize kernels twice over the corpus.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val stats = TextAnalysis.stats(docs)
-      .select(col("doc_id"), col("pred_lang"), col("quality"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.fence(col("pred_lang")).as("pred_lang"),
+        graft.functions.GraftFunctions.fence(col("quality")).as("quality"))
     // (doc_id, component) for docs in near-dup groups only. Join
     // strategy is deliberately LEFT TO SPARK: when the graph fits the
     // broadcast threshold (the union-find path returns a LocalRelation
@@ -400,11 +412,20 @@ object Curation {
                        pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
     require(pLo > 0.0 && pLo < pHi && pHi <= 1.0,
       s"graft: need 0 < pLo < pHi <= 1 (got $pLo, $pHi)")
-    val lo = Sketch.groupQuantile(df, groupCols, valueCol, pLo)
+    // ONE shared materialization (r17): each groupQuantile call
+    // otherwise localCheckpoints its own copy of df's lineage, so an
+    // expensive value column (text_quality_norm's tokenize-derived
+    // quality score) was computed THREE times — lo branch, hi branch,
+    // and the join-back below. Checkpointing here makes all three read
+    // the same materialized narrow rows; the per-call checkpoint
+    // inside groupQuantile then just re-persists a projection of this
+    // one (cheap). Same algorithm, same exact rank-select values.
+    val src = df.localCheckpoint(eager = false)
+    val lo = Sketch.groupQuantile(src, groupCols, valueCol, pLo)
       .withColumnRenamed("q", "qlo")
-    val hi = Sketch.groupQuantile(df, groupCols, valueCol, pHi)
+    val hi = Sketch.groupQuantile(src, groupCols, valueCol, pHi)
       .withColumnRenamed("q", "qhi")
-    df.join(broadcast(lo), groupCols)
+    src.join(broadcast(lo), groupCols)
       .join(broadcast(hi), groupCols)
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol).cast("double"), col("qlo")), col("qhi")))

@@ -33,6 +33,37 @@ class PlanSpec extends AnyFunSuite {
     assert(regexCount == 1, s"expected ONE tokenization, found $regexCount:\n${p.take(2000)}")
   }
 
+  test("fence stops the quality-gate pushdown: gated stats still tokenize once") {
+    // the pipeline_web/pipeline_curate pathology (r17, plans/r17):
+    // filtering on a token-derived column right above the projection
+    // that computes it lets PushPredicateThroughNonJoin inline the full
+    // tokenize tree into the Filter — the corpus pays it twice. A
+    // repartition does NOT stop that (filters push through
+    // RepartitionByExpression); the non-deterministic identity fence
+    // does, at zero runtime cost.
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    def gated(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      graft.operators.TextAnalysis.stats(docs)
+        .select(col("doc_id"), f(col("pred_lang")).as("pred_lang"),
+          f(col("quality")).as("quality"))
+        .where(col("pred_lang") === "en" && col("quality") >= 0.5)
+    val fenced = gated(graft.functions.GraftFunctions.fence)
+    val pf = fenced.queryExecution.optimizedPlan.toString
+    val nf = "regexp_extract_all".r.findAllIn(pf).size
+    assert(nf == 1, s"fenced gate re-tokenizes ($nf passes):\n${pf.take(2000)}")
+    // the unfenced contrast IS the duplication (documents why the fence
+    // exists; if a future Spark CSEs across Filter/Project this starts
+    // failing and the fence can be retired)
+    val pu = gated(identity).queryExecution.optimizedPlan.toString
+    val nu = "regexp_extract_all".r.findAllIn(pu).size
+    assert(nu > 1, s"pushdown no longer duplicates ($nu) - fence removable?")
+    // identity: the fence changes no value
+    val a = fenced.orderBy("doc_id").collect().map(_.toString)
+    val b = gated(identity).orderBy("doc_id").collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("text_dsir: broadcast weight probe, bounded top-k, no cartesian/global sort") {
     // the bucket-weight table is <= buckets rows and must BROADCAST at
     // any corpus size; the final top-k must stay a bounded heap — a
@@ -287,18 +318,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
-  test("bm25 token work is ONE kernel pass per scan — no interpreted HOF lambdas (r9 #2)") {
+  test("bm25 token work is ONE kernel pass — checkpointed base, no interpreted HOF lambdas (r9 #2, r17)") {
     // the per-term size(filter(ws, w = t)) form ran T interpreted
-    // lambda walks over the token array per doc; the kernel path must
-    // show exactly one graft_term_counts per corpus scan (stats pass +
-    // scoring pass = 2) and ZERO higher-order lambdas anywhere
+    // lambda walks over the token array per doc (r9 #2); the kernel
+    // path then showed one graft_term_counts per corpus scan — but
+    // TWO scans (stats pass + scoring pass) re-ran the kernel. Since
+    // r17 bm25Scored localCheckpoints its term-count base, so the
+    // kernel runs ONCE at materialization and BOTH passes read the
+    // checkpoint: the optimized plan must show ZERO inline kernels and
+    // the checkpoint scan. Any inline kernel here means the checkpoint
+    // was lost and the corpus pays the tokenize per consumer again.
     for (q <- Seq("text_bm25", "text_bm25_query")) {
       val p = SparkEntry.queries(q)(spark, dir)
         .queryExecution.optimizedPlan.toString
       val kernels = "graft_term_counts".r.findAllIn(p).size
-      assert(kernels == 2, s"$q: expected 2 kernel passes, found $kernels:\n${p.take(3000)}")
+      assert(kernels == 0, s"$q: expected the kernel behind the " +
+        s"checkpoint, found $kernels inline:\n${p.take(3000)}")
+      assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+        s"$q: checkpointed base missing:\n${p.take(3000)}")
       assert(!p.contains("lambdafunction"),
         s"$q: interpreted HOF lambda in the hot path:\n${p.take(3000)}")
+      // the base itself still carries exactly ONE kernel call
+      val tc = graft.operators.Search
+        .bm25Scored(graft.core.Tables.load(spark, dir, "documents"),
+          Seq("vector", "merge"))
+        .queryExecution.analyzed.toString
+      assert(!tc.contains("lambdafunction"), tc.take(2000))
     }
   }
 
