@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the forked process's stdout for the one-line
+// JSON artifact; sbt's default LoggedOutput strategy prefixes every
+// line with "[info] ", which has made that line unparseable since r01
+// (VERDICT r17 next #1). StdoutOutput hands the child sbt's own stdout
+// fd — program output passes through raw, undecorated.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -868,14 +868,18 @@ object Bench {
       val scalesStr = scales.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val json =
         s"""{"metric":"total","value":${ms(s01.coldTotal)},"unit":"sec","stage":"$stage","budget_sec":${ms(BudgetSec)},"elapsed_sec":${ms(elapsedSec)},"budget_skipped":${jsArr(budgetSkipped)},"warm_total":${ms(s01.warmTotal)},"warm_min_total":${ms(s01.warmMinTotal)},"warm_reps":$WarmReps,"cpus":$cpus,"contended":$contended,"contention_reasons":${jsArr(reasons)},"load_pre_bench":${ms(passes01.head.loadPre)},"procs_pre_bench":${passes01.head.procsPre},"sf01_retries":$retries01,"sf01_passes":$passesJson01,"sf1_forked":${sf1.exists(_._1.forked)},"onnx_runtime":$onnxPresent,$scalesStr,"protocol":"$protocol","failed":${s01.failedJson},"queries":${s01.queriesJson},"queries_warm":${s01.queriesWarmJson},"recall_sf01":${s01.recallJson}$fragStr,"sf":"$sfDir"}"""
-      if (stage == "final")
-        // the full line prints once, at the end — the per-stage line is
-        // the compact one; the file artifact below is always current
-        println(json)
       try java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $out: $e") }
+      // stable-name copy of the one-line artifact (VERDICT r17 next #1):
+      // a parser that prefers a file over scraping stdout has a fixed
+      // path regardless of SPARK_GRAFT_BENCH_OUT
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_summary.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write bench_summary.json: $e") }
       // rich per-query detail: warm min/med/max triples + machine-state
       // marks — the evidence trail for any contended verdict
       val detail =
@@ -915,6 +919,13 @@ object Bench {
       // stays tail-parseable; the full artifact lives in bench_out.json.
       println(compactSummary(s01, sf1, contended, reasons, cpus,
         sfDir, out, stage))
+      // the FULL contract line ({"metric",...,"queries":{...},"sf"})
+      // prints once, LAST, at the final stage: the driver's parser keeps
+      // the last JSON-parseable stdout line, and with the build's
+      // StdoutOutput strategy it now arrives without sbt's "[info] "
+      // decoration (VERDICT r17 next #1 — parsed:null every round since
+      // r01). The compact line above stays for mid-run/kill log tails.
+      if (stage == "final") println(json)
     }
 
     // ---- sf0.1: pass 0 inline (this process IS a fresh JVM), retries
