@@ -2155,8 +2155,11 @@ object SparkEntry {
     "ann_maxsim" -> ((s, dir) => {
       registered(s)
       val he = graft.functions.HashingEmbedder(64)
-      val emb = TextAnalysis.chunk(Tables.load(s, dir, "documents"))
-        .select(col("doc_id"), col("chunk_idx"), he.embed(col("chunk_text")).as("e"))
+      // r18: chunk token slices hash-embed directly — one tokenize pass
+      // (the r17 shape array_join'd each chunk back to text and the
+      // embed kernel re-tokenized it; values are bit-identical)
+      val emb = TextAnalysis.chunkTokenSlices(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("chunk_idx"), he.embedTokens(col("chunk_toks")).as("e"))
       val q = emb.where(col("doc_id") === 0)
         .select(col("chunk_idx").as("q_idx"), col("e").as("qe"))
       val corpus = emb.where(col("doc_id") =!= 0)
@@ -2183,10 +2186,12 @@ object SparkEntry {
       import org.apache.spark.ml.functions.vector_to_array
       import org.apache.spark.ml.stat.Summarizer
       val he = graft.functions.HashingEmbedder(64)
-      val chunks = TextAnalysis.chunk(Tables.load(s, dir, "documents"))
+      // r18: count the chunk token slices directly (no array_join +
+      // re-tokenize round-trip; identical integer counts)
+      val chunks = TextAnalysis.chunkTokenSlices(Tables.load(s, dir, "documents"))
       chunks
         .select(col("doc_id"),
-          array_to_vector(he.counts(col("chunk_text")).cast("array<double>")).as("cv"))
+          array_to_vector(he.countsTokens(col("chunk_toks")).cast("array<double>")).as("cv"))
         .groupBy("doc_id")
         .agg(Summarizer.sum(col("cv")).as("sv"),
           count(lit(1)).cast("int").as("n_chunks"))

@@ -92,6 +92,35 @@ object CentroidKernel {
     new GenericArrayData(bc.take(filled).asInstanceOf[Array[Long]])
   }
 
+  /** Cosine of `vec` against EVERY reference vector, in ascending-id
+    * order — the late-interaction (maxsim) scoring pass: one compiled
+    * loop re-reading `vec` once (its norm is accumulated per reference
+    * exactly as [[CosineSimilarity]] does, so each sim is bit-identical
+    * to the per-pair kernel; nx is an independent accumulator, its
+    * hoisting cannot change the bits). */
+  def allCosines(vec: ArrayData, flat: Array[Float], n: Int, d: Int): ArrayData = {
+    checkDim(vec, d)
+    val out = new Array[Double](n)
+    var nx = 0.0
+    var i = 0
+    while (i < d) { val xi = vec.getFloat(i).toDouble; nx += xi * xi; i += 1 }
+    val snx = java.lang.Math.sqrt(nx)
+    var c = 0
+    while (c < n) {
+      var dot = 0.0; var ny = 0.0
+      val off = c * d
+      i = 0
+      while (i < d) {
+        val xi = vec.getFloat(i).toDouble
+        val yi = flat(off + i).toDouble
+        dot += xi * yi; ny += yi * yi; i += 1
+      }
+      out(c) = dot / (snx * java.lang.Math.sqrt(ny))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** (id, sim) of the MOST-cosine-similar reference vector — the
     * semantic-decontamination probe. Per candidate this is the exact
     * [[CosineSimilarity]] fold (sequential i, f32 -> f64 dot/nx/ny,
@@ -270,6 +299,38 @@ case class MaxCosineExpr(vec: Expression, cidsArg: Expression, centsArg: Express
     val idRef = ctx.addReferenceObj("graftRefIds", cidArr, "long[]")
     nullSafeCodeGen(ctx, ev, (v, _, _) =>
       s"${ev.value} = graft.functions.CentroidKernel.maxCosine($v, $flatRef, $idRef, $dim);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(vec = f, cidsArg = s, centsArg = t)
+}
+
+/** graft_all_cosines(vec, ids, refs) -> ARRAY<DOUBLE> — cosine of `vec`
+  * against every reference vector, in ASCENDING id order (position i is
+  * the sim against the i-th lowest id). One compiled pass; each element
+  * is bit-identical to graft_cosine(vec, ref_i). The maxsim scoring
+  * head: replaces a broadcast-nested-loop row explosion (|refs| rows +
+  * |refs| re-computations of vec's norm per corpus chunk) with a single
+  * projection. */
+case class AllCosinesExpr(vec: Expression, cidsArg: Expression, centsArg: Expression)
+    extends TernaryExpression with CentroidArgs {
+  override def first: Expression = vec
+  override def second: Expression = cidsArg
+  override def third: Expression = centsArg
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_all_cosines"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkCentroidArgs(prettyName)
+
+  protected override def nullSafeEval(v: Any, c: Any, m: Any): Any =
+    CentroidKernel.allCosines(v.asInstanceOf[ArrayData], flatCents, cidArr.length, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("graftRefs", flatCents, "float[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"${ev.value} = graft.functions.CentroidKernel.allCosines($v, $flatRef, ${cidArr.length}, $dim);")
   }
 
   override protected def withNewChildrenInternal(

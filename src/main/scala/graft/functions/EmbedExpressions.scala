@@ -46,6 +46,45 @@ object HashEmbedKernel {
   def counts(text: UTF8String, dim: Int): ArrayData =
     new GenericArrayData(countsArr(text, dim))
 
+  /** Counts from an ALREADY-TOKENIZED array. PRECONDITION: elements are
+    * normalized [a-z0-9]+ tokens (the Dedup.tokens contract) — under it
+    * this equals counts(array_join(toks, " "), dim) bit for bit (the
+    * space-join/re-extract round-trip is the identity on such tokens;
+    * null elements are skipped exactly as array_join drops them), while
+    * skipping the per-chunk join allocation and the second regex pass.
+    * Arbitrary strings are NOT re-tokenized here. */
+  private def countsFromTokens(toks: ArrayData, dim: Int): Array[Long] = {
+    val c = new Array[Long](dim)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        c((wcode(toks.getUTF8String(i).toString) % dim).toInt) += 1L
+      }
+      i += 1
+    }
+    c
+  }
+
+  def countsTokens(toks: ArrayData, dim: Int): ArrayData =
+    new GenericArrayData(countsFromTokens(toks, dim))
+
+  /** L2-normalized token-array counts as ARRAY<FLOAT> — the token-array
+    * sibling of [[embed]] (same precondition as [[countsTokens]]). */
+  def embedTokens(toks: ArrayData, dim: Int): ArrayData = {
+    val c = countsFromTokens(toks, dim)
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val x = c(i).toDouble; s += x * x; i += 1 }
+    val n = java.lang.Math.sqrt(s)
+    val out = new Array[Float](dim)
+    if (n > 0.0) {
+      i = 0
+      while (i < dim) { out(i) = (c(i).toDouble / n).toFloat; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
   /** L2-normalized counts as ARRAY<FLOAT> (all-zero when no tokens). */
   def embed(text: UTF8String, dim: Int): ArrayData = {
     val c = countsArr(text, dim)
@@ -70,6 +109,57 @@ private[functions] trait HashEmbedLike extends BinaryExpression {
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (string, int literal dim), got ($l, $r)")
     }
+}
+
+private[functions] trait HashEmbedTokensLike extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string> of normalized tokens, int literal dim), got ($l, $r)")
+    }
+}
+
+/** graft_hash_counts_tokens(tokens, dim) -> ARRAY<LONG> hashed term
+  * counts from a pre-tokenized array (see HashEmbedKernel.countsTokens
+  * for the normalized-token precondition). */
+case class HashEmbedCountsTokens(left: Expression, right: Expression)
+    extends HashEmbedTokensLike {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hash_counts_tokens"
+
+  protected override def nullSafeEval(t: Any, d: Any): Any =
+    HashEmbedKernel.countsTokens(t.asInstanceOf[ArrayData], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, d) =>
+      s"${ev.value} = graft.functions.HashEmbedKernel.countsTokens($t, $d);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_hash_embed_tokens(tokens, dim) -> ARRAY<FLOAT> l2-normalized
+  * embedding from a pre-tokenized array. */
+case class HashEmbedTokens(left: Expression, right: Expression)
+    extends HashEmbedTokensLike {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_hash_embed_tokens"
+
+  protected override def nullSafeEval(t: Any, d: Any): Any =
+    HashEmbedKernel.embedTokens(t.asInstanceOf[ArrayData], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, d) =>
+      s"${ev.value} = graft.functions.HashEmbedKernel.embedTokens($t, $d);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** graft_hash_counts(text, dim) -> ARRAY<LONG> hashed term counts. */

@@ -50,6 +50,16 @@ case class HashingEmbedder(dim: Int = 64) extends Embedder {
   def embed(text: Column): Column =
     call_function("graft_hash_embed", text, lit(dim))
 
+  /** Token-array siblings (normalized [a-z0-9]+ tokens — the
+    * Dedup.tokens contract): identical values to counts/embed over the
+    * space-joined token text, minus the join allocation and the second
+    * tokenize pass (see HashEmbedKernel.countsTokens). */
+  def countsTokens(toks: Column): Column =
+    call_function("graft_hash_counts_tokens", toks, lit(dim))
+
+  def embedTokens(toks: Column): Column =
+    call_function("graft_hash_embed_tokens", toks, lit(dim))
+
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, embed(col(textCol)))
 }

@@ -25,6 +25,8 @@ object GraftFunctions {
       "graft_packed_byte_sum" -> (e => PackedByteSum(e(0))),
       "graft_hash_counts" -> (e => HashEmbedCounts(e(0), e(1))),
       "graft_hash_embed" -> (e => HashEmbed(e(0), e(1))),
+      "graft_hash_counts_tokens" -> (e => HashEmbedCountsTokens(e(0), e(1))),
+      "graft_hash_embed_tokens" -> (e => HashEmbedTokens(e(0), e(1))),
       "graft_cosine_f32" -> (e => CosineSimilarityF32(e(0), e(1))),
       "graft_euclidean_f32" -> (e => EuclideanDistanceF32(e(0), e(1))),
       "graft_shingle_codes" -> (e => ShingleBigramCodes(e(0))),
@@ -34,6 +36,7 @@ object GraftFunctions {
       "graft_probe_centroids" -> (e => ProbeCentroidsExpr(e(0), e(1), e(2), e(3))),
       "graft_cms_estimate" -> (e => CmsEstimateExpr(e(0), e(1))),
       "graft_max_cosine" -> (e => MaxCosineExpr(e(0), e(1), e(2))),
+      "graft_all_cosines" -> (e => AllCosinesExpr(e(0), e(1), e(2))),
       "graft_bloom_contains" -> (e => BloomContainsExpr(e(0), e(1))),
       "graft_del_variants" -> (e => DeletionVariants(e(0), e(1))),
       "graft_pairs" -> (e => SortedPairs(e(0))),
@@ -46,7 +49,8 @@ object GraftFunctions {
       "graft_merge_pair" -> (e => MergeAdjacentPair(e(0), e(1), e(2))),
       "graft_greedy_segment" -> (e => GreedySegment(e(0), e(1))),
       "graft_optimal_segment_count" -> (e => OptimalSegmentCount(e(0), e(1))),
-      "graft_fence" -> (e => Fence(e(0)))
+      "graft_fence" -> (e => Fence(e(0))),
+      "graft_band_keys" -> (e => BandKeysExpr(e(0), e(1), e(2)))
     )
 
   /** Register all graft functions + optimizer rules on the session

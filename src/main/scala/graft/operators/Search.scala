@@ -118,22 +118,53 @@ object Search {
    * top k.
    */
   def maxSimTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val qIdxs = queries.select(col("q_idx").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
-    require(qIdxs.nonEmpty, "graft: maxsim needs at least one query chunk")
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", graft.functions.GraftFunctions.cosine(col("e"), col("qe")))
-    val perQueryMax = qIdxs.map(q =>
-      max(when(col("q_idx") === q, col("sim"))).as(s"mx_$q"))
-    // coalesce each term: the retired sum() aggregate SKIPPED null
-    // per-query maxes (a null query embedding nulls its cosines), and
-    // Column `+` would instead null the whole document score
-    val msim = qIdxs.map(q =>
-      coalesce(floor(col(s"mx_$q") * lit(1000000.0)).cast("long"), lit(0L)))
-      .reduce(_ + _)
-    val summed = scored.groupBy(col("id"))
-      .agg(perQueryMax.head, perQueryMax.tail: _*)
-      .select(col("id"), msim.as("msim"))
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(queries.sparkSession)
+    // r18: the query set is bounded by construction (one document's
+    // chunks), so collect it and score each corpus chunk with ONE
+    // compiled graft_all_cosines projection. The r17 shape broadcast-
+    // nested-loop-joined the query rows against every corpus chunk —
+    // |q| output rows per chunk, each re-reading the chunk vector and
+    // recomputing its norm — before the pivoted max. Sims, per-query
+    // maxes and the integer msim sum are bit-identical (kernel parity
+    // pinned in KernelSpec; every consumer is oracle-hash-gated).
+    val qRows = queries
+      .select(col("q_idx").cast("long"), GraftFunctions.asVec(col("qe")))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Float](1)))
+    require(qRows.nonEmpty, "graft: maxsim needs at least one query chunk")
+    // a null query embedding nulled its cosines and could never win a
+    // max — dropping the row here leaves an all-null q_idx contributing
+    // the same 0 its null max coalesced to before
+    // stable sort: duplicate q_idx rows keep collect order, and their
+    // positions fold through a commutative greatest() below
+    val live = qRows.filter(_._2 != null).sortBy(_._1).toSeq
+    val summed =
+      if (live.isEmpty)
+        corpus.groupBy(col("id")).agg(min(lit(0L)).as("msim"))
+      else {
+        val sims = call_function("graft_all_cosines",
+          GraftFunctions.asVec(col("e")),
+          array(live.map(q => lit(q._1)): _*),
+          array(live.map(q => GraftFunctions.vecLit(q._2)): _*))
+        // kernel output is in ascending-id order; a duplicated q_idx
+        // folds to one per-row greatest, so the per-group max equals
+        // the retired max(when(q_idx = q, sim)) over the exploded rows
+        val posByIdx: Map[Long, Seq[Int]] = live.map(_._1).zipWithIndex
+          .groupBy(_._1).view.mapValues(_.map(_._2 + 1).toSeq).toMap
+        val liveIdxs = posByIdx.keys.toSeq.sorted
+        val perQueryMax = liveIdxs.map { q =>
+          val els = posByIdx(q).map(p => element_at(col("sims"), p))
+          max(if (els.size == 1) els.head else greatest(els: _*)).as(s"mx_$q")
+        }
+        val msim = liveIdxs.map(q =>
+          coalesce(floor(col(s"mx_$q") * lit(1000000.0)).cast("long"), lit(0L)))
+          .reduce(_ + _)
+        corpus.withColumn("sims", sims)
+          .groupBy(col("id"))
+          .agg(perQueryMax.head, perQueryMax.tail: _*)
+          .select(col("id"), msim.as("msim"))
+      }
     TopK.topKRanked(summed, k, Seq(desc("msim"), asc("id")))
       .select(col("rank"), col("id"), col("msim"))
   }

@@ -41,20 +41,40 @@ object SimilaritySearch {
   def planes(d: Int, m: Int = graft.OracleSql.LshPlanes): Seq[Seq[Double]] =
     graft.OracleSql.lshPlanes(d, m)
 
-  /** Signed dot with plane m (sequential fold — oracle-bit-identical). */
-  private def planeDot(vec: Column, plane: Seq[Double]): Column = {
+  /** Signed dot with plane m (sequential fold — oracle-bit-identical).
+    * Retired from the hot paths in favour of the compiled
+    * [[graft.functions.LshKernel]] (bit-identical fold; the r18
+    * KernelSpec equivalence test pins the two against each other) —
+    * kept as the readable spec of the key derivation. */
+  private[operators] def planeDot(vec: Column, plane: Seq[Double]): Column = {
     val planeArr = array(plane.map(lit): _*)
     aggregate(
       zip_with(vec, planeArr, (x, y) => x.cast("double") * y),
       lit(0.0), (acc, x) => acc + x)
   }
 
-  /** Bucket id from an explicit plane list: bit j set iff
-    * dot(vec, ps(j)) > 0. */
-  def signBucketFromPlanes(vec: Column, ps: Seq[Seq[Double]]): Column =
+  /** The interpreted-HOF form of [[signBucketFromPlanes]] — the
+    * executable spec the kernel equivalence test compares against. */
+  private[graft] def signBucketFromPlanesHof(vec: Column, ps: Seq[Seq[Double]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
       when(planeDot(vec, p) > 0.0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** All band keys of `vec` in ONE compiled pass (array of `bands`
+    * keys): graft_band_keys over a task-constant flat plane matrix.
+    * NULL vectors keep the legacy hash-to-key-0 behaviour (the retired
+    * `when(dot > 0, ...).otherwise(0)` column never propagated null). */
+  private def bandKeysCol(vec: Column, ps: Seq[Seq[Double]], rows: Int): Column =
+    coalesce(
+      call_function("graft_band_keys", vec,
+        array(ps.map(p => array(p.map(lit): _*)): _*), lit(rows)),
+      array_repeat(lit(0L), lit(ps.size / rows)))
+
+  /** Bucket id from an explicit plane list: bit j set iff
+    * dot(vec, ps(j)) > 0. One compiled pass (callers must have
+    * registered the graft functions — every entry point here does). */
+  def signBucketFromPlanes(vec: Column, ps: Seq[Seq[Double]]): Column =
+    element_at(bandKeysCol(vec, ps, ps.size), 1)
 
   /** LSH bucket id: bit m set iff dot(vec, plane_m) > 0. */
   def signBucket(vec: Column, d: Int, m: Int = graft.OracleSql.LshPlanes): Column =
@@ -64,18 +84,21 @@ object SimilaritySearch {
     * planes [b*rows, (b+1)*rows). THE banding used by both the LSH
     * similarity join and the embedding near-dup blocking
     * ([[graft.operators.Dedup.embeddingNearDupsLsh]]); keep it single so
-    * the two paths can never diverge on key derivation. */
+    * the two paths can never diverge on key derivation.
+    *
+    * r18: all `bands` keys come from ONE graft_band_keys kernel call
+    * per vector (posexplode'd), where the r17 shape ran bands x rows
+    * interpreted aggregate(zip_with) folds per vector — the dominant
+    * per-row cost of every banded-LSH consumer at sf1. Band/key values
+    * and row multiset are bit-identical (kernel parity pinned in
+    * KernelSpec; consumers are oracle-hash-gated). */
   def bandedKeys(df: DataFrame, vecCol: String, d: Int,
                  bands: Int, rows: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val allPlanes = planes(d, bands * rows)
-    val bandCol = explode(array((0 until bands).map { b =>
-      val ps = allPlanes.slice(b * rows, (b + 1) * rows)
-      struct(lit(b).as("band"), signBucketFromPlanes(col(vecCol), ps).as("key"))
-    }: _*))
-    df.withColumn("bk", bandCol)
-      .withColumn("band", col("bk.band"))
-      .withColumn("key", col("bk.key"))
-      .drop("bk")
+    df.select(df.columns.map(col) :+
+      posexplode(bandKeysCol(col(vecCol), allPlanes, rows))
+        .as(Seq("band", "key")): _*)
   }
 
   /** Driver-side mirror of [[signBucket]] (same sequential double fold,
@@ -119,6 +142,7 @@ object SimilaritySearch {
   def lshSearchVec(emb: DataFrame, qv: Seq[Float], k: Int, d: Int,
                    nPlanes: Int = graft.OracleSql.LshPlanes,
                    probeHamming: Int = graft.OracleSql.LshProbeHamming): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val probes = probeBuckets(signBucketOf(qv, d, nPlanes), nPlanes, probeHamming)
     val scored = emb
       .withColumn("bucket", signBucket(col("embedding"), d, nPlanes))
@@ -190,8 +214,19 @@ object SimilaritySearch {
     // same cap and band geometry as this join, NOT the Emb defaults.
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "key").orderBy("cid")
+    // r18: corpus rows in buckets NO query occupies can never survive
+    // the (band, key) equi-join — drop them with a broadcast semi-join
+    // on the query side's distinct bucket set BEFORE the cap window, so
+    // the row_number exchange+sort runs over matched buckets only
+    // instead of the whole banded corpus (bands x |C| rows). Value-
+    // identical: within-bucket cid ranks do not depend on other
+    // buckets, so the cap keeps exactly the rows it kept before. The
+    // query side is small per the operator contract (its vectors
+    // broadcast below); its bucket set is strictly smaller still.
+    val qBuckets = broadcast(q.select("band", "key").distinct())
     val c = bandedKeys(corpus.select(col("cid"), col("cvec")), "cvec", d, bands, rows)
       .select("band", "key", "cid")
+      .join(qBuckets, Seq("band", "key"), "left_semi")
       .withColumn("crk", row_number().over(cw))
       .where(col("crk") <= LshCandCap).drop("crk")
     val pairs = q.join(c, Seq("band", "key")).select("qid", "cid").distinct()

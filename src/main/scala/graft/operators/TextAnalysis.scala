@@ -182,6 +182,31 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  /** Chunk TOKEN slices — the fused sibling of [[chunk]] for consumers
+    * that immediately hash the chunk text (maxsim scoring, chunk-count
+    * pooling): same doc filter, same chunk windows, but the slice stays
+    * a token array instead of round-tripping through
+    * array_join + a second tokenize inside the hash kernel (the joined
+    * text re-extracts to exactly these tokens, so the token-kernel
+    * values are bit-identical — KernelSpec pins the equivalence).
+    * Emits (doc_id, chunk_idx, chunk_toks). */
+  def chunkTokenSlices(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"graft: need 0 <= overlap < chunkTokens (got $overlap, $chunkTokens)")
+    val step = chunkTokens - overlap
+    val kMax = when(size(col("ws")) > chunkTokens,
+      expr(s"(size(ws) - $chunkTokens + ${step - 1}) div $step")).otherwise(lit(0))
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), kMax)).as("k"))
+      .select(col("doc_id"),
+        col("k").cast("long").as("chunk_idx"),
+        slice(col("ws"), col("k") * step + 1, lit(chunkTokens)).as("chunk_toks"))
+  }
+
   /** PII patterns, applied (and redacted) in this order. Kept inside
     * the java.util.regex ∩ RE2 common subset — no lookaround, no
     * backrefs — so the Spark side (java.util.regex) and the DuckDB

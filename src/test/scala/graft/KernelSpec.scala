@@ -381,6 +381,78 @@ class KernelSpec extends AnyFunSuite {
     assert(nonlit.getMessage.contains("int literal"), nonlit.getMessage)
   }
 
+  test("hash-embed token kernels == joined-text kernels over real chunk slices") {
+    import graft.operators.TextAnalysis
+    graft.functions.GraftFunctions.register(spark)
+    val he = graft.functions.HashingEmbedder(64)
+    val rnd = new scala.util.Random(21)
+    val words = Vector("the", "quick", "brown", "fox", "1234", "a", "zz9",
+      "merge", "filter", "vector", "batch0")
+    val docs = ((1L to 30L).map { i =>
+      (i, (0 until rnd.nextInt(200)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    } :+ (98L, "") :+ (99L, "Mixed-CASE punct,uation! splits 42x")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Any](2))).toSeq
+        .sortBy(t => (t._1, t._2))
+    // the chunk_text path (array_join + re-tokenize inside the kernel)
+    // is the spec; the token-slice path must match it bit for bit
+    val viaText = rows(TextAnalysis.chunk(docs).select(col("doc_id"),
+      col("chunk_idx"), he.embed(col("chunk_text"))))
+    val viaToks = rows(TextAnalysis.chunkTokenSlices(docs).select(col("doc_id"),
+      col("chunk_idx"), he.embedTokens(col("chunk_toks"))))
+    assert(viaToks == viaText)
+    assert(viaToks.nonEmpty && viaToks.exists(_._3.exists(_ != 0f)))
+    val cText = rows(TextAnalysis.chunk(docs).select(col("doc_id"),
+      col("chunk_idx"), he.counts(col("chunk_text"))))
+    val cToks = rows(TextAnalysis.chunkTokenSlices(docs).select(col("doc_id"),
+      col("chunk_idx"), he.countsTokens(col("chunk_toks"))))
+    assert(cToks == cText)
+  }
+
+  test("band-keys kernel == retired HOF sign-bucket fold (banding, single bucket, null vec)") {
+    import graft.operators.SimilaritySearch
+    graft.functions.GraftFunctions.register(spark)
+    val d = 8; val bands = 4; val rows = 4
+    val rnd = new scala.util.Random(7)
+    val data = (1L to 40L).map(i =>
+      (i, (0 until d).map(_ => (rnd.nextFloat() - 0.5f) * 4f))) :+
+      (98L, Seq.fill(d)(0f)) // zero vector: every dot == 0.0, no bit set
+    val emb = data.toDF("vec_id", "embedding")
+      .union(Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val ps = SimilaritySearch.planes(d, bands * rows)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val got = rowsOf(SimilaritySearch.bandedKeys(emb, "embedding", d, bands, rows)
+      .select("vec_id", "band", "key"))
+    // the retired per-band HOF explode, reconstructed inline as the spec
+    val legacy = rowsOf(emb.select(col("vec_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            SimilaritySearch.signBucketFromPlanesHof(col("embedding"),
+              ps.slice(b * rows, (b + 1) * rows)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key")))
+    assert(got == legacy)
+    assert(got.size == 42 * bands && got.exists(_._3 != 0L),
+      "banding must keep every row (null vec hashes to key 0) and set some bits")
+    // the single-bucket surface (ann_lsh path) agrees with the HOF spec too
+    val one = emb.where(col("embedding").isNotNull).select(
+      SimilaritySearch.signBucket(col("embedding"), d).as("k"),
+      SimilaritySearch.signBucketFromPlanesHof(col("embedding"),
+        SimilaritySearch.planes(d)).as("kh")).collect()
+    assert(one.nonEmpty && one.forall(r => r.getLong(0) == r.getLong(1)))
+    // analysis guards: non-multiple plane count, rows out of range
+    val bad = intercept[Exception](spark.range(1).select(
+      call_function("graft_band_keys",
+        typedLit(Seq.fill(d)(0.1f)), typedLit(ps.take(3)), lit(2))).collect())
+    assert(bad.getMessage.contains("multiple"), bad.getMessage)
+    val badRows = intercept[Exception](spark.range(1).select(
+      call_function("graft_band_keys",
+        typedLit(Seq.fill(d)(0.1f)), typedLit(ps), lit(0))).collect())
+    assert(badRows.getMessage.contains("rows"), badRows.getMessage)
+  }
+
   test("pair kernel == retired HOF form (index-ordered pairs, empty/singleton, guards)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
