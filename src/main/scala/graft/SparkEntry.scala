@@ -2318,9 +2318,21 @@ object SparkEntry {
       // it with a THIRD corpus scan + a 6M-row exchange — cheap from
       // a local page cache, wrong at 100 TB where the reused basket
       // exchange costs only a post-shuffle re-aggregation).
-      val baskets = Tables.load(s, dir, "lineitem")
+      // r18: the sorted-set basket table materializes ONCE and feeds
+      // all three consumers. The r17 shape re-ran the collect_set +
+      // sort_array FINAL aggregation per branch (rules, cnt, nOrders) —
+      // AQE stage reuse shares only the pre-shuffle map side, so two of
+      // the three post-shuffle set-builds (the most expensive stage in
+      // the AssocProbe attribution) were pure recomputation. `ok` is
+      // dropped before materializing: no consumer reads it, so the
+      // pinned blocks carry just the ~4-int item arrays. Storage policy
+      // (local[*] localCheckpoint vs cluster persist) in
+      // graft.core.Materialize; the bench rebuilds the frame per rep,
+      // so this materializes from parquet every rep.
+      val baskets = graft.core.Materialize(Tables.load(s, dir, "lineitem")
         .groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+        .select(col("items")))
       val rules = baskets
         .select(explode(GraftFunctions.pairsPacked(col("items"))).as("pp"))
         .groupBy(col("pp")).agg(count(lit(1)).as("n_ab"))

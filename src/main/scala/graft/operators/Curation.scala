@@ -420,7 +420,9 @@ object Curation {
     // the same materialized narrow rows; the per-call checkpoint
     // inside groupQuantile then just re-persists a projection of this
     // one (cheap). Same algorithm, same exact rank-select values.
-    val src = df.localCheckpoint(eager = false)
+    // Storage policy (localCheckpoint under local[*], recomputable
+    // persist on a cluster) in [[graft.core.Materialize]].
+    val src = graft.core.Materialize(df)
     val lo = Sketch.groupQuantile(src, groupCols, valueCol, pLo)
       .withColumnRenamed("q", "qlo")
     val hi = Sketch.groupQuantile(src, groupCols, valueCol, pHi)

@@ -50,7 +50,11 @@ object Dedup {
       val cp = cached.checkpoint() // eager: materializes via the cache
       cached.unpersist(blocking = false)
       cp
-    } else df.localCheckpoint()
+    } else df.localCheckpoint(eager = false)
+    // lazy (r18): every iterative caller follows the checkpoint with an
+    // immediate count/fingerprint aggregate, which materializes the
+    // blocks in the SAME job — the eager form paid one extra job per
+    // round just to materialize, then a second to fingerprint
 
   /** Lowercased alnum tokens. */
   def tokens(text: Column): Column =
@@ -631,12 +635,20 @@ object Dedup {
     var fp = fingerprint(init)
     var converged = false
     var i = 0
+    // per-round ADAPTIVE width (r18, VERDICT r17 next #4): the star
+    // rounds collapse the edge set fast (stars of each component), so a
+    // width derived from the INITIAL count over-partitions every later
+    // round at scale. The fingerprint already counts each round's
+    // edges — reuse it to size the next round for free. Partitioning
+    // never changes values; floor(4) keeps the fixture behaviour.
+    var parts = nParts
     while (!converged && i < maxIter) {
-      val next = checkpointed(sizedTo(smallStar(largeStar(edges)), nParts))
+      val next = checkpointed(sizedTo(smallStar(largeStar(edges)), parts))
       val nfp = fingerprint(next)
       converged = nfp == fp
       edges = next
       fp = nfp
+      parts = roundPartitions(nfp._1, edgesPerPartition)
       i += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -59,17 +59,21 @@ object Search {
         col(textCol), array(terms.map(lit): _*)).as("tc"))
     // ONE tokenize pass (r17): base feeds BOTH the corpus-stats
     // aggregate and the per-doc score projection below — without the
-    // checkpoint each consumer re-runs graft_term_counts over the
+    // materialization each consumer re-runs graft_term_counts over the
     // corpus (and rank-eval compositions that read a bm25Scored twice
-    // paid four passes per query set). The checkpointed rows are
+    // paid four passes per query set). The materialized rows are
     // narrow integers (doc_id, dl, tf_0..tf_{T-1} — ~8(T+2) B/doc,
     // ~0.1% of the corpus), the standard trade of a narrow stat
-    // materialization for a repeated wide tokenize pass.
-    val base = tc.select(
+    // materialization for a repeated wide tokenize pass. Storage policy
+    // (lineage-truncating localCheckpoint under local[*], recomputable
+    // MEMORY_AND_DISK persist on a cluster, spark.graft.materialize to
+    // override) lives in [[graft.core.Materialize]] — callers that
+    // want their own predicate to reach the corpus scan should filter
+    // `docs` BEFORE calling (nothing pushes below the materialization).
+    val base = graft.core.Materialize(tc.select(
       col("doc_id") +:
         element_at(col("tc"), 1).as("dl") +:
-        terms.indices.map(i => element_at(col("tc"), i + 2).as(s"tf_$i")): _*)
-      .localCheckpoint(eager = false)
+        terms.indices.map(i => element_at(col("tc"), i + 2).as(s"tf_$i")): _*))
     val stats = base.agg(
       count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).as("sum_dl") +:

@@ -1213,7 +1213,7 @@ class VectorStore(spark: SparkSession, val root: String,
       require(df.columns.contains("id"),
         "graft: insertNearDedup needs caller-assigned ids (the in-batch" +
           " survivor policy is min-id per near-dup component)")
-      val mh = fullSigsOf(df).localCheckpoint(false)
+      val mh = graft.core.Materialize(fullSigsOf(df))
       // in-batch: banded candidates -> agreement verify -> components
       val cand = graft.operators.Dedup.lshCandidates(mh)
       val a = mh.select(col("doc_id").as("d1") +:
@@ -1228,9 +1228,8 @@ class VectorStore(spark: SparkSession, val root: String,
       // components need long ids: dense rank over the batch's ids (one
       // batch-wide window — bounded by the trigger)
       val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-      val idx = mh.select("doc_id")
-        .withColumn("nid", row_number().over(w).cast("long"))
-        .localCheckpoint(false)
+      val idx = graft.core.Materialize(mh.select("doc_id")
+        .withColumn("nid", row_number().over(w).cast("long")))
       val p = verified
         .join(idx.select(col("doc_id").as("d1"), col("nid").as("n1")), Seq("d1"))
         .join(idx.select(col("doc_id").as("d2"), col("nid").as("n2")), Seq("d2"))

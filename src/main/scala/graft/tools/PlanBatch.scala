@@ -17,7 +17,19 @@ import graft.SparkEntry
   */
 object PlanBatch {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: runMain graft.tools.PlanBatch <sfDir> <outDir> <suffix> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, list) = args.take(4)
+    val unknown = list.split(",").map(_.trim).filter(_.nonEmpty)
+      .filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")} (not in SparkEntry.queries)")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
