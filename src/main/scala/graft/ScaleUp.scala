@@ -29,6 +29,25 @@ import graft.core.Tables
  */
 object ScaleUp {
 
+  /** Standalone derivation entry point (development / pre-warming the
+    * bench's sf1 fixture): runMain graft.ScaleUp [src] [dst] [factor]. */
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"[scaleup] ensured: ${ensure(spark, src, dst, factor)}")
+    spark.stop()
+  }
+
   private val facts = Seq("orders", "lineitem", "events", "documents", "embeddings")
   private val dims = Seq("region", "nation", "customer", "supplier", "part")
 
@@ -49,8 +68,11 @@ object ScaleUp {
       val mtime = if (fs.isEmpty) 0L else fs.map(_.lastModified()).max
       s"$t=${Tables.load(spark, src, t).count()}:$bytes:$mtime"
     }
-    (Seq(s"src=${new java.io.File(src).getCanonicalPath}", s"factor=$factor")
-      ++ counts).mkString("\n")
+    // layout version: v2 spreads each derived fact table across the
+    // deriving session's parallelism (see replicate below) — bumping
+    // this line invalidates sentinels of v1-layout derivations
+    (Seq(s"src=${new java.io.File(src).getCanonicalPath}", s"factor=$factor",
+      "layout=v3") ++ counts).mkString("\n")
   }
 
   /** Replicate `src` `factor`x into `dst`; no-op when the sentinel
@@ -119,29 +141,53 @@ object ScaleUp {
     val vecOff = maxOf("embeddings", "vec_id")
     val evOff = maxOf("events", "event_id")
 
-    /** table x replica cross product with per-replica key shifts. */
-    def replicate(t: String)(shift: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
+    /** table x replica cross product with per-replica key shifts.
+      *
+      * Layout (r18, guide §6): v1 inherited the SOURCE's partitioning —
+      * a 1-file source table wrote 1-2 derived files with one ~22 MB
+      * row group each, so every scan stage over the derived facts ran
+      * on 1-2 tasks no matter the machine (a single task tokenized the
+      * whole sf1 corpus). v2 spreads each fact table across the
+      * deriving session's parallelism and caps row groups at
+      * SPARK_GRAFT_SCALE_BLOCK_MB (default 8 MB — fixture-sized; a
+      * production derivation at real volume should raise it toward the
+      * 128 MB-1 GB band) so scans split even when another session with
+      * fewer cores derived the fixture. Same rows, same values —
+      * results never depend on file layout; only scan parallelism does. */
+    val outFiles = math.max(spark.sparkContext.defaultParallelism, 16)
+    val blockBytes = sys.env.getOrElse("SPARK_GRAFT_SCALE_BLOCK_MB", "8")
+      .trim.toLong * 1024L * 1024L
+    def replicate(t: String, key: String)(
+        shift: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
       val base = Tables.load(spark, src, t)
       val out = shift(
         base.withColumn("r", explode(sequence(lit(0L), lit(factor - 1L)))),
         col("r"))
-      out.drop("r").write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      // hash-partition on the table's replicated key and sort within
+      // each file: all rows of one key stay in one file (partial
+      // aggregations keyed on it reduce before their exchange) and the
+      // sorted runs keep parquet's delta/RLE encodings effective (a
+      // round-robin spread measured 2.4x the bytes on lineitem)
+      out.drop("r").repartition(outFiles, col(key)).sortWithinPartitions(key)
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", blockBytes)
+        .parquet(s"$dst/$t.parquet")
     }
 
-    replicate("orders")((d, r) =>
+    replicate("orders", "o_orderkey")((d, r) =>
       d.withColumn("o_orderkey", col("o_orderkey") + r * orderOff))
-    replicate("lineitem")((d, r) =>
+    replicate("lineitem", "l_orderkey")((d, r) =>
       d.withColumn("l_orderkey", col("l_orderkey") + r * orderOff))
-    replicate("documents")((d, r) =>
+    replicate("documents", "doc_id")((d, r) =>
       d.withColumn("doc_id", col("doc_id") + r * docOff))
-    replicate("embeddings")((d, r) =>
+    replicate("embeddings", "vec_id")((d, r) =>
       d.withColumn("vec_id", col("vec_id") + r * vecOff))
     // a per-replica second of ts skew keeps replicated streams from
     // being row-for-row identical at the same instant while preserving
     // per-user session structure. events.ts is BIGINT nanos in older
     // fixture generations and timestamp[us] in newer ones (see
     // Tables.load) — shift by one second per replica either way.
-    replicate("events")((d, r) =>
+    replicate("events", "event_id")((d, r) =>
       d.withColumn("event_id", col("event_id") + r * evOff)
         .withColumn("ts", d.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType => col("ts") + r * 1000000000L

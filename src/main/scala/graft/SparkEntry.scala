@@ -1628,7 +1628,14 @@ object SparkEntry {
       val l = Tables.load(s, dir, "lineitem")
       l.groupBy(col("l_orderkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-        .join(o.select(col("o_orderkey")),
+        // SHUFFLE_HASH (r18, guide §3.1): the semi-join key set is the
+        // FULL orders table — fact-sized, so broadcasting it is wrong at
+        // every real scale, and even here AQE's broadcast choice paid a
+        // ~1 s driver collect+build of 1.5M keys per execution (QProbe:
+        // BHJ 2.3 s vs SHJ 1.4 s sf1). The agg side arrives already
+        // hash-partitioned on the key, so the hint adds only the small
+        // o_orderkey exchange; same rows either way.
+        .join(o.select(col("o_orderkey")).hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"), "left_semi")
         .select(col("l_orderkey").as("o_orderkey"), col("revenue"))
         .orderBy(desc("revenue"), asc("o_orderkey"))

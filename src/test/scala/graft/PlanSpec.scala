@@ -297,7 +297,7 @@ class PlanSpec extends AnyFunSuite {
     store.clear()
   }
 
-  test("q3 aggregates BELOW the join: one agg exchange, keys-only semi join, top-k heap") {
+  test("q3 aggregates BELOW the join: keys-only shuffled-hash semi join, top-k heap") {
     val p = plan(SparkEntry.queries("q3_top_revenue")(spark, dir))
     // the revenue agg groups on the lineitem side's own key — lineitem
     // never crosses the wire at full width
@@ -305,10 +305,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     // orders contributes only its key column to the existence check
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"), p.take(3000))
-    // exactly one shuffle exchange (partial -> final agg); the semi
-    // side broadcasts at this scale
+    // r18: the semi join is pinned SHUFFLE_HASH — the key set is the
+    // full fact-sized orders table, so a broadcast (AQE's pick from the
+    // small local estimate) would collect+build millions of keys on the
+    // driver per execution and cannot survive real scale. Exactly two
+    // shuffle exchanges: partial->final agg, plus the keys-only orders
+    // side; the agg side reuses its own partitioning. Never sort-merge.
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(shuffles <= 1, s"$shuffles shuffle exchanges:\n" + p.take(3000))
+    assert(shuffles <= 2, s"$shuffles shuffle exchanges:\n" + p.take(3000))
   }
 
   test("aggregations are partially aggregated map-side (two HashAggregate stages)") {
