@@ -2256,12 +2256,20 @@ object SparkEntry {
     // stays a feedback loop (full sf0.1 graph measured separately:
     // 8.3 s warm, 1.2M edges — the Graph.triangles scaladoc numbers)
     "graph_triangles" -> ((s, dir) => {
-      val pp = Tables.load(s, dir, "lineitem")
+      registered(s)
+      // r18: co-purchase pairs from the in-row pairsPacked kernel over
+      // sorted per-order part sets (the q_assoc_rules shape) — one
+      // basket exchange + compiled pair generation, where the r17 form
+      // paid a distinct + self-join by order key. Identical pair
+      // multiset (all a < b pairs within each order's part set).
+      val baskets = Tables.load(s, dir, "lineitem")
         .where(col("l_orderkey") % 4 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = pp.as("x").join(pp.as("y"), col("x.ok") === col("y.ok"))
-        .where(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("d1"), col("y.pk").as("d2"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      val pairs = baskets
+        .select(explode(GraftFunctions.pairsPacked(col("items"))).as("pp"))
+        .select(shiftright(col("pp"), 32).as("d1"),
+          col("pp").bitwiseAND(lit(0xFFFFFFFFL)).as("d2"))
       Graph.triangles(pairs).orderBy(desc("tri"), col("node"))
     }),
 
@@ -2273,11 +2281,15 @@ object SparkEntry {
     // instead (VERDICT r12 next #3 — the 8.3 s scaladoc claim is now
     // tracked mechanically).
     "graph_triangles_full" -> ((s, dir) => {
-      val pp = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = pp.as("x").join(pp.as("y"), col("x.ok") === col("y.ok"))
-        .where(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("d1"), col("y.pk").as("d2"))
+      registered(s)
+      // same pairsPacked pair generation as graph_triangles, full graph
+      val baskets = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      val pairs = baskets
+        .select(explode(GraftFunctions.pairsPacked(col("items"))).as("pp"))
+        .select(shiftright(col("pp"), 32).as("d1"),
+          col("pp").bitwiseAND(lit(0xFFFFFFFFL)).as("d2"))
       Graph.triangles(pairs).orderBy(desc("tri"), col("node"))
     }),
 
