@@ -72,7 +72,7 @@ object ScaleUp {
     // deriving session's parallelism (see replicate below) — bumping
     // this line invalidates sentinels of v1-layout derivations
     (Seq(s"src=${new java.io.File(src).getCanonicalPath}", s"factor=$factor",
-      "layout=v3") ++ counts).mkString("\n")
+      "layout=v4") ++ counts).mkString("\n")
   }
 
   /** Replicate `src` `factor`x into `dst`; no-op when the sentinel
@@ -157,7 +157,7 @@ object ScaleUp {
     val outFiles = math.max(spark.sparkContext.defaultParallelism, 16)
     val blockBytes = sys.env.getOrElse("SPARK_GRAFT_SCALE_BLOCK_MB", "8")
       .trim.toLong * 1024L * 1024L
-    def replicate(t: String, key: String)(
+    def replicate(t: String, key: String, sortKey: String = "")(
         shift: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
       val base = Tables.load(spark, src, t)
       val out = shift(
@@ -167,8 +167,13 @@ object ScaleUp {
       // each file: all rows of one key stay in one file (partial
       // aggregations keyed on it reduce before their exchange) and the
       // sorted runs keep parquet's delta/RLE encodings effective (a
-      // round-robin spread measured 2.4x the bytes on lineitem)
-      out.drop("r").repartition(outFiles, col(key)).sortWithinPartitions(key)
+      // round-robin spread measured 2.4x the bytes on lineitem).
+      // `sortKey` overrides the in-file sort when readers prune on a
+      // different column (events sort by ts: each file holds a hash
+      // sample of all rows, so in-file ts order gives every row group a
+      // tight ts min/max and time-predicate pruning keeps working).
+      val sk = if (sortKey.nonEmpty) sortKey else key
+      out.drop("r").repartition(outFiles, col(key)).sortWithinPartitions(sk)
         .write.mode(SaveMode.Overwrite)
         .option("parquet.block.size", blockBytes)
         .parquet(s"$dst/$t.parquet")
@@ -187,7 +192,7 @@ object ScaleUp {
     // per-user session structure. events.ts is BIGINT nanos in older
     // fixture generations and timestamp[us] in newer ones (see
     // Tables.load) — shift by one second per replica either way.
-    replicate("events", "event_id")((d, r) =>
+    replicate("events", "event_id", sortKey = "ts")((d, r) =>
       d.withColumn("event_id", col("event_id") + r * evOff)
         .withColumn("ts", d.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType => col("ts") + r * 1000000000L
