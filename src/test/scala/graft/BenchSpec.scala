@@ -86,19 +86,23 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("floor gate flags a CLUSTER of mid-pass blowups the entry/exit probes miss") {
-    // the r15 committed sf1 leg verbatim: three untouched plan-gated
-    // queries 3-8x their clean-window floors, entry probe clean —
-    // exactly the artifact that shipped as contended:false (VERDICT
-    // r15 what's-wrong #2)
+    // the r15 committed sf1 leg's SHAPE: two untouched queries far past
+    // 3x their clean-window floors, one in drift territory (2.3x), one
+    // clean — exactly the artifact that shipped as contended:false
+    // (VERDICT r15 what's-wrong #2). Values are derived from the LIVE
+    // floors resource (floors fold downward every clean round, so
+    // hard-coded readings rot — the r18 fold moved q_assoc_rules'
+    // floor from 7.2 to ~2 and broke the original literals).
+    val f = graft.tools.Floors.of("sf1")
     val blown = Seq(
-      "q_assoc_rules" -> 16.789,     // floor 7.191 — 2.3x, NOT alone enough
-      "text_phrase_search" -> 9.421, // floor 0.934 — 10x
-      "ev_transitions" -> 8.006,     // floor 0.683 — 11.7x
-      "q1_agg" -> 0.986)             // floor 0.722 — clean
+      "q_assoc_rules" -> f("q_assoc_rules") * 2.3, // drift, NOT alone enough
+      "text_phrase_search" -> (f("text_phrase_search") * 10.0 + 1.0), // blowup
+      "ev_transitions" -> (f("ev_transitions") * 11.7 + 1.0),         // blowup
+      "q1_agg" -> f("q1_agg") * 1.3)               // clean
     val r = Bench.floorReasons("sf1", blown)
-    assert(r.nonEmpty, "the r15 mid-pass collapse must flag")
+    assert(r.nonEmpty, "the r15 mid-pass collapse shape must flag")
     assert(r.head.startsWith("sf1:floor_blowup_2"),
-      s"exactly the 2 >3x queries flag (assoc_rules at 2.3x is drift territory): $r")
+      s"exactly the 2 >3x queries flag (2.3x is drift territory): $r")
     assert(r.head.contains("text_phrase_search") && r.head.contains("ev_transitions"))
   }
 
